@@ -1,0 +1,62 @@
+package graft.vcr
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Replay-time estimation (reference: KinesisVcr.java:76-100, 120-149):
+  * Σ tape-object sizes in range, 1 MB/s per open shard, integer-division
+  * chain MB = bytes/1000/1000 then minutes = MB/shards/60, then
+  * humanized to the largest unit.
+  *
+  * The size sum is a pure file-metadata walk over the pruned `dt=` day
+  * directories — same O(#files-in-range) listing the reference does, no
+  * data reads. (At extreme file counts a distributed listing via a Spark
+  * job over day prefixes would shard it; sizes never require opening
+  * objects.)
+  */
+object Estimator {
+
+  final case class Estimate(files: Long, bytes: Long, shards: Int,
+                            minutes: Long, human: String)
+
+  def estimate(conf: Configuration, root: String, stream: String,
+               start: LocalDateTime, end: Option[LocalDateTime],
+               shards: Int): Estimate = {
+    val endEff = TimeArg.effectiveEnd(start, end)
+    val dir = new Path(s"$root/$stream")
+    val fs = FileSystem.get(dir.toUri, conf)
+    var files = 0L
+    var bytes = 0L
+    // Day loop over [start, endEff] — mirrors KinesisPlayer.java:221-227;
+    // each iteration lists exactly one dt= directory.
+    var d = start.toLocalDate
+    val lastDay = endEff.toLocalDate
+    while (!d.isAfter(lastDay)) {
+      val dayDir = new Path(dir, s"${Tape.DtCol}=$d")
+      if (fs.exists(dayDir)) {
+        fs.listStatus(dayDir).foreach { st =>
+          if (st.isFile) { files += 1; bytes += st.getLen }
+        }
+      }
+      d = d.plus(1, ChronoUnit.DAYS)
+    }
+    val minutes = minutesFor(bytes, shards)
+    Estimate(files, bytes, shards, minutes, humanize(minutes))
+  }
+
+  /** Integer-division chain exactly as the reference computes it. */
+  def minutesFor(bytes: Long, shards: Int): Long =
+    bytes / 1000 / 1000 / shards / 60
+
+  /** reference: KinesisVcr.java:132-148 */
+  def humanize(timeInMinutes: Long): String = {
+    if (timeInMinutes < 60) return s"$timeInMinutes mins"
+    val hours = timeInMinutes / 60
+    if (hours < 24) return s"$hours hours"
+    val days = timeInMinutes / 60 / 24
+    if (days < 30) s"$days days" else s"${days / 30} months"
+  }
+}

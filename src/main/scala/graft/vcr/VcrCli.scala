@@ -1,0 +1,88 @@
+package graft.vcr
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** CLI surface mirroring the reference's `kinesis-vcr record|play|estimate`
+  * (reference: KinesisVcr.java:25-110). Configuration comes from the same
+  * environment variables; an in-cluster Kinesis is replaced by parquet
+  * in (record) and a directory "stream" out (play).
+  *
+  * {{{
+  * VCR_BUCKET_NAME=/tmp/tape VCR_SOURCE_STREAM_NAME=events \
+  *   sbt "runMain graft.vcr.VcrCli record /root/testdata/sf0.001/events.parquet"
+  * VCR_BUCKET_NAME=/tmp/tape VCR_SOURCE_STREAM_NAME=events \
+  *   VCR_TARGET_STREAM_NAME=/tmp/replayed \
+  *   sbt "runMain graft.vcr.VcrCli play 2024-01-01 2024-01-03"
+  * ... estimate 2024-01-01 2024-01-03
+  * }}}
+  */
+object VcrCli {
+  def main(args: Array[String]): Unit = {
+    val config = VcrConfig.fromEnv(sys.env)
+    config.validate()
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-vcr")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, config, args)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, config: VcrConfig, args: Array[String]): Unit = {
+    val root = config.bucket.get
+    args.headOption match {
+      case Some("record") =>
+        val stream = config.sourceStream.getOrElse(
+          throw new IllegalArgumentException("VCR_SOURCE_STREAM_NAME must be set"))
+        val in = args.lift(1).getOrElse(
+          throw new IllegalArgumentException("record needs an input parquet path"))
+        // events-shaped input: event_id ≅ sequence number, ts, props payload
+        val records = {
+          val df = spark.read.parquet(in)
+          val ts = if (df.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType)
+            timestamp_micros(expr("ts div 1000")) else col("ts")
+          df.select(col("props").cast("binary").as(Tape.DataCol),
+            col("event_id").as(Tape.SeqCol), ts.as(Tape.TsCol))
+        }
+        val files = TapeWriter.write(records, root, stream)
+        println(s"Recorded ${records.count()} records to $root/$stream in $files files")
+
+      case Some(cmd @ ("play" | "estimate")) =>
+        config.validateForPlayback()
+        val stream = config.sourceStream.getOrElse(
+          throw new IllegalArgumentException("VCR_SOURCE_STREAM_NAME must be set"))
+        if (args.length < 2)
+          throw new IllegalArgumentException(
+            "Must be called with at least two arguments: e.g., `play 2014-05-01` " +
+              "or `play 2014-05-01T00:00:00 2015-05-01T00:00:00`")
+        val start = TimeArg.parseOrThrow(args(1), "start")
+        val end = args.lift(2).map(TimeArg.parseOrThrow(_, "end"))
+        if (cmd == "play") {
+          val tape = TapePlayer.read(spark, root, stream, start, end)
+          val sent = TapePlayer.play(tape,
+            DirectoryReplaySinkFactory(config.targetStream.get))
+          println(s"Wrote $sent records to output stream ${config.targetStream.get}")
+        } else {
+          val est = Estimator.estimate(spark.sparkContext.hadoopConfiguration,
+            root, stream, start, end, shards = sys.env.getOrElse(
+              "VCR_TARGET_SHARDS", "2").toInt)
+          println(s"Target stream (${config.targetStream.get}) has ${est.shards} shards")
+          println(s"It would take around ${est.human} to replay the data in the " +
+            s"provided range, which has ${est.files} files and a total size of " +
+            s"${est.bytes / 1000 / 1000} MB")
+        }
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate")
+    }
+  }
+}
