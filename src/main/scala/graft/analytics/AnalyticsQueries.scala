@@ -1,21 +1,28 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational analytics over the tape-archive test tables (SURVEY §2.2).
   *
-  * Every query here is declarative DataFrame code — Catalyst gets a full
+  * Every query is declarative DataFrame code — Catalyst gets a full
   * logical plan (filter/projection pushdown to parquet, broadcast joins
-  * for dims, partial aggregation) with no RDD/closure black boxes.
-  * Double-valued aggregates are rounded in BOTH engines so that
-  * summation-order differences (Spark partial aggs vs DuckDB) cannot
-  * flip the hash compare.
+  * for dims, partial aggregation, AQE) with no RDD/closure black boxes.
+  *
+  * Oracle-parity rules used throughout: double aggregates are round()ed
+  * identically in both engines (summation order differs), dates and
+  * truncated timestamps are emitted as strings (parquet ns vs µs), and
+  * every result carries a deterministic ORDER BY on a unique key.
   */
 object AnalyticsQueries {
 
-  /** A2/TPC-H Q1 style pricing summary: hash agg with map-side combine. */
+  /** revenue term: extendedprice * (1 - discount) */
+  private def disc: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** A2 / TPC-H Q1 style pricing summary: hash agg with map-side combine. */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -23,10 +30,9 @@ object AnalyticsQueries {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(disc * (lit(1.0) + col("l_tax"))), 2)
+          .as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -48,11 +54,331 @@ object AnalyticsQueries {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** A1: narrow projection + selective filter — both must reach the
+    * parquet scan (PushedFilters / pruned ReadSchema).
+    */
+  def qScanPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_quantity") > lit(45.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val qScanPushdownSql: String = """
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_quantity > 45.0
+    ORDER BY l_orderkey, l_linenumber"""
+
+  /** A3 / TPC-H Q3 style: revenue of unshipped orders for one market
+    * segment; customer is a broadcast dim, orders⋈lineitem shuffles on
+    * the order key.
+    */
+  def q3Shipping(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(disc), 2).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingSql: String = """
+    SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+  /** A4 / TPC-H Q5 style: 6-table join — region/nation/supplier/customer
+    * broadcast, the lineitem⋈orders fact join shuffles once.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(disc), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5LocalSupplierSql: String = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name"""
+
+  /** A5: left-semi and left-anti joins as physical operators, reconciled
+    * per market segment.
+    */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val bigOrders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > lit(150000.0)).select("o_custkey")
+    val withBig = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"),
+      "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("with_big_order"))
+    val without = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"),
+      "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("without_big_order"))
+    withBig.join(without, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("with_big_order"), lit(0L)).as("with_big_order"),
+        coalesce(col("without_big_order"), lit(0L)).as("without_big_order"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val qSemiAntiSql: String = """
+    WITH w AS (
+      SELECT c_mktsegment, count(*) AS with_big_order FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_totalprice > 150000.0)
+      GROUP BY c_mktsegment),
+    wo AS (
+      SELECT c_mktsegment, count(*) AS without_big_order FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_totalprice > 150000.0)
+      GROUP BY c_mktsegment)
+    SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+           coalesce(with_big_order, 0) AS with_big_order,
+           coalesce(without_big_order, 0) AS without_big_order
+    FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+    ORDER BY c_mktsegment"""
+
+  /** A6: window top-N — top-3 parts by revenue within each brand. */
+  def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val perPart = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(round(sum(disc), 2).as("revenue"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    perPart.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("p_brand"), col("rank"))
+  }
+
+  val qWindowTopnSql: String = """
+    WITH per_part AS (
+      SELECT p_brand, p_partkey,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_partkey),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY p_brand
+               ORDER BY revenue DESC, p_partkey) AS rank
+      FROM per_part)
+    SELECT p_brand, p_partkey, revenue, rank FROM ranked
+    WHERE rank <= 3 ORDER BY p_brand, rank"""
+
+  /** A7: exact distinct aggregation (two distinct counts in one agg →
+    * expand + two-phase shuffle).
+    */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("suppliers"),
+        count(lit(1)).as("lines"))
+      .orderBy(col("l_returnflag"))
+
+  val qDistinctSql: String = """
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
+           count(DISTINCT l_suppkey) AS suppliers, count(*) AS lines
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** A8: global top-k by aggregate (TakeOrderedAndProject, no full sort). */
+  def qTopkRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("orders"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val qTopkRevenueSql: String = """
+    SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10"""
+
+  /** A9: time-bucketed stream aggregation (the batch face of R2). */
+  def qEventsMinutely(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val qEventsMinutelySql: String = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+
+  /** A10: gap-based sessionization (30 min) with window functions — the
+    * batch equivalent of the reference's replay stream cut into visits.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qSessionizeSql: String = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT *, sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+    FROM sessioned GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  /** A11: as-of join — each event matched to the latest order of the
+    * same customer at or before the event time. Composed as
+    * join-then-rank (shuffle on the key, never a cross product); the
+    * sort-merge single-pass variant is graft.operators.AsOfJoin.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"))
+    // The archive's orders end in 2001 while events live in 2024; shift
+    // order dates into the event month so the as-of match is non-trivial.
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      timestamp_micros(unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+        + (col("o_orderkey") % 2592000) * 1000000).as("o_ts"))
+    val joined = e.join(o, e("user_id") === o("o_custkey") &&
+      o("o_ts") <= e("ts"), "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("o_ts").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"),
+        date_format(col("o_ts"), "yyyy-MM-dd HH:mm:ss").as("o_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val qAsofJoinSql: String = """
+    WITH shifted AS (
+      SELECT o_orderkey, o_custkey,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_microseconds((o_orderkey % 2592000) * 1000000) AS o_ts
+      FROM orders),
+    joined AS (
+      SELECT e.event_id, e.user_id, s.o_orderkey, s.o_ts,
+             row_number() OVER (PARTITION BY e.event_id
+               ORDER BY s.o_ts DESC NULLS LAST,
+                        s.o_orderkey DESC NULLS LAST) AS rn
+      FROM events e LEFT JOIN shifted s
+        ON e.user_id = s.o_custkey AND s.o_ts <= e.ts)
+    SELECT event_id, user_id, o_orderkey,
+           strftime(o_ts, '%Y-%m-%d %H:%M:%S') AS o_ts
+    FROM joined WHERE rn = 1 ORDER BY event_id"""
+
+  /** A12: rollup over two grouping levels (grand total via 'ALL'). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("lines"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("lines"), col("qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qRollupSql: String = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS lines, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _)
-  )
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_scan_pushdown" -> (qScanPushdown _),
+    "q3_shipping" -> (q3Shipping _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_distinct" -> (qDistinct _),
+    "q_topk_revenue" -> (qTopkRevenue _),
+    "q_events_hourly" -> (qEventsMinutely _),
+    "q_sessionize" -> (qSessionize _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_rollup" -> (qRollup _))
 
   def oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1PricingSummarySql
-  )
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "q_scan_pushdown" -> qScanPushdownSql,
+    "q3_shipping" -> q3ShippingSql,
+    "q5_local_supplier" -> q5LocalSupplierSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_window_topn" -> qWindowTopnSql,
+    "q_distinct" -> qDistinctSql,
+    "q_topk_revenue" -> qTopkRevenueSql,
+    "q_events_hourly" -> qEventsMinutelySql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_rollup" -> qRollupSql)
 }
