@@ -1,0 +1,242 @@
+package graft.dedup
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite (SURVEY §2.3). Every pipeline — including
+  * MinHash-LSH and SimHash — has a DuckDB oracle running the SAME
+  * algorithm via md5-derived portable hashes (Shingling), so the gate
+  * checks the pipelines end to end, not just their row counts.
+  *
+  * Scale notes (100 TB): exact dedup shuffles on md5(payload), never on
+  * raw text. Jaccard builds an inverted shingle index (pairs only for
+  * docs sharing a shingle — no n²). MinHash-LSH is the linear-ish scale
+  * path: 8 band-bucket joins over 4-row signatures; exact verification
+  * touches candidates only. SimHash buckets by equal chunks: with c
+  * chunks a pair at hamming ≤ c-1 shares a clean chunk (pigeonhole), so
+  * recall is guaranteed up to the radius. Embedding near-dup is the
+  * brute-force baseline; the ANN buckets in graft.sim are the scale
+  * path.
+  */
+object DedupQueries {
+  import Shingling._
+
+  /** D1: exact dedup of the event stream by payload — keeper + count. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("props"))
+      .agg(min(col("event_id")).as("keeper_event"),
+        count(lit(1)).as("n_dups"))
+      .select(col("props").as("payload"), col("keeper_event"), col("n_dups"))
+      .orderBy(col("payload"))
+
+  val dedupExactSql: String = """
+    SELECT props AS payload, min(event_id) AS keeper_event,
+           count(*) AS n_dups
+    FROM events GROUP BY props ORDER BY payload"""
+
+  private def shingleCounts(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** Exact pairwise jaccard for pairs of docs sharing ≥1 shingle. */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
+    val counts = shingleCounts(sh)
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
+  }
+
+  private val jaccardPairsSql: String = s"""
+    shingles AS ($shinglesSql),
+    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    jp AS (
+      SELECT doc_a, doc_b, c,
+             round(c / (na.n + nb.n - c), 6) AS jaccard
+      FROM pairs JOIN counts na ON na.doc_id = doc_a
+                 JOIN counts nb ON nb.doc_id = doc_b)"""
+
+  /** D2: n-gram Jaccard near-dup pairs via the inverted shingle index. */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(Tables.documents(s, dir)))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupJaccardSql: String = s"""
+    WITH $jaccardPairsSql
+    SELECT doc_a, doc_b, jaccard FROM jp
+    WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** MinHash band keys per (doc, band): 8 bands × 4 rows of
+    * min((a_i·h28 + b_i) mod P) signatures.
+    */
+  private def minhashBands(sh: DataFrame): DataFrame =
+    sh.withColumn("h", h28(col("shingle")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((hashA(col("i")) * col("h") + hashB(col("i"))) % lit(P)).as("mh"))
+      .withColumn("band", (col("i") / lit(BandRows)).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), "-").as("band_key"))
+
+  private val minhashBandsSql: String = s"""
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
+      FROM shingles),
+    sig AS (
+      SELECT doc_id, i,
+             min((((i+1) * 2654435761) % $P * h + ((i+1) * 2654435789 + 97) % $P)
+                 % $P) AS mh
+      FROM hashed, (SELECT unnest(range(0, $NumHashes)) AS i)
+      GROUP BY doc_id, i),
+    bands AS (
+      SELECT doc_id, i // $BandRows AS band,
+             string_agg(mh::VARCHAR, '-' ORDER BY i) AS band_key
+      FROM sig GROUP BY 1, 2)"""
+
+  /** D3: MinHash+LSH near-dup pairs — band-bucket join for candidates,
+    * exact jaccard on candidates only.
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir))
+    val bands = minhashBands(sh)
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand.join(jaccardPairs(sh), Seq("doc_a", "doc_b"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashSql: String = s"""
+    WITH $jaccardPairsSql,
+    $minhashBandsSql,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, jaccard
+    FROM cand JOIN jp USING (doc_a, doc_b)
+    WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** 60-bit SimHash per doc over its shingle set. */
+  private def simhashes(sh: DataFrame): DataFrame =
+    sh.withColumn("h", h60(col("shingle")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimHashBits - 1))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr("2 * (shiftright(h, j) & 1) - 1")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(cast(1 as bigint), j)"))
+        .otherwise(lit(0L))).as("simhash"))
+
+  private val simhashesSql: String = s"""
+    hashed60 AS (
+      SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h
+      FROM shingles),
+    bitsums AS (
+      SELECT doc_id, j, sum(2 * ((h >> j) & 1) - 1) AS s
+      FROM hashed60, (SELECT unnest(range(0, $SimHashBits)) AS j)
+      GROUP BY doc_id, j),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+      FROM bitsums GROUP BY doc_id)"""
+
+  /** D4: SimHash near-dup pairs — chunk bucket join with guaranteed
+    * recall for hamming ≤ SimHashChunks-1 (pigeonhole), then exact
+    * hamming ≤ SimHashRadius.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sim = simhashes(shingles(Tables.documents(s, dir)))
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(SimHashChunks - 1))).as("c"))
+      .withColumn("chunk", expr(
+        s"shiftright(simhash, c * $SimHashChunkBits) & $SimHashChunkMask"))
+    val cand = chunks.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("c"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b"), col("c"), col("chunk")),
+        Seq("c", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
+    cand.withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= SimHashRadius)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupSimhashSql: String = s"""
+    WITH shingles AS ($shinglesSql),
+    $simhashesSql,
+    chunks AS (
+      SELECT doc_id, simhash, c,
+             (simhash >> (c * $SimHashChunkBits)) & $SimHashChunkMask AS chunk
+      FROM sim, (SELECT unnest(range(0, $SimHashChunks)) AS c)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
+      WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashRadius
+    ORDER BY doc_a, doc_b"""
+
+  /** D5: embedding-cosine near-dup pairs (brute-force baseline). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbeddingSql: String = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM pairs
+    WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _))
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_embedding" -> dedupEmbeddingSql)
+}

@@ -1,0 +1,68 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared document shingling + portable hashing for the dedup suite.
+  *
+  * Hash portability: every hash is derived from md5 (identical in Spark
+  * and DuckDB) with hex-prefix → integer arithmetic, so MinHash/SimHash
+  * pipelines are bit-reproducible across engines — the DuckDB oracle
+  * runs the same algorithm, not an approximation of it.
+  */
+object Shingling {
+
+  /** MinHash universe: Mersenne prime 2^31-1; h31 is 28 bits so
+    * a*h31+b stays far below 2^63 in both engines.
+    */
+  val P: Long = 2147483647L
+  val NumHashes = 32
+  val BandRows = 4 // => 8 bands of 4 rows
+  val SimHashBits = 60 // md5 prefix of 15 hex digits
+  /** Hamming-candidate banding: with `SimHashChunks` chunks, a pair at
+    * hamming ≤ SimHashChunks-1 must share ≥1 clean chunk (pigeonhole),
+    * so recall is GUARANTEED for radius ≤ chunks-1. 10 chunks of 6 bits
+    * covers this corpus's near-dup radius (≤9); larger corpora trade
+    * radius down for bigger (more selective) chunks.
+    */
+  val SimHashChunks = 10
+  val SimHashChunkBits: Int = SimHashBits / SimHashChunks // 6
+  val SimHashChunkMask: Long = (1L << SimHashChunkBits) - 1 // 63
+  val SimHashRadius = 9
+
+  /** `doc_id, shingle` — distinct word 3-grams per document.
+    * Words explode positionally (`sequence` + `slice`), mirrored by
+    * generate_series/list_slice in the oracle.
+    */
+  def shingles(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("shingle"))
+      .distinct()
+
+  val shinglesSql: String = """
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(w, i, i+2), ' ') AS shingle
+    FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          WHERE len(w) >= 3)"""
+
+  /** 28-bit md5-prefix hash of a string — portable to
+    * `('0x' || substring(md5(x), 1, 7))::BIGINT` in DuckDB.
+    */
+  def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** 60-bit md5-prefix hash (15 hex digits). */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** i-th universal-hash parameters, computed (not tabulated) so both
+    * engines share them: a_i, b_i ∈ [1, P).
+    */
+  def hashA(i: Column): Column = ((i + 1) * lit(2654435761L)) % lit(P)
+  def hashB(i: Column): Column = ((i + 1) * lit(2654435789L) + lit(97L)) % lit(P)
+}

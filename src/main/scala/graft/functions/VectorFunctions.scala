@@ -1,0 +1,23 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` columns, built from codegen'd
+  * higher-order functions (`zip_with`/`aggregate`) — no UDFs, so the
+  * expressions stay inside whole-stage codegen and the oracle can
+  * reproduce them exactly (left-to-right double accumulation, same as
+  * DuckDB's list_dot_product).
+  *
+  * Callers must cast `array<float>` inputs to `array<double>` first
+  * (float→double widening is exact; float accumulation is not).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}

@@ -1,0 +1,56 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val truth: Set[(Long, Long)] = pairs(DedupQueries.dedupJaccard(spark, dir))
+
+  test("jaccard dedup finds the planted near-dup pairs, nothing else") {
+    // the sf0.01 corpus plants 25 pairs with 3-gram jaccard >= 0.9;
+    // background pairs top out far below the 0.5 threshold
+    assert(truth.size === 25)
+    val sims = DedupQueries.dedupJaccard(spark, dir).collect()
+      .map(_.getDouble(2))
+    assert(sims.forall(_ >= 0.5))
+    assert(sims.count(_ >= 0.9) === 25)
+  }
+
+  test("minhash-LSH recalls every jaccard near-dup pair") {
+    val got = pairs(DedupQueries.dedupMinhash(spark, dir))
+    assert(got === truth) // 8x4 banding at j>=0.9: recall 1 here
+  }
+
+  test("simhash finds exactly the planted pairs (guaranteed radius)") {
+    // planted pairs sit at hamming 1..9; background pairs start ~18 —
+    // with 10 chunks, recall at radius 9 is pigeonhole-guaranteed
+    val got = pairs(DedupQueries.dedupSimhash(spark, dir))
+    assert(got === truth, s"missing: ${truth -- got}, extra: ${got -- truth}")
+  }
+
+  test("exact dedup groups the event payloads") {
+    val rows = DedupQueries.dedupExact(spark, dir).collect()
+    assert(rows.length === 100) // 100 distinct payloads at sf0.01
+    assert(rows.map(_.getLong(2)).sum === 10000L)
+  }
+
+  test("embedding near-dup pairs are symmetric-free and thresholded") {
+    val rows = DedupQueries.dedupEmbedding(spark, dir).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.4))
+    assert(rows.nonEmpty) // top background cosine ~0.51 at sf0.01
+  }
+}
