@@ -1,0 +1,46 @@
+package graft.sim
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topn(df: org.apache.spark.sql.DataFrame, n: Int = 1) =
+    df.filter(org.apache.spark.sql.functions.col("rank") <= n)
+      .select("q_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val brute = SimQueries.knnBrute(spark, dir)
+
+  test("brute-force top-k: k rows per query, ranks dense, cos descending") {
+    val rows = brute.collect()
+    assert(rows.length === SimQueries.NumQueries * SimQueries.TopK)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to SimQueries.TopK))
+      val cs = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF probe-1 recalls a useful share of true top-1 neighbors") {
+    val hits = topn(SimQueries.knnIvf(spark, dir)) intersect topn(brute)
+    // unclustered corpus + probe=1: partial recall is expected; the
+    // assertion pins the pipeline (deterministic), not ANN quality
+    assert(hits.nonEmpty, "IVF found none of the true top-1 neighbors")
+  }
+
+  test("LSH banded candidates recall a useful share of true top-1") {
+    val hits = topn(SimQueries.knnLsh(spark, dir)) intersect topn(brute)
+    assert(hits.nonEmpty, "LSH found none of the true top-1 neighbors")
+  }
+}
