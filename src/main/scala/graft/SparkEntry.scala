@@ -9,11 +9,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.AnalyticsQueries.all ++ vcr.VcrQueries.all ++
-      dedup.DedupQueries.all ++ sim.SimQueries.all
+      dedup.DedupQueries.all ++ sim.SimQueries.all ++
+      text.TextQueries.all ++ media.MediaQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.AnalyticsQueries.oracles ++ vcr.VcrQueries.oracles ++
-      dedup.DedupQueries.oracles ++ sim.SimQueries.oracles
+      dedup.DedupQueries.oracles ++ sim.SimQueries.oracles ++
+      text.TextQueries.oracles ++ media.MediaQueries.oracles
 }

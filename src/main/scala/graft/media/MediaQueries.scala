@@ -1,0 +1,77 @@
+package graft.media
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-checkable faces of the media pipeline (SURVEY §2.6 M1/M3):
+  * metadata extraction over binary columns and 1→N frame sampling, with
+  * md5-derived fake decode values so DuckDB can reproduce them exactly.
+  */
+object MediaQueries {
+
+  /** M1: binary blob + typed metadata (byte length, container-derived
+    * format, md5-derived fake dimensions).
+    */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("blob", col("text").cast("binary"))
+      .select(
+        col("doc_id").as("media_id"),
+        octet_length(col("blob")).as("byte_len"),
+        element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        (lit(16) + conv(substring(md5(col("text")), 1, 4), 16, 10)
+          .cast("long") % 1280).as("width"),
+        (lit(16) + conv(substring(md5(col("text")), 5, 4), 16, 10)
+          .cast("long") % 720).as("height"))
+      .orderBy(col("media_id"))
+
+  val mediaMetaSql: String = """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           ['jpeg', 'png', 'webp'][(doc_id % 3 + 1)::INT] AS format,
+           16 + ('0x' || substring(md5(text), 1, 4))::BIGINT % 1280 AS width,
+           16 + ('0x' || substring(md5(text), 5, 4))::BIGINT % 720 AS height
+    FROM documents ORDER BY media_id"""
+
+  /** M3: frame sampling — each media row explodes to its sampled
+    * frames (1 + len%4), with a per-frame content hash; the 1→N shape
+    * every video/page pipeline needs.
+    */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("byte_len", octet_length(col("text").cast("binary")))
+      .withColumn("n_frames", (col("byte_len") % 4 + 1).cast("int"))
+      .select(col("doc_id").as("media_id"), col("n_frames"),
+        explode(expr("sequence(1, n_frames)")).as("frame_idx"),
+        col("text"))
+      .withColumn("frame_hash", substring(
+        md5(concat(col("text"), lit("-"), col("frame_idx"))), 1, 8))
+      .select(col("media_id"), col("n_frames"), col("frame_idx"),
+        col("frame_hash"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val mediaFramesSql: String = """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             (octet_length(encode(text)) % 4 + 1)::INT AS n_frames
+      FROM documents)
+    SELECT media_id, n_frames, frame_idx,
+           substring(md5(text || '-' || frame_idx::VARCHAR), 1, 8) AS frame_hash
+    FROM (SELECT media_id, text, n_frames,
+                 unnest(range(1, n_frames + 1)) AS frame_idx FROM m)
+    ORDER BY media_id, frame_idx"""
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_meta" -> (mediaMeta _),
+    "media_frames" -> (mediaFrames _),
+    "media_decode" -> (MediaPipeline.mediaDecode _))
+
+  /** media_decode is intentionally absent: the mapPartitions decode
+    * boundary gets the driver's rows-only check + MediaSpec.
+    */
+  def oracles: Map[String, String] = Map(
+    "media_meta" -> mediaMetaSql,
+    "media_frames" -> mediaFramesSql)
+}

@@ -1,0 +1,197 @@
+package graft.text
+
+import graft.Tables
+import graft.dedup.Shingling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (SURVEY §2.5): language ID,
+  * quality scoring, token counting, fingerprinting. All arithmetic is
+  * portable (split/list ops, md5-derived hashes, one simple char-class
+  * regex) so each query has an exact DuckDB oracle.
+  *
+  * Scale: token explode + broadcast stopword join; no regex backtracking
+  * monsters; winnowing is a bounded window over shingle positions —
+  * everything partitions by doc_id and pipelines inside codegen.
+  */
+object TextQueries {
+
+  /** (lang, stopword) seed list; tiny → broadcast join. */
+  val Stopwords: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "un", "es" -> "es",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ein",
+    "fr" -> "le", "fr" -> "la", "fr" -> "de", "fr" -> "un", "fr" -> "et",
+    "zh" -> "的", "zh" -> "是", "zh" -> "不", "zh" -> "了", "zh" -> "在")
+
+  private val StopwordsValuesSql: String =
+    Stopwords.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
+
+  /** T1: stopword-vote language ID; ties break lexicographically, docs
+    * with no stopword hits are 'unknown'.
+    */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sw = Stopwords.toDF("sw_lang", "word")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+    val totals = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    val hits = toks.join(broadcast(sw), Seq("word"))
+      .groupBy(col("doc_id"), col("sw_lang"))
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("hits").desc, col("sw_lang"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(totals, Seq("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("sw_lang"), lit("unknown")).as("predicted"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_tokens"), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textLangIdSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, sw_lang, count(*) AS hits
+      FROM toks JOIN (VALUES $StopwordsValuesSql) sw(sw_lang, word)
+        USING (word)
+      GROUP BY doc_id, sw_lang),
+    best AS (
+      SELECT doc_id, sw_lang, hits FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY hits DESC, sw_lang) AS rn FROM hits)
+      WHERE rn = 1)
+    SELECT d.doc_id, d.lang,
+           coalesce(best.sw_lang, 'unknown') AS predicted,
+           round(coalesce(best.hits, 0) / totals.n_tokens, 6) AS score
+    FROM documents d
+    JOIN totals USING (doc_id)
+    LEFT JOIN best USING (doc_id)
+    ORDER BY doc_id"""
+
+  /** T2: quality scoring — length, token stats, stopword ratio, and a
+    * composite score, all closed-form.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_hits",
+        expr("size(filter(w, x -> x = 'the' or x = 'a'))"))
+      .withColumn("avg_token_len",
+        round((col("n_chars") - (col("n_tokens") - 1)) / col("n_tokens"), 6))
+      .withColumn("stop_ratio", round(col("stop_hits") / col("n_tokens"), 6))
+      .withColumn("quality", round(
+        least(lit(1.0), col("n_tokens") / 100.0) *
+          (lit(0.5) + lit(0.5) * least(lit(1.0), col("stop_ratio") * 5)), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("avg_token_len"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val textQualitySql: String = """
+    SELECT doc_id, n_chars, n_tokens,
+           round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
+           round(stop_hits / n_tokens, 6) AS stop_ratio,
+           round(least(1.0, n_tokens / 100.0) *
+                 (0.5 + 0.5 * least(1.0,
+                   round(stop_hits / n_tokens, 6) * 5)), 6) AS quality
+    FROM (
+      SELECT doc_id, len(text) AS n_chars, len(w) AS n_tokens,
+             len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stop_hits
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
+    ORDER BY doc_id"""
+
+  /** T3: token counting — whitespace tokens, alpha-run tokens (one
+    * simple char class, identical under Java regex and RE2), and a
+    * BPE-ish subword estimate (ceil(len/4) per word).
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("w")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+          .as("alpha_tokens"),
+        expr("cast(aggregate(transform(w, x -> cast(ceil(length(x) / 4.0) " +
+          "as bigint)), cast(0 as bigint), (acc, x) -> acc + x) as bigint)")
+          .as("bpe_est"))
+      .orderBy(col("doc_id"))
+
+  val textTokensSql: String = """
+    SELECT doc_id, len(w) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+')) AS alpha_tokens,
+           list_sum(list_transform(w, x -> ceil(len(x) / 4.0)))::BIGINT
+             AS bpe_est
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    ORDER BY doc_id"""
+
+  /** T4: fingerprinting — whole-doc md5 plus winnowing (min 28-bit
+    * shingle hash over a 4-shingle sliding window, from the first
+    * complete window; the distinct minima are the fingerprint set).
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        Shingling.h28(col("col")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(-3, 0)
+    val fps = pos.withColumn("minh", min(col("h")).over(w))
+      .filter(col("i") >= 4)
+      .select(col("doc_id"), col("minh")).distinct()
+    val agg = fps.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_fp"), min(col("minh")).as("min_fp"),
+      max(col("minh")).as("max_fp"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("doc_md5"))
+      .join(agg, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textFingerprintSql: String = """
+    WITH pos AS (
+      SELECT doc_id, i,
+             ('0x' || substring(md5(array_to_string(list_slice(w, i, i+2), ' ')),
+              1, 7))::BIGINT AS h
+      FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 3)),
+    winnowed AS (
+      SELECT doc_id, minh FROM (
+        SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh
+        FROM pos)
+      WHERE i >= 4),
+    fps AS (SELECT DISTINCT doc_id, minh FROM winnowed),
+    agg AS (
+      SELECT doc_id, count(*) AS n_fp, min(minh) AS min_fp,
+             max(minh) AS max_fp
+      FROM fps GROUP BY doc_id)
+    SELECT d.doc_id, md5(d.text) AS doc_md5, n_fp, min_fp, max_fp
+    FROM documents d JOIN agg USING (doc_id)
+    ORDER BY doc_id"""
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lang_id" -> (textLangId _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "text_lang_id" -> textLangIdSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

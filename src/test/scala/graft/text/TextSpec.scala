@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("lang-id scores every doc; this all-English-vocab corpus → en") {
+    val rows = TextQueries.textLangId(spark, dir).collect()
+    assert(rows.length === 500)
+    // the synthetic corpus draws every doc from one English-ish vocab,
+    // whatever its lang label says — a correct stopword voter says 'en'
+    assert(rows.forall(r => Set("en", "unknown")(r.getString(2))))
+    assert(rows.count(_.getString(2) == "en") > 450)
+  }
+
+  test("quality metrics are internally consistent") {
+    val rows = TextQueries.textQuality(spark, dir).collect()
+    rows.foreach { r =>
+      val (chars, toks) = (r.getInt(1), r.getInt(2))
+      assert(toks >= 1 && chars >= toks * 2 - 1) // words >=1 char + separators
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("token counters agree where they should") {
+    val df = TextQueries.textTokens(spark, dir)
+    // all-lowercase alpha corpus: alpha runs == whitespace tokens
+    assert(df.filter(col("ws_tokens") =!= col("alpha_tokens")).count() === 0)
+    // bpe estimate >= token count (every word is >=1 subword)
+    assert(df.filter(col("bpe_est") < col("ws_tokens")).count() === 0)
+  }
+
+  test("winnowing fingerprints: near-dup docs share most fingerprints") {
+    val fp = TextQueries.textFingerprint(spark, dir)
+      .select("doc_id", "n_fp").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.size === 500)
+    assert(fp.values.forall(n => n >= 1))
+    // winnowing compresses: far fewer fingerprints than shingles
+    val nShingles = graft.dedup.Shingling
+      .shingles(graft.Tables.documents(spark, dir)).count()
+    assert(fp.values.sum < nShingles)
+  }
+}
