@@ -1,0 +1,57 @@
+package graft.streaming
+
+import java.time.LocalDateTime
+
+import graft.vcr.{Tape, TapeWriter, TimeArg}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The VCR's streaming faces (SURVEY §2.7 R1/R4).
+  *
+  * Record (reference `record`: KCL consumer → buffered S3 emits) is a
+  * Structured Streaming sink: each micro-batch appends its records to
+  * the date-partitioned tape; the reference's size/time buffer knobs
+  * map to trigger interval + source rate options, checkpointing
+  * replaces the DynamoDB lease table for exactly-once progress.
+  *
+  * Replay-as-a-stream (the reference replays to Kinesis; R4 re-emits
+  * the tape as a Spark stream) is a file-source read of the pruned day
+  * range, rate-limited with maxFilesPerTrigger — the analog of pacing
+  * replay to the target stream's shard throughput.
+  */
+object StreamRecorder {
+
+  /** R1: record a stream of `data BINARY, seq BIGINT, ts TIMESTAMP`
+    * onto the tape. One tape flush per micro-batch.
+    */
+  def record(records: DataFrame, root: String, stream: String,
+             checkpoint: String, numFiles: Int = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TapeWriter.write(batch, root, stream, numFiles, SaveMode.Append)
+        ()
+      }
+      .start()
+
+  /** R4: the tape range re-emitted as a stream of payloads, at most
+    * `maxFilesPerTrigger` tape files per micro-batch.
+    */
+  def replayStream(spark: SparkSession, root: String, stream: String,
+                   start: LocalDateTime, end: Option[LocalDateTime],
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    val endEff = TimeArg.effectiveEnd(start, end)
+    val days = Iterator.iterate(start.toLocalDate)(_.plusDays(1))
+      .takeWhile(!_.isAfter(endEff.toLocalDate)).toSeq
+    val glob = s"$root/$stream/${Tape.DtCol}={${days.mkString(",")}}"
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(glob)
+      .filter(length(col("value")) > 0)
+      .select(Tape.decodeLine(col("value")).as(Tape.PayloadCol))
+  }
+}

@@ -35,7 +35,8 @@ object TapeWriter {
     *                 pick so each file ≈ the reference's 100 MiB buffer.
     */
   def write(records: DataFrame, root: String, stream: String,
-            numFiles: Int = 0): Int = {
+            numFiles: Int = 0,
+            mode: SaveMode = SaveMode.Overwrite): Int = {
     val spark = records.sparkSession
     val n = if (numFiles > 0) numFiles else spark.sparkContext.defaultParallelism
     val lines = Tape.toLines(records)
@@ -54,7 +55,7 @@ object TapeWriter {
 
       val dir = s"$root/$stream"
       lines.select(col(Tape.LineCol).as("value"), col(Tape.DtCol))
-        .write.mode(SaveMode.Overwrite).partitionBy(Tape.DtCol).text(dir)
+        .write.mode(mode).partitionBy(Tape.DtCol).text(dir)
 
       renameToSeqRanges(lines.sparkSession, dir, manifest)
     } finally lines.unpersist()

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.Tables
+import graft.vcr.{Tape, TapePlayer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  /** events as a file stream: copy the parquet into its own source dir. */
+  private def eventsStreamDir(): String = {
+    val dir = tmp()
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    dir
+  }
+
+  private def eventsSchema =
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
+
+  test("R1: stream-record appends micro-batches to the tape; replay sees all") {
+    val src = eventsStreamDir()
+    val root = tmp()
+    val records = spark.readStream.schema(eventsSchema).parquet(src)
+      .select(col("props").cast("binary").as(Tape.DataCol),
+        col("event_id").as(Tape.SeqCol),
+        timestamp_micros(expr("ts div 1000")).as(Tape.TsCol))
+    val q = StreamRecorder.record(records, root, "events", tmp(), numFiles = 2)
+    q.processAllAvailable(); q.stop()
+
+    val back = TapePlayer.read(spark, root, "events",
+      LocalDateTime.parse("2024-01-01T00:00:00"),
+      Some(LocalDateTime.parse("2024-02-01T00:00:00")))
+    assert(back.count() === 1000)
+    // payloads decode to the original props
+    val props = Tables.events(spark, "/root/testdata/sf0.001")
+      .select("props").collect().map(_.getString(0)).sorted
+    val replayed = back.select(col(Tape.PayloadCol).cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(replayed.toSeq === props.toSeq)
+  }
+
+  test("R2: watermarked windowed aggregation matches the batch answer") {
+    val src = eventsStreamDir()
+    val stream = spark.readStream.schema(eventsSchema).parquet(src)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("hourly")
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("v"))
+    val want = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+    assert(got.collect().toSet === want.collect().toSet)
+    assert(got.count() > 0)
+  }
+
+  test("R3: stateful sessionize emits closed sessions, keeps the tail open") {
+    import spark.implicits._
+    import StreamSessionize._
+    val src = tmp()
+    val gap = DefaultGapUs
+    // user 1: two sessions (gap of 2h between), user 2: one session
+    val rows = Seq(
+      Ev(1L, 0L), Ev(1L, 60_000_000L), Ev(1L, 120_000_000L),
+      Ev(1L, 2L * 3600 * 1000000), Ev(1L, 2L * 3600 * 1000000 + 5_000_000L),
+      Ev(2L, 42L))
+    rows.toDS().write.parquet(s"$src/batch0")
+    val stream = spark.readStream.schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(s"$src/batch0").as[Ev]
+    val q = sessionize(stream, gap).writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+
+    val closed = spark.table("sessions").as[Session].collect()
+    // only user 1's first session is closed by a later event
+    assert(closed.toSeq === Seq(Session(1L, 0L, 120_000_000L, 3L)))
+  }
+
+  test("R3 semantics match the batch sessionizer on real events") {
+    import spark.implicits._
+    import StreamSessionize._
+    val src = tmp()
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[Ev].write.parquet(s"$src/batch0")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(s"$src/batch0").as[Ev]
+    val q = sessionize(stream).writeStream.outputMode("append")
+      .format("memory").queryName("sessions2").start()
+    q.processAllAvailable(); q.stop()
+    val closedStream = spark.table("sessions2").as[Session].collect()
+      .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
+
+    // batch sessionizer: all sessions; closed = all but each user's last
+    val batch = graft.analytics.AnalyticsQueries
+      .qSessionize(spark, "/root/testdata/sf0.001").collect()
+    val byUser = batch.groupBy(_.getLong(0))
+    val closedBatch = byUser.values.flatMap { rs =>
+      rs.sortBy(_.getLong(1)).dropRight(1) // last session stays open
+    }.map { r =>
+      // reconstruct (user, start, end, n) via duration: need start/end us
+      (r.getLong(0), r.getLong(2), r.getLong(5))
+    }.toSet
+    val streamCmp = closedStream.map(s => (s._1, s._4, s._3 - s._2))
+    assert(streamCmp === closedBatch)
+  }
+
+  test("R4: tape replays as a rate-limited stream, one file per batch") {
+    val root = tmp()
+    import spark.implicits._
+    val records = (1 to 90).map { i =>
+      (s"p$i".getBytes, i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${1 + (i - 1) / 30}%d 08:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(records, root, "s", numFiles = 3)
+
+    val stream = StreamRecorder.replayStream(spark, root, "s",
+      LocalDateTime.parse("2024-01-01T00:00:00"),
+      Some(LocalDateTime.parse("2024-01-03T00:00:00")), maxFilesPerTrigger = 1)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("replay").start()
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(spark.table("replay").count() === 90)
+    assert(nBatches >= 3) // rate limit forced multiple micro-batches
+  }
+}
