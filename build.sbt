@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[N] is driver-only: one heap serves N executor threads. 8g
+  // thrashes GC once ~30 queries' broadcasts accumulate at local[32].
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // ~30 queries x whole-stage codegen overflows the default 240m code
+  // cache, after which the JIT silently stops compiling and random
+  // later queries run interpreted (10-30x slower, different each run).
+  "-XX:ReservedCodeCacheSize=1g",
 )

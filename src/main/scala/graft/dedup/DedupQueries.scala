@@ -80,19 +80,20 @@ object DedupQueries {
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
   /** MinHash band keys per (doc, band): 8 bands × 4 rows of
-    * min((a_i·h28 + b_i) mod P) signatures.
+    * min((a_i·h28 + b_i) mod P) signatures. The k mins come from the
+    * one-pass MinHashAgg (no ×k row explosion); banding slices the
+    * signature array.
     */
   private def minhashBands(sh: DataFrame): DataFrame =
     sh.withColumn("h", h28(col("shingle")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(NumHashes - 1))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((hashA(col("i")) * col("h") + hashB(col("i"))) % lit(P)).as("mh"))
-      .withColumn("band", (col("i") / lit(BandRows)).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("mh")))),
-        x => x.getField("mh").cast("string")), "-").as("band_key"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg(col("h")).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(NumHashes / BandRows - 1))).as("band"))
+      .withColumn("band_key", expr(
+        s"array_join(transform(slice(sig, band * $BandRows + 1, $BandRows), " +
+          "x -> cast(x as string)), '-')"))
+      .select(col("doc_id"), col("band"), col("band_key"))
 
   private val minhashBandsSql: String = s"""
     hashed AS (
@@ -120,7 +121,19 @@ object DedupQueries {
         Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    cand.join(jaccardPairs(sh), Seq("doc_a", "doc_b"))
+    // exact verification restricted to candidates (the LSH point: never
+    // pay the all-pairs index join); values identical to jaccardPairs
+    val counts = shingleCounts(sh)
+    val common = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -138,16 +151,13 @@ object DedupQueries {
     FROM cand JOIN jp USING (doc_a, doc_b)
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
-  /** 60-bit SimHash per doc over its shingle set. */
+  /** 60-bit SimHash per doc over its shingle set — one-pass SimHashAgg
+    * (no doc×bit row explosion).
+    */
   private def simhashes(sh: DataFrame): DataFrame =
     sh.withColumn("h", h60(col("shingle")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimHashBits - 1))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(expr("2 * (shiftright(h, j) & 1) - 1")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") >= 0, expr("shiftleft(cast(1 as bigint), j)"))
-        .otherwise(lit(0L))).as("simhash"))
+      .agg(graft.functions.SimHashAgg(col("h")).as("simhash"))
 
   private val simhashesSql: String = s"""
     hashed60 AS (
@@ -201,27 +211,34 @@ object DedupQueries {
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashRadius
     ORDER BY doc_a, doc_b"""
 
-  /** D5: embedding-cosine near-dup pairs (brute-force baseline). */
+  /** D5: embedding-cosine near-dup pairs (brute-force baseline).
+    * Vectors are unit-normalized once (O(n)), so each of the O(n²)
+    * pairs costs one codegen'd dot product — no per-pair norms, no
+    * per-pair array allocation.
+    */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .select(col("vec_id"), VectorFunctions.normalize(
+        col("embedding").cast("array<double>")).as("vn"))
+    val a = e.select(col("vec_id").as("vec_a"), col("vn").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("vn").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cosine",
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+        round(VectorFunctions.dot(col("va"), col("vb")), 6))
       .filter(col("cosine") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   val dedupEmbeddingSql: String = """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding::DOUBLE[], x ->
+               x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))) AS vn
+      FROM embeddings),
     pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_dot_product(a.v, b.v) /
-                   (sqrt(list_dot_product(a.v, a.v)) *
-                    sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+             round(list_dot_product(a.vn, b.vn), 6) AS cosine
       FROM e a JOIN e b ON a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, cosine FROM pairs
     WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""

@@ -14,10 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd no-allocation dot product (graft.functions.DotProduct). */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** The compositional fold the custom expression replaces — kept as
+    * the reference semantics (identical left-to-right sum).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalize once so pairwise cosine becomes a single dot —
+    * norms are O(n) instead of O(pairs). `x / sqrt(Σx²)` per element,
+    * mirrored by list_transform in the oracle.
+    */
+  def normalize(a: Column): Column = transform(a, x => x / norm(a))
 }

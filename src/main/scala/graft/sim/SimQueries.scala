@@ -1,7 +1,7 @@
 package graft.sim
 
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.{dot, normalize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,17 +30,22 @@ object SimQueries {
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn", normalize(col("v")))
 
   private val vecsSql =
-    "SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings"
+    """SELECT vec_id, embedding::DOUBLE[] AS v,
+       list_transform(embedding::DOUBLE[], x ->
+         x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[]))) AS vn,
+       label FROM embeddings"""
 
   /** S1: exact cosine top-k for each query vector. */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val q = e.select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val q = e.select(col("vec_id").as("q_id"), col("vn").as("qvn"))
       .filter(col("q_id") < NumQueries)
     val scored = q.join(e, col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -54,9 +59,7 @@ object SimQueries {
     WITH e AS ($vecsSql),
     scored AS (
       SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
-             round(list_dot_product(q.v, e.v) /
-                   (sqrt(list_dot_product(q.v, q.v)) *
-                    sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+             round(list_dot_product(q.vn, e.vn), 6) AS cos
       FROM e q JOIN e ON e.vec_id != q.vec_id
       WHERE q.vec_id < $NumQueries),
     ranked AS (
@@ -77,14 +80,19 @@ object SimQueries {
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
         x => x.getField("av")).as("cv"))
+      .withColumn("cvn", normalize(col("cv")))
 
   private val centroidsSql: String = """
     cent AS (
-      SELECT label, list(av ORDER BY i) AS cv
-      FROM (SELECT label, i, round(avg(v[i]), 6) AS av
-            FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i FROM e)
-            GROUP BY label, i)
-      GROUP BY label)"""
+      SELECT label, cv,
+             list_transform(cv, x ->
+               x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (
+        SELECT label, list(av ORDER BY i) AS cv
+        FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+              FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i FROM e)
+              GROUP BY label, i)
+        GROUP BY label))"""
 
   /** S2: IVF-style ANN — vectors inverted-listed under their nearest
     * centroid (deterministic codebook: the per-label means; production
@@ -97,15 +105,15 @@ object SimQueries {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("label"))
     val assign = e.drop("label").join(cent)
-      .withColumn("ccos", round(cosine(col("v"), col("cv")), 6))
+      .withColumn("ccos", round(dot(col("vn"), col("cvn")), 6))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("label").as("cluster"))
+      .select(col("vec_id"), col("vn"), col("label").as("cluster"))
     val q = assign.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cluster"))
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
     val scored = q.join(assign, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -119,19 +127,15 @@ object SimQueries {
     WITH e AS ($vecsSql),
     $centroidsSql,
     assigned AS (
-      SELECT vec_id, v, cluster FROM (
-        SELECT e.vec_id, e.v, cent.label AS cluster,
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 round(list_dot_product(e.v, cent.cv) /
-                       (sqrt(list_dot_product(e.v, e.v)) *
-                        sqrt(list_dot_product(cent.cv, cent.cv))), 6) DESC,
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
                  cent.label) AS rn
         FROM e, cent) WHERE rn = 1),
     scored AS (
       SELECT q.vec_id AS q_id, a.vec_id AS neighbor, a.cluster,
-             round(list_dot_product(q.v, a.v) /
-                   (sqrt(list_dot_product(q.v, q.v)) *
-                    sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+             round(list_dot_product(q.vn, a.vn), 6) AS cos
       FROM assigned q JOIN assigned a USING (cluster)
       WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id),
     ranked AS (
@@ -172,9 +176,9 @@ object SimQueries {
       .select(col("q_id"), col("neighbor")).distinct()
     val e2 = vecs(s, dir)
     val scored = cand
-      .join(e2.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
-      .join(e2.select(col("vec_id").as("neighbor"), col("v")), Seq("neighbor"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .join(e2.select(col("vec_id").as("q_id"), col("vn").as("qvn")), Seq("q_id"))
+      .join(e2.select(col("vec_id").as("neighbor"), col("vn")), Seq("neighbor"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("neighbor"))
     scored.withColumn("rank", row_number().over(w))
@@ -204,9 +208,7 @@ object SimQueries {
       WHERE q.vec_id < $NumQueries AND b.vec_id != q.vec_id),
     scored AS (
       SELECT c.q_id, c.neighbor,
-             round(list_dot_product(q.v, n.v) /
-                   (sqrt(list_dot_product(q.v, q.v)) *
-                    sqrt(list_dot_product(n.v, n.v))), 6) AS cos
+             round(list_dot_product(q.vn, n.vn), 6) AS cos
       FROM cand c JOIN e q ON q.vec_id = c.q_id
                   JOIN e n ON n.vec_id = c.neighbor),
     ranked AS (

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the 100 TB story in executable
+  * form. If a refactor un-pushes a filter, drops a broadcast, or breaks
+  * whole-stage codegen on a hot path, these fail before any benchmark
+  * notices.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+
+  test("scan pushdown: filters and pruned schema reach the parquet scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity") ||
+      p.contains("GreaterThan(l_shipdate") || p.contains("IsNotNull"), p)
+    // projection pruning: the scan must not read all 11 lineitem columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("dim joins broadcast; the fact join is the only shuffle join") {
+    val p3 = plan("q3_shipping")
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    val p5 = plan("q5_local_supplier")
+    assert(p5.contains("BroadcastHashJoin"), p5)
+  }
+
+  test("aggregations are two-phase (map-side partial before shuffle)") {
+    val p = plan("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_revenue")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tape replay read prunes day partitions in the planner") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    import spark.implicits._
+    val records = (1 to 60).map { i =>
+      (s"p$i".getBytes, i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${1 + (i - 1) / 20}%d 08:00:00"))
+    }.toDF(vcr.Tape.DataCol, vcr.Tape.SeqCol, vcr.Tape.TsCol)
+    vcr.TapeWriter.write(records, root, "s", numFiles = 2)
+    val day1 = vcr.TapePlayer.read(spark, root, "s",
+      java.time.LocalDateTime.parse("2024-01-01T00:00:00"), None)
+    val scan = day1.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters"), scan)
+    // only one of the three day directories survives partition pruning
+    assert(day1.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("dt=2024-01-01")))
+  }
+
+  test("hot vector scoring uses the codegen'd custom expression") {
+    // the pair join is a BroadcastNestedLoopJoin (no whole-stage span),
+    // but its predicate/projection must run graft's DotProduct — never
+    // the allocating aggregate(zip_with(...)) fold
+    val p = plan("dedup_embedding")
+    assert(p.contains("dotproduct("), p)
+    assert(!p.contains("zip_with"), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
+
+  test("custom dot product equals the compositional fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("embedding").cast("array<double>").as("v"))
+    val diff = e.select(
+      (functions.VectorFunctions.dot(col("v"), col("v")) -
+        functions.VectorFunctions.dotFold(col("v"), col("v"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff === 0L)
+  }
+}
