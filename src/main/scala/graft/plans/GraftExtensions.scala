@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Session extensions (SparkSessionExtensions): SQL faces for graft's
+  * custom expressions plus an optimizer rule that rewrites the
+  * compositional dot-product fold into the codegen'd [[DotProduct]].
+  *
+  * Register with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) =>
+        MinHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (exprs: Seq[Expression]) =>
+        SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectOptimizerRule(_ => RewriteDotProductFold)
+  }
+}
+
+/** Rewrites `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,x) ->
+  * acc+x)` over array<double> into [[DotProduct]](a, b) — same
+  * left-to-right semantics, no intermediate array, codegen'd loop. Users
+  * writing the idiomatic-but-slow fold get the fast path for free.
+  */
+object RewriteDotProductFold extends Rule[LogicalPlan] {
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(x: NamedLambdaVariable,
+              y: NamedLambdaVariable, _), _, _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(acc: NamedLambdaVariable,
+            el: NamedLambdaVariable, _), _, _),
+          finish)
+        if isDoubleArray(a) && isDoubleArray(b) &&
+          finishIsIdentity(finish) =>
+        DotProduct(a, b)
+    }
+
+  private def finishIsIdentity(finish: Expression): Boolean = finish match {
+    case _: NamedLambdaVariable => true
+    case LambdaFunction(v: NamedLambdaVariable, Seq(arg), _) => v eq arg
+    case LambdaFunction(_: NamedLambdaVariable, _, _) => true
+    case _ => false
+  }
+}

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .withExtensions(new GraftExtensions)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("graft_dot is callable from SQL and agrees with the fold") {
+    val got = spark.sql("""
+      SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d
+    """).collect().head.getDouble(0)
+    assert(got === 32.0)
+  }
+
+  test("graft_minhash / graft_simhash aggregate from SQL") {
+    spark.range(100).selectExpr(
+      "cast(conv(substring(md5(cast(id as string)), 1, 7), 16, 10) as bigint) AS h")
+      .createOrReplaceTempView("hs")
+    val sig = spark.sql("SELECT graft_minhash(h) AS sig FROM hs")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === graft.dedup.Shingling.NumHashes)
+    assert(sig.forall(v => v >= 0 && v < graft.dedup.Shingling.P))
+    val sim = spark.sql("SELECT graft_simhash(h) AS s FROM hs")
+      .collect().head.getLong(0)
+    assert(sim >= 0L && sim < (1L << graft.dedup.Shingling.SimHashBits))
+  }
+
+  test("optimizer rewrites the zip_with/aggregate fold into DotProduct") {
+    import org.apache.spark.sql.functions._
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb_rw")
+    // non-literal input: constant folding can't collapse it first
+    val df = spark.sql("""
+      SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d,
+               (acc, x) -> acc + x) AS d FROM emb_rw
+    """)
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("dotproduct("), optimized)
+    assert(!optimized.contains("zip_with"), optimized)
+  }
+
+  test("rewrite preserves results on real embedding data") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+    e.createOrReplaceTempView("emb")
+    val viaFold = spark.sql("""
+      SELECT sum(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d,
+                 (acc, x) -> acc + x)) AS s FROM emb
+    """).collect().head.getDouble(0)
+    val viaExpr = e.select(sum(
+      graft.functions.VectorFunctions.dot(col("v"), col("v"))).as("s"))
+      .collect().head.getDouble(0)
+    assert(viaFold === viaExpr)
+  }
+}
