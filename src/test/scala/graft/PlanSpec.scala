@@ -78,6 +78,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("approx_count_distinct (HLL++) lands within its error bound") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .collect().head
+    val (exact, approx) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
   test("custom dot product equals the compositional fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, dir)

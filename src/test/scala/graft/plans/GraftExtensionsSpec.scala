@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraftExtensionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  // getOrCreate() would silently reuse another suite's session and skip
+  // withExtensions; clear first (suites run sequentially in the forked
+  // JVM, the SparkContext itself is reused).
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
     .master("local[4]")
     .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", "4")
@@ -12,6 +18,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+  }
 
   test("graft_dot is callable from SQL and agrees with the fold") {
     val got = spark.sql("""
