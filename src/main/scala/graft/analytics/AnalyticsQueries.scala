@@ -295,9 +295,11 @@ object AnalyticsQueries {
     ORDER BY user_id, session_id"""
 
   /** A11: as-of join — each event matched to the latest order of the
-    * same customer at or before the event time. Composed as
-    * join-then-rank (shuffle on the key, never a cross product); the
-    * sort-merge single-pass variant is graft.operators.AsOfJoin.
+    * same customer at or before the event time, executed by the native
+    * single-pass AsOfJoinExec (graft.operators.AsOfJoinPlan): one
+    * hash Exchange per side + (key, time) sort, no per-key history
+    * explosion. The oracle states the same semantics as join+rank SQL;
+    * AsOfJoinPlanSpec/AsOfJoinSpec prove the three forms agree.
     */
   def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(
@@ -308,12 +310,9 @@ object AnalyticsQueries {
       col("o_orderkey"), col("o_custkey"),
       timestamp_micros(unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
         + (col("o_orderkey") % 2592000) * 1000000).as("o_ts"))
-    val joined = e.join(o, e("user_id") === o("o_custkey") &&
-      o("o_ts") <= e("ts"), "left")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("o_ts").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    graft.operators.AsOfJoinPlan.backward(e, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_ts")
       .select(col("event_id"), col("user_id"), col("o_orderkey"),
         date_format(col("o_ts"), "yyyy-MM-dd HH:mm:ss").as("o_ts"))
       .orderBy(col("event_id"))

@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         SimHashAgg(exprs.head).toAggregateExpression()))
     e.injectOptimizerRule(_ => RewriteDotProductFold)
+    e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)
   }
 }
 

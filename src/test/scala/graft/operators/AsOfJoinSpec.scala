@@ -14,7 +14,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("merge as-of join equals the join+rank composition on real data") {
+  test("union-merge as-of join equals the native-exec gate query on real data") {
     val dir = "/root/testdata/sf0.001"
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("ts"))
