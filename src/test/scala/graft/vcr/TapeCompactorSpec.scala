@@ -1,0 +1,76 @@
+package graft.vcr
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class TapeCompactorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("compaction merges small files, preserves content and naming") {
+    val root = Files.createTempDirectory("graft-compact").toString
+    import spark.implicits._
+    val records = (1 to 400).map { i =>
+      (s"payload-$i".getBytes(UTF_8), i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${1 + (i - 1) / 200}%d 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(records, root, "s", numFiles = 16) // many tiny files
+
+    val start = LocalDateTime.parse("2024-01-01T00:00:00")
+    val end = Some(LocalDateTime.parse("2024-01-03T00:00:00"))
+    val before = TapePlayer.read(spark, root, "s", start, end)
+      .select(Tape.PayloadCol).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), UTF_8)).sorted.toSeq
+
+    val res = TapeCompactor.compact(spark, root, "s", start, end,
+      targetBytes = 1L << 20)
+    assert(res.filesBefore > res.filesAfter)
+    assert(res.groupsMerged > 0)
+
+    // same payloads after compaction
+    val after = TapePlayer.read(spark, root, "s", start, end)
+      .select(Tape.PayloadCol).collect()
+      .map(r => new String(r.getAs[Array[Byte]](0), UTF_8)).sorted.toSeq
+    assert(after === before)
+
+    // naming contract still holds and covers 1..400 exactly once
+    val names = new java.io.File(s"$root/s").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles()).map(_.getName)
+      .filter(_.endsWith(".txt"))
+    assert(names.forall(_.matches("\\d+-\\d+\\.txt")), names.mkString(","))
+    val covered = names.map(_.stripSuffix(".txt").split("-"))
+      .flatMap { case Array(a, b) => a.toLong to b.toLong }
+    assert(covered.sorted.toSeq === (1L to 400L))
+
+    // idempotent-ish: a second pass has nothing big to merge
+    val res2 = TapeCompactor.compact(spark, root, "s", start, end,
+      targetBytes = 1L << 20)
+    assert(res2.filesAfter <= res.filesAfter)
+  }
+
+  test("compaction only touches days inside the range") {
+    val root = Files.createTempDirectory("graft-compact2").toString
+    import spark.implicits._
+    val records = (1 to 300).map { i =>
+      (s"p-$i".getBytes(UTF_8), i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${1 + (i - 1) / 100}%d 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(records, root, "s", numFiles = 8)
+    def filesIn(dt: String) = new java.io.File(s"$root/s/dt=$dt")
+      .listFiles().count(f => f.isFile && f.getName.endsWith(".txt"))
+    val day3Before = filesIn("2024-01-03")
+    TapeCompactor.compact(spark, root, "s",
+      LocalDateTime.parse("2024-01-01T00:00:00"),
+      Some(LocalDateTime.parse("2024-01-02T23:59:59")), targetBytes = 1L << 20)
+    assert(filesIn("2024-01-03") === day3Before) // untouched
+    assert(filesIn("2024-01-01") === 1)
+  }
+}
