@@ -126,6 +126,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamCmp === closedBatch)
   }
 
+  test("R3b: watermark timeout flushes an idle user's tail session") {
+    import spark.implicits._
+    import StreamSessionize._
+    val src = tmp()
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    // the file source lists flat files, not nested dirs: stage each
+    // batch elsewhere and drop its part file into src
+    def addBatch(name: String, evs: Seq[TEv]): Unit = {
+      val stage = tmp()
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    // batch 0: user 1 has three events, then goes idle (minute 1000+:
+    // an event AT epoch 0 would equal the initial watermark and be
+    // dropped as late)
+    addBatch("b0.parquet",
+      Seq(TEv(1L, ts(1000)), TEv(1L, ts(1001)), TEv(1L, ts(1002))))
+    val schema = implicitly[org.apache.spark.sql.Encoder[TEv]].schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "0 seconds").as[TEv]
+    val q = sessionizeWithTimeout(stream).writeStream.outputMode("append")
+      .format("memory").queryName("toSessions").start()
+    q.processAllAvailable()
+    assert(spark.table("toSessions").count() === 0) // still open
+    // batch 1: a much later event for ANOTHER user advances the
+    // watermark past user 1's gap -> the timeout flushes their session
+    addBatch("b1.parquet", Seq(TEv(2L, ts(1600))))
+    q.processAllAvailable()
+    q.stop()
+    val flushed = spark.table("toSessions").as[Session].collect()
+    assert(flushed.toSeq === Seq(
+      Session(1L, 60000000000L, 60120000000L, 3L)))
+  }
+
   test("R4: tape replays as a rate-limited stream, one file per batch") {
     val root = tmp()
     import spark.implicits._
