@@ -335,6 +335,47 @@ object AnalyticsQueries {
            strftime(o_ts, '%Y-%m-%d %H:%M:%S') AS o_ts
     FROM joined WHERE rn = 1 ORDER BY event_id"""
 
+  /** A13: range join — events inside each (sampled) order's 3-day
+    * window, via the bucketed point-in-interval operator
+    * (graft.operators.RangeJoin): equi-join on (user, day-bucket) +
+    * exact filter instead of the nested-loop a bare range predicate
+    * would plan.
+    */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+          + (col("o_orderkey") % 2592000) * 1000000L).as("lo_us"))
+      .withColumn("hi_us", col("lo_us") + lit(3 * dayUs))
+    graft.operators.RangeJoin.pointInInterval(e, o,
+      pt = col("ts_us"), lo = col("lo_us"), hi = col("hi_us"),
+      width = dayUs,
+      leftKeys = Seq(col("user_id")), rightKeys = Seq(col("o_custkey")))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val qRangeJoinSql: String = """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+    o AS (
+      SELECT o_orderkey, o_custkey,
+             epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+               + to_microseconds((o_orderkey % 2592000) * 1000000)) AS lo_us
+      FROM orders WHERE o_orderkey % 50 = 0)
+    SELECT o_orderkey, count(*) AS n_events,
+           min(event_id) AS first_event, max(event_id) AS last_event
+    FROM e JOIN o ON e.user_id = o.o_custkey
+      AND e.ts_us >= o.lo_us AND e.ts_us <= o.lo_us + 259200000000
+    GROUP BY o_orderkey ORDER BY o_orderkey"""
+
   /** A12: rollup over two grouping levels (grand total via 'ALL'). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -365,6 +406,7 @@ object AnalyticsQueries {
     "q_events_hourly" -> (qEventsMinutely _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _),
     "q_rollup" -> (qRollup _))
 
   def oracles: Map[String, String] = Map(
@@ -379,5 +421,6 @@ object AnalyticsQueries {
     "q_events_hourly" -> qEventsMinutelySql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_rollup" -> qRollupSql)
 }

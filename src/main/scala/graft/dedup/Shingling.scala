@@ -30,18 +30,22 @@ object Shingling {
   val SimHashChunkMask: Long = (1L << SimHashChunkBits) - 1 // 63
   val SimHashRadius = 9
 
-  /** `doc_id, shingle` — distinct word 3-grams per document.
-    * Words explode positionally (`sequence` + `slice`), mirrored by
-    * generate_series/list_slice in the oracle.
+  /** `doc_id, shingle` — word 3-grams per document (distinct per doc
+    * by default; `distinctPerDoc = false` keeps multiplicity for
+    * corpus-frequency statistics). Words explode positionally
+    * (`sequence` + `slice`), mirrored by range/list_slice in the
+    * oracle.
     */
-  def shingles(documents: DataFrame): DataFrame =
-    documents
+  def shingles(documents: DataFrame,
+               distinctPerDoc: Boolean = true): DataFrame = {
+    val exploded = documents
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
         .as("shingle"))
-      .distinct()
+    if (distinctPerDoc) exploded.distinct() else exploded
+  }
 
   val shinglesSql: String = """
     SELECT DISTINCT doc_id,

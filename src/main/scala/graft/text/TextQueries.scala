@@ -183,15 +183,40 @@ object TextQueries {
     FROM documents d JOIN agg USING (doc_id)
     ORDER BY doc_id"""
 
+  /** T5: corpus vocabulary statistics — the 20 most frequent word
+    * 3-grams with document frequency; one shuffle on the shingle, with
+    * map-side partial counts, TakeOrdered for the top-k.
+    */
+  def textNgramStats(s: SparkSession, dir: String): DataFrame =
+    Shingling.shingles(Tables.documents(s, dir), distinctPerDoc = false)
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("shingle"))
+      .limit(20)
+
+  val textNgramStatsSql: String = """
+    WITH sh AS (
+      SELECT doc_id, array_to_string(list_slice(w, i, i+2), ' ') AS shingle
+      FROM (SELECT doc_id, w, unnest(range(1, len(w)-1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 3))
+    SELECT shingle, count(*) AS occurrences,
+           count(DISTINCT doc_id) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY occurrences DESC, shingle LIMIT 20"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_ngram_stats" -> (textNgramStats _))
 
   def oracles: Map[String, String] = Map(
     "text_lang_id" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_ngram_stats" -> textNgramStatsSql)
 }
