@@ -9,9 +9,10 @@ import scala.collection.mutable.ArrayBuffer
 import graft.vcr.Tape
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -41,11 +42,13 @@ class TapeDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "tape"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TapeTable.Schema
+    if (options.getBoolean("ingest", false)) TapeWrite.IngestSchema
+    else TapeTable.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new TapeTable(properties.get("path"))
+    new TapeTable(properties.get("path"),
+      "true".equalsIgnoreCase(properties.getOrDefault("ingest", "false")))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -59,15 +62,28 @@ object TapeTable {
     StructField("seq_last", LongType, nullable = true)))
 }
 
-class TapeTable(path: String) extends Table with SupportsRead {
+/** Read face by default; with `ingest=true` the table exposes the
+  * append-only write face instead (schema data/seq/ts — see TapeWrite).
+  */
+class TapeTable(path: String, ingest: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
   require(path != null, "tape source requires a path")
   override def name(): String = s"tape($path)"
-  override def schema(): StructType = TapeTable.Schema
+  override def schema(): StructType =
+    if (ingest) TapeWrite.IngestSchema else TapeTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (ingest) util.EnumSet.of(TableCapability.BATCH_WRITE)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(!ingest, "an ingest=true tape table is write-only")
     new TapeScanBuilder(path)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(ingest, "reads use the default table; pass ingest=true to write")
+    new TapeWriteBuilder(path, info)
+  }
 }
 
 class TapeScanBuilder(path: String) extends ScanBuilder
