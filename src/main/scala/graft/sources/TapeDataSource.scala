@@ -73,11 +73,12 @@ class TapeTable(path: String, ingest: Boolean = false)
     if (ingest) TapeWrite.IngestSchema else TapeTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     if (ingest) util.EnumSet.of(TableCapability.BATCH_WRITE)
-    else util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(!ingest, "an ingest=true tape table is write-only")
-    new TapeScanBuilder(path)
+    new TapeScanBuilder(path, options.getInt("maxFilesPerTrigger", 0))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -86,7 +87,8 @@ class TapeTable(path: String, ingest: Boolean = false)
   }
 }
 
-class TapeScanBuilder(path: String) extends ScanBuilder
+class TapeScanBuilder(path: String, maxFilesPerTrigger: Int = 0)
+  extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var dtFilters: Array[Filter] = Array.empty
@@ -109,7 +111,8 @@ class TapeScanBuilder(path: String) extends ScanBuilder
   override def build(): Scan = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    new TapeScan(path, dtFilters, required, new SerializableConfiguration(conf))
+    new TapeScan(path, dtFilters, required,
+      new SerializableConfiguration(conf), maxFilesPerTrigger)
   }
 }
 
@@ -146,10 +149,15 @@ final case class TapeInputPartition(files: Array[TapeFileSlice])
   extends InputPartition
 
 class TapeScan(path: String, dtFilters: Array[Filter], required: StructType,
-               conf: SerializableConfiguration) extends Scan with Batch {
+               conf: SerializableConfiguration,
+               maxFilesPerTrigger: Int = 0) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+  : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TapeMicroBatchStream(path, dtFilters, required, conf,
+      maxFilesPerTrigger)
   override def description(): String =
     s"TapeScan path=$path prunedBy=[${dtFilters.mkString(", ")}]"
 
