@@ -6,7 +6,6 @@ import graft.vcr.{Tape, TapeWriter, TimeArg}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** The VCR's streaming faces (SURVEY §2.7 R1/R4).
   *
@@ -37,21 +36,20 @@ object StreamRecorder {
       }
       .start()
 
-  /** R4: the tape range re-emitted as a stream of payloads, at most
-    * `maxFilesPerTrigger` tape files per micro-batch.
+  /** R4: the tape range re-emitted as a stream of payloads via the
+    * native tape streaming source (graft.sources.TapeMicroBatchStream):
+    * at most `maxFilesPerTrigger` tape files per micro-batch, the day
+    * range pruned from the stream's file listing.
     */
   def replayStream(spark: SparkSession, root: String, stream: String,
                    start: LocalDateTime, end: Option[LocalDateTime],
                    maxFilesPerTrigger: Int = 1): DataFrame = {
     val endEff = TimeArg.effectiveEnd(start, end)
-    val days = Iterator.iterate(start.toLocalDate)(_.plusDays(1))
-      .takeWhile(!_.isAfter(endEff.toLocalDate)).toSeq
-    val glob = s"$root/$stream/${Tape.DtCol}={${days.mkString(",")}}"
-    spark.readStream
-      .schema(StructType(Seq(StructField("value", StringType))))
+    spark.readStream.format("tape")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(glob)
-      .filter(length(col("value")) > 0)
-      .select(Tape.decodeLine(col("value")).as(Tape.PayloadCol))
+      .load(s"$root/$stream")
+      .filter(col(Tape.DtCol) >= lit(start.toLocalDate.toString) &&
+        col(Tape.DtCol) <= lit(endEff.toLocalDate.toString))
+      .select(col(Tape.PayloadCol))
   }
 }
