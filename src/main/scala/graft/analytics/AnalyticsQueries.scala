@@ -376,6 +376,85 @@ object AnalyticsQueries {
       AND e.ts_us >= o.lo_us AND e.ts_us <= o.lo_us + 259200000000
     GROUP BY o_orderkey ORDER BY o_orderkey"""
 
+  /** A14 / TPC-H Q6: forecast revenue change — a pure scan-side query,
+    * every predicate pushed to parquet, one scalar out.
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"), count(lit(1)).as("n"))
+
+  val q6ForecastSql: String = """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+  /** A15 / TPC-H Q14 style: promo revenue share — conditional
+    * aggregation over a broadcast dim join.
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), disc)
+          .otherwise(lit(0.0))), 2).as("promo_revenue"),
+        round(sum(disc), 2).as("total_revenue"),
+        count(lit(1)).as("n"))
+
+  }
+
+  val q14PromoSql: String = """
+    SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN l_extendedprice * (1.0 - l_discount)
+                     ELSE 0.0 END), 2) AS promo_revenue,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'"""
+
+  /** A16 / TPC-H Q18 style: large-volume customers — an aggregated
+    * semi-join (orders whose line quantity total exceeds a threshold).
+    */
+  def q18Volume(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val bigOrders = l.groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    bigOrders
+      .join(o, bigOrders("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18VolumeSql: String = """
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 300)
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice, total_qty
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
+
   /** A12: rollup over two grouping levels (grand total via 'ALL'). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -407,6 +486,9 @@ object AnalyticsQueries {
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
+    "q6_forecast" -> (q6Forecast _),
+    "q14_promo" -> (q14Promo _),
+    "q18_volume" -> (q18Volume _),
     "q_rollup" -> (qRollup _))
 
   def oracles: Map[String, String] = Map(
@@ -422,5 +504,8 @@ object AnalyticsQueries {
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
+    "q6_forecast" -> q6ForecastSql,
+    "q14_promo" -> q14PromoSql,
+    "q18_volume" -> q18VolumeSql,
     "q_rollup" -> qRollupSql)
 }
