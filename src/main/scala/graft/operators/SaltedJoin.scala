@@ -19,7 +19,7 @@ object SaltedJoin {
   def inner(left: DataFrame, right: DataFrame, keys: Seq[String],
             nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val leftCols = left.columns.map(col)
+    val leftCols = left.columns.toIndexedSeq.map(col)
     val salted = left.withColumn("__salt",
       pmod(xxhash64(leftCols: _*), lit(nSalts)).cast("int"))
     val replicated = right.withColumn("__salt",
