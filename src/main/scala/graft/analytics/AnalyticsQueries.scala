@@ -286,7 +286,7 @@ object AnalyticsQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT *, sum(new_session) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+               ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            min(event_id) AS first_event, max(event_id) AS last_event,

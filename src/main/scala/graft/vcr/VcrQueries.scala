@@ -71,7 +71,7 @@ object VcrQueries {
 
   val vcrRangeSql: String = s"""
     SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
-           sum(octet_length(encode(props))) AS payload_bytes,
+           sum(octet_length(encode(props)))::BIGINT AS payload_bytes,
            min(event_id) AS first_seq, max(event_id) AS last_seq
     FROM events
     WHERE floor(epoch(ts))::BIGINT > $rangeStartEpoch
@@ -106,7 +106,7 @@ object VcrQueries {
                                 ORDER BY event_id) AS rn
       FROM events)
     SELECT dt, ((rn - 1) // ${KinesisBatcher.MaxBatchCount})::BIGINT AS bid,
-           count(*) AS n, sum(plen) AS bytes,
+           count(*) AS n, sum(plen)::BIGINT AS bytes,
            min(event_id) AS first_seq, max(event_id) AS last_seq
     FROM numbered GROUP BY dt, bid ORDER BY dt, bid"""
 
@@ -142,7 +142,7 @@ object VcrQueries {
              length(to_base64(encode(props))) + 1 AS line_bytes
       FROM events),
     est AS (
-      SELECT dt, count(*) AS files, sum(line_bytes) AS tape_bytes,
+      SELECT dt, count(*) AS files, sum(line_bytes)::BIGINT AS tape_bytes,
              (sum(line_bytes) // 1000 // 1000 // 2 // 60)::BIGINT AS est_minutes
       FROM sized GROUP BY dt)
     SELECT dt, files, tape_bytes, est_minutes,

@@ -36,6 +36,29 @@ def cell_eq(a, b):
     return a == b
 
 
+# The driver hashes pandas values, so dtype families that pandas renders
+# identically (int32 vs int64) are compatible — but HUGEINT converts to
+# float64/object and WILL hash-mismatch a Spark BIGINT (round-1 failure
+# mode: DuckDB sum(int) is HUGEINT; cast it ::BIGINT in the oracle SQL).
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+
+
+def type_family(t):
+    t = t.upper()
+    if t in _INT_FAMILY:
+        return "int"
+    if t in ("FLOAT", "DOUBLE"):
+        return "float"
+    return t  # HUGEINT, DECIMAL(..), VARCHAR, DATE, TIMESTAMP..: exact
+
+
+def duck_types(con, sql):
+    """Column -> DuckDB type family, as the driver's hasher sees them."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: type_family(r[1]) for r in rows}
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -62,6 +85,17 @@ def main():
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: columns want={list(want.columns)} "
                   f"got={list(got.columns)}")
+            failures += 1
+            continue
+        # Dtype-strict: the driver's hasher is type-sensitive, so a DuckDB
+        # HUGEINT (e.g. sum(int)) vs Spark BIGINT drift must fail locally
+        # too. Compare DuckDB's own type names on both sides.
+        want_t = duck_types(con, oracle[name])
+        got_t = duck_types(con, f"SELECT * FROM read_parquet('{spark_glob}')")
+        drift = {c: (want_t[c], got_t[c]) for c in want_t
+                 if c in got_t and want_t[c] != got_t[c]}
+        if drift:
+            print(f"FAIL {name}: dtype drift (oracle vs spark): {drift}")
             failures += 1
             continue
         if len(want) != len(got):
