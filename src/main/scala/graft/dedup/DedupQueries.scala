@@ -23,19 +23,27 @@ import org.apache.spark.sql.functions._
 object DedupQueries {
   import Shingling._
 
-  /** D1: exact dedup of the event stream by payload — keeper + count. */
+  /** D1: exact dedup of the event stream by payload — keeper + count.
+    * Shuffles on md5(payload), never the payload itself (SURVEY §5):
+    * the grouping key stays 16 bytes however large the documents get;
+    * the payload rides along as a min() aggregate (all values within a
+    * group are identical, so min() is just "the value", and map-side
+    * partial aggregation collapses it to one copy per key per task
+    * before the exchange).
+    */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(col("props"))
-      .agg(min(col("event_id")).as("keeper_event"),
+      .groupBy(md5(col("props").cast("binary")).as("k"))
+      .agg(min(col("props")).as("payload"),
+        min(col("event_id")).as("keeper_event"),
         count(lit(1)).as("n_dups"))
-      .select(col("props").as("payload"), col("keeper_event"), col("n_dups"))
+      .select(col("payload"), col("keeper_event"), col("n_dups"))
       .orderBy(col("payload"))
 
   val dedupExactSql: String = """
-    SELECT props AS payload, min(event_id) AS keeper_event,
+    SELECT min(props) AS payload, min(event_id) AS keeper_event,
            count(*) AS n_dups
-    FROM events GROUP BY props ORDER BY payload"""
+    FROM events GROUP BY md5(props) ORDER BY payload"""
 
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -211,12 +219,73 @@ object DedupQueries {
     FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashRadius
     ORDER BY doc_a, doc_b"""
 
-  /** D5: embedding-cosine near-dup pairs (brute-force baseline).
-    * Vectors are unit-normalized once (O(n)), so each of the O(n²)
-    * pairs costs one codegen'd dot product — no per-pair norms, no
-    * per-pair array allocation.
+  /** D5: embedding-cosine near-dup pairs via hyperplane-LSH buckets —
+    * the scale path is the GATE path: candidates are pairs sharing a
+    * 4-bit band of their 16-bit sign signature (equi-join on
+    * (band, bkey) — no cross product anywhere), then the exact cosine
+    * filter runs on candidates only. Recall is probabilistic in the
+    * LSH sense (a pair at angle θ shares a band w.p.
+    * 1-(1-(1-θ/π)^4)^4 → ~1 for true near-dups); the DuckDB oracle
+    * runs the SAME banding so the gate checks the pipeline end to end,
+    * and DedupSpec cross-checks recall against the all-pairs baseline
+    * (`dedupEmbeddingBrute`) on planted near-dups.
     */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", VectorFunctions.normalize(col("v")))
+    val dim = e.select(size(col("v")).as("d")).head().getInt(0)
+    val sigs = e.select(col("vec_id"),
+      graft.sim.Hyperplanes.signature(col("v"), dim).as("sig"))
+    val bands = sigs.select(col("vec_id"), col("sig"),
+      explode(sequence(lit(0), lit(graft.sim.Hyperplanes.Bands - 1))).as("band"))
+      .withColumn("bkey",
+        graft.sim.Hyperplanes.bandKey(col("sig"), col("band")))
+    val cand = bands.select(col("vec_id").as("vec_a"), col("band"), col("bkey"))
+      .join(bands.select(col("vec_id").as("vec_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), Seq("vec_b"))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbeddingSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x ->
+               x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))) AS vn
+      FROM embeddings),
+    src AS (SELECT vec_id AS id, v FROM e),
+    ${graft.sim.Hyperplanes.sigsSql("src")},
+    cand AS (
+      SELECT DISTINCT a.id AS vec_a, b.id AS vec_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.id < b.id),
+    scored AS (
+      SELECT vec_a, vec_b,
+             round(list_dot_product(ea.vn, eb.vn), 6) AS cosine
+      FROM cand JOIN e ea ON ea.vec_id = vec_a
+                JOIN e eb ON eb.vec_id = vec_b)
+    SELECT vec_a, vec_b, cosine FROM scored
+    WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+
+  /** The all-pairs exactness baseline D5 replaces at the gate: every
+    * O(n²) pair costs one codegen'd dot product over once-normalized
+    * vectors. Spec-checked against `dedupEmbedding` (the bucketed path
+    * must find every brute pair on the planted near-dups); deliberately
+    * NOT a gate entry — a cartesian plan is the textbook 100 TB
+    * scale-killer.
+    */
+  private[graft] def dedupEmbeddingBrute(
+      s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFunctions.normalize(
         col("embedding").cast("array<double>")).as("vn"))
@@ -229,19 +298,6 @@ object DedupQueries {
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
-
-  val dedupEmbeddingSql: String = """
-    WITH e AS (
-      SELECT vec_id, list_transform(embedding::DOUBLE[], x ->
-               x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                         embedding::DOUBLE[]))) AS vn
-      FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round(list_dot_product(a.vn, b.vn), 6) AS cosine
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, cosine FROM pairs
-    WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),

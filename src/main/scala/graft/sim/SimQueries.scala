@@ -24,8 +24,8 @@ object SimQueries {
 
   val TopK = 5
   val NumQueries = 10 // vec_id < 10 are the query set
-  val NumPlanes = 16 // LSH signature bits
-  val LshBands = 4 // 4 bands x 4 bits
+  val NumPlanes: Int = Hyperplanes.NumPlanes // LSH signature bits
+  val LshBands: Int = Hyperplanes.Bands // 4 bands x 4 bits
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select(col("vec_id"),
@@ -39,8 +39,45 @@ object SimQueries {
                                    embedding::DOUBLE[]))) AS vn,
        label FROM embeddings"""
 
-  /** S1: exact cosine top-k for each query vector. */
+  /** S1: exact cosine top-k for each query vector.
+    *
+    * The 100 TB brute-force shape: the (small, bounded) query block is
+    * collected once and embedded as a broadcast literal, so the plan is
+    * a single linear corpus scan — scan → explode(queries) → codegen'd
+    * DotProduct — with no join at all; the only shuffle is the
+    * |Q|-keyed window for the final top-k. (The equi-join-free pair
+    * enumeration a naive `q.join(e, q_id =!= vec_id)` plans is a
+    * BroadcastNestedLoopJoin — same work here, but an anti-pattern the
+    * moment |Q| grows; `knnBruteJoin` keeps that form as the
+    * spec-checked reference semantics.)
+    */
   def knnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    // Bounded plan-time collect: |Q| = NumQueries rows, like a
+    // broadcast-table build. Sorted for a deterministic literal.
+    val qSeq: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val scored = e
+      .select(col("vec_id").as("neighbor"), col("vn"),
+        explode(typedLit(qSeq)).as("q"))
+      .filter(col("q._1") =!= col("neighbor"))
+      .select(col("q._1").as("q_id"), col("neighbor"),
+        round(dot(col("q._2"), col("vn")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("neighbor"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The join-form brute kNN (for query sets too large to inline):
+    * correct but plans a nested-loop pair enumeration — spec-checked
+    * equal to `knnBrute`, deliberately NOT a gate entry.
+    */
+  private[graft] def knnBruteJoin(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val q = e.select(col("vec_id").as("q_id"), col("vn").as("qvn"))
       .filter(col("q_id") < NumQueries)
@@ -98,17 +135,26 @@ object SimQueries {
     * centroid (deterministic codebook: the per-label means; production
     * would train k-means offline the same shape), queries probe one
     * list. Candidate generation is an equi-join on the cluster id.
+    *
+    * The codebook is bounded (k centroids), so it is collected once —
+    * a broadcast-table build — and the nearest-centroid assignment is
+    * a single codegen'd `array_max` over per-centroid (cos, label)
+    * structs: no join, no window, no shuffle for the n×k step. Struct
+    * max is lexicographic, so storing -label picks the SMALLEST label
+    * on a cosine tie, matching the oracle's ORDER BY ccos DESC, label.
     */
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cent = centroids(e)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val assign = e.drop("label").join(cent)
-      .withColumn("ccos", round(dot(col("vn"), col("cvn")), 6))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vn"), col("label").as("cluster"))
+    val cents: Seq[(Int, Seq[Double])] = centroids(e)
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(-lbl).as("neg_label"))
+    }: _*))
+    val assign = e.select(col("vec_id"), col("vn"),
+      (best.getField("neg_label") * lit(-1)).as("cluster"))
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
     val scored = q.join(assign, Seq("cluster"))
@@ -145,32 +191,28 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
-  /** md5-derived hyperplane component d of plane j, in [-1, 1]. */
-  private val planeExpr: String =
-    "transform(sequence(0, size(v)-1), d -> " +
-      "(cast(conv(substring(md5(concat(cast(j as string), '-', " +
-      "cast(d as string))), 1, 7), 16, 10) as bigint) % 2001 - 1000) / 1000.0)"
-
   /** S3: random-hyperplane LSH — 16 sign bits, banded 4×4; candidates
     * share a band value with the query; exact scoring on candidates.
+    *
+    * The 16×d plane matrix is a CONSTANT (Hyperplanes): computed once
+    * on the driver and embedded as a literal, so each row's signature
+    * is 16 codegen'd DotProducts — no per-row md5, no explode, no
+    * shuffle to assemble the signature. (Round 1 rebuilt the matrix per
+    * row via md5 expressions: O(rows × planes × dims) hashing for a
+    * constant — 18% of the whole bench.) The one-row `head()` is a
+    * planning-time dimension lookup, not a data collect.
     */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val sigs = e
-      .select(col("vec_id"), col("v"),
-        explode(sequence(lit(0), lit(NumPlanes - 1))).as("j"))
-      .withColumn("dot", expr(
-        s"aggregate(zip_with(v, $planeExpr, (x, y) -> x * y), " +
-          "cast(0.0 as double), (acc, x) -> acc + x)"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("dot") >= 0,
-        expr("shiftleft(cast(1 as bigint), j)")).otherwise(lit(0L))).as("sig"))
+    val dim = e.select(size(col("v")).as("d")).head().getInt(0)
+    val sigs = e.select(col("vec_id"),
+      Hyperplanes.signature(col("v"), dim).as("sig"))
     val bands = sigs.select(col("vec_id"), col("sig"),
       explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
-      .withColumn("bkey", expr("shiftright(sig, band * 4) & 15"))
+      .withColumn("bkey", Hyperplanes.bandKey(col("sig"), col("band")))
     val qb = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
-    val cand = qb.join(bands.select(col("vec_id").as("neighbor"),
+    val cand = broadcast(qb).join(bands.select(col("vec_id").as("neighbor"),
       col("band"), col("bkey")), Seq("band", "bkey"))
       .filter(col("neighbor") =!= col("q_id"))
       .select(col("q_id"), col("neighbor")).distinct()
@@ -189,23 +231,12 @@ object SimQueries {
 
   val knnLshSql: String = s"""
     WITH e AS ($vecsSql),
-    dots AS (
-      SELECT vec_id, v, j,
-             list_dot_product(v, list_transform(range(0, len(v)), d ->
-               (('0x' || substring(md5(j::VARCHAR || '-' || d::VARCHAR),
-                 1, 7))::BIGINT % 2001 - 1000) / 1000.0)) AS dot
-      FROM (SELECT vec_id, v, unnest(range(0, $NumPlanes)) AS j FROM e)),
-    sigs AS (
-      SELECT vec_id,
-             sum(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS sig
-      FROM dots GROUP BY vec_id),
-    bands AS (
-      SELECT vec_id, sig, band, (sig >> (band * 4)) & 15 AS bkey
-      FROM (SELECT vec_id, sig, unnest(range(0, $LshBands)) AS band FROM sigs)),
+    src AS (SELECT vec_id AS id, v FROM e),
+    ${Hyperplanes.sigsSql("src")},
     cand AS (
-      SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS neighbor
+      SELECT DISTINCT q.id AS q_id, b.id AS neighbor
       FROM bands q JOIN bands b ON q.band = b.band AND q.bkey = b.bkey
-      WHERE q.vec_id < $NumQueries AND b.vec_id != q.vec_id),
+      WHERE q.id < $NumQueries AND b.id != q.id),
     scored AS (
       SELECT c.q_id, c.neighbor,
              round(list_dot_product(q.vn, n.vn), 6) AS cos

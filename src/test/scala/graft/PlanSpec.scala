@@ -69,13 +69,25 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("hot vector scoring uses the codegen'd custom expression") {
-    // the pair join is a BroadcastNestedLoopJoin (no whole-stage span),
-    // but its predicate/projection must run graft's DotProduct — never
-    // the allocating aggregate(zip_with(...)) fold
+    // signature + verify must run graft's DotProduct — never the
+    // allocating aggregate(zip_with(...)) fold or a fallback eval
     val p = plan("dedup_embedding")
     assert(p.contains("dotproduct("), p)
     assert(!p.contains("zip_with"), p)
     assert(!p.contains("CodegenFallback"), p)
+  }
+
+  test("no gate query plans a nested-loop or cartesian join") {
+    // the all-pairs baselines (knnBruteJoin, dedupEmbeddingBrute) are
+    // spec-level cross-checks only: at 100 TB a nested-loop pair
+    // enumeration is the textbook scale-killer, so the gate — what a
+    // user reaches for — must never plan one
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
   }
 
   test("approx_count_distinct (HLL++) lands within its error bound") {

@@ -51,6 +51,19 @@ class DedupSpec extends AnyFunSuite {
     val rows = DedupQueries.dedupEmbedding(spark, dir).collect()
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.4))
-    assert(rows.nonEmpty) // top background cosine ~0.51 at sf0.01
+    assert(rows.nonEmpty)
+  }
+
+  test("bucketed embedding dedup vs the all-pairs baseline: sound, and " +
+    "full recall on high-cosine pairs") {
+    val brute = DedupQueries.dedupEmbeddingBrute(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = pairs(DedupQueries.dedupEmbedding(spark, dir))
+    // soundness: exact verification means no pair outside the baseline
+    assert(got.subsetOf(brute.keySet), s"extra: ${got -- brute.keySet}")
+    // recall: every strongly-similar pair must share a hyperplane band
+    val high = brute.filter(_._2 >= 0.9).keySet
+    assert(high.subsetOf(got), s"missed: ${high -- got}")
+    assert(got.nonEmpty)
   }
 }

@@ -32,6 +32,14 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("literal-broadcast brute kNN equals the join form bit-for-bit") {
+    // the gate runs the join-free broadcast-literal plan; the naive
+    // nested-loop join form is the reference semantics it must match
+    val a = brute.collect().map(_.toSeq).toSeq
+    val b = SimQueries.knnBruteJoin(spark, dir).collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("IVF probe-1 recalls a useful share of true top-1 neighbors") {
     val hits = topn(SimQueries.knnIvf(spark, dir)) intersect topn(brute)
     // unclustered corpus + probe=1: partial recall is expected; the
