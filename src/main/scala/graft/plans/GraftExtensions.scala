@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * acc+x)` over array<double> into [[DotProduct]](a, b) — same
   * left-to-right semantics, no intermediate array, codegen'd loop. Users
   * writing the idiomatic-but-slow fold get the fast path for free.
+  *
+  * Soundness: the lambdas must be EXACTLY the pairwise product and the
+  * accumulating sum of the lambda's own (distinct) arguments — checked
+  * by reference against the analyzer-bound NamedLambdaVariables, in
+  * either operand order (double add/multiply are commutative), so e.g.
+  * `(x, y) -> x * x` or `(acc, v) -> acc + 1.0` never match. Unequal
+  * lengths and null elements need no guard: [[DotProduct]] implements
+  * the fold's null semantics exactly (NULL on length mismatch — the
+  * zip_with null padding — and on any null element).
   */
 object RewriteDotProductFold extends Rule[LogicalPlan] {
   private def isDoubleArray(e: Expression): Boolean = e.dataType match {
@@ -49,25 +58,38 @@ object RewriteDotProductFold extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** f is `(p, q) -> p * q` over its own two distinct args. */
+  private def isPairwiseProduct(f: Expression): Boolean = f match {
+    case LambdaFunction(
+        Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+        Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _) =>
+      ((x eq p) && (y eq q)) || ((x eq q) && (y eq p))
+    case _ => false
+  }
+
+  /** f is `(acc, el) -> acc + el` over its own two distinct args. */
+  private def isAccumulatingSum(f: Expression): Boolean = f match {
+    case LambdaFunction(
+        Add(u: NamedLambdaVariable, v: NamedLambdaVariable, _),
+        Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _) =>
+      ((u eq acc) && (v eq el)) || ((u eq el) && (v eq acc))
+    case _ => false
+  }
+
+  /** f is `acc -> acc` — the same variable instance, nothing else. */
+  private def finishIsIdentity(finish: Expression): Boolean = finish match {
+    case LambdaFunction(v: NamedLambdaVariable,
+        Seq(arg: NamedLambdaVariable), _) => v eq arg
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
-          ZipWith(a, b,
-            LambdaFunction(Multiply(x: NamedLambdaVariable,
-              y: NamedLambdaVariable, _), _, _)),
-          Literal(0.0, DoubleType),
-          LambdaFunction(Add(acc: NamedLambdaVariable,
-            el: NamedLambdaVariable, _), _, _),
-          finish)
+          ZipWith(a, b, merge), Literal(0.0, DoubleType), update, finish)
         if isDoubleArray(a) && isDoubleArray(b) &&
+          isPairwiseProduct(merge) && isAccumulatingSum(update) &&
           finishIsIdentity(finish) =>
         DotProduct(a, b)
     }
-
-  private def finishIsIdentity(finish: Expression): Boolean = finish match {
-    case _: NamedLambdaVariable => true
-    case LambdaFunction(v: NamedLambdaVariable, Seq(arg), _) => v eq arg
-    case LambdaFunction(_: NamedLambdaVariable, _, _) => true
-    case _ => false
-  }
 }

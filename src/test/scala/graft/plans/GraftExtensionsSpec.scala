@@ -55,6 +55,46 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!optimized.contains("zip_with"), optimized)
   }
 
+  test("rewrite does NOT fire on folds that merely look like a dot product") {
+    import org.apache.spark.sql.functions._
+    graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb_neg")
+    val lookalikes = Seq(
+      // (x, y) -> x * x: not the pairwise product of both args
+      """SELECT aggregate(zip_with(v, v, (x, y) -> x * x), 0.0d,
+           (acc, x) -> acc + x) AS d FROM emb_neg""",
+      // (acc, x) -> acc + acc: not the accumulating sum
+      """SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d,
+           (acc, x) -> acc + acc) AS d FROM emb_neg""",
+      // non-identity finish
+      """SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d,
+           (acc, x) -> acc + x, acc -> acc + 1.0d) AS d FROM emb_neg""",
+      // non-zero start
+      """SELECT aggregate(zip_with(v, v, (x, y) -> x * y), 1.0d,
+           (acc, x) -> acc + x) AS d FROM emb_neg""")
+    lookalikes.foreach { sql =>
+      val opt = spark.sql(sql).queryExecution.optimizedPlan.toString()
+      assert(!opt.contains("dotproduct("), s"wrongly rewrote: $sql\n$opt")
+    }
+  }
+
+  test("graft_dot matches the fold's null semantics exactly") {
+    // zip_with pads unequal lengths with null and x*null poisons the
+    // fold; null elements do too — DotProduct must agree so the
+    // optimizer rewrite never changes a result
+    val rows = spark.sql("""
+      SELECT graft_dot(array(1.0d, 2.0d), array(3.0d)) AS len_mismatch,
+             graft_dot(array(1.0d, cast(null as double)),
+                       array(1.0d, 2.0d)) AS null_element,
+             graft_dot(cast(null as array<double>),
+                       array(1.0d)) AS null_input,
+             graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS clean
+    """).collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getDouble(3) === 11.0)
+  }
+
   test("rewrite preserves results on real embedding data") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
