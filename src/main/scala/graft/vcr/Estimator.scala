@@ -47,6 +47,16 @@ object Estimator {
     Estimate(files, bytes, shards, minutes, humanize(minutes))
   }
 
+  /** Shard count discovered from the target stream's endpoint, like the
+    * reference's DescribeStream open-shard count
+    * (KinesisPlayer.java:76-83), instead of a hand-set env var.
+    */
+  def estimate(conf: Configuration, root: String, stream: String,
+               start: LocalDateTime, end: Option[LocalDateTime],
+               endpoint: KinesisEndpoint, targetStream: String): Estimate =
+    estimate(conf, root, stream, start, end,
+      endpoint.describeStreamOpenShards(targetStream))
+
   /** Integer-division chain exactly as the reference computes it. */
   def minutesFor(bytes: Long, shards: Int): Long =
     bytes / 1000 / 1000 / shards / 60

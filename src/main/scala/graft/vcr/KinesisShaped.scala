@@ -1,0 +1,179 @@
+package graft.vcr
+
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+/** A Kinesis-shaped connector seam, without the AWS SDK (zero-egress
+  * environment). The types mirror the public PutRecords / DescribeStream
+  * contracts the reference drives (KinesisPlayer.java:90-155 —
+  * per-sub-record failure codes, ≤500 records / ≤1 MB batches,
+  * open-shard counting), so a production build swaps [[FakeKinesis]]
+  * for a thin SDK adapter and nothing above the seam changes.
+  */
+final case class PutRecordsEntry(partitionKey: String, data: Array[Byte])
+
+/** One result per request entry, positionally aligned — exactly how
+  * PutRecords reports partial failure (errorCode non-empty = retry me).
+  */
+final case class PutRecordsResultEntry(sequenceNumber: Option[String],
+                                       shardId: Option[String],
+                                       errorCode: Option[String],
+                                       errorMessage: Option[String])
+
+final case class PutRecordsResponse(entries: IndexedSeq[PutRecordsResultEntry]) {
+  def failedRecordCount: Int = entries.count(_.errorCode.isDefined)
+  def failedIndices: Array[Int] =
+    entries.zipWithIndex.collect { case (e, i) if e.errorCode.isDefined => i }
+      .toArray
+}
+
+/** The endpoint seam: what the reference needs from Kinesis. */
+trait KinesisEndpoint {
+  /** Open shards only — closed (split/merged-away) shards have an
+    * ending sequence number and don't serve writes
+    * (reference: KinesisPlayer.java:77-83).
+    */
+  def describeStreamOpenShards(stream: String): Int
+
+  /** PutRecords: atomic request validation (≤500 entries, ≤1 MiB per
+    * record, ≤5 MiB per request — the public API limits), per-entry
+    * success/failure in the response.
+    */
+  def putRecords(stream: String, entries: IndexedSeq[PutRecordsEntry]): PutRecordsResponse
+}
+
+object KinesisLimits {
+  val MaxEntriesPerRequest = 500
+  val MaxBytesPerRecord: Int = 1 << 20 // 1 MiB, data + partition key
+  val MaxBytesPerRequest: Int = 5 << 20
+}
+
+/** In-memory Kinesis stand-in. Faithful where the reference depends on
+  * behavior: MD5(partition key) hash-range shard routing, per-shard
+  * monotonic sequence numbers, positional per-entry error codes, whole-
+  * request ValidationException on limit breaches, open-vs-closed shard
+  * accounting. Thread-safe — replay tasks put concurrently.
+  *
+  * `failureHook(entry, attempt)` injects per-entry error codes (e.g.
+  * ProvisionedThroughputExceededException) by attempt number, letting
+  * specs script the partial-failure episodes the reference's retry loop
+  * must survive; attempt counts are also how specs prove accepted
+  * records are never re-sent.
+  */
+final class FakeKinesis extends KinesisEndpoint {
+
+  final case class StoredRecord(sequenceNumber: String, partitionKey: String,
+                                data: Array[Byte])
+  final class Shard(val shardId: String, var open: Boolean) {
+    val records = mutable.ArrayBuffer.empty[StoredRecord]
+  }
+  private final class Stream(val shards: IndexedSeq[Shard])
+
+  private val streams = mutable.Map.empty[String, Stream]
+  private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val attempts = mutable.Map.empty[String, Int]
+  @volatile private var failureHook
+  : (PutRecordsEntry, Int) => Option[String] = (_, _) => None
+
+  def createStream(name: String, openShards: Int, closedShards: Int = 0)
+  : this.type = synchronized {
+    val shards = (0 until openShards).map(i => new Shard(f"shardId-$i%012d", true)) ++
+      (0 until closedShards).map(i =>
+        new Shard(f"shardId-${openShards + i}%012d", false))
+    streams(name) = new Stream(shards.toIndexedSeq)
+    this
+  }
+
+  def setFailureHook(h: (PutRecordsEntry, Int) => Option[String]): Unit =
+    failureHook = h
+
+  override def describeStreamOpenShards(stream: String): Int = synchronized {
+    streams.getOrElse(stream,
+      throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+      .shards.count(_.open)
+  }
+
+  /** MD5 hash-range routing over the OPEN shards, like the service:
+    * the 128-bit key hash is mapped to evenly-split shard ranges.
+    */
+  private def route(shards: IndexedSeq[Shard], key: String): Shard = {
+    val open = shards.filter(_.open)
+    val h = BigInt(1, MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")))
+    open(((h * open.size) >> 128).toInt)
+  }
+
+  override def putRecords(stream: String,
+                          entries: IndexedSeq[PutRecordsEntry]): PutRecordsResponse = synchronized {
+    val st = streams.getOrElse(stream,
+      throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+    require(entries.nonEmpty && entries.size <= KinesisLimits.MaxEntriesPerRequest,
+      s"ValidationException: 1..${KinesisLimits.MaxEntriesPerRequest} records per request")
+    require(entries.forall(e =>
+      e.data.length + e.partitionKey.length <= KinesisLimits.MaxBytesPerRecord),
+      s"ValidationException: record exceeds ${KinesisLimits.MaxBytesPerRecord} bytes")
+    require(entries.iterator.map(e =>
+      e.data.length.toLong + e.partitionKey.length).sum <= KinesisLimits.MaxBytesPerRequest,
+      s"ValidationException: request exceeds ${KinesisLimits.MaxBytesPerRequest} bytes")
+    PutRecordsResponse(entries.map { e =>
+      val n = attempts.updateWith(e.partitionKey)(c => Some(c.getOrElse(0) + 1)).get
+      failureHook(e, n) match {
+        case Some(code) =>
+          PutRecordsResultEntry(None, None, Some(code), Some(s"injected: $code"))
+        case None =>
+          val shard = route(st.shards, e.partitionKey)
+          val seq = f"${seqCounter.incrementAndGet()}%021d"
+          shard.records += StoredRecord(seq, e.partitionKey, e.data)
+          PutRecordsResultEntry(Some(seq), Some(shard.shardId), None, None)
+      }
+    })
+  }
+
+  /** Assertion faces for specs. */
+  def shardsOf(stream: String): IndexedSeq[Shard] = synchronized {
+    streams(stream).shards
+  }
+  def allRecords(stream: String): IndexedSeq[StoredRecord] = synchronized {
+    streams(stream).shards.flatMap(_.records).toIndexedSeq
+  }
+  def attemptCount(partitionKey: String): Int = synchronized {
+    attempts.getOrElse(partitionKey, 0)
+  }
+}
+
+/** JVM-wide registry so serialized task-side factories can reach the
+  * shared in-memory endpoint in local mode (a real deployment would
+  * construct an SDK-backed endpoint here instead).
+  */
+object FakeKinesisRegistry {
+  private val endpoints = new java.util.concurrent.ConcurrentHashMap[String, FakeKinesis]()
+  def create(name: String): FakeKinesis = {
+    val e = new FakeKinesis
+    endpoints.put(name, e)
+    e
+  }
+  def get(name: String): Option[FakeKinesis] = Option(endpoints.get(name))
+  def remove(name: String): Unit = endpoints.remove(name)
+}
+
+/** ReplaySink speaking the PutRecords contract: one call per batch,
+  * failed sub-record INDICES back to the caller so only those retry
+  * (reference: KinesisPlayer.java:131-144).
+  */
+final class KinesisReplaySink(endpoint: KinesisEndpoint, stream: String)
+  extends ReplaySink {
+  override def putBatch(records: Array[ReplayRecord]): Array[Int] =
+    endpoint.putRecords(stream,
+      records.toIndexedSeq.map(r => PutRecordsEntry(r.key, r.payload)))
+      .failedIndices
+}
+
+final case class KinesisReplaySinkFactory(endpointName: String, stream: String)
+  extends ReplaySinkFactory {
+  override def open(): ReplaySink = {
+    val endpoint = FakeKinesisRegistry.get(endpointName).getOrElse(
+      throw new IllegalStateException(s"no endpoint '$endpointName' registered"))
+    new KinesisReplaySink(endpoint, stream)
+  }
+}

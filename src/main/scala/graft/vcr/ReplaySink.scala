@@ -3,20 +3,25 @@ package graft.vcr
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.security.MessageDigest
 
+/** One replayed record: partition key + payload, like a
+  * PutRecordsRequestEntry (reference: KinesisPlayer.java:99-103).
+  */
+final case class ReplayRecord(key: String, payload: Array[Byte])
+
 /** Where replayed batches land (reference emits PutRecords to Kinesis —
   * an AWS dependency this environment doesn't ship). The trait is the
-  * seam: a KinesisSink would wrap PutRecords with per-sub-record error
-  * codes; tests use [[DirectoryReplaySink]].
+  * seam: [[KinesisReplaySink]] speaks the PutRecords contract against a
+  * [[KinesisEndpoint]]; tests also use [[DirectoryReplaySink]].
   *
   * Implementations are constructed per partition via
   * [[ReplaySinkFactory]] (must be Serializable — it travels to tasks).
   */
 trait ReplaySink extends AutoCloseable {
-  /** Emit one batch; return the number of records that FAILED (0 = all
-    * accepted), driving the caller's partial-failure retry
-    * (reference: KinesisPlayer.java:120-155).
+  /** Emit one batch; return the INDICES of records that failed (empty =
+    * all accepted), so the caller retries exactly those sub-records —
+    * never the whole batch (reference: KinesisPlayer.java:120-155).
     */
-  def putBatch(payloads: Array[Array[Byte]]): Int
+  def putBatch(records: Array[ReplayRecord]): Array[Int]
   override def close(): Unit = ()
 }
 
@@ -41,13 +46,13 @@ object PartitionKeys {
   */
 final class DirectoryReplaySink(dir: String) extends ReplaySink {
   private var n = 0
-  override def putBatch(payloads: Array[Array[Byte]]): Int = {
+  override def putBatch(records: Array[ReplayRecord]): Array[Int] = {
     val id = java.util.UUID.randomUUID().toString
     val out = Paths.get(dir, s"batch-$id-$n")
     n += 1
-    val bytes = payloads.map(p => p :+ '\n'.toByte).flatten
+    val bytes = records.map(r => r.payload :+ '\n'.toByte).flatten
     Files.write(out, bytes.toArray[Byte], StandardOpenOption.CREATE)
-    0
+    Array.empty
   }
 }
 

@@ -50,10 +50,19 @@ object TapePlayer {
   /** Assemble per-partition PutRecords batches and emit them through a
     * [[ReplaySink]], with partial-failure retry. Returns records sent.
     * Runs inside `foreachPartition` — no driver-side data movement.
+    *
+    * Each record carries a deterministic partition key
+    * ([[PartitionKeys.forPayload]]; the reference attaches a random
+    * UUID per record, KinesisPlayer.java:99-103). On partial failure
+    * only the FAILED sub-records are retried — accepted records are
+    * never re-sent (KinesisPlayer.java:131-144) — and a batch that
+    * still fails at the retry deadline FAILS THE TASK rather than
+    * being silently counted as sent.
     */
   def play(tape: DataFrame, sinkFactory: ReplaySinkFactory,
            maxCount: Int = KinesisBatcher.MaxBatchCount,
-           maxBytes: Long = KinesisBatcher.MaxBatchBytes): Long = {
+           maxBytes: Long = KinesisBatcher.MaxBatchBytes,
+           retryTimeoutMillis: Long = 30000L): Long = {
     val spark = tape.sparkSession
     val sent = spark.sparkContext.longAccumulator("vcr.replay.sent")
     tape.select(Tape.PayloadCol).foreachPartition {
@@ -63,13 +72,20 @@ object TapePlayer {
           KinesisBatcher.assemble(
             rows.map(_.getAs[Array[Byte]](0)), maxCount, maxBytes)
             .foreach { batch =>
-              Retry.withBackoff(
+              var pending = batch.payloads
+                .map(p => ReplayRecord(PartitionKeys.forPayload(p), p))
+              val done = Retry.withBackoff(
                 () => {
-                  val failed = sink.putBatch(batch.payloads)
-                  if (failed > 0) throw new PartialFailure(failed)
+                  val failedIdx = sink.putBatch(pending)
+                  if (failedIdx.nonEmpty) {
+                    pending = failedIdx.map(pending) // retry failures only
+                    throw new PartialFailure(failedIdx.length)
+                  }
                 },
                 retryOn = _.isInstanceOf[PartialFailure],
-                timeoutMillis = 30000L)
+                timeoutMillis = retryTimeoutMillis)
+              if (done.isEmpty)
+                throw new ReplayExhausted(pending.length, retryTimeoutMillis)
               sent.add(batch.payloads.length.toLong)
             }
         } finally sink.close()
@@ -79,4 +95,11 @@ object TapePlayer {
 
   final class PartialFailure(val failedCount: Int)
     extends RuntimeException(s"$failedCount records failed")
+
+  /** A batch whose failed sub-records never drained within the retry
+    * deadline — surfaced as a task failure, never dropped.
+    */
+  final class ReplayExhausted(val stillFailing: Int, timeoutMillis: Long)
+    extends RuntimeException(
+      s"$stillFailing records still failing after ${timeoutMillis} ms of retries")
 }

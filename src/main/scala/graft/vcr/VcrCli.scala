@@ -71,9 +71,17 @@ object VcrCli {
             DirectoryReplaySinkFactory(config.targetStream.get))
           println(s"Wrote $sent records to output stream ${config.targetStream.get}")
         } else {
+          // Shard discovery order mirrors the reference (DescribeStream
+          // on the target, open shards only) with the env var as the
+          // offline override: a registered endpoint wins, else
+          // VCR_TARGET_SHARDS, else the reference-era default of 2.
+          val target = config.targetStream.get
+          val shards = FakeKinesisRegistry.get(target)
+            .map(_.describeStreamOpenShards(target))
+            .orElse(sys.env.get("VCR_TARGET_SHARDS").map(_.toInt))
+            .getOrElse(2)
           val est = Estimator.estimate(spark.sparkContext.hadoopConfiguration,
-            root, stream, start, end, shards = sys.env.getOrElse(
-              "VCR_TARGET_SHARDS", "2").toInt)
+            root, stream, start, end, shards)
           println(s"Target stream (${config.targetStream.get}) has ${est.shards} shards")
           println(s"It would take around ${est.human} to replay the data in the " +
             s"provided range, which has ${est.files} files and a total size of " +
