@@ -114,11 +114,19 @@ class TapeDataWriter(root: String, conf: SerializableConfiguration,
   override def commit(): WriterCommitMessage = {
     val finals = open.toSeq.map { case (_, df) =>
       df.out.close()
-      var dest = new Path(df.tmp.getParent, s"${df.first}-${df.last}.txt")
-      if (fs.exists(dest)) // identical range from another task: disambiguate
-        dest = new Path(df.tmp.getParent, s"${df.first}-${df.last}-$taskId.txt")
-      fs.rename(df.tmp, dest)
-      dest.toString
+      val base = new Path(df.tmp.getParent, s"${df.first}-${df.last}.txt")
+      val suffixed = new Path(df.tmp.getParent,
+        s"${df.first}-${df.last}-$taskId.txt")
+      // identical range from another task: disambiguate; the rename
+      // result is CHECKED so an exists() race (TOCTOU) falls back to
+      // the task-unique name instead of leaving the file dot-prefixed
+      // and invisible
+      val dest = if (fs.exists(base)) suffixed else base
+      if (fs.rename(df.tmp, dest)) dest.toString
+      else if ((dest != suffixed) && fs.rename(df.tmp, suffixed))
+        suffixed.toString
+      else throw new java.io.IOException(
+        s"tape commit: could not rename ${df.tmp} to $dest")
     }
     open.clear()
     TapeFilesCommitted(finals)

@@ -99,8 +99,18 @@ object TapeCompactor {
             } finally is.close()
           }
         } finally os.close()
-        gfs.rename(tmp, out)
-        g.files.foreach(f => gfs.delete(new Path(f), false))
+        // CHECK the rename: if `out` already exists (legal — a source
+        // file can span the group's full seq range, since overlapping
+        // ranges are allowed), HDFS rename returns false; deleting the
+        // sources then would open a data hole. Abort the group instead:
+        // keep the sources, drop the temp — re-compaction is safe,
+        // a hole is not.
+        if (gfs.rename(tmp, out)) {
+          g.files.filter(_ != out.toString)
+            .foreach(f => gfs.delete(new Path(f), false))
+        } else {
+          gfs.delete(tmp, false)
+        }
       }
     }
 

@@ -56,6 +56,29 @@ class TapeCompactorSpec extends AnyFunSuite {
     assert(res2.filesAfter <= res.filesAfter)
   }
 
+  test("merged-name collision with a source file never opens a hole") {
+    // overlapping seq ranges are legal, so a source can already carry
+    // the group's full {first}-{last} name; whatever the FS's rename
+    // semantics (HDFS: fails on existing dest; local: may overwrite),
+    // every payload must survive compaction
+    val root = Files.createTempDirectory("graft-compact3").toString
+    val day = new java.io.File(s"$root/s/dt=2024-01-01")
+    day.mkdirs()
+    Files.write(day.toPath.resolve("1-100.txt"), "aaaa\nbbbb\n".getBytes(UTF_8))
+    Files.write(day.toPath.resolve("50-60.txt"), "cccc\n".getBytes(UTF_8))
+    TapeCompactor.compact(spark, root, "s",
+      LocalDateTime.parse("2024-01-01T00:00:00"), None,
+      targetBytes = 1L << 20)
+    val lines = day.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("."))
+      .flatMap(f => new String(Files.readAllBytes(f.toPath), UTF_8)
+        .split("\n").filter(_.nonEmpty))
+    assert(lines.sorted.toSeq === Seq("aaaa", "bbbb", "cccc"),
+      s"payload lost or duplicated: ${lines.toSeq}")
+    // no in-progress temp left behind
+    assert(!day.listFiles().exists(_.getName.endsWith(".compacting")))
+  }
+
   test("compaction only touches days inside the range") {
     val root = Files.createTempDirectory("graft-compact2").toString
     import spark.implicits._

@@ -121,6 +121,33 @@ class VcrSpec extends AnyFunSuite {
     assert(replayed === (1 to 300).map(i => s"payload-$i").toSet)
   }
 
+  test("mtime window mode replays only objects modified strictly inside " +
+    "(start, end), like the reference") {
+    val root = tmpDir()
+    TapeWriter.write(recordsDf(90), root, "stream-mt", numFiles = 3)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/stream-mt/dt=*/*"))
+      .filter(_.isFile).map(_.getPath).sortBy(_.getName)
+    assert(files.length >= 3)
+    // first file modified at 10:00 (inside), the rest at 20:00 (outside)
+    def epochMs(t: String) = java.time.Instant.parse(t).toEpochMilli
+    fs.setTimes(files.head, epochMs("2024-01-01T10:00:00Z"), -1)
+    files.tail.foreach(p => fs.setTimes(p, epochMs("2024-01-01T20:00:00Z"), -1))
+    val inWindow = TapePlayer.read(spark, root, "stream-mt",
+      LocalDateTime.parse("2024-01-01T09:00:00"),
+      Some(LocalDateTime.parse("2024-01-01T11:00:00")), mtimeWindow = true)
+    val srcs = inWindow.select("src").distinct().collect().map(_.getString(0))
+    assert(srcs.length === 1 && srcs.head.endsWith(files.head.getName))
+    // boundary is strict: an mtime exactly at `start` is excluded
+    fs.setTimes(files.head, epochMs("2024-01-01T09:00:00Z"), -1)
+    assert(TapePlayer.read(spark, root, "stream-mt",
+      LocalDateTime.parse("2024-01-01T09:00:00"),
+      Some(LocalDateTime.parse("2024-01-01T11:00:00")),
+      mtimeWindow = true).count() === 0L)
+  }
+
   test("estimator: integer-division chain and humanize match reference") {
     assert(Estimator.minutesFor(0L, 2) === 0L)
     // 6038 MB over 2 shards ≈ 50 mins (the reference README's example)
