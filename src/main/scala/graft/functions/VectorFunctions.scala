@@ -32,4 +32,16 @@ object VectorFunctions {
     * mirrored by list_transform in the oracle.
     */
   def normalize(a: Column): Column = transform(a, x => x / norm(a))
+
+  /** Driver-side twin of [[normalize]] for collected codebooks: the
+    * same left-to-right Σx² fold, Math.sqrt, per-element divide —
+    * bit-identical to the column expression and to DuckDB's
+    * `list_transform(v, x -> x / sqrt(list_dot_product(v, v)))`, so a
+    * centroid normalized here and embedded as a literal scores exactly
+    * like one normalized in either engine.
+    */
+  def normalizeSeq(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x * x))
+    v.map(_ / n)
+  }
 }

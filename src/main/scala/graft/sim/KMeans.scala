@@ -2,7 +2,6 @@ package graft.sim
 
 import graft.functions.VectorFunctions.{dot, normalize}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic spherical k-means for the IVF codebook (SURVEY S2's
@@ -30,16 +29,36 @@ object KMeans {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("av")))),
         x => x.getField("av")).as("cv"))
 
-  /** assign each vector to its max-cosine centroid (ties → lower id) */
+  /** assign each vector to its max-cosine centroid (ties → lower id).
+    *
+    * The codebook is bounded (k rows), so it is collected once — the
+    * same driver-resident-centroids shape Spark MLlib's KMeans uses
+    * between iterations — and the assignment is a single codegen'd
+    * `array_max` over per-centroid (ccos, -cluster) structs: no join
+    * (the previous form planned an n×k BroadcastNestedLoopJoin), no
+    * window, no shuffle.
+    */
   def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cluster"))
-    vecs.join(broadcast(centroids.withColumn("cvn", normalize(col("cv")))))
-      .withColumn("ccos", round(dot(normalize(col("v")), col("cvn")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"), col("ccos"))
+    val cents = collectCodebook(centroids)
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("__vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    vecs.withColumn("__vn", normalize(col("v")))
+      .withColumn("__best", best)
+      .select(col("vec_id"), col("v"),
+        (col("__best.neg_cluster") * lit(-1L)).as("cluster"),
+        col("__best.ccos").as("ccos"))
   }
+
+  /** The bounded (≤ k rows) codebook as driver values, id-sorted. */
+  def collectCodebook(centroids: DataFrame): Seq[(Long, Seq[Double])] =
+    centroids.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double]))
+      .sortBy(_._1)
 
   /** @param vecs (vec_id, v: array<double>, label) — labels seed the
     *             k clusters

@@ -169,6 +169,89 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** S2b: IVF over the TRAINED k-means codebook (E12) — one Lloyd
+    * iteration from the label-mean seeds, then the same serving shape
+    * as `knn_ivf`: the ≤k codebook collects to a literal, assignment is
+    * a codegen'd array_max, candidates come from the cluster equi-join.
+    * The oracle restates the full pipeline — seed means, one
+    * assignment+mean iteration, serving assignment, probe-1 top-k — in
+    * SQL, so the gate hash-checks the trainer end to end (everything is
+    * 6dp-rounded before use, pinning cross-engine summation order).
+    */
+  def knnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val codebook = KMeans.train(
+      e.select(col("vec_id"), col("v"), col("label")), iterations = 1)
+    val cents = KMeans.collectCodebook(codebook)
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    val assigned = e.select(col("vec_id"), col("vn"),
+      (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
+    val scored = q.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfKmeansSql: String = s"""
+    WITH e AS ($vecsSql),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM e)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.vn, a.vn), 6) AS cos
+      FROM assigned q JOIN assigned a USING (cluster)
+      WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   val knnIvfSql: String = s"""
     WITH e AS ($vecsSql),
     $centroidsSql,
@@ -252,10 +335,12 @@ object SimQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
+    "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _))
 
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql)
 }
