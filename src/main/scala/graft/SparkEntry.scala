@@ -10,12 +10,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.AnalyticsQueries.all ++ vcr.VcrQueries.all ++
       dedup.DedupQueries.all ++ sim.SimQueries.all ++
-      text.TextQueries.all ++ media.MediaQueries.all
+      text.TextQueries.all ++ media.MediaQueries.all ++
+      pipeline.PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.AnalyticsQueries.oracles ++ vcr.VcrQueries.oracles ++
       dedup.DedupQueries.oracles ++ sim.SimQueries.oracles ++
-      text.TextQueries.oracles ++ media.MediaQueries.oracles
+      text.TextQueries.oracles ++ media.MediaQueries.oracles ++
+      pipeline.PipelineQueries.oracles
 }

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.dedup.Shingling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (SURVEY §2.9): deterministic
+  * corpus splits, composed quality filtering, and benchmark
+  * decontamination. These are the curation steps that sit between the
+  * dedup suite (§2.3) and a tokenizer at 100 TB scale.
+  *
+  * Scale notes:
+  *   - `data_split` is a pure narrow map (an md5 bucket per row) plus a
+  *     tiny (splits × langs) aggregate — assignment never shuffles the
+  *     corpus, so it composes with any downstream write partitioning.
+  *   - `text_filter_chain` is closed-form per document; the whole rule
+  *     chain runs inside one codegen stage with no joins.
+  *   - `text_decontam` broadcasts the benchmark shingle set (eval
+  *     suites are KBs–MBs against a 100 TB corpus) so the training side
+  *     is a map-side join + per-doc aggregate: one shuffle on doc_id,
+  *     never on text.
+  */
+object PipelineQueries {
+
+  /** P1: deterministic train/validation/test split — bucket =
+    * md5(doc_id) mod 100 (80/10/10), stable across runs, machines and
+    * engines; per-(split, lang) corpus stats. Splitting by hash of a
+    * stable id (not by random() or row position) is what makes the
+    * split reproducible AND leak-free when the corpus is re-sharded.
+    */
+  def dataSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "validation")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy(col("split"), col("lang"))
+
+  val dataSplitSql: String = """
+    SELECT split, lang, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM (SELECT lang, n_chars,
+                 CASE WHEN b < 80 THEN 'train'
+                      WHEN b < 90 THEN 'validation'
+                      ELSE 'test' END AS split
+          FROM (SELECT lang, n_chars,
+                       ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+                         % 100 AS b
+                FROM documents))
+    GROUP BY split, lang ORDER BY split, lang"""
+
+  /** P2: Gopher/C4-style quality filter chain — ordered rules, first
+    * failure wins as the drop reason (so rule attribution is stable and
+    * auditable): token-count bounds, mean-token-length band, stopword
+    * presence. Everything is closed-form per document.
+    */
+  def textFilterChain(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("avg_token_len",
+        round((length(col("text")) - (col("n_tokens") - 1)) / col("n_tokens"), 6))
+      .withColumn("stop_hits",
+        expr("size(filter(w, x -> x = 'the' or x = 'a'))"))
+      .withColumn("reason",
+        when(col("n_tokens") < 15, "too_short")
+          .when(col("n_tokens") > 95, "too_long")
+          .when(col("avg_token_len") < 3.8 || col("avg_token_len") > 5.2,
+            "word_len")
+          .when(col("stop_hits") === 0, "no_stopwords")
+          .otherwise("kept"))
+      .withColumn("keep", col("reason") === "kept")
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("stop_hits"), col("keep"), col("reason"))
+      .orderBy(col("doc_id"))
+
+  val textFilterChainSql: String = """
+    SELECT doc_id, n_tokens, avg_token_len, stop_hits,
+           (reason = 'kept') AS keep, reason
+    FROM (SELECT doc_id, n_tokens, avg_token_len, stop_hits,
+                 CASE WHEN n_tokens < 15 THEN 'too_short'
+                      WHEN n_tokens > 95 THEN 'too_long'
+                      WHEN avg_token_len < 3.8 OR avg_token_len > 5.2
+                        THEN 'word_len'
+                      WHEN stop_hits = 0 THEN 'no_stopwords'
+                      ELSE 'kept' END AS reason
+          FROM (SELECT doc_id, len(w) AS n_tokens,
+                       round((len(text) - (len(w) - 1)) / len(w), 6)
+                         AS avg_token_len,
+                       len(list_filter(w, x -> x = 'the' OR x = 'a'))
+                         AS stop_hits
+                FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                      FROM documents)))
+    ORDER BY doc_id"""
+
+  /** P3: benchmark decontamination — flag training documents whose word
+    * 3-gram overlap with the held-out benchmark set (doc_id % 20 = 0
+    * stands in for an eval suite) reaches 20% of their own shingles.
+    * The comparison runs on the ROUNDED ratio in both engines
+    * (float-sensitive membership rule). The benchmark shingle set is
+    * broadcast; the training side stays map-local until the per-doc
+    * count.
+    */
+  def textDecontam(s: SparkSession, dir: String): DataFrame = {
+    val sh = Shingling.shingles(Tables.documents(s, dir))
+    val ev = sh.filter(col("doc_id") % 20 === 0).select(col("shingle")).distinct()
+    val tr = sh.filter(col("doc_id") % 20 =!= 0)
+    val totals = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val overlap = tr.join(broadcast(ev), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    totals.join(overlap, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("contamination",
+        round(col("n_overlap") / col("n_shingles"), 6))
+      .filter(col("contamination") >= 0.2)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        col("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textDecontamSql: String = s"""
+    WITH shingles AS (${Shingling.shinglesSql}),
+    ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 20 != 0),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+    ov AS (SELECT doc_id, count(*) AS n_overlap
+           FROM tr JOIN ev USING (shingle) GROUP BY doc_id)
+    SELECT doc_id, n_shingles,
+           coalesce(n_overlap, 0)::BIGINT AS n_overlap,
+           round(coalesce(n_overlap, 0) / n_shingles, 6) AS contamination
+    FROM totals LEFT JOIN ov USING (doc_id)
+    WHERE round(coalesce(n_overlap, 0) / n_shingles, 6) >= 0.2
+    ORDER BY doc_id"""
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_split" -> (dataSplit _),
+    "text_filter_chain" -> (textFilterChain _),
+    "text_decontam" -> (textDecontam _))
+
+  def oracles: Map[String, String] = Map(
+    "data_split" -> dataSplitSql,
+    "text_filter_chain" -> textFilterChainSql,
+    "text_decontam" -> textDecontamSql)
+}
