@@ -299,17 +299,94 @@ object DedupQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** D6: duplicate-CLUSTER resolution — pair detection (D2-D5) says
+    * "a≈b"; a real pipeline must then pick one keeper per transitive
+    * group (a≈b, b≈c ⇒ {a,b,c} keep one). Connected components over the
+    * jaccard ≥ 0.5 edge set via iterative min-label propagation with
+    * pointer jumping (label ← label-of-label halves chain depth each
+    * round), so convergence is O(log diameter) shuffles, not
+    * O(diameter) — the property that makes iterative CC viable on a
+    * 100 TB corpus where near-dup chains can be long. The driver loop
+    * iterates over PLANS only (per-round scalar convergence count, no
+    * data collect); per-round state is persisted and the previous
+    * round's unpersisted.
+    *
+    * Output: every doc in a non-trivial component with its canonical
+    * (min doc_id in component) and the component size. The DuckDB
+    * oracle computes the same components by recursive transitive
+    * closure, so the gate checks the clustering end to end.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = jaccardPairs(shingles(Tables.documents(s, dir)))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val und = edges.union(
+        edges.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").persist()
+    var labels = und.select(col("src").as("doc"))
+      .distinct().withColumn("label", col("doc")).persist()
+    val MaxIters = 20 // pointer jumping ⇒ handles diameter ≤ ~2^20
+    var converged = false
+    var iter = 0
+    while (!converged && iter < MaxIters) {
+      val nbrMin = und
+        .join(labels.select(col("doc").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("doc")).agg(min(col("label")).as("nbr_min"))
+      val stepped = labels.join(nbrMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+      val jumped = stepped
+        .join(stepped.select(col("doc").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("doc"), coalesce(col("ll"), col("label")).as("label"))
+        .persist()
+      val changed = jumped
+        .join(labels.withColumnRenamed("label", "old"), Seq("doc"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = jumped
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"components did not converge in $MaxIters rounds")
+    und.unpersist()
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("label"))
+      .select(col("doc").as("doc_id"), col("label").as("canonical"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String = s"""
+    WITH RECURSIVE $jaccardPairsSql,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jp WHERE jaccard >= 0.5),
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    nodes AS (SELECT DISTINCT a AS doc FROM und),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.doc),
+    comp AS (SELECT doc, min(r) AS canonical FROM reach GROUP BY doc),
+    sizes AS (SELECT canonical, count(*) AS cluster_size
+              FROM comp GROUP BY canonical)
+    SELECT comp.doc AS doc_id, comp.canonical, sizes.cluster_size
+    FROM comp JOIN sizes USING (canonical) ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
-    "dedup_embedding" -> (dedupEmbedding _))
+    "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_clusters" -> (dedupClusters _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
-    "dedup_embedding" -> dedupEmbeddingSql)
+    "dedup_embedding" -> dedupEmbeddingSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -54,6 +54,30 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("cluster resolution = transitive closure of the pair set") {
+    val rows = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference union-find over the D2 truth pairs (test-side only)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    truth.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = truth.flatMap(p => Seq(p._1, p._2)).map(d => d -> find(d)).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap === want,
+      "labels differ from union-find closure")
+    val sizes = want.groupBy(_._2).view.mapValues(_.size).toMap
+    rows.foreach { case (doc, canon, n) =>
+      assert(n === sizes(canon).toLong)
+      assert(n >= 2)
+      assert(canon <= doc)
+    }
+  }
+
   test("bucketed embedding dedup vs the all-pairs baseline: sound, and " +
     "full recall on high-cosine pairs") {
     val brute = DedupQueries.dedupEmbeddingBrute(spark, dir).collect()
