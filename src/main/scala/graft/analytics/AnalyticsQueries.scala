@@ -473,6 +473,155 @@ object AnalyticsQueries {
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** A17 / TPC-H Q4 style: EXISTS decorrelated to a LEFT SEMI join —
+    * orders in a quarter with at least one line shipped >90 days after
+    * the order date, counted by priority. The semi join keeps one probe
+    * row per match (no fan-out, no distinct) and shuffles only the
+    * quarter's orders.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** A18 / TPC-H Q13 style: customer order-count distribution — the
+    * inventory's LEFT OUTER join: every customer survives (count 0 for
+    * the orderless), with a non-equi residual on the join. Two-phase
+    * counts; customer is the small side but the OUTER side must be
+    * preserved, so the build is on orders' partial counts.
+    */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey") &&
+        o("o_orderpriority") =!= lit("1-URGENT"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustdistSql: String = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  /** A19 / TPC-H Q19 style: disjunctive join predicate — the equi key
+    * (p_partkey = l_partkey) must still drive a hash join with the
+    * OR-of-ANDs evaluated as a residual filter, never a nested loop.
+    * Catalyst splits the disjunction per table and pushes each side's
+    * Or-of-ranges into its parquet scan (plan-verified: both FileScans
+    * carry the Or(...) in PushedFilters).
+    */
+  def q19Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(disc), 2).as("revenue"), count(lit(1)).as("n"))
+
+  }
+
+  val q19DisjunctiveSql: String = """
+    SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)"""
+
+  /** A20 / TPC-H Q17 style: correlated aggregate subquery, decorrelated
+    * to a per-key aggregate + equi join — lines under 20% of their
+    * part's average quantity. The per-part threshold is rounded to 6dp
+    * in both engines before the comparison (a raw avg's last bit
+    * depends on summation order).
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val thresholds = l.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(round(lit(0.2) * avg(col("l_quantity")), 6).as("qty_thr"))
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(thresholds, l("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n"))
+
+  }
+
+  val q17SmallQtySql: String = """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (SELECT round(0.2 * avg(l_quantity), 6)
+                        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)"""
+
+  /** A21 / TPC-H Q22 style: scalar subquery + NOT EXISTS — lapsed
+    * customers with above-average positive balance and no orders since
+    * 2000, by nation. The scalar average is evaluated first and
+    * injected as a literal — exactly how Spark executes a SQL scalar
+    * subquery (the subplan runs ahead of the main plan; a 1-row fetch
+    * is bounded metadata, not a data collect) — rounded 6dp before the
+    * float-sensitive comparison. The NOT EXISTS is a LEFT ANTI join
+    * with the date filter pushed to the orders scan.
+    */
+  def q22Global(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val ab = c.filter(col("c_acctbal") > 0.0)
+      .agg(round(avg(col("c_acctbal")), 6).as("ab"))
+      .head().getDouble(0)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.filter(col("c_acctbal") > lit(ab))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(col("c_acctbal")), 2).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22GlobalSql: String = """
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -489,7 +638,12 @@ object AnalyticsQueries {
     "q6_forecast" -> (q6Forecast _),
     "q14_promo" -> (q14Promo _),
     "q18_volume" -> (q18Volume _),
-    "q_rollup" -> (qRollup _))
+    "q_rollup" -> (qRollup _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q13_custdist" -> (q13Custdist _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q17_small_qty" -> (q17SmallQty _),
+    "q22_global" -> (q22Global _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -507,5 +661,10 @@ object AnalyticsQueries {
     "q6_forecast" -> q6ForecastSql,
     "q14_promo" -> q14PromoSql,
     "q18_volume" -> q18VolumeSql,
-    "q_rollup" -> qRollupSql)
+    "q_rollup" -> qRollupSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "q13_custdist" -> q13CustdistSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q22_global" -> q22GlobalSql)
 }
