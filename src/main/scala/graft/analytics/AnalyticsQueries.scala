@@ -622,6 +622,94 @@ object AnalyticsQueries {
                       AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** A22: exact percentiles per group — Spark's `percentile` (exact,
+    * linearly interpolated) against DuckDB's quantile_cont, rounded 4dp
+    * (interpolation arithmetic is order-independent, but the final
+    * bits aren't guaranteed across engines). Exact percentile sorts
+    * within each group; for 100 TB dashboards the approx_percentile
+    * sketch (t-digest-style, mergeable, one pass) is the scale path —
+    * bound-asserted in PlanSpec-adjacent suites like HLL.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val qPercentilesSql: String = """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** A23: pivot — order counts per year × priority (wide layout) plus
+    * yearly revenue. `.pivot` with explicit values keeps the plan a
+    * single two-phase hash aggregate (no per-column scans); missing
+    * cells coalesce to 0 so the wide schema is total.
+    */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val wide = Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+    val renamed = Seq("urgent", "high", "medium", "notspec", "low")
+    priorities.zip(renamed).foldLeft(wide) { case (df, (from, to)) =>
+      df.withColumn(to, coalesce(col(s"`$from`"), lit(0L))).drop(col(s"`$from`"))
+    }
+      .join(Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+        .groupBy(col("yr"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue")), Seq("yr"))
+      .orderBy(col("yr"))
+  }
+
+  val qPivotSql: String = """
+    SELECT year(o_orderdate) AS yr,
+           count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec,
+           count(*) FILTER (o_orderpriority = '5-LOW') AS low,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY yr ORDER BY yr"""
+
+  /** A24: set operations — customers active in 1997 INTERSECT/EXCEPT
+    * customers active in 2000, tagged and stacked. Both ops compile to
+    * aggregate/anti shapes on the key (no sort-based set diff).
+    */
+  def qSetops(s: SparkSession, dir: String): DataFrame = {
+    def active(yr: Int) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val a = active(1997)
+    val b = active(2000)
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("only_1997")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val qSetopsSql: String = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            AND o_orderdate < TIMESTAMP '2001-01-01')
+    SELECT 'both' AS tag, o_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT 'only_1997' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    ORDER BY tag, o_custkey"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -643,7 +731,10 @@ object AnalyticsQueries {
     "q13_custdist" -> (q13Custdist _),
     "q19_disjunctive" -> (q19Disjunctive _),
     "q17_small_qty" -> (q17SmallQty _),
-    "q22_global" -> (q22Global _))
+    "q22_global" -> (q22Global _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_pivot" -> (qPivot _),
+    "q_setops" -> (qSetops _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -666,5 +757,8 @@ object AnalyticsQueries {
     "q13_custdist" -> q13CustdistSql,
     "q19_disjunctive" -> q19DisjunctiveSql,
     "q17_small_qty" -> q17SmallQtySql,
-    "q22_global" -> q22GlobalSql)
+    "q22_global" -> q22GlobalSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_pivot" -> qPivotSql,
+    "q_setops" -> qSetopsSql)
 }
