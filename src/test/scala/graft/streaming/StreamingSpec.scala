@@ -163,6 +163,71 @@ class StreamingSpec extends AnyFunSuite {
       Session(1L, 60000000000L, 60120000000L, 3L)))
   }
 
+  test("R5: stream-stream interval join matches the batch interval join") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val imps = Seq((1L, ts(10)), (2L, ts(20)), (3L, ts(90)))
+    val clicks = Seq(
+      (1L, ts(15)),  // within 10 min of imp@10 -> match
+      (1L, ts(40)),  // 30 min later -> no match
+      (2L, ts(25)),  // within -> match
+      (4L, ts(22)))  // no impression -> no match
+    val (impDir, clkDir) = (tmp(), tmp())
+    imps.toDF("user_id", "imp_ts").write.parquet(s"$impDir/b0")
+    clicks.toDF("user_id", "click_ts").write.parquet(s"$clkDir/b0")
+    val impStream = spark.readStream
+      .schema("user_id LONG, imp_ts TIMESTAMP").parquet(s"$impDir/b0")
+    val clkStream = spark.readStream
+      .schema("user_id LONG, click_ts TIMESTAMP").parquet(s"$clkDir/b0")
+    val joined = StreamCorrelate.intervalJoin(impStream, clkStream,
+      "user_id", "imp_ts", "click_ts", "10 MINUTES", "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivjoin").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivjoin")
+      .select("user_id", "imp_ts", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got === Set((1L, ts(10), ts(15)), (2L, ts(20), ts(25))))
+    // batch twin over the same frames agrees
+    val bi = imps.toDF("user_id", "imp_ts")
+    val bc = clicks.toDF("user_id", "click_ts")
+    val batch = bi.join(bc, bi("user_id") === bc("user_id") &&
+        bc("click_ts") >= bi("imp_ts") &&
+        bc("click_ts") <= bi("imp_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(bi("user_id"), col("imp_ts"), col("click_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got === batch)
+  }
+
+  test("R6: watermarked dedup collapses an at-least-once redelivery") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val src = tmp()
+    def addBatch(name: String, evs: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val stage = tmp()
+      evs.toDF("event_id", "ts").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, name))
+    }
+    addBatch("b0.parquet", Seq((1L, ts(10)), (2L, ts(11)), (3L, ts(12))))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP").parquet(src)
+    val deduped = StreamCorrelate.dedupWithinWatermark(
+      stream, "ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    q.processAllAvailable()
+    // batch 1 redelivers event 2 (crash-recovery replay) + a new event
+    addBatch("b1.parquet", Seq((2L, ts(11)), (4L, ts(13))))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 4L)) // each exactly once
+  }
+
   test("R4: tape replays as a rate-limited stream, one file per batch") {
     val root = tmp()
     import spark.implicits._
