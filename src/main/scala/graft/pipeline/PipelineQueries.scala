@@ -141,13 +141,131 @@ object PipelineQueries {
     WHERE round(coalesce(n_overlap, 0) / n_shingles, 6) >= 0.2
     ORDER BY doc_id"""
 
+  /** P4: token-budget sequence packing — assign documents (in stable
+    * doc_id order) to training shards of ~2000 BPE-estimate tokens by
+    * exclusive running sum. The running sum is computed as a
+    * DISTRIBUTED two-phase prefix sum: per-coarse-bucket subtotals,
+    * a prefix scan over the (tiny) bucket totals, broadcast the
+    * offsets back, then an in-bucket window — never a single-partition
+    * global window, which is the classic scale trap for cumulative
+    * sums (one task would see the whole corpus). The DuckDB oracle
+    * states the same thing as one flat window cumsum.
+    */
+  def dataPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Budget = 2000
+    val BucketWidth = 100
+    val toks = Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        expr("cast(aggregate(transform(w, x -> cast(ceil(length(x) / 4.0) " +
+          "as bigint)), cast(0 as bigint), (acc, x) -> acc + x) as bigint)")
+          .as("tokens"))
+      .withColumn("bucket", expr(s"doc_id div $BucketWidth"))
+    val bucketTotals = toks.groupBy(col("bucket"))
+      .agg(sum(col("tokens")).as("bt"))
+    val offsets = bucketTotals.withColumn("offset",
+      coalesce(sum(col("bt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val within = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("tokens")).over(within), lit(0L)))
+      .withColumn("shard", expr(s"cum_before div $Budget"))
+      .select(col("doc_id"), col("tokens"), col("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dataPackSql: String = """
+    SELECT doc_id, tokens,
+           coalesce(sum(tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             // 2000 AS shard
+    FROM (SELECT doc_id,
+                 list_sum(list_transform(string_split(text, ' '),
+                   x -> ceil(len(x) / 4.0)))::BIGINT AS tokens
+          FROM documents)
+    ORDER BY doc_id"""
+
+  /** P5: weighted corpus mixing — per-source sampling rates (keep all
+    * of even-numbered sources, 25% of odd ones: "upweight curated,
+    * downsample crawl"), decided by a salted md5 bucket per doc so the
+    * sample is deterministic, reproducible, and independent of the
+    * split hash (different salt ⇒ independent bucketing). Narrow map +
+    * small per-source aggregate; no corpus shuffle.
+    */
+  def dataMix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("rate",
+        when(expr("cast(substring(source, 4, 10) as int) % 2") === 0,
+          lit(100)).otherwise(lit(25)))
+      .withColumn("b",
+        conv(substring(md5(concat(lit("mix-"), col("doc_id").cast("string"))),
+          1, 7), 16, 10).cast("long") % 100)
+      .withColumn("kept", (col("b") < col("rate")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        max(col("rate")).as("rate_pct"))
+      .orderBy(col("source"))
+
+  val dataMixSql: String = """
+    SELECT source, count(*) AS n_docs, sum(kept)::BIGINT AS n_kept,
+           max(rate) AS rate_pct
+    FROM (SELECT source, rate,
+                 CASE WHEN ('0x' || substring(md5('mix-' || doc_id::VARCHAR),
+                   1, 7))::BIGINT % 100 < rate THEN 1 ELSE 0 END AS kept
+          FROM (SELECT doc_id, source,
+                       CASE WHEN substring(source, 4, 10)::INT % 2 = 0
+                         THEN 100 ELSE 25 END AS rate
+                FROM documents))
+    GROUP BY source ORDER BY source"""
+
+  /** P6: unigram language-model scoring — build the corpus unigram
+    * distribution, score each document by mean negative log-likelihood
+    * (the cheap stand-in for model-based quality filtering). The vocab
+    * is a bounded aggregate (≪ corpus) broadcast back to the token
+    * stream; per-word logprobs are rounded 6dp in both engines before
+    * averaging (libm vs JVM log may differ in the last ulp).
+    */
+  def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val total = toks.count()
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("lp", round(-log(col("cnt") / lit(total.toDouble)), 6))
+      .select(col("word"), col("lp"))
+    toks.join(broadcast(vocab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("lp")), 6).as("nll"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textUnigramLmSql: String = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    total AS (SELECT count(*)::DOUBLE AS t FROM toks),
+    vocab AS (
+      SELECT word, round(-ln(count(*) / (SELECT t FROM total)), 6) AS lp
+      FROM toks GROUP BY word)
+    SELECT doc_id, round(avg(lp), 6) AS nll, count(*) AS n_tokens
+    FROM toks JOIN vocab USING (word)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> (dataSplit _),
     "text_filter_chain" -> (textFilterChain _),
-    "text_decontam" -> (textDecontam _))
+    "text_decontam" -> (textDecontam _),
+    "data_pack" -> (dataPack _),
+    "data_mix" -> (dataMix _),
+    "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
     "text_filter_chain" -> textFilterChainSql,
-    "text_decontam" -> textDecontamSql)
+    "text_decontam" -> textDecontamSql,
+    "data_pack" -> dataPackSql,
+    "data_mix" -> dataMixSql,
+    "text_unigram_lm" -> textUnigramLmSql)
 }

@@ -102,6 +102,19 @@ class PlanSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("approx_percentile lands near the exact percentile (scale path)") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    val row = li.agg(
+      percentile(col("l_extendedprice"), lit(0.5)).as("exact"),
+      approx_percentile(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx"))
+      .collect().head
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.01,
+      s"exact=$exact approx=$approx")
+  }
+
   test("custom dot product equals the compositional fold bit-for-bit") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, dir)

@@ -54,6 +54,45 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("data_pack: shards are contiguous, budget-bounded, and total-preserving") {
+    val rows = PipelineQueries.dataPack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 500)
+    // shard ids are non-decreasing in doc order (packing is sequential)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._3 <= b._3; case _ => true })
+    // exclusive prefix rule: doc starts a new shard only when the
+    // running total crossed the budget boundary
+    var cum = 0L
+    rows.foreach { case (_, toks, shard) =>
+      assert(shard === cum / 2000, s"cum=$cum toks=$toks")
+      cum += toks
+    }
+  }
+
+  test("data_mix keeps ~100% of even sources and ~25% of odd ones") {
+    val rows = PipelineQueries.dataMix(spark, dir).collect()
+    rows.foreach { r =>
+      val (src, n, kept, rate) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val even = src.drop(3).toInt % 2 == 0
+      assert(rate === (if (even) 100 else 25))
+      if (even) assert(kept === n, s"$src lost docs at rate 100")
+      else assert(kept <= n && kept >= 0)
+    }
+    // aggregate odd-source keep ratio near 25% (binomial, loose bounds)
+    val odd = rows.filter(_.getString(0).drop(3).toInt % 2 != 0)
+    val (k, n) = (odd.map(_.getLong(2)).sum.toDouble, odd.map(_.getLong(1)).sum.toDouble)
+    assert(k / n > 0.15 && k / n < 0.35, s"odd keep ratio ${k / n}")
+  }
+
+  test("unigram LM: rare-word docs score higher NLL than common-word docs") {
+    val rows = PipelineQueries.textUnigramLm(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getDouble(1) > 0.0)) // -ln p > 0 always
+    // sanity: scores vary across the corpus (not a constant)
+    assert(rows.map(_.getDouble(1)).distinct.length > 100)
+  }
+
   test("decontam plan broadcasts the benchmark shingle set") {
     val plan = PipelineQueries.textDecontam(spark, dir)
       .queryExecution.executedPlan.toString
