@@ -226,19 +226,26 @@ object PipelineQueries {
     * distribution, score each document by mean negative log-likelihood
     * (the cheap stand-in for model-based quality filtering). The vocab
     * is a bounded aggregate (≪ corpus) broadcast back to the token
-    * stream; per-word logprobs are rounded 6dp in both engines before
-    * averaging (libm vs JVM log may differ in the last ulp).
+    * stream. Cross-engine discipline: per-word logprobs are quantized
+    * to integer MICRO-NATS at the vocab level (one rounding of one
+    * double per distinct word), so the per-doc sum and mean are exact
+    * BIGINT arithmetic — averaging rounded doubles instead lands on
+    * 6dp rounding boundaries where summation order flips the last
+    * digit (observed at sf0.1).
     */
   def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val total = toks.count()
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .withColumn("lp", round(-log(col("cnt") / lit(total.toDouble)), 6))
-      .select(col("word"), col("lp"))
+      .withColumn("lp_micro",
+        round(-log(col("cnt") / lit(total.toDouble)) * 1e6, 0).cast("long"))
+      .select(col("word"), col("lp_micro"))
     toks.join(broadcast(vocab), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(round(avg(col("lp")), 6).as("nll"), count(lit(1)).as("n_tokens"))
+      .agg(sum(col("lp_micro")).as("s"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), expr("s div n_tokens").as("nll_micro"),
+        col("n_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -247,9 +254,12 @@ object PipelineQueries {
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
     total AS (SELECT count(*)::DOUBLE AS t FROM toks),
     vocab AS (
-      SELECT word, round(-ln(count(*) / (SELECT t FROM total)), 6) AS lp
+      SELECT word,
+             round(-ln(count(*) / (SELECT t FROM total)) * 1e6, 0)::BIGINT
+               AS lp_micro
       FROM toks GROUP BY word)
-    SELECT doc_id, round(avg(lp), 6) AS nll, count(*) AS n_tokens
+    SELECT doc_id, (sum(lp_micro)::BIGINT // count(*)) AS nll_micro,
+           count(*) AS n_tokens
     FROM toks JOIN vocab USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 

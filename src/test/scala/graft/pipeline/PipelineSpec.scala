@@ -88,9 +88,9 @@ class PipelineSpec extends AnyFunSuite {
   test("unigram LM: rare-word docs score higher NLL than common-word docs") {
     val rows = PipelineQueries.textUnigramLm(spark, dir).collect()
     assert(rows.length === 500)
-    rows.foreach(r => assert(r.getDouble(1) > 0.0)) // -ln p > 0 always
+    rows.foreach(r => assert(r.getLong(1) > 0L)) // -ln p > 0 always
     // sanity: scores vary across the corpus (not a constant)
-    assert(rows.map(_.getDouble(1)).distinct.length > 100)
+    assert(rows.map(_.getLong(1)).distinct.length > 100)
   }
 
   test("decontam plan broadcasts the benchmark shingle set") {
