@@ -320,33 +320,55 @@ object DedupQueries {
     val edges = jaccardPairs(shingles(Tables.documents(s, dir)))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    val und = edges.union(
+    val undWide = edges.union(
         edges.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").persist()
+    // Size the loop's parallelism to the DUP GRAPH, not the corpus: the
+    // near-dup edge set is orders of magnitude smaller than the input
+    // (here ~10² rows out of 10⁵ docs; at 100 TB, ~1% of docs), but it
+    // inherits the corpus's shuffle partitioning — leaving every
+    // iteration to schedule dozens of near-empty tasks per stage, which
+    // dominated the wall clock. ~1M edges per task, capped at the
+    // session's parallelism.
+    val nEdges = undWide.count()
+    val p = math.max(1, math.min((nEdges / 1000000L).toInt + 1,
+      s.sparkContext.defaultParallelism))
+    // localCheckpoint (not persist): each round's plan embeds TWO
+    // copies of the previous round's (the pointer-jump self-join), so
+    // without lineage truncation the logical plan doubles per round and
+    // driver-side analysis, not the cluster, becomes the bottleneck —
+    // the standard failure mode of iterative algorithms on Spark (cf.
+    // GraphX/ALS checkpointing; on a real cluster prefer reliable
+    // checkpoint() for executor-loss tolerance).
+    val und = undWide.repartition(p).localCheckpoint()
+    undWide.unpersist()
     var labels = und.select(col("src").as("doc"))
-      .distinct().withColumn("label", col("doc")).persist()
+      .distinct().withColumn("label", col("doc")).localCheckpoint()
     val MaxIters = 20 // pointer jumping ⇒ handles diameter ≤ ~2^20
+    // labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint: convergence detection is a scalar aggregate on the
+    // frame being materialized anyway — one job per round, no
+    // old-vs-new join.
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < MaxIters) {
-      val nbrMin = und
+      // propagation in ONE shuffle: neighbors' labels ++ own label,
+      // min per doc (self rows make the union total, so no outer join)
+      val prop = und
         .join(labels.select(col("doc").as("src"), col("label")), Seq("src"))
-        .groupBy(col("dst").as("doc")).agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
-      val jumped = stepped
-        .join(stepped.select(col("doc").as("label"), col("label").as("ll")),
+        .select(col("dst").as("doc"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("doc")).agg(min(col("label")).as("label"))
+      val jumped = prop
+        .join(prop.select(col("doc").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("doc"), coalesce(col("ll"), col("label")).as("label"))
-        .persist()
-      val changed = jumped
-        .join(labels.withColumnRenamed("label", "old"), Seq("doc"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+        .localCheckpoint()
+      val s = jumped.agg(sum(col("label"))).head().getLong(0)
       labels = jumped
-      converged = changed == 0
+      converged = s == prevSum
+      prevSum = s
       iter += 1
     }
     require(converged, s"components did not converge in $MaxIters rounds")
