@@ -710,6 +710,152 @@ object AnalyticsQueries {
     SELECT 'only_1997' AS tag, o_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
     ORDER BY tag, o_custkey"""
 
+  /** A25: per-group top-k via the custom heap aggregate (E18 TopKAgg) —
+    * shuffle volume k·|groups| with map-side combine, vs. the window
+    * idiom that shuffles and sorts every row of every group. The DuckDB
+    * oracle IS the window idiom, so the gate proves the two agree row
+    * for row (the ordering is total: ties break on the id).
+    */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(graft.functions.TopKAgg(col("c_acctbal"), col("c_custkey"), 3)
+        .as("top"))
+      .select(col("c_mktsegment"), posexplode(col("top")))
+      .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("c_acctbal"), col("col.id").as("c_custkey"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+
+  val qTopkPerGroupSql: String = """
+    SELECT c_mktsegment, rank, c_acctbal, c_custkey FROM (
+      SELECT c_mktsegment, c_acctbal, c_custkey,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey) AS rank
+      FROM customer)
+    WHERE rank <= 3 ORDER BY c_mktsegment, rank"""
+
+  /** A26: funnel analysis — users progressing view → click → purchase
+    * in strict event-time order. Decorrelated to three shrinking
+    * aggregate+join stages (each stage joins only the users who
+    * survived the previous one — no self-join of the raw stream, no
+    * window over all events).
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def firstAfter(tpe: String, prev: DataFrame, prevTs: String,
+        out: String): DataFrame =
+      e.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") > col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = firstAfter("click", v, "t_view", "t_click")
+    val p = firstAfter("purchase", c.select("user_id", "t_click"), "t_click",
+      "t_purchase")
+    // one conditional aggregate over the tagged stages (a cross join of
+    // three 1-row counts would plan as a nested-loop join)
+    v.select(lit("v").as("st"))
+      .unionByName(c.select(lit("c").as("st")))
+      .unionByName(p.select(lit("p").as("st")))
+      .agg(sum(when(col("st") === "v", 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("st") === "c", 1L).otherwise(0L)).as("clicked"),
+        sum(when(col("st") === "p", 1L).otherwise(0L)).as("purchased"))
+  }
+
+  val qFunnelSql: String = """
+    WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT sum(CASE WHEN st = 'v' THEN 1 ELSE 0 END)::BIGINT AS viewed,
+           sum(CASE WHEN st = 'c' THEN 1 ELSE 0 END)::BIGINT AS clicked,
+           sum(CASE WHEN st = 'p' THEN 1 ELSE 0 END)::BIGINT AS purchased
+    FROM (SELECT 'v' AS st FROM v UNION ALL SELECT 'c' FROM c
+          UNION ALL SELECT 'p' FROM p)"""
+
+  /** A27: retention cohorts — users grouped by first-seen week, counted
+    * per active week. Two aggregates and one join on user_id; the
+    * cohort dimension rides the join, so no row ever carries more than
+    * its own week.
+    */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cohorts = e.groupBy(col("user_id"))
+      .agg(date_format(date_trunc("week", min(col("ts"))), "yyyy-MM-dd")
+        .as("cohort"))
+    val active = e.select(col("user_id"),
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .distinct()
+    active.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort"), col("week"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy(col("cohort"), col("week"))
+  }
+
+  val qCohortSql: String = """
+    WITH cohorts AS (
+      SELECT user_id,
+             strftime(date_trunc('week', min(ts)), '%Y-%m-%d') AS cohort
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id,
+             strftime(date_trunc('week', ts), '%Y-%m-%d') AS week
+      FROM events)
+    SELECT cohort, week, count(DISTINCT user_id) AS users
+    FROM active JOIN cohorts USING (user_id)
+    GROUP BY cohort, week ORDER BY cohort, week"""
+
+  /** A28: statistical aggregates — sample stddev/variance, correlation
+    * and covariance per event type, each rounded where last-ulp
+    * summation order lives.
+    */
+  def qStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 2).as("variance"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("r"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 2)
+          .as("cov"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val qStatsSql: String = """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 2) AS variance,
+           round(corr(value, user_id::DOUBLE), 6) AS r,
+           round(covar_samp(value, user_id::DOUBLE), 2) AS cov,
+           count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** A29: numeric histogram — fixed-width binning by exact integer
+    * division of the double (identical in both engines; no
+    * width_bucket dependency), with per-bin bounds.
+    */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bin", floor(col("o_totalprice") / 50000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("lo"),
+        round(max(col("o_totalprice")), 2).as("hi"))
+      .orderBy(col("bin"))
+
+  val qHistogramSql: String = """
+    SELECT floor(o_totalprice / 50000.0)::BIGINT AS bin, count(*) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY bin ORDER BY bin"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -734,7 +880,12 @@ object AnalyticsQueries {
     "q22_global" -> (q22Global _),
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
-    "q_setops" -> (qSetops _))
+    "q_setops" -> (qSetops _),
+    "q_topk_per_group" -> (qTopkPerGroup _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort" -> (qCohort _),
+    "q_stats" -> (qStats _),
+    "q_histogram" -> (qHistogram _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -760,5 +911,10 @@ object AnalyticsQueries {
     "q22_global" -> q22GlobalSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
-    "q_setops" -> qSetopsSql)
+    "q_setops" -> qSetopsSql,
+    "q_topk_per_group" -> qTopkPerGroupSql,
+    "q_funnel" -> qFunnelSql,
+    "q_cohort" -> qCohortSql,
+    "q_stats" -> qStatsSql,
+    "q_histogram" -> qHistogramSql)
 }
