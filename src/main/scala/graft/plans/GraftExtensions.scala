@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashAgg, SimHashAgg}
+import graft.functions.{DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -33,6 +33,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (exprs: Seq[Expression]) =>
         SimHashAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk(score, id, k): k must be an INT literal, got $other")
+        }
+        TopKAgg(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
     e.injectOptimizerRule(_ => RewriteDotProductFold)
     e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)
   }

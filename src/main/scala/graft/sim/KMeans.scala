@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** element-wise mean per key, rounded; input (key, v) → (key, cv) */
-  private def meanByKey(df: DataFrame, key: String): DataFrame =
+  private[sim] def meanByKey(df: DataFrame, key: String): DataFrame =
     df.select(col(key), explode(expr(
       "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
       .as("x"))

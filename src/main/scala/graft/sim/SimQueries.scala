@@ -332,15 +332,96 @@ object SimQueries {
     SELECT q_id, neighbor, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S4: product quantization — the compression half of the IVF-PQ
+    * stack that makes billion-vector ANN fit in memory. The 64-dim
+    * vectors split into 2 subspaces of 32 dims; each subspace gets its
+    * own label-seeded codebook (10 codes, element means rounded 6dp);
+    * every vector compresses to 2 small codes (256 bytes → 2) and the
+    * reported `err` is the exact squared reconstruction error, via
+    * ||x||² − 2·x·c + ||c||² with the codegen'd DotProduct — the
+    * codebooks are bounded, so assignment is a literal array_min per
+    * subspace: no join, no shuffle until the final sort.
+    *
+    * The DuckDB oracle restates codebook build + per-subspace argmin +
+    * error, so the gate hash-checks the quantizer end to end.
+    */
+  def pqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val Half = 32
+    val e = vecs(s, dir)
+    val sub = e.select(col("vec_id"), col("label"),
+      slice(col("v"), 1, Half).as("s0"),
+      slice(col("v"), Half + 1, Half).as("s1"))
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    def assignment(c: String, cb: Seq[(Long, Seq[Double])]) =
+      array_min(array(cb.map { case (code, cv) =>
+        struct(
+          round(dot(col(c), col(c)) - lit(2.0) * dot(col(c), typedLit(cv)) +
+            lit(dotSeq(cv, cv)), 6).as("d2"),
+          lit(code).as("code"))
+      }: _*))
+    val b0 = assignment("s0", codebook("s0"))
+    val b1 = assignment("s1", codebook("s1"))
+    sub.withColumn("a0", b0).withColumn("a1", b1)
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"),
+        round(col("a0.d2") + col("a1.d2"), 6).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pqQuantizeSql: String = s"""
+    WITH e AS ($vecsSql),
+    sub AS (SELECT vec_id, label, list_slice(v, 1, 32) AS s0,
+                   list_slice(v, 33, 64) AS s1 FROM e),
+    cb0 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
+                  FROM (SELECT label, s0, unnest(range(1, 33)) AS i FROM sub)
+                  GROUP BY label, i)
+            GROUP BY label),
+    cb1 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(s1[i]), 6) AS av
+                  FROM (SELECT label, s1, unnest(range(1, 33)) AS i FROM sub)
+                  GROUP BY label, i)
+            GROUP BY label),
+    a0 AS (SELECT vec_id, code AS code0, d2 AS d20 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT sub.vec_id, cb0.code,
+                         round(list_dot_product(s0, s0)
+                           - 2 * list_dot_product(s0, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM sub, cb0)) WHERE rn = 1),
+    a1 AS (SELECT vec_id, code AS code1, d2 AS d21 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT sub.vec_id, cb1.code,
+                         round(list_dot_product(s1, s1)
+                           - 2 * list_dot_product(s1, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM sub, cb1)) WHERE rn = 1)
+    SELECT vec_id, code0, code1, round(d20 + d21, 6) AS err
+    FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
-    "knn_lsh" -> (knnLsh _))
+    "knn_lsh" -> (knnLsh _),
+    "pq_quantize" -> (pqQuantize _))
 
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
-    "knn_lsh" -> knnLshSql)
+    "knn_lsh" -> knnLshSql,
+    "pq_quantize" -> pqQuantizeSql)
 }

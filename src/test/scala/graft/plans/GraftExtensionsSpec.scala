@@ -40,6 +40,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sim >= 0L && sim < (1L << graft.dedup.Shingling.SimHashBits))
   }
 
+  test("graft_topk aggregates from SQL with literal k") {
+    spark.range(100).selectExpr("id % 4 AS g", "cast(id as double) AS s", "id")
+      .createOrReplaceTempView("tk")
+    val rows = spark.sql(
+      "SELECT g, graft_topk(s, id, 2) AS top FROM tk GROUP BY g ORDER BY g")
+      .collect()
+    assert(rows.length === 4)
+    // group 0: top scores 96, 92 (ids descend by 4 from 96)
+    val top0 = rows.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(top0.map(r => (r.getDouble(0), r.getLong(1))) ===
+      Seq((96.0, 96L), (92.0, 92L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_topk(s, id, s) FROM tk").collect()
+    }
+    assert(err.getMessage.contains("INT literal") ||
+      err.getCause != null)
+  }
+
   test("optimizer rewrites the zip_with/aggregate fold into DotProduct") {
     import org.apache.spark.sql.functions._
     graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

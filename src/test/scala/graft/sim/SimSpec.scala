@@ -51,4 +51,33 @@ class SimSpec extends AnyFunSuite {
     val hits = topn(SimQueries.knnLsh(spark, dir)) intersect topn(brute)
     assert(hits.nonEmpty, "LSH found none of the true top-1 neighbors")
   }
+
+  test("PQ: codes in range; per-subspace split dominates one full codebook") {
+    import org.apache.spark.sql.functions._
+    val rows = SimQueries.pqQuantize(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 9)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 9)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    // independent per-subspace argmins can only beat (or tie) assigning
+    // the WHOLE vector to one label-mean centroid: min_a d0(a) +
+    // min_b d1(b) <= d0(c) + d1(c) for every single c
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val full = KMeans.collectCodebook(KMeans.meanByKey(
+      e.select(col("label").cast("long").as("code"), col("v")), "code")).toMap
+    val vecs = e.collect().map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toVector)).toMap
+    def d2(x: Seq[Double], c: Seq[Double]): Double =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val pqErr = rows.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    vecs.foreach { case (id, v) =>
+      val bestFull = full.values.map(c => d2(v, c)).min
+      assert(pqErr(id) <= bestFull + 1e-3,
+        s"vec $id: pq ${pqErr(id)} > full $bestFull")
+    }
+  }
 }
