@@ -345,41 +345,103 @@ object SimQueries {
     * The DuckDB oracle restates codebook build + per-subspace argmin +
     * error, so the gate hash-checks the quantizer end to end.
     */
-  def pqQuantize(s: SparkSession, dir: String): DataFrame = {
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** shared PQ core: subvector frame (vec_id, label, s0, s1) and the
+    * two label-seeded subspace codebooks, plus the literal argmin
+    * assignment expression. `vecCol` picks the space: raw "v" for
+    * compression error (S4), normalized "vn" for ADC serving (S5) —
+    * on unit vectors ‖x−c‖² = 2−2·cos, so L2-ADC ranks like cosine.
+    */
+  private[sim] def pqCore(s: SparkSession, dir: String, vecCol: String = "v"):
+      (DataFrame, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
     val Half = 32
-    val e = vecs(s, dir)
-    val sub = e.select(col("vec_id"), col("label"),
-      slice(col("v"), 1, Half).as("s0"),
-      slice(col("v"), Half + 1, Half).as("s1"))
-    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }
-      acc
-    }
+    val sub = vecs(s, dir).select(col("vec_id"), col("label"),
+      slice(col(vecCol), 1, Half).as("s0"),
+      slice(col(vecCol), Half + 1, Half).as("s1"))
     def codebook(c: String): Seq[(Long, Seq[Double])] =
       KMeans.collectCodebook(KMeans.meanByKey(
         sub.select(col("label").cast("long").as("code"), col(c).as("v")),
         "code"))
-    def assignment(c: String, cb: Seq[(Long, Seq[Double])]) =
-      array_min(array(cb.map { case (code, cv) =>
-        struct(
-          round(dot(col(c), col(c)) - lit(2.0) * dot(col(c), typedLit(cv)) +
-            lit(dotSeq(cv, cv)), 6).as("d2"),
-          lit(code).as("code"))
-      }: _*))
-    val b0 = assignment("s0", codebook("s0"))
-    val b1 = assignment("s1", codebook("s1"))
-    sub.withColumn("a0", b0).withColumn("a1", b1)
+    (sub, codebook("s0"), codebook("s1"))
+  }
+
+  private def pqAssignment(c: String, cb: Seq[(Long, Seq[Double])]) =
+    array_min(array(cb.map { case (code, cv) =>
+      struct(
+        round(dot(col(c), col(c)) - lit(2.0) * dot(col(c), typedLit(cv)) +
+          lit(dotSeq(cv, cv)), 6).as("d2"),
+        lit(code).as("code"))
+    }: _*))
+
+  def pqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cb0, cb1) = pqCore(s, dir)
+    sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
       .select(col("vec_id"),
         col("a0.code").as("code0"), col("a1.code").as("code1"),
         round(col("a0.d2") + col("a1.d2"), 6).as("err"))
       .orderBy(col("vec_id"))
   }
 
-  val pqQuantizeSql: String = s"""
-    WITH e AS ($vecsSql),
-    sub AS (SELECT vec_id, label, list_slice(v, 1, 32) AS s0,
-                   list_slice(v, 33, 64) AS s1 FROM e),
+  /** S5: ADC serving over PQ codes — the lookup-table scan that makes
+    * IVF-PQ fast: per query, distances to each subspace codeword are
+    * computed ONCE (a |Q|×k LUT, built in-engine with the same
+    * expression as the assignment, then broadcast), and scoring a
+    * database vector is two table lookups and an add — no per-pair
+    * d-dimensional arithmetic. The plan is codes ⋈ broadcast(lut0) ⋈
+    * broadcast(lut1): a linear scan of the code table however large
+    * the corpus. Ranks by approximate (ADC) distance over unit vectors
+    * (‖x−c‖² = 2−2·cos, so the metric is cosine-compatible); emitted
+    * codes let SimSpec verify the decomposition invariant
+    * adc = ‖q − reconstruction‖² from first principles. Ranking
+    * fidelity is bounded by codebook resolution (2×10 codes here — a
+    * real deployment uses 8-16 subspaces × 256 codes).
+    */
+  def knnPqAdc(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    def lut(sCol: String, cb: Seq[(Long, Seq[Double])],
+        codeName: String, dName: String): DataFrame =
+      sub.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), explode(array(cb.map {
+          case (code, cv) => struct(
+            lit(code).as(codeName),
+            round(dot(col(sCol), col(sCol)) -
+              lit(2.0) * dot(col(sCol), typedLit(cv)) +
+              lit(dotSeq(cv, cv)), 6).as(dName))
+        }: _*)).as("x"))
+        .select(col("q_id"), col(s"x.$codeName").as(codeName),
+          col(s"x.$dName").as(dName))
+    val lut0 = lut("s0", cb0, "code0", "d0")
+    val lut1 = lut("s1", cb1, "code1", "d1")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    codes.join(broadcast(lut0), Seq("code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        col("code0"), col("code1"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** shared PQ CTEs: subvectors, the two codebooks, per-subspace
+    * argmin assignments (d2 formula identical to `pqAssignment`).
+    */
+  private def pqCoreSql(vecCol: String = "v"): String = s"""
+    e AS ($vecsSql),
+    sub AS (SELECT vec_id, label, list_slice($vecCol, 1, 32) AS s0,
+                   list_slice($vecCol, 33, 64) AS s1 FROM e),
     cb0 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
             FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
                   FROM (SELECT label, s0, unnest(range(1, 33)) AS i FROM sub)
@@ -407,21 +469,54 @@ object SimQueries {
                          round(list_dot_product(s1, s1)
                            - 2 * list_dot_product(s1, cv)
                            + list_dot_product(cv, cv), 6) AS d2
-                  FROM sub, cb1)) WHERE rn = 1)
+                  FROM sub, cb1)) WHERE rn = 1)"""
+
+  val pqQuantizeSql: String = s"""
+    WITH ${pqCoreSql()}
     SELECT vec_id, code0, code1, round(d20 + d21, 6) AS err
     FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id"""
+
+  val knnPqAdcSql: String = s"""
+    WITH ${pqCoreSql("vn")},
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT lut0.q_id, codes.vec_id AS neighbor, codes.code0, codes.code1,
+             round(d0 + d1, 6) AS adc
+      FROM codes
+      JOIN lut0 USING (code0)
+      JOIN lut1 ON lut1.q_id = lut0.q_id AND lut1.code1 = codes.code1
+      WHERE codes.vec_id != lut0.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, code0, code1, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
-    "pq_quantize" -> (pqQuantize _))
+    "pq_quantize" -> (pqQuantize _),
+    "knn_pq_adc" -> (knnPqAdc _))
 
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
-    "pq_quantize" -> pqQuantizeSql)
+    "pq_quantize" -> pqQuantizeSql,
+    "knn_pq_adc" -> knnPqAdcSql)
 }

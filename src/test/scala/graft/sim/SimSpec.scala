@@ -52,6 +52,38 @@ class SimSpec extends AnyFunSuite {
     assert(hits.nonEmpty, "LSH found none of the true top-1 neighbors")
   }
 
+  test("ADC satisfies the decomposition invariant: adc = ||q - recon||^2") {
+    // recall-vs-brute is not a sound check at this codebook resolution
+    // (2x10 codes; quantization error exceeds this corpus's neighbor
+    // signal) — the invariant that must hold exactly is that ADC is
+    // the squared distance from the query to the neighbor's
+    // reconstruction, decomposed into two table lookups
+    import org.apache.spark.sql.functions._
+    val (sub, cb0, cb1) = SimQueries.pqCore(spark, dir, vecCol = "vn")
+    val qs = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("s0"), col("s1")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toVector, r.getSeq[Double](2).toVector))).toMap
+    val m0 = cb0.toMap
+    val m1 = cb1.toMap
+    def d2(x: Seq[Double], c: Seq[Double]): Double =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val rows = SimQueries.knnPqAdc(spark, dir).collect()
+    assert(rows.length === 50) // 10 queries x top-5
+    rows.foreach { r =>
+      val (q, c0, c1, adc) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4))
+      val (qs0, qs1) = qs(q)
+      val want = d2(qs0, m0(c0)) + d2(qs1, m1(c1))
+      assert(math.abs(adc - want) < 1e-4, s"q=$q adc=$adc want=$want")
+    }
+    // and the emitted ranking is by (adc, neighbor) within each query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(5)).map(r => (r.getDouble(4), r.getLong(1)))
+      assert(byRank.toSeq === byRank.sortBy(identity).toSeq)
+    }
+  }
+
   test("PQ: codes in range; per-subspace split dominates one full codebook") {
     import org.apache.spark.sql.functions._
     val rows = SimQueries.pqQuantize(spark, dir).collect()
