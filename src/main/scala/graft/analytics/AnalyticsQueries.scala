@@ -856,6 +856,83 @@ object AnalyticsQueries {
            round(max(o_totalprice), 2) AS hi
     FROM orders GROUP BY bin ORDER BY bin"""
 
+  /** A30: FULL OUTER reconciliation — activity snapshots of two years
+    * joined so customers on either side survive, with presence
+    * classified. The canonical "diff two partitions of the archive"
+    * job; both sides pre-aggregate before the join so the shuffle
+    * carries one row per customer per side.
+    */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    def snapshot(yr: Int, n: String) = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as(n))
+    val a = snapshot(1997, "n_1997")
+    val b = snapshot(2000, "n_2000")
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+        coalesce(col("n_2000"), lit(0L)).as("n_2000"),
+        when(col("n_1997").isNotNull && col("n_2000").isNotNull, "both")
+          .when(col("n_1997").isNotNull, "only_1997")
+          .otherwise("only_2000").as("status"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val qFullOuterSql: String = """
+    WITH a AS (SELECT o_custkey, count(*) AS n_1997 FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+               GROUP BY o_custkey),
+    b AS (SELECT o_custkey, count(*) AS n_2000 FROM orders
+          WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            AND o_orderdate < TIMESTAMP '2001-01-01'
+          GROUP BY o_custkey)
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS o_custkey,
+           coalesce(n_1997, 0) AS n_1997,
+           coalesce(n_2000, 0) AS n_2000,
+           CASE WHEN n_1997 IS NOT NULL AND n_2000 IS NOT NULL THEN 'both'
+                WHEN n_1997 IS NOT NULL THEN 'only_1997'
+                ELSE 'only_2000' END AS status
+    FROM a FULL OUTER JOIN b USING (o_custkey)
+    ORDER BY o_custkey"""
+
+  /** A31: time-series gap filling — a dense hourly axis generated from
+    * the stream's own bounds (two bounded scalars, fetched like a
+    * scalar subquery), left-joined against the sparse counts and
+    * zero-filled. The axis is sequence+explode — rows/hour regardless
+    * of data skew — so the dense frame never materializes on one task.
+    */
+  def qGapfill(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val counts = e.filter(col("event_type") === "purchase" &&
+        col("value") > 95)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(
+      min(date_trunc("hour", col("ts"))).as("t0"),
+      max(date_trunc("hour", col("ts"))).as("t1")).head()
+    val hours = e.sparkSession.range(1).select(explode(sequence(
+      lit(bounds.getTimestamp(0)), lit(bounds.getTimestamp(1)),
+      expr("INTERVAL 1 HOUR"))).as("h"))
+    hours.join(counts, Seq("h"), "left")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("hour"))
+  }
+
+  val qGapfillSql: String = """
+    WITH counts AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events WHERE event_type = 'purchase' AND value > 95
+      GROUP BY h),
+    bounds AS (SELECT min(date_trunc('hour', ts)) AS t0,
+                      max(date_trunc('hour', ts)) AS t1 FROM events),
+    hours AS (SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+              FROM bounds)
+    SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, coalesce(n, 0)::BIGINT AS n
+    FROM hours LEFT JOIN counts USING (h) ORDER BY hour"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -885,7 +962,9 @@ object AnalyticsQueries {
     "q_funnel" -> (qFunnel _),
     "q_cohort" -> (qCohort _),
     "q_stats" -> (qStats _),
-    "q_histogram" -> (qHistogram _))
+    "q_histogram" -> (qHistogram _),
+    "q_full_outer" -> (qFullOuter _),
+    "q_gapfill" -> (qGapfill _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -916,5 +995,7 @@ object AnalyticsQueries {
     "q_funnel" -> qFunnelSql,
     "q_cohort" -> qCohortSql,
     "q_stats" -> qStatsSql,
-    "q_histogram" -> qHistogramSql)
+    "q_histogram" -> qHistogramSql,
+    "q_full_outer" -> qFullOuterSql,
+    "q_gapfill" -> qGapfillSql)
 }

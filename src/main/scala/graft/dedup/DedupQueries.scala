@@ -302,14 +302,14 @@ object DedupQueries {
   /** D6: duplicate-CLUSTER resolution — pair detection (D2-D5) says
     * "a≈b"; a real pipeline must then pick one keeper per transitive
     * group (a≈b, b≈c ⇒ {a,b,c} keep one). Connected components over the
-    * jaccard ≥ 0.5 edge set via iterative min-label propagation with
-    * pointer jumping (label ← label-of-label halves chain depth each
-    * round), so convergence is O(log diameter) shuffles, not
-    * O(diameter) — the property that makes iterative CC viable on a
-    * 100 TB corpus where near-dup chains can be long. The driver loop
-    * iterates over PLANS only (per-round scalar convergence count, no
-    * data collect); per-round state is persisted and the previous
-    * round's unpersisted.
+    * jaccard ≥ 0.5 edge set via the alternating large-star/small-star
+    * operator ([[graft.operators.ConnectedComponents]]): O(log n)
+    * rounds AND skew-resistant — a viral near-dup hub's adjacency is
+    * redistributed rather than funneled through one reducer, which is
+    * what matters when a boilerplate page has 10⁶ near-duplicates at
+    * corpus scale. Parallelism is sized to the dup graph (≪ corpus)
+    * before entering the loop; per-round lineage truncation lives in
+    * the operator (SURVEY §8a).
     *
     * Output: every doc in a non-trivial component with its canonical
     * (min doc_id in component) and the component size. The DuckDB
@@ -319,64 +319,22 @@ object DedupQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = jaccardPairs(shingles(Tables.documents(s, dir)))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    val undWide = edges.union(
-        edges.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").persist()
+      .select(col("doc_a"), col("doc_b")).persist()
     // Size the loop's parallelism to the DUP GRAPH, not the corpus: the
-    // near-dup edge set is orders of magnitude smaller than the input
-    // (here ~10² rows out of 10⁵ docs; at 100 TB, ~1% of docs), but it
-    // inherits the corpus's shuffle partitioning — leaving every
-    // iteration to schedule dozens of near-empty tasks per stage, which
-    // dominated the wall clock. ~1M edges per task, capped at the
-    // session's parallelism.
-    val nEdges = undWide.count()
+    // near-dup edge set is orders of magnitude smaller than the input,
+    // but it inherits the corpus's shuffle partitioning — leaving every
+    // CC round to schedule dozens of near-empty tasks per stage. ~1M
+    // edges per task, capped at the session's parallelism.
+    val nEdges = edges.count()
     val p = math.max(1, math.min((nEdges / 1000000L).toInt + 1,
       s.sparkContext.defaultParallelism))
-    // localCheckpoint (not persist): each round's plan embeds TWO
-    // copies of the previous round's (the pointer-jump self-join), so
-    // without lineage truncation the logical plan doubles per round and
-    // driver-side analysis, not the cluster, becomes the bottleneck —
-    // the standard failure mode of iterative algorithms on Spark (cf.
-    // GraphX/ALS checkpointing; on a real cluster prefer reliable
-    // checkpoint() for executor-loss tolerance).
-    val und = undWide.repartition(p).localCheckpoint()
-    undWide.unpersist()
-    var labels = und.select(col("src").as("doc"))
-      .distinct().withColumn("label", col("doc")).localCheckpoint()
-    val MaxIters = 20 // pointer jumping ⇒ handles diameter ≤ ~2^20
-    // labels only ever decrease, so Σlabel strictly decreases until the
-    // fixpoint: convergence detection is a scalar aggregate on the
-    // frame being materialized anyway — one job per round, no
-    // old-vs-new join.
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < MaxIters) {
-      // propagation in ONE shuffle: neighbors' labels ++ own label,
-      // min per doc (self rows make the union total, so no outer join)
-      val prop = und
-        .join(labels.select(col("doc").as("src"), col("label")), Seq("src"))
-        .select(col("dst").as("doc"), col("label"))
-        .unionByName(labels)
-        .groupBy(col("doc")).agg(min(col("label")).as("label"))
-      val jumped = prop
-        .join(prop.select(col("doc").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("doc"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint()
-      val s = jumped.agg(sum(col("label"))).head().getLong(0)
-      labels = jumped
-      converged = s == prevSum
-      prevSum = s
-      iter += 1
-    }
-    require(converged, s"components did not converge in $MaxIters rounds")
-    und.unpersist()
-    val sizes = labels.groupBy(col("label"))
+    val labels = graft.operators.ConnectedComponents.run(
+      edges.repartition(p))
+    edges.unpersist()
+    val sizes = labels.groupBy(col("root"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("label"))
-      .select(col("doc").as("doc_id"), col("label").as("canonical"),
+    labels.join(sizes, Seq("root"))
+      .select(col("node").as("doc_id"), col("root").as("canonical"),
         col("cluster_size"))
       .orderBy(col("doc_id"))
   }
