@@ -65,7 +65,10 @@ object ConnectedComponents {
     *         map to themselves
     */
   def run(edges: DataFrame, maxIters: Int = 30): DataFrame = {
-    var e = canonical(edges.toDF("u", "v")).localCheckpoint()
+    // lazy checkpoints: the per-round sig() action materializes the
+    // round's frame AND truncates its lineage in the same job — an
+    // eager checkpoint would double the job count per round
+    var e = canonical(edges.toDF("u", "v")).localCheckpoint(false)
     // convergence probe: (count, Σu, Σv) is monotonically non-increasing
     // under both stars (endpoints only ever decrease); equality of the
     // triple across a round is confirmed by an exact set check before
@@ -80,7 +83,7 @@ object ConnectedComponents {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = sig(next)
       if (cur == prev) {
         converged = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
