@@ -32,7 +32,7 @@ class DriverContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert(qs.size >= 37)
+    assert(qs.size >= 62)
     // rows-only entries are the documented exceptions
     assert((qs -- os) === Set("media_decode"))
   }

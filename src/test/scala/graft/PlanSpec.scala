@@ -102,6 +102,21 @@ class PlanSpec extends AnyFunSuite {
       s"exact=$exact approx=$approx")
   }
 
+  test("q19's disjunction splits per table and reaches both scans") {
+    val p = plan("q19_disjunctive")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // both FileScans carry an Or(...) in PushedFilters — the scaladoc's
+    // claim, held by a test
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(pushed.count(_.contains("Or(")) >= 2, pushed.mkString("\n"))
+  }
+
+  test("q_topk_per_group is a single aggregate — no window exchange") {
+    val p = plan("q_topk_per_group")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
   test("approx_percentile lands near the exact percentile (scale path)") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
