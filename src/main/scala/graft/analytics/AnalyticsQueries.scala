@@ -933,6 +933,54 @@ object AnalyticsQueries {
     SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, coalesce(n, 0)::BIGINT AS n
     FROM hours LEFT JOIN counts USING (h) ORDER BY hour"""
 
+  /** A32: forward fill (LOCF) — last observation carried forward over
+    * each series' dense hourly axis. Partitioned BY SERIES, so the
+    * window parallelizes across keys (a global ordered window would
+    * funnel the corpus through one task — same trap `data_pack`'s
+    * prefix sum avoids); the axis is per-series sequence+explode from
+    * that series' own bounds, no cross join. Filled values are copies
+    * of already-rounded observations — the fill itself adds no
+    * floating-point work.
+    */
+  def qLocf(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .filter(col("value") > 150)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(round(avg(col("value")), 6).as("v"))
+    val axis = obs.groupBy(col("event_type"))
+      .agg(min(col("h")).as("t0"), max(col("h")).as("t1"))
+      .select(col("event_type"),
+        explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR")))
+          .as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(obs, Seq("event_type", "h"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        col("filled"), col("v").isNull.as("was_gap"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val qLocfSql: String = """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(avg(value), 6) AS v
+      FROM events WHERE value > 150 GROUP BY event_type, h),
+    bounds AS (SELECT event_type, min(h) AS t0, max(h) AS t1
+               FROM obs GROUP BY event_type),
+    axis AS (SELECT event_type,
+                    unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+             FROM bounds),
+    joined AS (SELECT axis.event_type, axis.h, obs.v
+               FROM axis LEFT JOIN obs USING (event_type, h))
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+             ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled,
+           (v IS NULL) AS was_gap
+    FROM joined ORDER BY event_type, hour"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -964,7 +1012,8 @@ object AnalyticsQueries {
     "q_stats" -> (qStats _),
     "q_histogram" -> (qHistogram _),
     "q_full_outer" -> (qFullOuter _),
-    "q_gapfill" -> (qGapfill _))
+    "q_gapfill" -> (qGapfill _),
+    "q_locf" -> (qLocf _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -997,5 +1046,6 @@ object AnalyticsQueries {
     "q_stats" -> qStatsSql,
     "q_histogram" -> qHistogramSql,
     "q_full_outer" -> qFullOuterSql,
-    "q_gapfill" -> qGapfillSql)
+    "q_gapfill" -> qGapfillSql,
+    "q_locf" -> qLocfSql)
 }
