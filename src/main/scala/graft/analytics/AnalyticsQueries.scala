@@ -599,9 +599,13 @@ object AnalyticsQueries {
     */
   def q22Global(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val ab = c.filter(col("c_acctbal") > 0.0)
+    val abRow = c.filter(col("c_acctbal") > 0.0)
       .agg(round(avg(col("c_acctbal")), 6).as("ab"))
-      .head().getDouble(0)
+      .head()
+    // no positive balances ⇒ NULL average ⇒ the oracle's `> NULL`
+    // comparison selects nothing; +∞ reproduces that empty result
+    val ab = if (abRow.isNullAt(0)) Double.PositiveInfinity
+      else abRow.getDouble(0)
     val o = Tables.orders(s, dir)
       .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
     c.filter(col("c_acctbal") > lit(ab))
@@ -649,25 +653,29 @@ object AnalyticsQueries {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** A23: pivot — order counts per year × priority (wide layout) plus
-    * yearly revenue. `.pivot` with explicit values keeps the plan a
-    * single two-phase hash aggregate (no per-column scans); missing
-    * cells coalesce to 0 so the wide schema is total.
+    * yearly revenue, in ONE scan: `.pivot` with explicit values and two
+    * aggregates per cell (count + raw revenue) compiles to a single
+    * two-phase hash aggregate; the yearly total is the sum of the five
+    * per-priority cell sums (exact partials; the 2dp rounding of a
+    * ~1e8 total absorbs the reassociation ulps vs the oracle's
+    * single-pass sum). Missing cells coalesce to 0 so the wide schema
+    * is total.
     */
   def qPivot(s: SparkSession, dir: String): DataFrame = {
     val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
       "4-NOT SPECIFIED", "5-LOW")
+    val renamed = Seq("urgent", "high", "medium", "notspec", "low")
     val wide = Tables.orders(s, dir)
       .withColumn("yr", year(col("o_orderdate")))
       .groupBy(col("yr"))
       .pivot("o_orderpriority", priorities)
-      .agg(count(lit(1)))
-    val renamed = Seq("urgent", "high", "medium", "notspec", "low")
-    priorities.zip(renamed).foldLeft(wide) { case (df, (from, to)) =>
-      df.withColumn(to, coalesce(col(s"`$from`"), lit(0L))).drop(col(s"`$from`"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("r"))
+    val counts = priorities.zip(renamed).map { case (from, to) =>
+      coalesce(col(s"`${from}_n`"), lit(0L)).as(to)
     }
-      .join(Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
-        .groupBy(col("yr"))
-        .agg(round(sum(col("o_totalprice")), 2).as("revenue")), Seq("yr"))
+    val revenue = round(priorities.map(p =>
+      coalesce(col(s"`${p}_r`"), lit(0.0))).reduce(_ + _), 2).as("revenue")
+    wide.select((col("yr") +: counts :+ revenue): _*)
       .orderBy(col("yr"))
   }
 
@@ -912,9 +920,14 @@ object AnalyticsQueries {
     val bounds = e.agg(
       min(date_trunc("hour", col("ts"))).as("t0"),
       max(date_trunc("hour", col("ts"))).as("t1")).head()
-    val hours = e.sparkSession.range(1).select(explode(sequence(
-      lit(bounds.getTimestamp(0)), lit(bounds.getTimestamp(1)),
-      expr("INTERVAL 1 HOUR"))).as("h"))
+    // empty stream ⇒ NULL bounds ⇒ empty axis (what the oracle's
+    // generate_series over NULL yields), not an NPE
+    val hours =
+      if (bounds.isNullAt(0))
+        e.sparkSession.range(0).select(lit(null).cast("timestamp").as("h"))
+      else e.sparkSession.range(1).select(explode(sequence(
+        lit(bounds.getTimestamp(0)), lit(bounds.getTimestamp(1)),
+        expr("INTERVAL 1 HOUR"))).as("h"))
     hours.join(counts, Seq("h"), "left")
       .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
         coalesce(col("n"), lit(0L)).as("n"))

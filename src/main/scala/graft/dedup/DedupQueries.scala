@@ -319,18 +319,15 @@ object DedupQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = jaccardPairs(shingles(Tables.documents(s, dir)))
       .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b")).persist()
-    // Size the loop's parallelism to the DUP GRAPH, not the corpus: the
-    // near-dup edge set is orders of magnitude smaller than the input,
-    // but it inherits the corpus's shuffle partitioning — leaving every
-    // CC round to schedule dozens of near-empty tasks per stage. ~1M
-    // edges per task, capped at the session's parallelism.
-    val nEdges = edges.count()
-    val p = math.max(1, math.min((nEdges / 1000000L).toInt + 1,
-      s.sparkContext.defaultParallelism))
-    val labels = graft.operators.ConnectedComponents.run(
-      edges.repartition(p))
-    edges.unpersist()
+      .select(col("doc_a"), col("doc_b"))
+    // Loop parallelism tracks the DUP GRAPH, not the corpus: every
+    // shuffle inside the CC rounds is AQE-coalesced to the edge set's
+    // actual size (the near-dup graph is ≪ corpus), and the operator's
+    // per-round localCheckpoint materializes those coalesced
+    // partitions, so no round schedules corpus-sized task counts. (An
+    // explicit repartition before entry only resizes the one narrow
+    // stage before the first shuffle — measured no win over AQE.)
+    val labels = graft.operators.ConnectedComponents.run(edges)
     val sizes = labels.groupBy(col("root"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("root"))

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
@@ -84,6 +84,15 @@ case class TopKAgg(score: Expression, id: Expression, k: Int,
 }
 
 object TopKAgg {
+  /** Coercing constructor used by both the Column and SQL faces: an
+    * INT score/id gets a cast injected at construction instead of a
+    * runtime ClassCastException in the executor (AbstractDataType is
+    * private[sql], so ImplicitCastInputTypes isn't available here).
+    */
+  def coerced(score: Expression, id: Expression, k: Int): TopKAgg =
+    TopKAgg(
+      if (score.dataType == DoubleType) score else Cast(score, DoubleType),
+      if (id.dataType == LongType) id else Cast(id, LongType), k)
   /** Sorted bounded list: entries 0..size-1 ordered (score DESC, id
     * ASC). k is small (ranking fan-out), so linear insertion beats a
     * heap's constant factors; the common case — a row worse than the
@@ -116,6 +125,6 @@ object TopKAgg {
   /** Column face: `TopKAgg(score, id, k)` → array<struct<score,id>>. */
   def apply(score: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
-      TopKAgg(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
+      coerced(ColumnBridge.expression(score), ColumnBridge.expression(id), k)
         .toAggregateExpression())
 }

@@ -111,14 +111,19 @@ object PipelineQueries {
     * count.
     */
   def textDecontam(s: SparkSession, dir: String): DataFrame = {
-    val sh = Shingling.shingles(Tables.documents(s, dir))
-    val ev = sh.filter(col("doc_id") % 20 === 0).select(col("shingle")).distinct()
-    val tr = sh.filter(col("doc_id") % 20 =!= 0)
-    val totals = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val overlap = tr.join(broadcast(ev), Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-    totals.join(overlap, Seq("doc_id"), "left")
-      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+    val docs = Tables.documents(s, dir)
+    // shingle each side AFTER its doc_id filter (the filters push to
+    // the parquet scan, so the eval side shingles 5% of the corpus and
+    // the two sides together cost one corpus pass, not three)
+    val ev = Shingling.shingles(docs.filter(col("doc_id") % 20 === 0))
+      .select(col("shingle")).distinct().withColumn("hit", lit(1L))
+    val tr = Shingling.shingles(docs.filter(col("doc_id") % 20 =!= 0))
+    // one left broadcast join + one aggregate: per-doc totals and
+    // overlap counted in the same pass
+    tr.join(broadcast(ev), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
       .withColumn("contamination",
         round(col("n_overlap") / col("n_shingles"), 6))
       .filter(col("contamination") >= 0.2)
@@ -236,8 +241,13 @@ object PipelineQueries {
   def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val total = toks.count()
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // the corpus token total is Σ vocab counts — read it off the
+    // (bounded, persisted) vocab aggregate instead of a separate
+    // corpus-wide count() scan
+    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .persist()
+    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val vocab = counts
       .withColumn("lp_micro",
         round(-log(col("cnt") / lit(total.toDouble)) * 1e6, 0).cast("long"))
       .select(col("word"), col("lp_micro"))

@@ -37,12 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"graft_topk(score, id, k) takes 3 arguments, got ${exprs.length}")
         val k = exprs(2) match {
           case Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(
             s"graft_topk(score, id, k): k must be an INT literal, got $other")
         }
-        TopKAgg(exprs(0), exprs(1), k).toAggregateExpression()
+        TopKAgg.coerced(exprs(0), exprs(1), k).toAggregateExpression()
       }))
     e.injectOptimizerRule(_ => RewriteDotProductFold)
     e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)

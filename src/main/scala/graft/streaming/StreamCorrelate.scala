@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamCorrelate {
 
-  /** Inner interval join: rows of `right` within (left.ts, left.ts +
-    * within] of a matching `left` row. Timestamp columns must be
-    * distinctly named; the key column is deduplicated in the output.
+  /** Inner interval join: rows of `right` within [left.ts, left.ts +
+    * within] (both bounds inclusive) of a matching `left` row.
+    * Timestamp columns must be distinctly named; the key column is
+    * deduplicated in the output.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, within: String,

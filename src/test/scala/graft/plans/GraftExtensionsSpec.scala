@@ -56,6 +56,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("INT literal") ||
       err.getCause != null)
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_topk(s, id) FROM tk").collect()
+    }
+    assert(arity.getMessage.contains("3 arguments") || arity.getCause != null)
+    // INT score / INT id coerce at construction (no executor-side CCE)
+    val coerced = spark.sql(
+      "SELECT graft_topk(cast(id as int), cast(id as int), 1)[0].score " +
+        "FROM tk").collect().head.getDouble(0)
+    assert(coerced === 99.0)
   }
 
   test("optimizer rewrites the zip_with/aggregate fold into DotProduct") {

@@ -138,8 +138,10 @@ class StreamingSpec extends AnyFunSuite {
       evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(src, name))
+      // atomic move: the live source must never list a half-copied file
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     // batch 0: user 1 has three events, then goes idle (minute 1000+:
     // an event AT epoch 0 would equal the initial watermark and be
@@ -209,12 +211,16 @@ class StreamingSpec extends AnyFunSuite {
         .write.mode("overwrite").parquet(stage)
       val part = new java.io.File(stage).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.copy(part.toPath,
-        java.nio.file.Paths.get(src, name))
+      // atomic move: the live source must never list a half-copied file
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     addBatch("b0.parquet", Seq((1L, ts(10)), (2L, ts(11)), (3L, ts(12))))
     val stream = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP").parquet(src)
+    // (addBatch stages each part file elsewhere and moves it in
+    // atomically so the live source never lists a half-copied file)
     val deduped = StreamCorrelate.dedupWithinWatermark(
       stream, "ts", "1 hour", Seq("event_id"))
     val q = deduped.writeStream.outputMode("append")
