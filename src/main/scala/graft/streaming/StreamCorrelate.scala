@@ -30,16 +30,22 @@ object StreamCorrelate {
     * Timestamp columns must be distinctly named; the key column is
     * deduplicated in the output.
     */
+  /** `joinType` "inner" or "left_outer": the outer form emits an
+    * unmatched left row (null right columns) once the RIGHT watermark
+    * passes left.ts + within — i.e. when no match can arrive anymore —
+    * which is how "impressions that never converted" becomes a stream
+    * instead of a daily batch reconciliation.
+    */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, within: String,
-      watermark: String): DataFrame = {
+      watermark: String, joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       l(key) === r(key) &&
         r(rightTs) >= l(leftTs) &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"),
-      "inner")
+      joinType)
       .drop(r(key))
   }
 

@@ -201,6 +201,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("R5b: left-outer interval join emits unmatched rows on watermark close") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val (impDir, clkDir) = (tmp(), tmp())
+    def add(dir: String, name: String, col2: String,
+        rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val stage = tmp()
+      rows.toDF("user_id", col2).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // user 1 converts; user 2 never does
+    add(impDir, "b0.parquet", "imp_ts", Seq((1L, ts(1000)), (2L, ts(1001))))
+    add(clkDir, "b0.parquet", "click_ts", Seq((1L, ts(1005))))
+    val impStream = spark.readStream
+      .schema("user_id LONG, imp_ts TIMESTAMP").parquet(impDir)
+    val clkStream = spark.readStream
+      .schema("user_id LONG, click_ts TIMESTAMP").parquet(clkDir)
+    val joined = StreamCorrelate.intervalJoin(impStream, clkStream,
+      "user_id", "imp_ts", "click_ts", "10 MINUTES", "0 seconds",
+      joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivouter").start()
+    q.processAllAvailable()
+    // advance BOTH watermarks far past imp@1001 + 10min so the
+    // unmatched impression can never match and must emit null-padded
+    add(impDir, "b1.parquet", "imp_ts", Seq((9L, ts(5000))))
+    add(clkDir, "b1.parquet", "click_ts", Seq((9L, ts(5000))))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivouter")
+      .select("user_id", "imp_ts", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2))))
+      .toSet
+    assert(got.contains((1L, ts(1000), Some(ts(1005)))), got)
+    assert(got.contains((2L, ts(1001), None)),
+      s"unmatched impression not emitted: $got")
+  }
+
   test("R6: watermarked dedup collapses an at-least-once redelivery") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000)
