@@ -994,6 +994,31 @@ object AnalyticsQueries {
            (v IS NULL) AS was_gap
     FROM joined ORDER BY event_type, hour"""
 
+  /** A33: explicit GROUPING SETS — two one-dimension margins plus the
+    * grand total in one pass (rollup/cube's general form; one expand +
+    * one aggregate, not three scans unioned).
+    */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("lines"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("lines"), col("qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val qGroupingSetsSql: String = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS lines, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    ORDER BY l_returnflag, l_linestatus"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -1026,7 +1051,8 @@ object AnalyticsQueries {
     "q_histogram" -> (qHistogram _),
     "q_full_outer" -> (qFullOuter _),
     "q_gapfill" -> (qGapfill _),
-    "q_locf" -> (qLocf _))
+    "q_locf" -> (qLocf _),
+    "q_grouping_sets" -> (qGroupingSets _))
 
   def oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -1060,5 +1086,6 @@ object AnalyticsQueries {
     "q_histogram" -> qHistogramSql,
     "q_full_outer" -> qFullOuterSql,
     "q_gapfill" -> qGapfillSql,
-    "q_locf" -> qLocfSql)
+    "q_locf" -> qLocfSql,
+    "q_grouping_sets" -> qGroupingSetsSql)
 }
