@@ -402,26 +402,32 @@ object SimQueries {
     * fidelity is bounded by codebook resolution (2×10 codes here — a
     * real deployment uses 8-16 subspaces × 256 codes).
     */
+  /** per-query distance lookup table: |Q|×k rows of (q_id, code, d),
+    * built in-engine with the same rounded expression as the
+    * assignment so oracle parity is automatic.
+    */
+  private def pqLut(sub: DataFrame, sCol: String,
+      cb: Seq[(Long, Seq[Double])], codeName: String,
+      dName: String): DataFrame =
+    sub.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), explode(array(cb.map {
+        case (code, cv) => struct(
+          lit(code).as(codeName),
+          round(dot(col(sCol), col(sCol)) -
+            lit(2.0) * dot(col(sCol), typedLit(cv)) +
+            lit(dotSeq(cv, cv)), 6).as(dName))
+      }: _*)).as("x"))
+      .select(col("q_id"), col(s"x.$codeName").as(codeName),
+        col(s"x.$dName").as(dName))
+
   def knnPqAdc(s: SparkSession, dir: String): DataFrame = {
     val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
     val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
       .withColumn("a1", pqAssignment("s1", cb1))
       .select(col("vec_id"),
         col("a0.code").as("code0"), col("a1.code").as("code1"))
-    def lut(sCol: String, cb: Seq[(Long, Seq[Double])],
-        codeName: String, dName: String): DataFrame =
-      sub.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), explode(array(cb.map {
-          case (code, cv) => struct(
-            lit(code).as(codeName),
-            round(dot(col(sCol), col(sCol)) -
-              lit(2.0) * dot(col(sCol), typedLit(cv)) +
-              lit(dotSeq(cv, cv)), 6).as(dName))
-        }: _*)).as("x"))
-        .select(col("q_id"), col(s"x.$codeName").as(codeName),
-          col(s"x.$dName").as(dName))
-    val lut0 = lut("s0", cb0, "code0", "d0")
-    val lut1 = lut("s1", cb1, "code1", "d1")
+    val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("neighbor"))
     codes.join(broadcast(lut0), Seq("code0"))
@@ -504,13 +510,99 @@ object SimQueries {
     SELECT q_id, neighbor, code0, code1, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S6: the combined IVF-PQ serving path — the production ANN shape:
+    * the coarse quantizer (label-mean centroids, as `knn_ivf`) prunes
+    * candidates to the query's inverted list, and PQ codes + ADC LUTs
+    * (as `knn_pq_adc`) score the survivors with two lookups and an
+    * add. Per-candidate work is O(1) and the candidate count is
+    * n/k_clusters — compute drops multiplicatively, which is why
+    * billion-scale serving stacks (faiss IVFPQ) are built exactly this
+    * way. PQ here encodes the original vectors (faiss
+    * `by_residual=false`); residual encoding is the accuracy upgrade
+    * at the same plan shape.
+    */
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents: Seq[(Int, Seq[Double])] = centroids(e)
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(-lbl).as("neg_label"))
+    }: _*))
+    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    val db = e.select(col("vec_id"),
+        (best.getField("neg_label") * lit(-1)).as("cluster"))
+      .join(codes, Seq("vec_id"))
+    val q = db.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cluster"))
+    val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    q.join(db, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut0), Seq("q_id", "code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfPqSql: String = s"""
+    WITH ${pqCoreSql("vn")},
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    db AS (SELECT assigned.vec_id, cluster, code0, code1
+           FROM assigned JOIN codes USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    qc AS (SELECT q_id, cluster FROM assigned JOIN q ON q.q_id = assigned.vec_id),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT qc.q_id, db.vec_id AS neighbor, db.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM qc JOIN db USING (cluster)
+      JOIN lut0 ON lut0.q_id = qc.q_id AND lut0.code0 = db.code0
+      JOIN lut1 ON lut1.q_id = qc.q_id AND lut1.code1 = db.code1
+      WHERE db.vec_id != qc.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
-    "knn_pq_adc" -> (knnPqAdc _))
+    "knn_pq_adc" -> (knnPqAdc _),
+    "knn_ivfpq" -> (knnIvfPq _))
 
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
@@ -518,5 +610,6 @@ object SimQueries {
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,
-    "knn_pq_adc" -> knnPqAdcSql)
+    "knn_pq_adc" -> knnPqAdcSql,
+    "knn_ivfpq" -> knnIvfPqSql)
 }

@@ -84,6 +84,27 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: candidates stay in the query's list; ADC scores agree") {
+    import org.apache.spark.sql.functions._
+    val ivfpq = SimQueries.knnIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // one inverted list per query, and it is the query's own cluster
+    val qCluster = SimQueries.knnIvf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).toSet === Set(qCluster(q)),
+        s"q=$q candidates left the query's inverted list")
+    }
+    // pruning changes the candidate set, not the scores: where a
+    // (q, neighbor) pair also appears in the unpruned ADC ranking,
+    // the adc value is identical
+    val adc = SimQueries.knnPqAdc(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    ivfpq.foreach { case (q, n, _, d) =>
+      adc.get((q, n)).foreach(expected => assert(d === expected))
+    }
+  }
+
   test("PQ: codes in range; per-subspace split dominates one full codebook") {
     import org.apache.spark.sql.functions._
     val rows = SimQueries.pqQuantize(spark, dir).collect()
