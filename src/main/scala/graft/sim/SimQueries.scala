@@ -595,6 +595,137 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S7: residual-encoded IVF-PQ (faiss `by_residual=true`) — PQ
+    * codebooks quantize the RESIDUAL vn − centroid(cluster) instead of
+    * the raw vector. Residuals are centered near zero, so the same
+    * code budget spends its resolution on within-cluster structure —
+    * the standard accuracy upgrade over S6 at the identical serving
+    * plan (probe the query's list, ADC over residual LUTs). Residual
+    * arithmetic (zip_with subtraction of the broadcast centroid) is
+    * exact in both engines; only codebook means are rounded.
+    */
+  def knnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents: Seq[(Int, Seq[Double])] = centroids(e)
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(-lbl).as("neg_label"))
+    }: _*))
+    val centDf = cents.toDF("cluster", "cvec")
+    val sub = e.select(col("vec_id"), col("label"), col("vn"),
+        (best.getField("neg_label") * lit(-1)).as("cluster"))
+      .join(broadcast(centDf), Seq("cluster"))
+      .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
+      .select(col("vec_id"), col("label"), col("cluster"),
+        slice(col("r"), 1, 32).as("s0"), slice(col("r"), 33, 32).as("s1"))
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    val cb0 = codebook("s0")
+    val cb1 = codebook("s1")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"), col("cluster"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    val q = sub.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cluster"))
+    val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    q.join(codes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut0), Seq("q_id", "code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfPqResidualSql: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    rsub AS (
+      SELECT vec_id, label, cluster,
+             list_slice(r, 1, 32) AS s0, list_slice(r, 33, 64) AS s1
+      FROM (SELECT e.vec_id, e.label, assigned.cluster,
+                   list_transform(range(1, 1 + len(e.vn)),
+                     i -> e.vn[i] - cent.cvn[i]) AS r
+            FROM e JOIN assigned USING (vec_id)
+                   JOIN cent ON cent.label = assigned.cluster)),
+    rcb0 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+             FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
+                   FROM (SELECT label, s0, unnest(range(1, 33)) AS i
+                         FROM rsub)
+                   GROUP BY label, i)
+             GROUP BY label),
+    rcb1 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+             FROM (SELECT label, i, round(avg(s1[i]), 6) AS av
+                   FROM (SELECT label, s1, unnest(range(1, 33)) AS i
+                         FROM rsub)
+                   GROUP BY label, i)
+             GROUP BY label),
+    ra0 AS (SELECT vec_id, code AS code0 FROM (
+             SELECT vec_id, code,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d2, code) AS rn
+             FROM (SELECT rsub.vec_id, rcb0.code,
+                          round(list_dot_product(s0, s0)
+                            - 2 * list_dot_product(s0, cv)
+                            + list_dot_product(cv, cv), 6) AS d2
+                   FROM rsub, rcb0)) WHERE rn = 1),
+    ra1 AS (SELECT vec_id, code AS code1 FROM (
+             SELECT vec_id, code,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d2, code) AS rn
+             FROM (SELECT rsub.vec_id, rcb1.code,
+                          round(list_dot_product(s1, s1)
+                            - 2 * list_dot_product(s1, cv)
+                            + list_dot_product(cv, cv), 6) AS d2
+                   FROM rsub, rcb1)) WHERE rn = 1),
+    codes AS (SELECT vec_id, cluster, code0, code1
+              FROM ra0 JOIN ra1 USING (vec_id)
+                       JOIN assigned USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, cluster, s0, s1 FROM rsub
+          WHERE vec_id < $NumQueries),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, rcb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, rcb1),
+    scored AS (
+      SELECT q.q_id, codes.vec_id AS neighbor, codes.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM q JOIN codes USING (cluster)
+      JOIN lut0 ON lut0.q_id = q.q_id AND lut0.code0 = codes.code0
+      JOIN lut1 ON lut1.q_id = q.q_id AND lut1.code1 = codes.code1
+      WHERE codes.vec_id != q.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
@@ -602,7 +733,8 @@ object SimQueries {
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
     "knn_pq_adc" -> (knnPqAdc _),
-    "knn_ivfpq" -> (knnIvfPq _))
+    "knn_ivfpq" -> (knnIvfPq _),
+    "knn_ivfpq_res" -> (knnIvfPqResidual _))
 
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
@@ -611,5 +743,6 @@ object SimQueries {
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,
     "knn_pq_adc" -> knnPqAdcSql,
-    "knn_ivfpq" -> knnIvfPqSql)
+    "knn_ivfpq" -> knnIvfPqSql,
+    "knn_ivfpq_res" -> knnIvfPqResidualSql)
 }

