@@ -360,9 +360,13 @@ object SimQueries {
   private[sim] def pqCore(s: SparkSession, dir: String, vecCol: String = "v"):
       (DataFrame, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
     val Half = 32
+    // persisted: the subvector frame feeds both codebook builds, the
+    // code assignment, and the query LUTs — four traversals otherwise.
+    // (At corpus scale you train codebooks on a SAMPLE and only the
+    // encoding pass touches everything; here the frame is the sample.)
     val sub = vecs(s, dir).select(col("vec_id"), col("label"),
       slice(col(vecCol), 1, Half).as("s0"),
-      slice(col(vecCol), Half + 1, Half).as("s1"))
+      slice(col(vecCol), Half + 1, Half).as("s1")).persist()
     def codebook(c: String): Seq[(Long, Seq[Double])] =
       KMeans.collectCodebook(KMeans.meanByKey(
         sub.select(col("label").cast("long").as("code"), col(c).as("v")),
@@ -622,6 +626,7 @@ object SimQueries {
       .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
       .select(col("vec_id"), col("label"), col("cluster"),
         slice(col("r"), 1, 32).as("s0"), slice(col("r"), 33, 32).as("s1"))
+      .persist() // reused by 2 codebook builds + codes + 2 LUTs
     def codebook(c: String): Seq[(Long, Seq[Double])] =
       KMeans.collectCodebook(KMeans.meanByKey(
         sub.select(col("label").cast("long").as("code"), col(c).as("v")),
