@@ -63,9 +63,51 @@ object MediaQueries {
                  unnest(range(1, n_frames + 1)) AS frame_idx FROM m)
     ORDER BY media_id, frame_idx"""
 
+  /** M4: audio-style chunking — each blob splits into fixed-size byte
+    * windows with offsets and a per-chunk content hash: the 1→N shape
+    * for streaming transcription/feature extraction, where each chunk
+    * is an independent work unit (partition-parallel, no chunk ever
+    * crosses a row boundary). Mapping bytes→seconds is codec metadata
+    * (the stub codec's territory); the chunk ledger here is what the
+    * real pipeline hands to workers.
+    */
+  def mediaChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("byte_len", octet_length(col("text").cast("binary")))
+      .withColumn("n_chunks", expr("cast((byte_len + 99) div 100 as int)"))
+      .select(col("doc_id").as("media_id"), col("byte_len"),
+        col("n_chunks"),
+        explode(expr("sequence(1, n_chunks)")).as("chunk_idx"),
+        col("text"))
+      .withColumn("byte_off", ((col("chunk_idx") - 1) * 100).cast("long"))
+      .withColumn("chunk_bytes",
+        least(lit(100L), col("byte_len") - col("byte_off")))
+      .withColumn("chunk_hash", substring(
+        md5(concat(col("text"), lit("@"), col("chunk_idx"))), 1, 8))
+      .select(col("media_id"), col("n_chunks"), col("chunk_idx"),
+        col("byte_off"), col("chunk_bytes"), col("chunk_hash"))
+      .orderBy(col("media_id"), col("chunk_idx"))
+
+  val mediaChunksSql: String = """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS byte_len,
+             ((octet_length(encode(text)) + 99) // 100)::INT AS n_chunks
+      FROM documents)
+    SELECT media_id, n_chunks, chunk_idx,
+           ((chunk_idx - 1) * 100)::BIGINT AS byte_off,
+           least(100, byte_len - (chunk_idx - 1) * 100)::BIGINT
+             AS chunk_bytes,
+           substring(md5(text || '@' || chunk_idx), 1, 8) AS chunk_hash
+    FROM (SELECT media_id, text, byte_len, n_chunks,
+                 unnest(range(1, n_chunks + 1))::INT AS chunk_idx
+          FROM m)
+    ORDER BY media_id, chunk_idx"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
+    "media_chunks" -> (mediaChunks _),
     "media_decode" -> (MediaPipeline.mediaDecode _))
 
   /** media_decode is intentionally absent: the mapPartitions decode
@@ -73,5 +115,6 @@ object MediaQueries {
     */
   def oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
-    "media_frames" -> mediaFramesSql)
+    "media_frames" -> mediaFramesSql,
+    "media_chunks" -> mediaChunksSql)
 }
