@@ -48,11 +48,20 @@ object DedupQueries {
   private def shingleCounts(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
-  /** Exact pairwise jaccard for pairs of docs sharing ≥1 shingle. */
-  private def jaccardPairs(sh: DataFrame): DataFrame = {
-    val counts = shingleCounts(sh)
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+  /** Exact pairwise jaccard for pairs of docs sharing ≥1 shingle, over
+    * the df-capped shingle space: boilerplate shingles (df > maxDf) are
+    * dropped BEFORE the self-join — see [[Shingling.MaxShingleDf]] —
+    * so no join bucket exceeds C(maxDf,2) pairs however skewed the
+    * corpus. Counts and intersections both use the capped set, so
+    * `jaccard` is the exact jaccard of the capped shingle space (the
+    * DuckDB oracle applies the identical cap).
+    */
+  private[dedup] def jaccardPairs(
+      sh: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
+    val kept = cappedShingles(sh, maxDf)
+    val counts = shingleCounts(kept)
+    val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
     a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -64,10 +73,13 @@ object DedupQueries {
 
   private val jaccardPairsSql: String = s"""
     shingles AS ($shinglesSql),
-    counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    kept AS (
+      SELECT doc_id, shingle FROM shingles
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+    counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM shingles a JOIN shingles b ON a.shingle = b.shingle
+      FROM kept a JOIN kept b ON a.shingle = b.shingle
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
     jp AS (
       SELECT doc_a, doc_b, c,
@@ -130,11 +142,14 @@ object DedupQueries {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     // exact verification restricted to candidates (the LSH point: never
-    // pay the all-pairs index join); values identical to jaccardPairs
-    val counts = shingleCounts(sh)
+    // pay the all-pairs index join); values identical to jaccardPairs,
+    // including its df cap — signatures hash the FULL shingle set, the
+    // verify totals use the capped one
+    val capped = cappedShingles(sh)
+    val counts = shingleCounts(capped)
     val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+      .join(capped.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))

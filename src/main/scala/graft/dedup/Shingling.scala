@@ -30,6 +30,32 @@ object Shingling {
   val SimHashChunkMask: Long = (1L << SimHashChunkBits) - 1 // 63
   val SimHashRadius = 9
 
+  /** Stop-shingle document-frequency cap for the inverted-index join.
+    * A shingle present in f documents produces C(f,2) candidate pairs
+    * out of the self-join — one boilerplate 3-gram shared by 10⁶ docs
+    * at corpus scale is a 5·10¹¹-pair bucket that AQE can spread but
+    * never shrink. Dropping shingles with df > MaxShingleDf bounds
+    * every join bucket at C(MaxShingleDf,2) ≈ 5k pairs while keeping
+    * near-dup recall: true near-dups share many RARE shingles, so they
+    * still meet in the index (DedupSpec plants a boilerplate shingle
+    * across 60 docs and shows candidates collapse from the quadratic
+    * bucket to exactly the planted pair). This corpus's max df is 25
+    * (sf0.1), so the default cap passes everything through here while
+    * bounding the worst key at production scale.
+    */
+  val MaxShingleDf = 100L
+
+  /** The df-capped shingle index: one window shuffle on `shingle`
+    * (linear in the hot key — counting, not pairing), partitioning the
+    * downstream self-join can reuse.
+    */
+  def cappedShingles(sh: DataFrame,
+                     maxDf: Long = MaxShingleDf): DataFrame =
+    sh.withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+
   /** `doc_id, shingle` — word 3-grams per document (distinct per doc
     * by default; `distinctPerDoc = false` keeps multiplicity for
     * corpus-frequency statistics). Words explode positionally

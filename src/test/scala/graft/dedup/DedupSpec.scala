@@ -90,4 +90,41 @@ class DedupSpec extends AnyFunSuite {
     assert(high.subsetOf(got), s"missed: ${high -- got}")
     assert(got.nonEmpty)
   }
+
+  test("df cap bounds the hot-shingle join bucket; rare-shingle " +
+    "near-dups survive") {
+    import spark.implicits._
+    // 60 docs all sharing one boilerplate shingle ("terms of service"),
+    // otherwise pairwise-disjoint — plus one planted near-dup pair
+    // (1000, 1001) that shares many RARE shingles.
+    val boiler = "terms of service"
+    val docs = (0 until 60).map { i =>
+      val filler = (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"$boiler $filler")
+    } ++ Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta kappa"))
+    val sh = Shingling.shingles(docs.toDF("doc_id", "text"))
+
+    // uncapped: the boilerplate shingle alone creates C(60,2) = 1770
+    // candidate pairs — the quadratic bucket the cap exists to kill
+    val uncapped = DedupQueries.jaccardPairs(sh, maxDf = Long.MaxValue)
+    assert(uncapped.count() >= 1770L)
+
+    // capped at 10: the 60-doc shingle is dropped before the self-join,
+    // so ONLY pairs meeting on rare (df<=10) shingles remain
+    val capped = DedupQueries.jaccardPairs(sh, maxDf = 10L)
+    val got = capped.collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet === Set((1000L, 1001L)),
+      s"hot-shingle pairs leaked through the cap: ${got.keySet}")
+    // and the planted near-dup's jaccard stays high: 6 shared of 8
+    // distinct shingles in the capped space
+    assert(got((1000L, 1001L)) === 0.75)
+
+    // the gate's default cap (100) passes this corpus through unchanged
+    val dflt = DedupQueries.jaccardPairs(sh).count()
+    assert(dflt === uncapped.count())
+  }
 }
