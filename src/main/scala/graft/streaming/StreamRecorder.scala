@@ -36,6 +36,27 @@ object StreamRecorder {
       }
       .start()
 
+  /** R1, closed loop: record FROM a Kinesis-shaped endpoint onto the
+    * tape — the reference's `record` end to end (KCL consumer → buffer
+    * → S3 emit, KinesisRecorder.java:23-47): the kinesis-shaped source
+    * consumes per shard with backoff-on-throttle, each micro-batch is a
+    * bounded buffer (`maxRecordsPerTrigger`), and the streaming
+    * checkpoint's per-shard sequence offsets replace the KCL's DynamoDB
+    * lease table — a restart resumes exactly where the leases say.
+    */
+  def recordFromKinesis(spark: SparkSession, endpointName: String,
+                        sourceStream: String, root: String,
+                        checkpoint: String,
+                        maxRecordsPerTrigger: Int = 0): StreamingQuery =
+    record(
+      spark.readStream.format("kinesis-shaped")
+        .option("endpoint", endpointName)
+        .option("stream", sourceStream)
+        .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+        .load()
+        .select(col(Tape.DataCol), col(Tape.SeqCol), col(Tape.TsCol)),
+      root, sourceStream, checkpoint)
+
   /** R4: the tape range re-emitted as a stream of payloads via the
     * native tape streaming source (graft.sources.TapeMicroBatchStream):
     * at most `maxFilesPerTrigger` tape files per micro-batch, the day

@@ -28,7 +28,44 @@ final case class PutRecordsResponse(entries: IndexedSeq[PutRecordsResultEntry]) 
       .toArray
 }
 
-/** The endpoint seam: what the reference needs from Kinesis. */
+/** One record off the stream — what GetRecords returns per entry
+  * (sequence number, partition key, payload, approximate arrival).
+  */
+final case class ConsumedRecord(sequenceNumber: String, partitionKey: String,
+                                data: Array[Byte],
+                                approximateArrivalMillis: Long)
+
+final case class GetRecordsResponse(records: IndexedSeq[ConsumedRecord],
+                                    nextShardIterator: Option[String],
+                                    millisBehindLatest: Long)
+
+object ShardIteratorType {
+  val TrimHorizon = "TRIM_HORIZON"
+  val Latest = "LATEST"
+  val AtSequenceNumber = "AT_SEQUENCE_NUMBER"
+  val AfterSequenceNumber = "AFTER_SEQUENCE_NUMBER"
+}
+
+/** A service-shaped retryable error (the consume-side analog of the
+  * positional error codes PutRecords reports).
+  */
+final class KinesisServiceException(val errorCode: String)
+  extends RuntimeException(errorCode)
+
+object KinesisServiceException {
+  val Throttled = "ProvisionedThroughputExceededException"
+  def isThrottle(t: Throwable): Boolean = t match {
+    case k: KinesisServiceException => k.errorCode == Throttled
+    case _ => false
+  }
+}
+
+/** The endpoint seam: what the reference needs from Kinesis — the
+  * PRODUCE faces its player drives (PutRecords/DescribeStream,
+  * KinesisPlayer.java:90-155) and the CONSUME faces its KCL recorder
+  * sits on (shard discovery + GetShardIterator/GetRecords, the calls
+  * under KinesisConnectorExecutorBase in KinesisRecorder.java:23-47).
+  */
 trait KinesisEndpoint {
   /** Open shards only — closed (split/merged-away) shards have an
     * ending sequence number and don't serve writes
@@ -41,6 +78,26 @@ trait KinesisEndpoint {
     * success/failure in the response.
     */
   def putRecords(stream: String, entries: IndexedSeq[PutRecordsEntry]): PutRecordsResponse
+
+  /** Open shard ids, in id order — what the KCL seeds its lease table
+    * from before assigning one consumer per shard.
+    */
+  def listOpenShardIds(stream: String): IndexedSeq[String]
+
+  /** An opaque position token for a shard: TRIM_HORIZON (oldest),
+    * LATEST, or AT/AFTER a sequence number — the public
+    * GetShardIterator contract.
+    */
+  def getShardIterator(stream: String, shardId: String, iteratorType: String,
+                       startingSequenceNumber: Option[String] = None): String
+
+  /** Positional (non-destructive) read of up to `limit` records from an
+    * iterator; the returned `nextShardIterator` continues the scan and
+    * is None only when a CLOSED shard is fully drained. May throw
+    * [[KinesisServiceException]] (throttling) — consumers retry with
+    * backoff, exactly like the produce side.
+    */
+  def getRecords(shardIterator: String, limit: Int): GetRecordsResponse
 }
 
 object KinesisLimits {
@@ -64,7 +121,8 @@ object KinesisLimits {
 final class FakeKinesis extends KinesisEndpoint {
 
   final case class StoredRecord(sequenceNumber: String, partitionKey: String,
-                                data: Array[Byte])
+                                data: Array[Byte],
+                                arrivalMillis: Long = 0L)
   final class Shard(val shardId: String, var open: Boolean) {
     val records = mutable.ArrayBuffer.empty[StoredRecord]
   }
@@ -73,8 +131,13 @@ final class FakeKinesis extends KinesisEndpoint {
   private val streams = mutable.Map.empty[String, Stream]
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
   private val attempts = mutable.Map.empty[String, Int]
+  private val readAttempts = mutable.Map.empty[String, Int]
   @volatile private var failureHook
   : (PutRecordsEntry, Int) => Option[String] = (_, _) => None
+  @volatile private var readFailureHook
+  : (String, Int) => Option[String] = (_, _) => None
+  /** Arrival clock, fixable by specs for deterministic `dt` partitions. */
+  @volatile var clock: () => Long = () => System.currentTimeMillis()
 
   def createStream(name: String, openShards: Int, closedShards: Int = 0)
   : this.type = synchronized {
@@ -87,6 +150,13 @@ final class FakeKinesis extends KinesisEndpoint {
 
   def setFailureHook(h: (PutRecordsEntry, Int) => Option[String]): Unit =
     failureHook = h
+
+  /** Inject consume-side error codes by (shardId, attempt#) — how specs
+    * script the read-throttling episodes the recorder's retry loop must
+    * survive.
+    */
+  def setReadFailureHook(h: (String, Int) => Option[String]): Unit =
+    readFailureHook = h
 
   override def describeStreamOpenShards(stream: String): Int = synchronized {
     streams.getOrElse(stream,
@@ -124,15 +194,84 @@ final class FakeKinesis extends KinesisEndpoint {
         case None =>
           val shard = route(st.shards, e.partitionKey)
           val seq = f"${seqCounter.incrementAndGet()}%021d"
-          shard.records += StoredRecord(seq, e.partitionKey, e.data)
+          shard.records += StoredRecord(seq, e.partitionKey, e.data, clock())
           PutRecordsResultEntry(Some(seq), Some(shard.shardId), None, None)
       }
     })
   }
 
+  override def listOpenShardIds(stream: String): IndexedSeq[String] =
+    synchronized {
+      streams.getOrElse(stream,
+        throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+        .shards.filter(_.open).map(_.shardId)
+    }
+
+  /** Iterator token = stream / shard / position index, opaque to
+    * callers (the service's tokens are likewise position-encoding
+    * blobs). Positions index the shard's arrival-ordered record list.
+    */
+  private val Sep = '\u0001'
+  private def iteratorAt(stream: String, shardId: String, idx: Int): String =
+    s"$stream$Sep$shardId$Sep$idx"
+
+  override def getShardIterator(stream: String, shardId: String,
+                                iteratorType: String,
+                                startingSequenceNumber: Option[String] = None)
+  : String = synchronized {
+    val st = streams.getOrElse(stream,
+      throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+    val shard = st.shards.find(_.shardId == shardId).getOrElse(
+      throw new NoSuchElementException(s"ResourceNotFound: shard $shardId"))
+    def seqIdx: Int = {
+      val want = startingSequenceNumber.getOrElse(
+        throw new IllegalArgumentException(
+          "ValidationException: sequence number required"))
+      val i = shard.records.indexWhere(_.sequenceNumber == want)
+      require(i >= 0, s"ValidationException: unknown sequence number $want")
+      i
+    }
+    val idx = iteratorType match {
+      case ShardIteratorType.TrimHorizon => 0
+      case ShardIteratorType.Latest => shard.records.size
+      case ShardIteratorType.AtSequenceNumber => seqIdx
+      case ShardIteratorType.AfterSequenceNumber => seqIdx + 1
+      case t => throw new IllegalArgumentException(
+        s"ValidationException: iterator type $t")
+    }
+    iteratorAt(stream, shardId, idx)
+  }
+
+  override def getRecords(shardIterator: String, limit: Int)
+  : GetRecordsResponse = synchronized {
+    val Array(stream, shardId, idxStr) = shardIterator.split(Sep)
+    val idx = idxStr.toInt
+    val shard = streams.getOrElse(stream,
+      throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+      .shards.find(_.shardId == shardId).getOrElse(
+        throw new NoSuchElementException(s"ResourceNotFound: shard $shardId"))
+    val n = readAttempts.updateWith(shardId)(c => Some(c.getOrElse(0) + 1)).get
+    readFailureHook(shardId, n).foreach(code =>
+      throw new KinesisServiceException(code))
+    val taken = shard.records.slice(idx, idx + math.max(limit, 1))
+      .map(r => ConsumedRecord(r.sequenceNumber, r.partitionKey, r.data,
+        r.arrivalMillis))
+      .toIndexedSeq
+    val nextIdx = idx + taken.size
+    val next = if (!shard.open && nextIdx >= shard.records.size) None
+    else Some(iteratorAt(stream, shardId, nextIdx))
+    val behind = taken.lastOption
+      .map(r => math.max(0L, clock() - r.approximateArrivalMillis))
+      .getOrElse(0L)
+    GetRecordsResponse(taken, next, behind)
+  }
+
   /** Assertion faces for specs. */
   def shardsOf(stream: String): IndexedSeq[Shard] = synchronized {
     streams(stream).shards
+  }
+  def readAttemptCount(shardId: String): Int = synchronized {
+    readAttempts.getOrElse(shardId, 0)
   }
   def allRecords(stream: String): IndexedSeq[StoredRecord] = synchronized {
     streams(stream).shards.flatMap(_.records).toIndexedSeq

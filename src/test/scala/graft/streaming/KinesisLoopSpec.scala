@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.LocalDateTime
+
+import graft.vcr._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Kinesis loop, closed end to end: records put into a
+  * [[FakeKinesis]] stream are RECORDED to the tape through the
+  * kinesis-shaped Structured Streaming source (the reference's KCL
+  * consumer, KinesisRecorder.java:23-47), then REPLAYED to a second
+  * stream through the PutRecords sink (KinesisPlayer.java:90-155) —
+  * byte-identical payloads, deterministic keys, and injected
+  * throttling exercising the backoff-retry path in BOTH directions.
+  */
+class KinesisLoopSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-kloop").toString
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(UTF_8)
+
+  test("put → record to tape → replay to a second stream, " +
+    "throttled both directions, checkpoint-resumed") {
+    val epName = s"loop-${java.util.UUID.randomUUID()}"
+    val ep = FakeKinesisRegistry.create(epName)
+    ep.createStream("source", openShards = 2)
+    ep.createStream("target", openShards = 2, closedShards = 1)
+    ep.clock = () => 1709632800000L // 2024-03-05T10:00:00Z → dt partition
+
+    // consume-side throttle: shard 0's first GetRecords attempt fails —
+    // the source's backoff loop must absorb it
+    ep.setReadFailureHook((shardId, attempt) =>
+      if (shardId == "shardId-000000000000" && attempt == 1)
+        Some(KinesisServiceException.Throttled)
+      else None)
+
+    val firstWave = (1 to 137).map(i => s"record-$i")
+    ep.putRecords("source",
+      firstWave.zipWithIndex.map { case (p, i) =>
+        PutRecordsEntry(s"k$i", bytes(p))
+      }.toIndexedSeq)
+
+    val root = tmpDir()
+    val ckpt = tmpDir()
+    val q = StreamRecorder.recordFromKinesis(spark, epName, "source",
+      root, ckpt, maxRecordsPerTrigger = 50)
+    q.processAllAvailable()
+    q.stop()
+
+    def tapedPayloads(): Seq[String] =
+      TapePlayer.read(spark, root, "source",
+        LocalDateTime.parse("2024-03-05T00:00:00"), None)
+        .select(Tape.PayloadCol).collect()
+        .map(r => new String(r.getAs[Array[Byte]](0), UTF_8)).toSeq
+
+    assert(tapedPayloads().sorted === firstWave.sorted)
+    // the injected throttle really fired and was retried through
+    assert(ep.readAttemptCount("shardId-000000000000") >= 2)
+
+    // KCL-lease parity: new puts + restart from the same checkpoint
+    // appends exactly the new records, never re-records the old ones
+    val secondWave = (138 to 200).map(i => s"record-$i")
+    ep.putRecords("source",
+      secondWave.zipWithIndex.map { case (p, i) =>
+        PutRecordsEntry(s"k2-$i", bytes(p))
+      }.toIndexedSeq)
+    val q2 = StreamRecorder.recordFromKinesis(spark, epName, "source",
+      root, ckpt, maxRecordsPerTrigger = 50)
+    q2.processAllAvailable()
+    q2.stop()
+    val all = firstWave ++ secondWave
+    assert(tapedPayloads().sorted === all.sorted)
+
+    // replay side: every batch's first put is throttled per key — the
+    // player retries failed sub-records only
+    ep.setFailureHook((e, attempt) =>
+      if (attempt == 1) Some(KinesisServiceException.Throttled) else None)
+    val sent = TapePlayer.play(
+      TapePlayer.read(spark, root, "source",
+        LocalDateTime.parse("2024-03-05T00:00:00"), None),
+      KinesisReplaySinkFactory(epName, "target"))
+    assert(sent === all.size.toLong)
+
+    val got = ep.allRecords("target")
+    // exactly once despite the universal first-attempt throttle
+    assert(got.size === all.size)
+    assert(got.map(r => new String(r.data, UTF_8)).sorted === all.sorted)
+    // deterministic replay keys: md5 of the payload, and each key
+    // needed exactly 2 attempts (throttled once, accepted once)
+    got.foreach { r =>
+      assert(r.partitionKey === PartitionKeys.forPayload(r.data))
+      assert(ep.attemptCount(r.partitionKey) === 2)
+    }
+    // closed shards serve no replay writes
+    assert(ep.shardsOf("target").filter(!_.open).forall(_.records.isEmpty))
+    FakeKinesisRegistry.remove(epName)
+  }
+
+  test("getRecords is positional: re-reading an iterator range is " +
+    "repeatable and closed shards drain to a null iterator") {
+    val epName = s"pos-${java.util.UUID.randomUUID()}"
+    val ep = FakeKinesisRegistry.create(epName)
+    ep.createStream("s", openShards = 1)
+    ep.putRecords("s",
+      (1 to 5).map(i => PutRecordsEntry(s"k$i", bytes(s"p$i"))).toIndexedSeq)
+    val shard = ep.listOpenShardIds("s").head
+
+    val it = ep.getShardIterator("s", shard, ShardIteratorType.TrimHorizon)
+    val r1 = ep.getRecords(it, 10)
+    val r2 = ep.getRecords(it, 10) // same token → same slice
+    assert(r1.records.map(_.sequenceNumber) === r2.records.map(_.sequenceNumber))
+    assert(r1.records.size === 5)
+    // open shard, fully caught up: iterator continues (tail polling)
+    assert(r1.nextShardIterator.isDefined)
+    assert(ep.getRecords(r1.nextShardIterator.get, 10).records.isEmpty)
+
+    // AFTER_SEQUENCE_NUMBER resumes past a committed position
+    val mid = r1.records(2).sequenceNumber
+    val itAfter = ep.getShardIterator("s", shard,
+      ShardIteratorType.AfterSequenceNumber, Some(mid))
+    assert(ep.getRecords(itAfter, 10).records.map(_.sequenceNumber) ===
+      r1.records.drop(3).map(_.sequenceNumber))
+
+    // a closed shard drains to None (KCL shard-end semantics)
+    ep.shardsOf("s").head.open = false
+    val itClosed = ep.getShardIterator("s", shard, ShardIteratorType.TrimHorizon)
+    assert(ep.getRecords(itClosed, 10).nextShardIterator.isEmpty)
+    FakeKinesisRegistry.remove(epName)
+  }
+}
