@@ -1019,6 +1019,36 @@ object AnalyticsQueries {
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** A34: skew-salted fact⋈dim aggregation — the gate face of E11
+    * ([[graft.operators.SaltedJoin]]). The events fact side gets a
+    * deterministic row-derived salt, the customer dim is replicated
+    * once per salt, and the join runs on (user_id, __salt): a hot
+    * user_id's rows spread over `nSalts` shuffle partitions instead of
+    * melting one task — the hand-rolled form of what AQE's skew-join
+    * split does at runtime, for when skew is KNOWN ahead of planning
+    * (a viral user at 100 TB). The `shuffle_hash` hint keeps the plan a
+    * shuffled join (PlanSpec asserts the salted exchange); semantics
+    * are salt-free, so the oracle is the plain join + aggregate.
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      .hint("shuffle_hash")
+    graft.operators.SaltedJoin.inner(ev, cust, Seq("user_id"), nSalts = 8)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  val qSkewJoinSql: String = """
+    SELECT c_mktsegment, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS value_sum
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -1029,6 +1059,7 @@ object AnalyticsQueries {
     "q_distinct" -> (qDistinct _),
     "q_topk_revenue" -> (qTopkRevenue _),
     "q_events_hourly" -> (qEventsMinutely _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1064,6 +1095,7 @@ object AnalyticsQueries {
     "q_distinct" -> qDistinctSql,
     "q_topk_revenue" -> qTopkRevenueSql,
     "q_events_hourly" -> qEventsMinutelySql,
+    "q_skew_join" -> qSkewJoinSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,

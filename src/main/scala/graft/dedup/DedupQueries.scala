@@ -195,44 +195,72 @@ object DedupQueries {
              sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
       FROM bitsums GROUP BY doc_id)"""
 
-  /** D4: SimHash near-dup pairs — chunk bucket join with guaranteed
-    * recall for hamming ≤ SimHashChunks-1 (pigeonhole), then exact
-    * hamming ≤ SimHashRadius.
+  /** SimHash chunk-bucket candidate pairs, parameterized by the
+    * banding config: `nChunks` chunks of `chunkBits` bits. Exposed for
+    * DedupSpec's candidate-volume measurement across configs.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  private[dedup] def simhashCandidates(
+      s: SparkSession, dir: String,
+      nChunks: Int, chunkBits: Int): DataFrame = {
+    val mask = (1L << chunkBits) - 1
     val sim = simhashes(shingles(Tables.documents(s, dir)))
     val chunks = sim.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(SimHashChunks - 1))).as("c"))
+      explode(sequence(lit(0), lit(nChunks - 1))).as("c"))
       .withColumn("chunk", expr(
-        s"shiftright(simhash, c * $SimHashChunkBits) & $SimHashChunkMask"))
-    val cand = chunks.select(col("doc_id").as("doc_a"),
+        s"shiftright(simhash, c * $chunkBits) & $mask"))
+    chunks.select(col("doc_id").as("doc_a"),
       col("simhash").as("sim_a"), col("c"), col("chunk"))
       .join(chunks.select(col("doc_id").as("doc_b"),
         col("simhash").as("sim_b"), col("c"), col("chunk")),
         Seq("c", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b")).distinct()
-    cand.withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
-      .filter(col("hamming") <= SimHashRadius)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val dedupSimhashSql: String = s"""
+  /** D4: SimHash near-dup pairs — chunk bucket join with guaranteed
+    * recall for hamming ≤ nChunks-1 (pigeonhole), then exact
+    * hamming ≤ radius. Two gate configs share this core: the
+    * recall-side 10×6 (radius 9) and the scale-side 4×15 (radius 3,
+    * ~1300× fewer expected candidates — [[Shingling.SimHashChunksWide]]).
+    */
+  private def dedupSimhashCore(s: SparkSession, dir: String,
+      nChunks: Int, chunkBits: Int, radius: Int): DataFrame =
+    simhashCandidates(s, dir, nChunks, chunkBits)
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .filter(col("hamming") <= radius)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashCore(s, dir, SimHashChunks, SimHashChunkBits, SimHashRadius)
+
+  def dedupSimhashWide(s: SparkSession, dir: String): DataFrame =
+    dedupSimhashCore(s, dir, SimHashChunksWide, SimHashWideChunkBits,
+      SimHashWideRadius)
+
+  private def dedupSimhashSqlFor(
+      nChunks: Int, chunkBits: Int, radius: Int): String = s"""
     WITH shingles AS ($shinglesSql),
     $simhashesSql,
     chunks AS (
       SELECT doc_id, simhash, c,
-             (simhash >> (c * $SimHashChunkBits)) & $SimHashChunkMask AS chunk
-      FROM sim, (SELECT unnest(range(0, $SimHashChunks)) AS c)),
+             (simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1} AS chunk
+      FROM sim, (SELECT unnest(range(0, $nChunks)) AS c)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sim_a, b.simhash AS sim_b
       FROM chunks a JOIN chunks b ON a.c = b.c AND a.chunk = b.chunk
       WHERE a.doc_id < b.doc_id)
     SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
-    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $SimHashRadius
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= $radius
     ORDER BY doc_a, doc_b"""
+
+  val dedupSimhashSql: String =
+    dedupSimhashSqlFor(SimHashChunks, SimHashChunkBits, SimHashRadius)
+
+  val dedupSimhashWideSql: String =
+    dedupSimhashSqlFor(SimHashChunksWide, SimHashWideChunkBits,
+      SimHashWideRadius)
 
   /** D5: embedding-cosine near-dup pairs via hyperplane-LSH buckets —
     * the scale path is the GATE path: candidates are pairs sharing a
@@ -371,6 +399,7 @@ object DedupQueries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_wide" -> (dedupSimhashWide _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _))
 
@@ -379,6 +408,7 @@ object DedupQueries {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_wide" -> dedupSimhashWideSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_clusters" -> dedupClustersSql)
 }

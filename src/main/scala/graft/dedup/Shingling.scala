@@ -30,6 +30,18 @@ object Shingling {
   val SimHashChunkMask: Long = (1L << SimHashChunkBits) - 1 // 63
   val SimHashRadius = 9
 
+  /** The scale-side banding config: FEWER, WIDER chunks. 4 chunks of 15
+    * bits gives 2^15 buckets per chunk (vs 2^6), so expected candidate
+    * volume drops ~n²·(4/2^15) vs ~n²·(10/2^6) — a 1300× cut — at the
+    * price of guaranteed recall only to radius ≤ 3 (pigeonhole over 4
+    * chunks). That is the trade a 100 TB corpus makes: radius down,
+    * selectivity up. DedupSpec measures the candidate-volume drop on
+    * the same corpus.
+    */
+  val SimHashChunksWide = 4
+  val SimHashWideChunkBits: Int = SimHashBits / SimHashChunksWide // 15
+  val SimHashWideRadius = 3
+
   /** Stop-shingle document-frequency cap for the inverted-index join.
     * A shingle present in f documents produces C(f,2) candidate pairs
     * out of the self-join — one boilerplate 3-gram shared by 10⁶ docs

@@ -274,6 +274,95 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** Inverted lists each query probes in `knn_ivf_probe`. Real
+    * deployments probe 8-64 of hundreds/thousands of lists; with the
+    * 10-centroid test codebook, 3 of 10 exercises the same plan.
+    */
+  val NProbe = 3
+
+  /** S2c: multi-probe IVF serving (nprobe > 1) — the recall knob
+    * production IVF deployments turn (faiss `nprobe`). Probe-1 serving
+    * misses any true neighbor whose vector landed in a different
+    * inverted list than the query; probing the query's top-p centroid
+    * lists recovers those at p× candidate cost. The PLAN SHAPE is
+    * unchanged from `knn_ivf`: each query row explodes into p
+    * (q_id, cluster) probe rows — p is a constant, so this is a narrow
+    * map, not a shuffle — and candidates still come from the same
+    * cluster equi-join. Top-p selection over the bounded codebook is a
+    * driver-free `array_sort` comparator + `slice` on the same literal
+    * centroid array the assignment uses.
+    */
+  def knnIvfProbe(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = vecs(s, dir)
+    val cents: Seq[(Int, Seq[Double])] = centroids(e)
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(-lbl).as("neg_label"))
+    }: _*))
+    val assign = e.select(col("vec_id"), col("vn"),
+      (best.getField("neg_label") * lit(-1)).as("cluster"))
+    // per-centroid (ccos, label) structs, ordered ccos DESC then label
+    // ASC via a comparator lambda (avoids negating doubles, which would
+    // diverge from the oracle on a -0.0); top-p sliced then exploded.
+    val scoredCents = array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(lbl).as("label"))
+    }: _*)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .withColumn("parr", scoredCents)
+      .withColumn("psorted", expr(
+        """array_sort(parr, (l, r) -> CASE
+             WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
+             WHEN l.label < r.label THEN -1 WHEN l.label > r.label THEN 1
+             ELSE 0 END)"""))
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
+        explode(slice(col("psorted"), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("qvn"), col("p.label").as("cluster"))
+    val scored = q.join(assign, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfProbeSql: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe),
+    scored AS (
+      SELECT q.q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.qvn, a.vn), 6) AS cos
+      FROM qprobe q JOIN assigned a USING (cluster)
+      WHERE a.vec_id != q.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   /** S3: random-hyperplane LSH — 16 sign bits, banded 4×4; candidates
     * share a band value with the query; exact scoring on candidates.
     *
@@ -734,6 +823,7 @@ object SimQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
+    "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
@@ -744,6 +834,7 @@ object SimQueries {
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,

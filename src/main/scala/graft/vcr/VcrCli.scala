@@ -41,19 +41,35 @@ object VcrCli {
       case Some("record") =>
         val stream = config.sourceStream.getOrElse(
           throw new IllegalArgumentException("VCR_SOURCE_STREAM_NAME must be set"))
-        val in = args.lift(1).getOrElse(
-          throw new IllegalArgumentException("record needs an input parquet path"))
-        // events-shaped input: event_id ≅ sequence number, ts, props payload
-        val records = {
-          val df = spark.read.parquet(in)
-          val ts = if (df.schema("ts").dataType ==
-            org.apache.spark.sql.types.LongType)
-            timestamp_micros(expr("ts div 1000")) else col("ts")
-          df.select(col("props").cast("binary").as(Tape.DataCol),
-            col("event_id").as(Tape.SeqCol), ts.as(Tape.TsCol))
+        (config.endpoint, args.lift(1)) match {
+          case (Some(ep), None) =>
+            // the reference's record: consume the source stream from the
+            // Kinesis-shaped endpoint until caught up (the KCL consumer,
+            // KinesisRecorder.java:23-47); the checkpoint under the tape
+            // root is the lease table — rerunning `record` appends only
+            // what arrived since.
+            val q = graft.streaming.StreamRecorder.recordFromKinesis(
+              spark, ep, stream, root, s"$root/.checkpoints/$stream")
+            q.processAllAvailable()
+            q.stop()
+            val n = spark.read.format("tape").load(s"$root/$stream").count()
+            println(s"Recorded stream $stream from endpoint $ep to " +
+              s"$root/$stream ($n records on tape)")
+          case (_, Some(in)) =>
+            // events-shaped input: event_id ≅ sequence number, ts, props payload
+            val records = {
+              val df = spark.read.parquet(in)
+              val ts = if (df.schema("ts").dataType ==
+                org.apache.spark.sql.types.LongType)
+                timestamp_micros(expr("ts div 1000")) else col("ts")
+              df.select(col("props").cast("binary").as(Tape.DataCol),
+                col("event_id").as(Tape.SeqCol), ts.as(Tape.TsCol))
+            }
+            val files = TapeWriter.write(records, root, stream)
+            println(s"Recorded ${records.count()} records to $root/$stream in $files files")
+          case (None, None) => throw new IllegalArgumentException(
+            "record needs an input parquet path (or VCR_ENDPOINT to consume)")
         }
-        val files = TapeWriter.write(records, root, stream)
-        println(s"Recorded ${records.count()} records to $root/$stream in $files files")
 
       case Some(cmd @ ("play" | "estimate")) =>
         config.validateForPlayback()

@@ -12,13 +12,20 @@ import java.time.format.DateTimeParseException
   *                      Hadoop-FS URI here — local dir, s3a://, hdfs://)
   * @param bufferSizeBytes  recorder flush threshold, default 100 MiB
   * @param bufferTimeMillis recorder flush interval, default 60 s
+  * @param endpoint      name of a registered Kinesis-shaped endpoint
+  *                      ([[FakeKinesisRegistry]]; an SDK adapter in a
+  *                      real deployment — the region/account analog of
+  *                      the reference's implicit AWS client config).
+  *                      When set, `record` consumes the source stream
+  *                      from it and `play`/`estimate` target it.
   */
 final case class VcrConfig(
     sourceStream: Option[String],
     targetStream: Option[String],
     bucket: Option[String],
     bufferSizeBytes: Long = VcrConfig.DefaultBufferSizeBytes,
-    bufferTimeMillis: Long = VcrConfig.DefaultBufferTimeMillis) {
+    bufferTimeMillis: Long = VcrConfig.DefaultBufferTimeMillis,
+    endpoint: Option[String] = None) {
 
   /** reference: VcrConfiguration.java:38-45 */
   def validate(): Unit = {
@@ -50,7 +57,8 @@ object VcrConfig {
     bufferSizeBytes = env.get("VCR_BUFFER_SIZE_BYTES").map(_.toLong)
       .getOrElse(DefaultBufferSizeBytes),
     bufferTimeMillis = env.get("VCR_BUFFER_TIME_MILLIS").map(_.toLong)
-      .getOrElse(DefaultBufferTimeMillis))
+      .getOrElse(DefaultBufferTimeMillis),
+    endpoint = env.get("VCR_ENDPOINT"))
 }
 
 /** Replay time-range argument parsing: `yyyy-MM-dd` or ISO local

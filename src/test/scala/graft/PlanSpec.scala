@@ -90,6 +90,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_skew_join shuffles on the salted key and spreads the hot key") {
+    val p = plan("q_skew_join")
+    // the join must be a shuffled join on (user_id, __salt) — the salt
+    // in the exchange partitioning IS the skew spread
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__salt")), p)
+    // and the spread is real: a single hot key's rows land on >1 salt
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val salts = ev.filter(col("user_id") === 0L)
+      .withColumn("__salt", pmod(xxhash64(
+        col("user_id"), col("event_type"), col("value")), lit(8)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts > 1, s"hot key landed on $salts salt(s)")
+  }
+
   test("approx_count_distinct (HLL++) lands within its error bound") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")

@@ -41,6 +41,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got === truth, s"missing: ${truth -- got}, extra: ${got -- truth}")
   }
 
+  test("wide simhash banding: candidate volume drops, planted pairs " +
+    "within radius 3 survive") {
+    // same corpus, two banding configs: 10 chunks x 6 bits (64 buckets
+    // per chunk) vs 4 chunks x 15 bits (32768 buckets per chunk). The
+    // wide config's buckets are ~512x more selective, so its candidate
+    // pair set must be strictly smaller — that is the knob a 100 TB
+    // corpus turns (radius down, selectivity up).
+    val narrow = DedupQueries.simhashCandidates(spark, dir,
+      Shingling.SimHashChunks, Shingling.SimHashChunkBits).count()
+    val wide = DedupQueries.simhashCandidates(spark, dir,
+      Shingling.SimHashChunksWide, Shingling.SimHashWideChunkBits).count()
+    assert(wide < narrow, s"wide banding candidates $wide !< narrow $narrow")
+    // recall is still pigeonhole-guaranteed to radius chunks-1 = 3:
+    // every planted pair at hamming <= 3 appears in the wide result
+    val within3 = DedupQueries.dedupSimhash(spark, dir).collect()
+      .filter(_.getInt(2) <= Shingling.SimHashWideRadius)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(DedupQueries.dedupSimhashWide(spark, dir))
+    // both configs guarantee recall to radius 3, and both verify
+    // exactly — so at radius 3 they must agree exactly
+    assert(got === within3,
+      s"missed: ${within3 -- got}, extra: ${got -- within3}")
+  }
+
   test("exact dedup groups the event payloads") {
     val rows = DedupQueries.dedupExact(spark, dir).collect()
     assert(rows.length === 100) // 100 distinct payloads at sf0.01

@@ -47,6 +47,33 @@ class SimSpec extends AnyFunSuite {
     assert(hits.nonEmpty, "IVF found none of the true top-1 neighbors")
   }
 
+  test("multi-probe IVF: recall@5 vs brute improves over nprobe=1, " +
+      "and per-rank scores dominate") {
+    def top5(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = top5(brute)
+    val p1 = SimQueries.knnIvfProbe(spark, dir, nprobe = 1)
+    val p3 = SimQueries.knnIvfProbe(spark, dir)
+    val r1 = (top5(p1) intersect truth).size
+    val r3 = (top5(p3) intersect truth).size
+    // probe-1 restricts candidates to the query's own list; probing the
+    // top-3 lists widens the candidate set, so recall can only improve
+    assert(r3 >= r1, s"recall@5 fell: nprobe=3 $r3 < nprobe=1 $r1")
+    assert(r3 > r1, s"recall@5 did not improve: nprobe=3 $r3 == nprobe=1 $r1")
+    // superset candidates => the rank-i cosine can never be worse
+    def byRank(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        ((r.getLong(0), r.getInt(4)), r.getDouble(3))).toMap
+    val c1 = byRank(p1); val c3 = byRank(p3)
+    c1.foreach { case (key, cos1) =>
+      assert(c3(key) >= cos1, s"$key: probe-3 cos ${c3(key)} < probe-1 $cos1")
+    }
+    // probe-1 restricted to the query's own cluster = knn_ivf exactly
+    val ivf = SimQueries.knnIvf(spark, dir).collect().map(_.toSeq).toSeq
+    assert(p1.collect().map(_.toSeq).toSeq === ivf)
+  }
+
   test("LSH banded candidates recall a useful share of true top-1") {
     val hits = topn(SimQueries.knnLsh(spark, dir)) intersect topn(brute)
     assert(hits.nonEmpty, "LSH found none of the true top-1 neighbors")
