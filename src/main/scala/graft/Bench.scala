@@ -14,25 +14,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // JIT/session warmup so the first measured query isn't charged for
-    // codegen compiler + executor spin-up (deterministic: first in
-    // alphabetical order, same as the measured sequence).
-    try ordered.headOption.foreach(_._2(spark, sfDir).count())
-    catch { case _: Throwable => () }
-    // Best of two runs per query: a cold one-shot driver run suffers
-    // roaming JIT-compile storms (a random query 5-10x slower each
-    // run); the better of two executions reflects the plan, not the
-    // compiler. Errors stay negative so the driver sees them.
-    val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val best2 = math.min(once(), once())
-      // both attempts can land inside one long contention episode;
-      // anything still slow earns a third look (errors are -1 < 3)
-      name -> (if (best2 > 3.0) math.min(best2, once()) else best2)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    : Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Warm-up pass (unmeasured): pays the codegen-compile + executor
+    // spin-up cost for EVERY query up front, so no measured sample is
+    // charged for the JIT.
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    // Three measured passes, each a full sweep in the same order —
+    // a query's three samples are spread across the run's whole
+    // timeline, so a box-contention episode (the ±30% noise of
+    // rounds 1-2) inflates at most one of them. Per-query MEDIAN keeps
+    // one outlier from moving the number; an error in any sample
+    // reports -1 so the driver sees it.
+    val passes = Seq.fill(3)(ordered.map { case (name, fn) => name -> once(fn) })
+    val results = ordered.map { case (name, _) =>
+      val samples = passes.map(_.find(_._1 == name).get._2)
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -78,7 +78,8 @@ class TapeTable(path: String, ingest: Boolean = false)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(!ingest, "an ingest=true tape table is write-only")
-    new TapeScanBuilder(path, options.getInt("maxFilesPerTrigger", 0))
+    new TapeScanBuilder(path, options.getInt("maxFilesPerTrigger", 0),
+      options.getLong("maxBytesPerTrigger", 0L))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -87,7 +88,8 @@ class TapeTable(path: String, ingest: Boolean = false)
   }
 }
 
-class TapeScanBuilder(path: String, maxFilesPerTrigger: Int = 0)
+class TapeScanBuilder(path: String, maxFilesPerTrigger: Int = 0,
+                      maxBytesPerTrigger: Long = 0L)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -112,7 +114,8 @@ class TapeScanBuilder(path: String, maxFilesPerTrigger: Int = 0)
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     new TapeScan(path, dtFilters, required,
-      new SerializableConfiguration(conf), maxFilesPerTrigger)
+      new SerializableConfiguration(conf), maxFilesPerTrigger,
+      maxBytesPerTrigger)
   }
 }
 
@@ -150,14 +153,15 @@ final case class TapeInputPartition(files: Array[TapeFileSlice])
 
 class TapeScan(path: String, dtFilters: Array[Filter], required: StructType,
                conf: SerializableConfiguration,
-               maxFilesPerTrigger: Int = 0) extends Scan with Batch {
+               maxFilesPerTrigger: Int = 0,
+               maxBytesPerTrigger: Long = 0L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
   : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TapeMicroBatchStream(path, dtFilters, required, conf,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
   override def description(): String =
     s"TapeScan path=$path prunedBy=[${dtFilters.mkString(", ")}]"
 

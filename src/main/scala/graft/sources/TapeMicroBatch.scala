@@ -26,7 +26,8 @@ import graft.vcr.Tape
 class TapeMicroBatchStream(path: String, dtFilters: Array[Filter],
                            required: StructType,
                            conf: SerializableConfiguration,
-                           maxFilesPerTrigger: Int)
+                           maxFilesPerTrigger: Int,
+                           maxBytesPerTrigger: Long = 0L)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private case class FileCountOffset(count: Long) extends Offset {
@@ -73,11 +74,30 @@ class TapeMicroBatchStream(path: String, dtFilters: Array[Filter],
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startCount = start.asInstanceOf[FileCountOffset].count
-    val available = listFiles().length.toLong
-    val capped = limit match {
+    val files = listFiles()
+    val available = files.length.toLong
+    val fileCapped = limit match {
       case m: ReadMaxFiles => math.min(available, startCount + m.maxFiles())
       case _ => available
     }
+    // Byte admission: admit files while their summed size fits the
+    // trigger budget — always ≥1 file so an oversized file still makes
+    // progress (the same rule Spark's file source applies to
+    // maxBytesPerTrigger). This is how replay models the target
+    // stream's shard throughput cap: budget = shards × 1 MB/s × trigger
+    // interval, the exact rate `estimate` divides by.
+    val capped =
+      if (maxBytesPerTrigger <= 0L) fileCapped
+      else {
+        var i = startCount
+        var used = 0L
+        while (i < fileCapped &&
+          (i == startCount || used + files(i.toInt).size <= maxBytesPerTrigger)) {
+          used += files(i.toInt).size
+          i += 1
+        }
+        i
+      }
     FileCountOffset(math.max(capped, startCount))
   }
 

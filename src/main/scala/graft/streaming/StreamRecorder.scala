@@ -73,4 +73,36 @@ object StreamRecorder {
         col(Tape.DtCol) <= lit(endEff.toLocalDate.toString))
       .select(col(Tape.PayloadCol))
   }
+
+  /** Kinesis writes admit 1 MB/s per open shard — the constant
+    * `estimate` divides by (Estimator.minutesFor, reference
+    * KinesisVcr.java:94-97).
+    */
+  val BytesPerShardPerSecond: Long = 1000L * 1000L
+
+  /** R4 with the reference's throughput model IN the stream: the
+    * per-trigger byte budget is shards × 1 MB/s × trigger seconds,
+    * with the shard count discovered from the target stream's endpoint
+    * (DescribeStream open shards) — so a replay stream paced by this
+    * source drains the range in exactly the wall-clock `estimate`
+    * predicts, instead of leaving the cap to an external sink. Admission
+    * is byte-based (summed tape-file sizes per micro-batch), matching
+    * `estimate`'s Σ-object-sizes arithmetic.
+    */
+  def replayStreamShardPaced(spark: SparkSession, root: String,
+                             stream: String, start: LocalDateTime,
+                             end: Option[LocalDateTime],
+                             endpoint: graft.vcr.KinesisEndpoint,
+                             targetStream: String,
+                             triggerSeconds: Int = 1): DataFrame = {
+    val shards = endpoint.describeStreamOpenShards(targetStream)
+    val endEff = TimeArg.effectiveEnd(start, end)
+    spark.readStream.format("tape")
+      .option("maxBytesPerTrigger",
+        shards.toLong * BytesPerShardPerSecond * triggerSeconds)
+      .load(s"$root/$stream")
+      .filter(col(Tape.DtCol) >= lit(start.toLocalDate.toString) &&
+        col(Tape.DtCol) <= lit(endEff.toLocalDate.toString))
+      .select(col(Tape.PayloadCol))
+  }
 }

@@ -83,16 +83,23 @@ object VcrCli {
         val end = args.lift(2).map(TimeArg.parseOrThrow(_, "end"))
         if (cmd == "play") {
           val tape = TapePlayer.read(spark, root, stream, start, end)
-          val sent = TapePlayer.play(tape,
-            DirectoryReplaySinkFactory(config.targetStream.get))
+          // VCR_ENDPOINT selects the Kinesis-shaped PutRecords sink
+          // (the reference's only play target, KinesisPlayer.java:90-155);
+          // without it, a directory "stream" stands in.
+          val sinkFactory = config.endpoint
+            .map(ep => KinesisReplaySinkFactory(ep, config.targetStream.get))
+            .getOrElse(DirectoryReplaySinkFactory(config.targetStream.get))
+          val sent = TapePlayer.play(tape, sinkFactory)
           println(s"Wrote $sent records to output stream ${config.targetStream.get}")
         } else {
           // Shard discovery order mirrors the reference (DescribeStream
-          // on the target, open shards only) with the env var as the
-          // offline override: a registered endpoint wins, else
-          // VCR_TARGET_SHARDS, else the reference-era default of 2.
+          // on the target, open shards only, KinesisVcr.java:84-88):
+          // the configured endpoint first, then a registry entry under
+          // the target's name, then the VCR_TARGET_SHARDS override,
+          // else the reference-era default of 2.
           val target = config.targetStream.get
-          val shards = FakeKinesisRegistry.get(target)
+          val shards = config.endpoint.flatMap(FakeKinesisRegistry.get)
+            .orElse(FakeKinesisRegistry.get(target))
             .map(_.describeStreamOpenShards(target))
             .orElse(sys.env.get("VCR_TARGET_SHARDS").map(_.toInt))
             .getOrElse(2)

@@ -296,4 +296,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("replay").count() === 90)
     assert(nBatches >= 3) // rate limit forced multiple micro-batches
   }
+
+  test("R4b: byte-based admission packs each trigger to the budget, " +
+    "greedy over tape-file sizes") {
+    val root = tmp()
+    import spark.implicits._
+    // 8 tape files, one day, ~equal sizes; payloads big enough that
+    // file size is dominated by data, not file-format overhead
+    val records = (1 to 40).map { i =>
+      (("x" * 500 + s"-$i").getBytes, i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 08:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(records, root, "s", numFiles = 8)
+
+    // the source's own file order: (dt, firstSeq, name); per-file
+    // (bytes, rows) measured from the filesystem
+    val day = new java.io.File(s"$root/s/dt=2024-01-01")
+    val files = day.listFiles().filter(_.isFile)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .sortBy(f => f.getName.split("-")(0).toLong)
+      .map(f => (f.length(),
+        java.nio.file.Files.readAllLines(f.toPath).size().toLong))
+    assert(files.length === 8)
+
+    val cap = files.map(_._1).sum / 3 // budget forces ~4 triggers
+    // greedy expectation: admit files while the summed size fits,
+    // always >= 1 per trigger — the admission rule under test
+    val expected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var (rows, used) = (0L, 0L)
+    files.foreach { case (sz, n) =>
+      if (rows > 0L && used + sz > cap) { expected += rows; rows = 0L; used = 0L }
+      rows += n; used += sz
+    }
+    if (rows > 0) expected += rows
+
+    val stream = spark.readStream.format("tape")
+      .option("maxBytesPerTrigger", cap)
+      .load(s"$root/s")
+      .select(col(Tape.PayloadCol))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("paced").start()
+    q.processAllAvailable()
+    val got = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    q.stop()
+    assert(got === expected.toSeq,
+      s"per-trigger rows $got != greedy-by-bytes expectation $expected")
+    assert(spark.table("paced").count() === 40)
+  }
+
+  test("R4c: shard-paced replay derives its budget from DescribeStream " +
+    "— estimate's 1 MB/s/shard model in the stream") {
+    val root = tmp()
+    import spark.implicits._
+    val records = (1 to 30).map { i =>
+      (s"payload-$i".getBytes, i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 08:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(records, root, "s", numFiles = 4)
+
+    val epName = s"pace-${java.util.UUID.randomUUID()}"
+    val ep = graft.vcr.FakeKinesisRegistry.create(epName)
+    ep.createStream("target", openShards = 2)
+    val stream = StreamRecorder.replayStreamShardPaced(spark, root, "s",
+      LocalDateTime.parse("2024-01-01T00:00:00"), None, ep, "target")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("shardpaced").start()
+    q.processAllAvailable()
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    // 2 shards x 1 MB/s x 1 s = 2 MB budget >> this tape: exactly one
+    // trigger drains it — the same arithmetic that makes
+    // Estimator.minutesFor(bytes, 2) = 0 for a sub-MB range
+    assert(nonEmpty === 1, s"expected a single full-budget trigger, got $nonEmpty")
+    assert(spark.table("shardpaced").count() === 30)
+    val bytes = new java.io.File(s"$root/s/dt=2024-01-01").listFiles()
+      .filter(_.isFile).map(_.length()).sum
+    assert(graft.vcr.Estimator.minutesFor(bytes, 2) === 0L)
+    graft.vcr.FakeKinesisRegistry.remove(epName)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.vcr
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The CLI surface end to end against the Kinesis-shaped endpoint —
+  * the reference's whole lifecycle (KinesisVcr.java:25-110) in one
+  * spec: `record` consumes the source stream, `play` replays the tape
+  * to the target stream through the PutRecords sink, `estimate`
+  * discovers the target's open shard count via DescribeStream. All
+  * three selected by VCR_ENDPOINT-style config, no code changes.
+  */
+class VcrCliLoopSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def captured(body: => Unit): String = {
+    val buf = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(buf, true, "UTF-8"))(body)
+    buf.toString("UTF-8")
+  }
+
+  test("record -> play -> estimate through the endpoint config") {
+    val epName = s"cli-${java.util.UUID.randomUUID()}"
+    val ep = FakeKinesisRegistry.create(epName)
+    ep.createStream("cli-src", openShards = 2)
+    ep.createStream("cli-dst", openShards = 3, closedShards = 1)
+    ep.clock = () => 1709632800000L // 2024-03-05T10:00:00Z → dt partition
+
+    val payloads = (1 to 40).map(i => s"cli-record-$i")
+    ep.putRecords("cli-src", payloads.zipWithIndex.map { case (p, i) =>
+      PutRecordsEntry(s"k$i", p.getBytes(UTF_8))
+    }.toIndexedSeq)
+
+    val root = Files.createTempDirectory("graft-cli").toString
+    val cfg = VcrConfig(Some("cli-src"), Some("cli-dst"), Some(root),
+      endpoint = Some(epName))
+    cfg.validateForPlayback() // KinesisVcr.java:36-38
+
+    // record: no input path + endpoint => consume from the fake stream
+    val recOut = captured(VcrCli.run(spark, cfg, Array("record")))
+    assert(recOut.contains("40 records on tape"), recOut)
+
+    // play: replays the day through the PutRecords sink to cli-dst
+    val playOut = captured(VcrCli.run(spark, cfg, Array("play", "2024-03-05")))
+    assert(playOut.contains("Wrote 40 records"), playOut)
+    val got = ep.allRecords("cli-dst")
+    assert(got.map(r => new String(r.data, UTF_8)).sorted === payloads.sorted)
+    got.foreach(r => assert(r.partitionKey === PartitionKeys.forPayload(r.data)))
+    // closed target shards serve no writes
+    assert(ep.shardsOf("cli-dst").filter(!_.open).forall(_.records.isEmpty))
+
+    // estimate: shard count comes from DescribeStream on the endpoint
+    val estOut = captured(VcrCli.run(spark, cfg, Array("estimate", "2024-03-05")))
+    assert(estOut.contains("has 3 shards"), estOut)
+
+    // config validation matches the reference: playback without a
+    // target stream must refuse (KinesisVcr.java:36-38)
+    val noTarget = cfg.copy(targetStream = None)
+    val e = intercept[IllegalArgumentException](noTarget.validateForPlayback())
+    assert(e.getMessage.contains("target stream"))
+    FakeKinesisRegistry.remove(epName)
+  }
+}
