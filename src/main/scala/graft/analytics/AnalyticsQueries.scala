@@ -1049,6 +1049,278 @@ object AnalyticsQueries {
     FROM events JOIN customer ON c_custkey = user_id
     GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
 
+  /** A35 / TPC-H Q7 style: bilateral trade volume between two nations by
+    * ship year — the two nation dims broadcast under DIFFERENT aliases
+    * (supplier side vs customer side), the disjunctive pair filter runs
+    * after both, and the only shuffle is lineitem⋈orders on the order
+    * key plus the final small agg.
+    */
+  def q7VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("supp_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cust_nkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("supp_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cust_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(round(sum(disc), 2).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7VolumeShippingSql: String = """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1.0 - l_discount) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01')
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year"""
+
+  /** A36 / TPC-H Q8 style: one nation's market share of a product
+    * type's revenue inside one region, by order year. Numerator and
+    * denominator come out of ONE aggregate (conditional sum), both
+    * rounded before the division so the share is deterministic
+    * cross-engine.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .select("p_partkey")
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nCust = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val nSupp = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val base = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_key"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        disc.as("volume"), col("supp_nation"))
+    base.groupBy(col("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))), 2).as("nation_rev"),
+        round(sum(col("volume")), 2).as("total_rev"))
+      .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 6))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String = """
+    SELECT o_year, nation_rev, total_rev,
+           round(nation_rev / total_rev, 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             round(sum(CASE WHEN n2.n_name = 'NATION_3'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
+               AS nation_rev,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+      FROM part, lineitem, orders, customer, nation n1, region,
+           supplier, nation n2
+      WHERE p_partkey = l_partkey AND p_type = 'PROMO'
+        AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA' AND s_suppkey = l_suppkey
+        AND s_nationkey = n2.n_nationkey
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY o_year)
+    ORDER BY o_year"""
+
+  /** A37 / TPC-H Q10 style: top customers by revenue lost to returned
+    * items in one quarter — fact⋈fact on the order key, customer and
+    * nation broadcast, TakeOrderedAndProject for the top 20.
+    */
+  def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      // integer-cents revenue: each line's amount quantizes once, the
+      // sum is exact BIGINT arithmetic — this group-set lands a 2dp
+      // rounded double sum exactly on a .005 boundary where summation
+      // order flips the last digit (the §8a micro-nat lesson)
+      .agg(sum(round(disc * 100.0, 0).cast("long")).as("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnedItemsSql: String = """
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           sum(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+             0)::BIGINT)::BIGINT AS revenue_cents
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""
+
+  /** A38 / TPC-H Q12 shape adapted to this schema (no l_shipmode /
+    * l_receiptdate): lines bucketed by ship delay vs the order date,
+    * counting high- vs low-priority orders per bucket — the Q12
+    * conditional-sum-over-a-join shape with the delay standing in for
+    * the ship mode.
+    */
+  def q12ShipDelay(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate",
+      "o_orderpriority")
+    Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+      .withColumn("delay_bucket",
+        when(col("delay_days") < 30, "FAST")
+          .when(col("delay_days") <= 90, "NORMAL")
+          .otherwise("SLOW"))
+      .groupBy(col("delay_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("delay_bucket"))
+  }
+
+  val q12ShipDelaySql: String = """
+    SELECT delay_bucket,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+             CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30
+                  THEN 'FAST'
+                  WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                  THEN 'NORMAL'
+                  ELSE 'SLOW' END AS delay_bucket
+      FROM lineitem, orders WHERE l_orderkey = o_orderkey)
+    GROUP BY delay_bucket ORDER BY delay_bucket"""
+
+  /** A39 / TPC-H Q15 style: the quarter's top supplier(s) by revenue —
+    * the per-supplier aggregate builds once, its max comes back as a
+    * one-row broadcast (the scalar-subquery shape), and the equality
+    * join keeps every supplier tied at the top.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(disc), 2).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey"""
+
+  /** A40 / TPC-H Q21 shape adapted (late = shipped >90 days after the
+    * order date): suppliers whose late line sits on a multi-supplier
+    * order where NO OTHER supplier was late — a fact self-SEMI-join
+    * plus a fact self-ANTI-join on the order key, the exists/not-exists
+    * pair decorrelated to physical semi/anti joins.
+    */
+  def q21LateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey",
+      "l_shipdate")
+    val l1 = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        datediff(col("l_shipdate"), col("o_orderdate")) > 90)
+      .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+    val lateLines = l1.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    // EXISTS: another supplier contributed to the same order
+    val l2 = l1.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+    val withOthers = lateLines.join(l2,
+      col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+      "left_semi")
+    // NOT EXISTS: no OTHER supplier was late on that order
+    val l3 = l1.filter(col("late"))
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+    val sole = withOthers.join(l3,
+      col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+      "left_anti")
+    sole.join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21LateSuppliersSql: String = """
+    WITH l1 AS (
+      SELECT l_orderkey, l_suppkey,
+             date_diff('day', o_orderdate, l_shipdate) > 90 AS late
+      FROM lineitem, orders
+      WHERE l_orderkey = o_orderkey AND o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM l1, supplier
+    WHERE late AND s_suppkey = l_suppkey
+      AND EXISTS (SELECT 1 FROM l1 l2 WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM l1 l3 WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -1060,6 +1332,12 @@ object AnalyticsQueries {
     "q_topk_revenue" -> (qTopkRevenue _),
     "q_events_hourly" -> (qEventsMinutely _),
     "q_skew_join" -> (qSkewJoin _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q12_ship_delay" -> (q12ShipDelay _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q21_late_suppliers" -> (q21LateSuppliers _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1096,6 +1374,12 @@ object AnalyticsQueries {
     "q_topk_revenue" -> qTopkRevenueSql,
     "q_events_hourly" -> qEventsMinutelySql,
     "q_skew_join" -> qSkewJoinSql,
+    "q7_volume_shipping" -> q7VolumeShippingSql,
+    "q8_market_share" -> q8MarketShareSql,
+    "q10_returned_items" -> q10ReturnedItemsSql,
+    "q12_ship_delay" -> q12ShipDelaySql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q21_late_suppliers" -> q21LateSuppliersSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,

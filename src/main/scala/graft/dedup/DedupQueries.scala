@@ -394,6 +394,41 @@ object DedupQueries {
     SELECT comp.doc AS doc_id, comp.canonical, sizes.cluster_size
     FROM comp JOIN sizes USING (canonical) ORDER BY doc_id"""
 
+  /** D7: sub-document (span-level) exact dedup — fixed 10-word windows
+    * per document, cross-corpus duplicate spans by md5. The pipeline
+    * face of "boilerplate removal": a span shared by many documents is
+    * the repeated header/footer a paragraph-level pass strips even when
+    * whole documents are unique. Shuffles on the 16-byte span hash,
+    * never the span text (SURVEY §5); map-side partial aggregation
+    * collapses per-task repeats before the exchange.
+    */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) div 10), " +
+          "k -> concat_ws(' ', slice(w, (k-1)*10+1, 10)))")).as("span"))
+      .groupBy(md5(col("span")).as("span_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keeper_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_md5"))
+
+  val dedupSpansSql: String = """
+    WITH spans AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(w, (k-1)*10+1, (k-1)*10+10), ' ')) AS span_md5
+      FROM (SELECT doc_id, w, unnest(range(1, 1 + len(w)//10)) AS k
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 10))
+    SELECT span_md5, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occurrences, min(doc_id) AS keeper_doc
+    FROM spans GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY span_md5"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -401,7 +436,8 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_wide" -> (dedupSimhashWide _),
     "dedup_embedding" -> (dedupEmbedding _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_spans" -> (dedupSpans _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -410,5 +446,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_wide" -> dedupSimhashWideSql,
     "dedup_embedding" -> dedupEmbeddingSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_spans" -> dedupSpansSql)
 }

@@ -273,7 +273,43 @@ object PipelineQueries {
     FROM toks JOIN vocab USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** P7: PII scrubbing — regex detection + redaction over the event
+    * payloads (the props JSON stands in for raw text with embedded
+    * identifiers). Pure narrow map, codegen'd regexes, no shuffle: the
+    * 100 TB shape is "every byte passes through exactly once". Patterns
+    * are the anchored, backtracking-free char-class kind that behave
+    * identically under Java regex and RE2/DuckDB; the redacted text is
+    * compared by md5 so the oracle checks the rewrite itself.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  val NumRe = "[0-9]+"
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("props"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("props"), lit(EmailRe), lit(0)))
+          .cast("long"))
+      .withColumn("n_digit_runs",
+        size(regexp_extract_all(col("props"), lit(NumRe), lit(0)))
+          .cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("props"), EmailRe, "<EMAIL>"),
+          NumRe, "<NUM>"))
+      .select(col("event_id"), col("n_emails"), col("n_digit_runs"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("event_id"))
+
+  val piiScrubSql: String = s"""
+    SELECT event_id,
+           len(regexp_extract_all(props, '$EmailRe'))::BIGINT AS n_emails,
+           len(regexp_extract_all(props, '$NumRe'))::BIGINT AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(props, '$EmailRe', '<EMAIL>', 'g'),
+             '$NumRe', '<NUM>', 'g')) AS redacted_md5
+    FROM events ORDER BY event_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub" -> (piiScrub _),
     "data_split" -> (dataSplit _),
     "text_filter_chain" -> (textFilterChain _),
     "text_decontam" -> (textDecontam _),
@@ -282,6 +318,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "pii_scrub" -> piiScrubSql,
     "data_split" -> dataSplitSql,
     "text_filter_chain" -> textFilterChainSql,
     "text_decontam" -> textDecontamSql,

@@ -820,6 +820,75 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S8: scalar quantization (SQ8) — the OTHER compression scheme real
+    * vector stores ship beside PQ (faiss SQ8): each dimension
+    * independently affine-mapped to an 8-bit code against per-dimension
+    * corpus min/max. 4× smaller than float32 with near-exact recall —
+    * the cheap first rung of the compression ladder (SQ8 → PQ → IVF-PQ).
+    * The 64-row dimension-stats table is a bounded plan-time collect
+    * (broadcast-table build); encode + reconstruct are pure codegen'd
+    * array transforms — a narrow map over the corpus, no shuffle until
+    * the final sort. `err` is the exact squared reconstruction error
+    * via ordered-fold dot products (bit-compatible with DuckDB's
+    * list_dot_product), so the gate hash-checks the quantizer end to
+    * end.
+    */
+  def sq8Quantize(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val dimStats = e.select(explode(expr(
+        "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
+        .as("x"))
+      .select(col("x.i").as("i"), col("x.col2").as("xi"))
+      .groupBy(col("i"))
+      .agg(round(min(col("xi")), 6).as("mn"), round(max(col("xi")), 6).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val mnLit = typedLit(dimStats.map(_._2))
+    val rngLit = typedLit(dimStats.map(t =>
+      if (t._3 > t._2) t._3 - t._2 else 1.0))
+    val codes = transform(col("v"), (x, idx) =>
+      floor((x - element_at(mnLit, idx + 1)) / element_at(rngLit, idx + 1)
+        * 255.0 + 0.5).cast("long"))
+    val recon = transform(col("codes"), (c, idx) =>
+      element_at(mnLit, idx + 1) +
+        c.cast("double") / 255.0 * element_at(rngLit, idx + 1))
+    e.withColumn("codes", codes)
+      .withColumn("recon", recon)
+      .select(col("vec_id"),
+        expr("array_join(transform(codes, c -> cast(c as string)), '-')")
+          .as("code_str"),
+        round(dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("recon"))
+          + dot(col("recon"), col("recon")), 6).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  val sq8QuantizeSql: String = s"""
+    WITH e AS ($vecsSql),
+    dims AS (
+      SELECT i, round(min(v[i]), 6) AS mn, round(max(v[i]), 6) AS mx
+      FROM (SELECT v, unnest(range(1, 1 + len(v))) AS i FROM e)
+      GROUP BY i),
+    stats AS (
+      SELECT list(mn ORDER BY i) AS mns,
+             list(CASE WHEN mx > mn THEN mx - mn ELSE 1.0 END ORDER BY i)
+               AS rngs
+      FROM dims),
+    q AS (
+      SELECT vec_id, v, mns, rngs,
+             list_transform(range(1, 1 + len(v)),
+               i -> floor((v[i] - mns[i]) / rngs[i] * 255.0 + 0.5)::BIGINT)
+               AS codes
+      FROM e, stats)
+    SELECT vec_id, array_to_string(codes, '-') AS code_str,
+           round(list_dot_product(v, v)
+             - 2 * list_dot_product(v, recon)
+             + list_dot_product(recon, recon), 6) AS err
+    FROM (SELECT vec_id, v, codes,
+                 list_transform(range(1, 1 + len(codes)),
+                   i -> mns[i] + codes[i] / 255.0 * rngs[i]) AS recon
+          FROM q)
+    ORDER BY vec_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
@@ -827,6 +896,7 @@ object SimQueries {
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
+    "sq8_quantize" -> (sq8Quantize _),
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivfpq_res" -> (knnIvfPqResidual _))
@@ -838,6 +908,7 @@ object SimQueries {
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,
+    "sq8_quantize" -> sq8QuantizeSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql)

@@ -206,7 +206,134 @@ object TextQueries {
     FROM sh GROUP BY shingle
     ORDER BY occurrences DESC, shingle LIMIT 20"""
 
+  /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
+    * query term set for the `text_bm25` gate entry.
+    */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("spark", "query", "vector")
+
+  /** T6: BM25 keyword search — the retrieval face of the corpus. The
+    * inverted-index shape at 100 TB: only postings of the QUERY terms
+    * survive the first filter (pushdown prunes everything else), df per
+    * term is a tiny aggregate broadcast back, and the per-doc score is
+    * one small join + sum. Cross-engine discipline follows P6: each
+    * (doc, term) contribution is quantized to integer micro-units
+    * (idf×tf-norm, one rounding per posting), so the per-doc sum is
+    * exact BIGINT arithmetic; N and avgdl are exact (integer sums and
+    * counts) in both engines.
+    */
+  def textBm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // bounded plan-time scalars: corpus doc count + mean doc length
+    // (both exact integer arithmetic, so cross-engine identical)
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("t")).head()
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs
+    val tf = toks.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro", round(
+        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * 1e6, 0).cast("long"))
+    val scored = tf.join(broadcast(df.select("word", "idf_micro")), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("contrib_micro", round(
+        col("idf_micro") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / avgdl)),
+        0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+    scored.orderBy(col("score_micro").desc, col("doc_id")).limit(10)
+  }
+
+  val textBm25Sql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*)::DOUBLE AS n,
+                     (sum(dl)::DOUBLE / count(*)) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+           WHERE word IN ($terms) GROUP BY doc_id, word),
+    df AS (SELECT word, count(*) AS df,
+                  round(ln(((SELECT n FROM stats) - count(*) + 0.5)
+                    / (count(*) + 0.5) + 1.0) * 1e6, 0)::BIGINT AS idf_micro
+           FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             round(idf_micro * (tf * ($Bm25K1 + 1.0)) /
+               (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl
+                 / (SELECT avgdl FROM stats))), 0)::BIGINT AS contrib_micro
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id))
+    SELECT doc_id, sum(contrib_micro)::BIGINT AS score_micro,
+           count(*) AS n_terms
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 10"""
+  }
+
+  /** T7: repetition signals (the Gopher repetition filters' shape):
+    * duplicate-word fraction and the most-frequent-bigram share per
+    * document. All per-doc arithmetic — partitions by doc_id, pipelines
+    * in codegen, one small agg for the bigram mode.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val perDoc = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    val bigrams = base.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("bg"))
+    val topBg = bigrams.groupBy(col("doc_id"), col("n_words"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(max(col("c")).as("top_bg"))
+      .withColumn("top_bigram_frac",
+        round(col("top_bg") / (col("n_words") - 1), 6))
+      .select(col("doc_id"), col("top_bg"), col("top_bigram_frac"))
+    perDoc.join(topBg, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct") / col("n_words"), 6)
+          .as("dup_word_frac"),
+        col("top_bg"), col("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String = """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    perdoc AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct
+      FROM base),
+    bigrams AS (
+      SELECT doc_id, len(w) AS n_words, w[i] || ' ' || w[i+1] AS bg
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM base)),
+    topbg AS (
+      SELECT doc_id, n_words, max(c) AS top_bg FROM (
+        SELECT doc_id, n_words, bg, count(*) AS c
+        FROM bigrams GROUP BY doc_id, n_words, bg)
+      GROUP BY doc_id, n_words)
+    SELECT perdoc.doc_id, perdoc.n_words,
+           round(1.0 - n_distinct / perdoc.n_words, 6) AS dup_word_frac,
+           top_bg, round(top_bg / (perdoc.n_words - 1), 6) AS top_bigram_frac
+    FROM perdoc JOIN topbg USING (doc_id)
+    ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> (textBm25 _),
+    "text_repetition" -> (textRepetition _),
     "text_lang_id" -> (textLangId _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -214,6 +341,8 @@ object TextQueries {
     "text_ngram_stats" -> (textNgramStats _))
 
   def oracles: Map[String, String] = Map(
+    "text_bm25" -> textBm25Sql,
+    "text_repetition" -> textRepetitionSql,
     "text_lang_id" -> textLangIdSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,

@@ -65,6 +65,19 @@ class DedupSpec extends AnyFunSuite {
       s"missed: ${within3 -- got}, extra: ${got -- within3}")
   }
 
+  test("span dedup: cross-doc spans only, and planted near-dups share " +
+    "identical 10-word windows") {
+    val rows = DedupQueries.dedupSpans(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2L) // n_docs
+      assert(r.getLong(2) >= r.getLong(1)) // occurrences >= docs
+    }
+    // the planted jaccard near-dups differ in only a few words, so at
+    // least one pair must share an exact 10-word window
+    assert(rows.map(_.getLong(1)).max >= 2L)
+  }
+
   test("exact dedup groups the event payloads") {
     val rows = DedupQueries.dedupExact(spark, dir).collect()
     assert(rows.length === 100) // 100 distinct payloads at sf0.01

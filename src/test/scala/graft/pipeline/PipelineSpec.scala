@@ -93,6 +93,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length > 100)
   }
 
+  test("PII scrub: every digit run redacted, rewrite verified by hash") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.piiScrub(spark, dir).collect()
+    assert(rows.length === 10000)
+    // the props payloads embed numbers; every row must flag >=1 run
+    assert(rows.forall(_.getLong(2) >= 1L))
+    assert(rows.forall(_.getLong(1) === 0L)) // no emails in this corpus
+    // re-derive one redaction by hand and match the emitted md5
+    val sample = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("props")).limit(5).collect()
+    val got = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    sample.foreach { r =>
+      val redacted = r.getString(1)
+        .replaceAll(PipelineQueries.EmailRe, "<EMAIL>")
+        .replaceAll(PipelineQueries.NumRe, "<NUM>")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(redacted.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(r.getLong(0)) === md5)
+    }
+  }
+
   test("decontam plan broadcasts the benchmark shingle set") {
     val plan = PipelineQueries.textDecontam(spark, dir)
       .queryExecution.executedPlan.toString

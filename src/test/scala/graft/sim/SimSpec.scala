@@ -162,6 +162,24 @@ class SimSpec extends AnyFunSuite {
     res.foreach(r => assert(r.getInt(2) === qCluster(r.getLong(0))))
   }
 
+  test("SQ8: codes are 8-bit, reconstruction error beats PQ by orders") {
+    val rows = SimQueries.sq8Quantize(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val codes = r.getString(1).split("-").map(_.toLong)
+      assert(codes.length === 64)
+      assert(codes.forall(c => c >= 0L && c <= 255L))
+      assert(r.getDouble(2) >= 0.0)
+    }
+    // 8 bits per DIMENSION (SQ8) vs 2 codes per VECTOR (PQ): mean
+    // squared reconstruction error must be far smaller
+    val sq8Err = rows.map(_.getDouble(2)).sum / rows.length
+    val pqErr = SimQueries.pqQuantize(spark, dir).collect()
+      .map(_.getDouble(3)).sum / 500
+    assert(sq8Err < pqErr / 100.0,
+      s"sq8 mean err $sq8Err not << pq mean err $pqErr")
+  }
+
   test("PQ: codes in range; per-subspace split dominates one full codebook") {
     import org.apache.spark.sql.functions._
     val rows = SimQueries.pqQuantize(spark, dir).collect()

@@ -41,6 +41,31 @@ class TextSpec extends AnyFunSuite {
     assert(df.filter(col("bpe_est") < col("ws_tokens")).count() === 0)
   }
 
+  test("BM25: top-10 ranked by quantized score; idf orders rare above common") {
+    val rows = TextQueries.textBm25(spark, dir).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getLong(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0L))
+    // every winner matched at least one of the query terms
+    assert(rows.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 3L))
+  }
+
+  test("repetition signals stay in [0,1]; small-vocab corpus reads as " +
+    "repetitive") {
+    val rows = TextQueries.textRepetition(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      // top bigram can repeat at most every other position
+      assert(r.getLong(3) <= (r.getLong(1) + 1) / 2)
+    }
+    // ~30-word vocabulary over 25-80-word docs: duplicate-word fraction
+    // must read high — the signal a Gopher-style filter thresholds on
+    assert(rows.map(_.getDouble(2)).max > 0.5)
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
