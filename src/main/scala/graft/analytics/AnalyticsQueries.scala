@@ -1321,6 +1321,102 @@ object AnalyticsQueries {
                         AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
     GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
 
+  /** A41: sliding-window moving average — a 7-row centered frame per
+    * event-type daily series. Frames partition by the series key, so
+    * every series windows independently in parallel; the daily rollup
+    * before the window keeps frame rows tiny (days, not events).
+    */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    daily
+      .withColumn("ma7", round(avg(col("n")).over(w), 6))
+      .withColumn("frame_n", count(lit(1)).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qMovingAvgSql: String = """
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, n,
+           round(avg(n) OVER w, 6) AS ma7,
+           count(*) OVER w AS frame_n
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ORDER BY event_type, day"""
+
+  /** A42: lead/lag deltas — per-user inter-event gaps, then the gap
+    * distribution per event type. The lag window partitions by user
+    * (parallel across keys); the distribution agg is a second small
+    * shuffle.
+    */
+  def qLagDelta(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      // gaps stay integer microseconds end to end: the mean is exact
+      // BIGINT division, immune to double-summation-order boundaries
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("sum(gap_us) div count(1)").as("mean_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val qLagDeltaSql: String = """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type, count(*) AS n_gaps,
+           (sum(gap_us)::BIGINT // count(*)) AS mean_gap_us,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** A43: first-touch attribution — each user's first event (by time)
+    * claims all their subsequent value; one window pass tags the first
+    * touch, one aggregate attributes. first_value frames degenerate to
+    * running min-by, so no full-partition materialization.
+    */
+  def qFirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("first_type", first(col("event_type")).over(byUser))
+      .groupBy(col("first_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("first_type"))
+  }
+
+  val qFirstTouchSql: String = """
+    WITH tagged AS (
+      SELECT user_id, value,
+             first_value(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_type
+      FROM events)
+    SELECT first_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           round(sum(value), 2) AS attributed_value
+    FROM tagged GROUP BY first_type ORDER BY first_type"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -1338,6 +1434,9 @@ object AnalyticsQueries {
     "q12_ship_delay" -> (q12ShipDelay _),
     "q15_top_supplier" -> (q15TopSupplier _),
     "q21_late_suppliers" -> (q21LateSuppliers _),
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_lag_delta" -> (qLagDelta _),
+    "q_first_touch" -> (qFirstTouch _),
     "q_sessionize" -> (qSessionize _),
     "q_asof_join" -> (qAsofJoin _),
     "q_range_join" -> (qRangeJoin _),
@@ -1380,6 +1479,9 @@ object AnalyticsQueries {
     "q12_ship_delay" -> q12ShipDelaySql,
     "q15_top_supplier" -> q15TopSupplierSql,
     "q21_late_suppliers" -> q21LateSuppliersSql,
+    "q_moving_avg" -> qMovingAvgSql,
+    "q_lag_delta" -> qLagDeltaSql,
+    "q_first_touch" -> qFirstTouchSql,
     "q_sessionize" -> qSessionizeSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_range_join" -> qRangeJoinSql,
