@@ -820,6 +820,111 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S6b: multi-probe IVF-PQ serving — the nprobe knob on the combined
+    * path. The ADC LUTs are cluster-independent when PQ encodes raw
+    * vectors (by_residual=false), so multi-probe only widens the
+    * coarse-prune equi-join to the query's top-p lists; scoring is
+    * unchanged. (The RESIDUAL variant S7 needs one LUT per probed list
+    * — the query's residual is against each list's centroid — which
+    * multiplies LUT build cost by p but not the plan shape; kept
+    * single-probe here, as faiss does by default for by_residual
+    * serving cost reasons.)
+    */
+  def knnIvfPqProbe(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = vecs(s, dir)
+    val cents: Seq[(Int, Seq[Double])] = centroids(e)
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val best = array_max(array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(-lbl).as("neg_label"))
+    }: _*))
+    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    val db = e.select(col("vec_id"),
+        (best.getField("neg_label") * lit(-1)).as("cluster"))
+      .join(codes, Seq("vec_id"))
+    // top-p probe lists per query: same comparator-sorted literal
+    // slice+explode as knn_ivf_probe — a narrow map, no new shuffle
+    val scoredCents = array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(lbl).as("label"))
+    }: _*)
+    val q = e.filter(col("vec_id") < NumQueries)
+      .withColumn("parr", scoredCents)
+      .withColumn("psorted", expr(
+        """array_sort(parr, (l, r) -> CASE
+             WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
+             WHEN l.label < r.label THEN -1 WHEN l.label > r.label THEN 1
+             ELSE 0 END)"""))
+      .select(col("vec_id").as("q_id"),
+        explode(slice(col("psorted"), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("p.label").as("cluster"))
+    val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    q.join(db, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut0), Seq("q_id", "code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfPqProbeSql: String = s"""
+    WITH ${pqCoreSql("vn")},
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    db AS (SELECT assigned.vec_id, cluster, code0, code1
+           FROM assigned JOIN codes USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    qc AS (
+      SELECT vec_id AS q_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT qc.q_id, db.vec_id AS neighbor, db.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM qc JOIN db USING (cluster)
+      JOIN lut0 ON lut0.q_id = qc.q_id AND lut0.code0 = db.code0
+      JOIN lut1 ON lut1.q_id = qc.q_id AND lut1.code1 = db.code1
+      WHERE db.vec_id != qc.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   /** S8: scalar quantization (SQ8) — the OTHER compression scheme real
     * vector stores ship beside PQ (faiss SQ8): each dimension
     * independently affine-mapped to an 8-bit code against per-dimension
@@ -899,6 +1004,7 @@ object SimQueries {
     "sq8_quantize" -> (sq8Quantize _),
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _))
 
   def oracles: Map[String, String] = Map(
@@ -911,5 +1017,6 @@ object SimQueries {
     "sq8_quantize" -> sq8QuantizeSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
+    "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql)
 }

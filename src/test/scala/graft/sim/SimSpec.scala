@@ -162,6 +162,22 @@ class SimSpec extends AnyFunSuite {
     res.foreach(r => assert(r.getInt(2) === qCluster(r.getLong(0))))
   }
 
+  test("multi-probe IVF-PQ: probe-1 degenerates to knn_ivfpq; probe-3 " +
+    "per-rank ADC dominates") {
+    val p1 = SimQueries.knnIvfPqProbe(spark, dir, nprobe = 1)
+    val base = SimQueries.knnIvfPq(spark, dir)
+    assert(p1.collect().map(_.toSeq).toSeq === base.collect().map(_.toSeq).toSeq)
+    // widening to 3 lists can only find equal-or-closer candidates
+    def byRank(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        ((r.getLong(0), r.getInt(4)), r.getDouble(3))).toMap
+    val a1 = byRank(p1)
+    val a3 = byRank(SimQueries.knnIvfPqProbe(spark, dir))
+    a1.foreach { case (key, adc1) =>
+      assert(a3(key) <= adc1, s"$key: probe-3 adc ${a3(key)} > probe-1 $adc1")
+    }
+  }
+
   test("SQ8: codes are 8-bit, reconstruction error beats PQ by orders") {
     val rows = SimQueries.sq8Quantize(spark, dir).collect()
     assert(rows.length === 500)
