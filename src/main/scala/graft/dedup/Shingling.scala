@@ -57,16 +57,30 @@ object Shingling {
     */
   val MaxShingleDf = 100L
 
-  /** The df-capped shingle index: one window shuffle on `shingle`
-    * (linear in the hot key — counting, not pairing), partitioning the
-    * downstream self-join can reuse.
+  /** The df-capped shingle index. Stop-shingles (df > maxDf) are by
+    * construction FEW — each one needs > maxDf documents — so the cap
+    * is a broadcast ANTI-join against the tiny stop set: the df
+    * aggregate ships map-side-combined counts (one row per distinct
+    * shingle per task), the stop list is kilobytes however large the
+    * corpus, and the full (doc, shingle) stream is never sorted or
+    * re-shuffled just to be filtered. (A window count over `shingle`
+    * does the same job with a full shuffle + sort of the index — the
+    * shape this replaced.)
     */
   def cappedShingles(sh: DataFrame,
-                     maxDf: Long = MaxShingleDf): DataFrame =
-    sh.withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxDf)
-      .drop("df")
+                     maxDf: Long = MaxShingleDf): DataFrame = {
+    // persist the index once: the stop aggregate and the anti-join (and
+    // the self-join both sides downstream) all read it — without this
+    // the shingle explode recomputes per consumer. MEMORY_AND_DISK is
+    // what a corpus-scale pipeline does with its inverted index too
+    // (or materializes it out); spill, don't recompute.
+    val indexed = sh.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stop = indexed.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("shingle"))
+    indexed.join(broadcast(stop), Seq("shingle"), "left_anti")
+  }
 
   /** `doc_id, shingle` — word 3-grams per document (distinct per doc
     * by default; `distinctPerDoc = false` keeps multiplicity for

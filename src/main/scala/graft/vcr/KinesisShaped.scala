@@ -187,7 +187,8 @@ final class FakeKinesis extends KinesisEndpoint {
       e.data.length.toLong + e.partitionKey.length).sum <= KinesisLimits.MaxBytesPerRequest,
       s"ValidationException: request exceeds ${KinesisLimits.MaxBytesPerRequest} bytes")
     PutRecordsResponse(entries.map { e =>
-      val n = attempts.updateWith(e.partitionKey)(c => Some(c.getOrElse(0) + 1)).get
+      val n = attempts.updateWith(s"$stream$Sep${e.partitionKey}")(
+        c => Some(c.getOrElse(0) + 1)).get
       failureHook(e, n) match {
         case Some(code) =>
           PutRecordsResultEntry(None, None, Some(code), Some(s"injected: $code"))
@@ -276,8 +277,12 @@ final class FakeKinesis extends KinesisEndpoint {
   def allRecords(stream: String): IndexedSeq[StoredRecord] = synchronized {
     streams(stream).shards.flatMap(_.records).toIndexedSeq
   }
-  def attemptCount(partitionKey: String): Int = synchronized {
-    attempts.getOrElse(partitionKey, 0)
+  /** Put attempts for a key on one stream — counters are per
+    * (stream, key), so identical keys on different streams don't
+    * conflate.
+    */
+  def attemptCount(stream: String, partitionKey: String): Int = synchronized {
+    attempts.getOrElse(s"$stream$Sep$partitionKey", 0)
   }
 }
 

@@ -107,6 +107,14 @@ class PlanSpec extends AnyFunSuite {
     assert(salts > 1, s"hot key landed on $salts salt(s)")
   }
 
+  test("hot-shingle cap is a broadcast anti-join, not an index-wide window") {
+    // the stop set (df > maxDf) is tiny by construction, so the cap
+    // must broadcast it — a window count would shuffle AND sort the
+    // whole inverted index just to filter it
+    val p = plan("dedup_jaccard")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("approx_count_distinct (HLL++) lands within its error bound") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")

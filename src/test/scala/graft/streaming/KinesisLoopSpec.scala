@@ -100,7 +100,7 @@ class KinesisLoopSpec extends AnyFunSuite {
     // needed exactly 2 attempts (throttled once, accepted once)
     got.foreach { r =>
       assert(r.partitionKey === PartitionKeys.forPayload(r.data))
-      assert(ep.attemptCount(r.partitionKey) === 2)
+      assert(ep.attemptCount("target", r.partitionKey) === 2)
     }
     // closed shards serve no replay writes
     assert(ep.shardsOf("target").filter(!_.open).forall(_.records.isEmpty))

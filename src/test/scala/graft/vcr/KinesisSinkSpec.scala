@@ -84,7 +84,7 @@ class KinesisSinkSpec extends AnyFunSuite {
     // failed records were attempted twice; accepted ones exactly once
     got.foreach { r =>
       val expected = if (r.partitionKey.head < '4') 2 else 1
-      assert(ep.attemptCount(r.partitionKey) === expected,
+      assert(ep.attemptCount("target", r.partitionKey) === expected,
         s"key ${r.partitionKey}")
     }
     FakeKinesisRegistry.remove("ep-partial")
