@@ -49,11 +49,17 @@ class KinesisShapedSource extends TableProvider with DataSourceRegister {
     KinesisShapedTable.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // properties carry the caller's ORIGINAL key casing
+    // (asCaseSensitiveMap) — a bare lowercase get() would silently
+    // miss "maxBytesPerTrigger" and drop the admission limit
+    val opts = new CaseInsensitiveStringMap(properties)
     new KinesisShapedTable(
-      properties.get("endpoint"),
-      properties.get("stream"),
-      Option(properties.get("maxrecordspertrigger")).map(_.toInt).getOrElse(0))
+      opts.get("endpoint"),
+      opts.get("stream"),
+      opts.getInt("maxrecordspertrigger", 0),
+      opts.getLong("maxbytespertrigger", 0L))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -71,7 +77,8 @@ object KinesisShapedTable {
 }
 
 class KinesisShapedTable(endpointName: String, stream: String,
-                         maxRecordsPerTrigger: Int)
+                         maxRecordsPerTrigger: Int,
+                         maxBytesPerTrigger: Long = 0L)
   extends Table with SupportsRead {
   require(endpointName != null, "kinesis-shaped requires option 'endpoint'")
   require(stream != null, "kinesis-shaped requires option 'stream'")
@@ -86,7 +93,7 @@ class KinesisShapedTable(endpointName: String, stream: String,
       override def readSchema(): StructType = KinesisShapedTable.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new KinesisShapedMicroBatchStream(endpointName, stream,
-          maxRecordsPerTrigger)
+          maxRecordsPerTrigger, maxBytesPerTrigger)
       override def description(): String =
         s"KinesisShapedScan endpoint=$endpointName stream=$stream"
     }
@@ -109,7 +116,8 @@ private[sources] object ShardPositionsOffset {
 }
 
 class KinesisShapedMicroBatchStream(endpointName: String, stream: String,
-                                    maxRecordsPerTrigger: Int)
+                                    maxRecordsPerTrigger: Int,
+                                    maxBytesPerTrigger: Long = 0L)
   extends MicroBatchStream with SupportsAdmissionControl {
 
   private def endpoint: KinesisEndpoint =
@@ -139,13 +147,20 @@ class KinesisShapedMicroBatchStream(endpointName: String, stream: String,
   /** Advance each shard's position by polling GetRecords from its last
     * committed sequence number — a positional (non-destructive) read,
     * so the executor-side re-read of the same range is exact. The
-    * per-shard cap implements ReadMaxRows admission.
+    * per-shard record cap implements ReadMaxRows admission; the
+    * per-shard BYTE cap (`maxBytesPerTrigger`) is the reference's
+    * buffer-size flush knob (VCR_BUFFER_SIZE_BYTES,
+    * VcrConfiguration.java:13-16): each micro-batch admits records
+    * until the buffer would overflow — always ≥1 for progress — so one
+    * trigger ≅ one flushed recorder buffer per shard.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cap = limit match {
       case m: ReadMaxRows => m.maxRows().toInt
       case _ => Int.MaxValue
     }
+    val byteCap = if (maxBytesPerTrigger > 0) maxBytesPerTrigger
+      else Long.MaxValue
     val ep = endpoint
     val positions = start.asInstanceOf[ShardPositionsOffset].positions
     val advanced = positions.map { case (shardId, last) =>
@@ -153,14 +168,26 @@ class KinesisShapedMicroBatchStream(endpointName: String, stream: String,
         ep, stream, shardId, last))
       var newest = last
       var remaining = cap
-      while (it.isDefined && remaining > 0) {
+      var bytesUsed = 0L
+      var admitted = 0
+      while (it.isDefined && remaining > 0 && bytesUsed < byteCap) {
         val resp = KinesisShards.getRecordsWithRetry(ep, it.get,
           math.min(remaining, KinesisShards.MaxPerCall))
         if (resp.records.isEmpty) it = None
         else {
-          newest = resp.records.last.sequenceNumber
-          remaining -= resp.records.size
-          it = resp.nextShardIterator
+          var i = 0
+          var full = false
+          while (i < resp.records.size && remaining > 0 && !full) {
+            val r = resp.records(i)
+            if (admitted == 0 || bytesUsed + r.data.length <= byteCap) {
+              newest = r.sequenceNumber
+              bytesUsed += r.data.length
+              admitted += 1
+              remaining -= 1
+              i += 1
+            } else full = true
+          }
+          it = if (full) None else resp.nextShardIterator
         }
       }
       shardId -> newest

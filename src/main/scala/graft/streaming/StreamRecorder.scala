@@ -47,12 +47,14 @@ object StreamRecorder {
   def recordFromKinesis(spark: SparkSession, endpointName: String,
                         sourceStream: String, root: String,
                         checkpoint: String,
-                        maxRecordsPerTrigger: Int = 0): StreamingQuery =
+                        maxRecordsPerTrigger: Int = 0,
+                        maxBytesPerTrigger: Long = 0L): StreamingQuery =
     record(
       spark.readStream.format("kinesis-shaped")
         .option("endpoint", endpointName)
         .option("stream", sourceStream)
         .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+        .option("maxBytesPerTrigger", maxBytesPerTrigger)
         .load()
         .select(col(Tape.DataCol), col(Tape.SeqCol), col(Tape.TsCol)),
       root, sourceStream, checkpoint)

@@ -47,9 +47,11 @@ object VcrCli {
             // Kinesis-shaped endpoint until caught up (the KCL consumer,
             // KinesisRecorder.java:23-47); the checkpoint under the tape
             // root is the lease table — rerunning `record` appends only
-            // what arrived since.
+            // what arrived since. VCR_BUFFER_SIZE_BYTES bounds each
+            // micro-batch (≅ one flushed recorder buffer per shard).
             val q = graft.streaming.StreamRecorder.recordFromKinesis(
-              spark, ep, stream, root, s"$root/.checkpoints/$stream")
+              spark, ep, stream, root, s"$root/.checkpoints/$stream",
+              maxBytesPerTrigger = config.bufferSizeBytes)
             q.processAllAvailable()
             q.stop()
             val n = spark.read.format("tape").load(s"$root/$stream").count()

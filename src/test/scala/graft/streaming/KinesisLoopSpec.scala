@@ -56,6 +56,9 @@ class KinesisLoopSpec extends AnyFunSuite {
     val q = StreamRecorder.recordFromKinesis(spark, epName, "source",
       root, ckpt, maxRecordsPerTrigger = 50)
     q.processAllAvailable()
+    // 137 records / (50-per-shard × 2 shards) ⇒ the cap forces >1
+    // micro-batch (pins that ReadMaxRows admission really applies)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
     q.stop()
 
     def tapedPayloads(): Seq[String] =
@@ -104,6 +107,41 @@ class KinesisLoopSpec extends AnyFunSuite {
     }
     // closed shards serve no replay writes
     assert(ep.shardsOf("target").filter(!_.open).forall(_.records.isEmpty))
+    FakeKinesisRegistry.remove(epName)
+  }
+
+  test("consume-side byte admission: each trigger is one bounded " +
+    "recorder buffer (VCR_BUFFER_SIZE_BYTES semantics)") {
+    val epName = s"bytes-${java.util.UUID.randomUUID()}"
+    val ep = FakeKinesisRegistry.create(epName)
+    ep.createStream("s", openShards = 1)
+    ep.clock = () => 1709632800000L
+    // 10 records x 1000 bytes; budget 2500 => 2 records per trigger
+    // (3rd would overflow), so 5 non-empty triggers drain the stream
+    ep.putRecords("s", (1 to 10).map(i =>
+      PutRecordsEntry(s"k$i", Array.fill(1000)('x'.toByte))).toIndexedSeq)
+    val stream = spark.readStream.format("kinesis-shaped")
+      .option("endpoint", epName).option("stream", "s")
+      .option("maxBytesPerTrigger", 2500L)
+      .load()
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("bytecap").start()
+    q.processAllAvailable()
+    val perTrigger = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    q.stop()
+    assert(perTrigger === Seq.fill(5)(2L),
+      s"per-trigger rows $perTrigger != five 2-record buffers")
+    assert(spark.table("bytecap").count() === 10)
+
+    // an oversized record still makes progress (always >= 1 admitted)
+    ep.putRecords("s", IndexedSeq(
+      PutRecordsEntry("big", Array.fill(5000)('y'.toByte)),
+      PutRecordsEntry("tail", Array.fill(100)('z'.toByte))))
+    val q2 = stream.writeStream.outputMode("append")
+      .format("memory").queryName("bytecap2").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("bytecap2").count() === 12)
     FakeKinesisRegistry.remove(epName)
   }
 
