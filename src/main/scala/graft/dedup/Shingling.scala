@@ -73,7 +73,11 @@ object Shingling {
     // the self-join both sides downstream) all read it — without this
     // the shingle explode recomputes per consumer. MEMORY_AND_DISK is
     // what a corpus-scale pipeline does with its inverted index too
-    // (or materializes it out); spill, don't recompute.
+    // (or materializes it out); spill, don't recompute. Repeat
+    // invocations over the same corpus re-persist the SAME canonical
+    // plan, which Spark's CacheManager dedupes to the one existing
+    // entry (the "already cached" warning) — storage holds one copy
+    // per distinct corpus, LRU-evicted, not one per call.
     val indexed = sh.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stop = indexed.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

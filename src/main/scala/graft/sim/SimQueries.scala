@@ -2,7 +2,7 @@ package graft.sim
 
 import graft.Tables
 import graft.functions.VectorFunctions.{dot, normalize}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,30 +131,61 @@ object SimQueries {
               GROUP BY label, i)
         GROUP BY label))"""
 
-  /** S2: IVF-style ANN — vectors inverted-listed under their nearest
-    * centroid (deterministic codebook: the per-label means; production
-    * would train k-means offline the same shape), queries probe one
-    * list. Candidate generation is an equi-join on the cluster id.
-    *
-    * The codebook is bounded (k centroids), so it is collected once —
-    * a broadcast-table build — and the nearest-centroid assignment is
-    * a single codegen'd `array_max` over per-centroid (cos, label)
-    * structs: no join, no window, no shuffle for the n×k step. Struct
-    * max is lexicographic, so storing -label picks the SMALLEST label
-    * on a cosine tie, matching the oracle's ORDER BY ccos DESC, label.
+  /** The label-mean codebook, collected once per query build — a
+    * bounded (k-row) broadcast-table build shared by every IVF-family
+    * query.
     */
-  def knnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cents: Seq[(Int, Seq[Double])] = centroids(e)
+  private def collectCents(e: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids(e)
       .select(col("label"), col("cvn")).collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
       .sortBy(_._1)
+
+  /** Nearest-centroid id as a single codegen'd `array_max` over
+    * per-centroid (cos, -label) structs: no join, no window, no shuffle
+    * for the n×k step. Struct max is lexicographic, so storing -label
+    * picks the SMALLEST label on a cosine tie, matching the oracle's
+    * ORDER BY ccos DESC, label.
+    */
+  private def bestClusterCol(cents: Seq[(Int, Seq[Double])]): Column = {
     val best = array_max(array(cents.map { case (lbl, cvn) =>
       struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
         lit(-lbl).as("neg_label"))
     }: _*))
+    best.getField("neg_label") * lit(-1)
+  }
+
+  /** The row's top-`nprobe` centroid labels, ordered ccos DESC then
+    * label ASC via a comparator lambda (avoids negating doubles, which
+    * would diverge from the oracle on a -0.0) — explode the returned
+    * array for one (row, probe-cluster) pair per probe. A narrow map
+    * over the same literal centroid array the assignment uses.
+    */
+  private def topProbesCol(cents: Seq[(Int, Seq[Double])],
+      nprobe: Int): Column = {
+    val scoredCents = array(cents.map { case (lbl, cvn) =>
+      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
+        lit(lbl).as("label"))
+    }: _*)
+    val sorted = array_sort(scoredCents, (l, r) =>
+      when(l.getField("ccos") > r.getField("ccos"), -1)
+        .when(l.getField("ccos") < r.getField("ccos"), 1)
+        .when(l.getField("label") < r.getField("label"), -1)
+        .when(l.getField("label") > r.getField("label"), 1)
+        .otherwise(0))
+    slice(sorted, 1, nprobe)
+  }
+
+  /** S2: IVF-style ANN — vectors inverted-listed under their nearest
+    * centroid (deterministic codebook: the per-label means; production
+    * would train k-means offline the same shape), queries probe one
+    * list. Candidate generation is an equi-join on the cluster id.
+    */
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
     val assign = e.select(col("vec_id"), col("vn"),
-      (best.getField("neg_label") * lit(-1)).as("cluster"))
+      bestClusterCol(cents).as("cluster"))
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
     val scored = q.join(assign, Seq("cluster"))
@@ -295,32 +326,12 @@ object SimQueries {
   def knnIvfProbe(s: SparkSession, dir: String,
       nprobe: Int = NProbe): DataFrame = {
     val e = vecs(s, dir)
-    val cents: Seq[(Int, Seq[Double])] = centroids(e)
-      .select(col("label"), col("cvn")).collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
-      .sortBy(_._1)
-    val best = array_max(array(cents.map { case (lbl, cvn) =>
-      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
-        lit(-lbl).as("neg_label"))
-    }: _*))
+    val cents = collectCents(e)
     val assign = e.select(col("vec_id"), col("vn"),
-      (best.getField("neg_label") * lit(-1)).as("cluster"))
-    // per-centroid (ccos, label) structs, ordered ccos DESC then label
-    // ASC via a comparator lambda (avoids negating doubles, which would
-    // diverge from the oracle on a -0.0); top-p sliced then exploded.
-    val scoredCents = array(cents.map { case (lbl, cvn) =>
-      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
-        lit(lbl).as("label"))
-    }: _*)
+      bestClusterCol(cents).as("cluster"))
     val q = e.filter(col("vec_id") < NumQueries)
-      .withColumn("parr", scoredCents)
-      .withColumn("psorted", expr(
-        """array_sort(parr, (l, r) -> CASE
-             WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
-             WHEN l.label < r.label THEN -1 WHEN l.label > r.label THEN 1
-             ELSE 0 END)"""))
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
-        explode(slice(col("psorted"), 1, nprobe)).as("p"))
+        explode(topProbesCol(cents, nprobe)).as("p"))
       .select(col("q_id"), col("qvn"), col("p.label").as("cluster"))
     val scored = q.join(assign, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -616,21 +627,14 @@ object SimQueries {
     */
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
-    val cents: Seq[(Int, Seq[Double])] = centroids(e)
-      .select(col("label"), col("cvn")).collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
-      .sortBy(_._1)
-    val best = array_max(array(cents.map { case (lbl, cvn) =>
-      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
-        lit(-lbl).as("neg_label"))
-    }: _*))
+    val cents = collectCents(e)
     val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
     val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
       .withColumn("a1", pqAssignment("s1", cb1))
       .select(col("vec_id"),
         col("a0.code").as("code0"), col("a1.code").as("code1"))
     val db = e.select(col("vec_id"),
-        (best.getField("neg_label") * lit(-1)).as("cluster"))
+        bestClusterCol(cents).as("cluster"))
       .join(codes, Seq("vec_id"))
     val q = db.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("cluster"))
@@ -700,17 +704,10 @@ object SimQueries {
   def knnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val cents: Seq[(Int, Seq[Double])] = centroids(e)
-      .select(col("label"), col("cvn")).collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
-      .sortBy(_._1)
-    val best = array_max(array(cents.map { case (lbl, cvn) =>
-      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
-        lit(-lbl).as("neg_label"))
-    }: _*))
+    val cents = collectCents(e)
     val centDf = cents.toDF("cluster", "cvec")
     val sub = e.select(col("vec_id"), col("label"), col("vn"),
-        (best.getField("neg_label") * lit(-1)).as("cluster"))
+        bestClusterCol(cents).as("cluster"))
       .join(broadcast(centDf), Seq("cluster"))
       .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
       .select(col("vec_id"), col("label"), col("cluster"),
@@ -833,37 +830,20 @@ object SimQueries {
   def knnIvfPqProbe(s: SparkSession, dir: String,
       nprobe: Int = NProbe): DataFrame = {
     val e = vecs(s, dir)
-    val cents: Seq[(Int, Seq[Double])] = centroids(e)
-      .select(col("label"), col("cvn")).collect().toSeq
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
-      .sortBy(_._1)
-    val best = array_max(array(cents.map { case (lbl, cvn) =>
-      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
-        lit(-lbl).as("neg_label"))
-    }: _*))
+    val cents = collectCents(e)
     val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
     val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
       .withColumn("a1", pqAssignment("s1", cb1))
       .select(col("vec_id"),
         col("a0.code").as("code0"), col("a1.code").as("code1"))
     val db = e.select(col("vec_id"),
-        (best.getField("neg_label") * lit(-1)).as("cluster"))
+        bestClusterCol(cents).as("cluster"))
       .join(codes, Seq("vec_id"))
-    // top-p probe lists per query: same comparator-sorted literal
-    // slice+explode as knn_ivf_probe — a narrow map, no new shuffle
-    val scoredCents = array(cents.map { case (lbl, cvn) =>
-      struct(round(dot(col("vn"), typedLit(cvn)), 6).as("ccos"),
-        lit(lbl).as("label"))
-    }: _*)
+    // top-p probe lists per query: same slice+explode as knn_ivf_probe
+    // — a narrow map, no new shuffle
     val q = e.filter(col("vec_id") < NumQueries)
-      .withColumn("parr", scoredCents)
-      .withColumn("psorted", expr(
-        """array_sort(parr, (l, r) -> CASE
-             WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1
-             WHEN l.label < r.label THEN -1 WHEN l.label > r.label THEN 1
-             ELSE 0 END)"""))
       .select(col("vec_id").as("q_id"),
-        explode(slice(col("psorted"), 1, nprobe)).as("p"))
+        explode(topProbesCol(cents, nprobe)).as("p"))
       .select(col("q_id"), col("p.label").as("cluster"))
     val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
     val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
@@ -951,9 +931,14 @@ object SimQueries {
     val mnLit = typedLit(dimStats.map(_._2))
     val rngLit = typedLit(dimStats.map(t =>
       if (t._3 > t._2) t._3 - t._2 else 1.0))
+    // clamp to [0, 255]: min/max are 6dp-ROUNDED, so a near-constant
+    // dimension (range < ~2.5e-4) can put the true extreme past the
+    // rounded one and the unclamped code at -1/256 — the 8-bit
+    // invariant must hold by construction, not by data
     val codes = transform(col("v"), (x, idx) =>
-      floor((x - element_at(mnLit, idx + 1)) / element_at(rngLit, idx + 1)
-        * 255.0 + 0.5).cast("long"))
+      greatest(lit(0L), least(lit(255L),
+        floor((x - element_at(mnLit, idx + 1)) / element_at(rngLit, idx + 1)
+          * 255.0 + 0.5).cast("long"))))
     val recon = transform(col("codes"), (c, idx) =>
       element_at(mnLit, idx + 1) +
         c.cast("double") / 255.0 * element_at(rngLit, idx + 1))
@@ -981,7 +966,8 @@ object SimQueries {
     q AS (
       SELECT vec_id, v, mns, rngs,
              list_transform(range(1, 1 + len(v)),
-               i -> floor((v[i] - mns[i]) / rngs[i] * 255.0 + 0.5)::BIGINT)
+               i -> greatest(0, least(255,
+                 floor((v[i] - mns[i]) / rngs[i] * 255.0 + 0.5)::BIGINT)))
                AS codes
       FROM e, stats)
     SELECT vec_id, array_to_string(codes, '-') AS code_str,

@@ -221,6 +221,26 @@ private[sources] object KinesisShards {
   val MaxPerCall = 10000 // the service's GetRecords Limit ceiling
   val RetryTimeoutMillis = 30000L
 
+  /** Sequence numbers are decimal STRINGS of arbitrary width (the real
+    * service emits ~56-digit values) — order them numerically, never
+    * lexicographically ("100" < "99" as strings would truncate a
+    * committed batch mid-range).
+    */
+  def seqLeq(a: String, b: String): Boolean = BigInt(a) <= BigInt(b)
+
+  /** The tape's `seq` column is BIGINT; service sequence numbers can
+    * exceed it. Fail loudly rather than overflow — an SDK-backed
+    * adapter at this seam remaps service sequence numbers to compact
+    * per-shard longs before they reach the tape.
+    */
+  def seqAsLong(seq: String): Long = {
+    val b = BigInt(seq)
+    require(b.isValidLong, s"sequence number $seq exceeds the tape's " +
+      "BIGINT seq column; the endpoint adapter must remap service " +
+      "sequence numbers to compact per-shard longs")
+    b.toLong
+  }
+
   def iteratorAfter(ep: KinesisEndpoint, stream: String, shardId: String,
                     last: String): String =
     if (last.isEmpty)
@@ -261,8 +281,10 @@ class KinesisShardReaderFactory extends PartitionReaderFactory {
           val resp = KinesisShards.getRecordsWithRetry(ep, it.get,
             KinesisShards.MaxPerCall)
           // the batch's bound: records past untilSeq belong to later
-          // micro-batches (sequence numbers are monotonic per shard)
-          val inRange = resp.records.takeWhile(_.sequenceNumber <= p.untilSeq)
+          // micro-batches (sequence numbers are monotonic per shard;
+          // compared numerically — see KinesisShards.seqLeq)
+          val inRange = resp.records.takeWhile(r =>
+            KinesisShards.seqLeq(r.sequenceNumber, p.untilSeq))
           buf ++= inRange
           done = inRange.size < resp.records.size || resp.records.isEmpty
           it = resp.nextShardIterator
@@ -274,7 +296,8 @@ class KinesisShardReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         new GenericInternalRow(Array[Any](
           current.data,
-          java.lang.Long.valueOf(current.sequenceNumber.toLong),
+          java.lang.Long.valueOf(KinesisShards.seqAsLong(
+            current.sequenceNumber)),
           java.lang.Long.valueOf(current.approximateArrivalMillis * 1000L),
           UTF8String.fromString(current.partitionKey)))
 

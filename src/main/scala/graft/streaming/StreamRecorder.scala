@@ -85,12 +85,21 @@ object StreamRecorder {
   /** R4 with the reference's throughput model IN the stream: the
     * per-trigger byte budget is shards × 1 MB/s × trigger seconds,
     * with the shard count discovered from the target stream's endpoint
-    * (DescribeStream open shards) — so a replay stream paced by this
-    * source drains the range in exactly the wall-clock `estimate`
-    * predicts, instead of leaving the cap to an external sink. Admission
-    * is byte-based (summed tape-file sizes per micro-batch), matching
-    * `estimate`'s Σ-object-sizes arithmetic.
+    * (DescribeStream open shards). Admission is byte-based (summed
+    * tape-file sizes per micro-batch), matching `estimate`'s
+    * Σ-object-sizes arithmetic.
+    *
+    * The budget caps bytes PER TRIGGER; the wall-clock rate follows
+    * only when triggers actually fire every `triggerSeconds` — start
+    * the query with [[shardPacedTrigger]] (a processing-time trigger of
+    * the same interval). With the default ASAP trigger, micro-batches
+    * run back-to-back and the replay outpaces the model.
     */
+  def shardPacedTrigger(triggerSeconds: Int = 1)
+  : org.apache.spark.sql.streaming.Trigger =
+    org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+      triggerSeconds * 1000L)
+
   def replayStreamShardPaced(spark: SparkSession, root: String,
                              stream: String, start: LocalDateTime,
                              end: Option[LocalDateTime],

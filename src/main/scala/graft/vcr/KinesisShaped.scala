@@ -251,7 +251,8 @@ final class FakeKinesis extends KinesisEndpoint {
       throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
       .shards.find(_.shardId == shardId).getOrElse(
         throw new NoSuchElementException(s"ResourceNotFound: shard $shardId"))
-    val n = readAttempts.updateWith(shardId)(c => Some(c.getOrElse(0) + 1)).get
+    val n = readAttempts.updateWith(s"$stream$Sep$shardId")(
+      c => Some(c.getOrElse(0) + 1)).get
     readFailureHook(shardId, n).foreach(code =>
       throw new KinesisServiceException(code))
     val taken = shard.records.slice(idx, idx + math.max(limit, 1))
@@ -271,8 +272,12 @@ final class FakeKinesis extends KinesisEndpoint {
   def shardsOf(stream: String): IndexedSeq[Shard] = synchronized {
     streams(stream).shards
   }
-  def readAttemptCount(shardId: String): Int = synchronized {
-    readAttempts.getOrElse(shardId, 0)
+  /** GetRecords attempts for one shard of one stream — like the
+    * put-side counter, keyed per (stream, shard) so identically-named
+    * shards on different streams don't conflate.
+    */
+  def readAttemptCount(stream: String, shardId: String): Int = synchronized {
+    readAttempts.getOrElse(s"$stream$Sep$shardId", 0)
   }
   def allRecords(stream: String): IndexedSeq[StoredRecord] = synchronized {
     streams(stream).shards.flatMap(_.records).toIndexedSeq

@@ -100,9 +100,16 @@ object VcrCli {
           // the target's name, then the VCR_TARGET_SHARDS override,
           // else the reference-era default of 2.
           val target = config.targetStream.get
-          val shards = config.endpoint.flatMap(FakeKinesisRegistry.get)
-            .orElse(FakeKinesisRegistry.get(target))
-            .map(_.describeStreamOpenShards(target))
+          // a CONFIGURED endpoint must resolve — estimating from the
+          // default shard count when VCR_ENDPOINT is a typo would give
+          // a confidently wrong capacity answer (record/play already
+          // fail loudly on the same misconfiguration)
+          val viaEndpoint = config.endpoint.map(ep =>
+            FakeKinesisRegistry.get(ep).getOrElse(throw new IllegalStateException(
+              s"no endpoint '$ep' registered")).describeStreamOpenShards(target))
+          val shards = viaEndpoint
+            .orElse(FakeKinesisRegistry.get(target)
+              .map(_.describeStreamOpenShards(target)))
             .orElse(sys.env.get("VCR_TARGET_SHARDS").map(_.toInt))
             .getOrElse(2)
           val est = Estimator.estimate(spark.sparkContext.hadoopConfiguration,

@@ -69,7 +69,7 @@ class KinesisLoopSpec extends AnyFunSuite {
 
     assert(tapedPayloads().sorted === firstWave.sorted)
     // the injected throttle really fired and was retried through
-    assert(ep.readAttemptCount("shardId-000000000000") >= 2)
+    assert(ep.readAttemptCount("source", "shardId-000000000000") >= 2)
 
     // KCL-lease parity: new puts + restart from the same checkpoint
     // appends exactly the new records, never re-records the old ones
