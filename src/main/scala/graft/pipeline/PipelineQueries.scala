@@ -308,8 +308,41 @@ object PipelineQueries {
              '$NumRe', '<NUM>', 'g')) AS redacted_md5
     FROM events ORDER BY event_id"""
 
+  /** P8: deterministic stratified sampling — cap each stratum (here:
+    * language) at K documents, chosen by md5 rank so the sample is
+    * reproducible and independent of partitioning/arrival order. The
+    * class-balancing step of corpus assembly: downsample the dominant
+    * language without touching rare ones. The window partitions by the
+    * stratum key, so strata rank in parallel; at corpus scale the md5
+    * order also makes the sample STABLE under re-sharding (same doc
+    * set in → same sample out), which split/mix already rely on.
+    */
+  val StratumCap = 60
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(concat(lit("strat-"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= StratumCap)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val stratifiedSampleSql: String = s"""
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5('strat-' || doc_id::VARCHAR), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= $StratumCap
+    ORDER BY lang, rk"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scrub" -> (piiScrub _),
+    "stratified_sample" -> (stratifiedSample _),
     "data_split" -> (dataSplit _),
     "text_filter_chain" -> (textFilterChain _),
     "text_decontam" -> (textDecontam _),
@@ -319,6 +352,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "pii_scrub" -> piiScrubSql,
+    "stratified_sample" -> stratifiedSampleSql,
     "data_split" -> dataSplitSql,
     "text_filter_chain" -> textFilterChainSql,
     "text_decontam" -> textDecontamSql,

@@ -359,7 +359,10 @@ class StreamingSpec extends AnyFunSuite {
     ep.createStream("target", openShards = 2)
     val stream = StreamRecorder.replayStreamShardPaced(spark, root, "s",
       LocalDateTime.parse("2024-01-01T00:00:00"), None, ep, "target")
+    // the byte budget caps bytes per trigger; the RATE follows from
+    // pairing it with the matching processing-time trigger
     val q = stream.writeStream.outputMode("append")
+      .trigger(StreamRecorder.shardPacedTrigger(1))
       .format("memory").queryName("shardpaced").start()
     q.processAllAvailable()
     val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
