@@ -77,6 +77,22 @@ object TextQueries {
     LEFT JOIN best USING (doc_id)
     ORDER BY doc_id"""
 
+  /** T8: language-ID confusion matrix — the evaluation face of T1:
+    * ground-truth label × prediction with counts. The eval loop every
+    * classifier in the curation pipeline needs; one small aggregate
+    * over T1's output.
+    */
+  def textLangConfusion(s: SparkSession, dir: String): DataFrame =
+    textLangId(s, dir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val textLangConfusionSql: String = s"""
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM ($textLangIdSql)
+    GROUP BY lang, predicted ORDER BY lang, predicted"""
+
   /** T2: quality scoring — length, token stats, stopword ratio, and a
     * composite score, all closed-form.
     */
@@ -335,6 +351,7 @@ object TextQueries {
     "text_bm25" -> (textBm25 _),
     "text_repetition" -> (textRepetition _),
     "text_lang_id" -> (textLangId _),
+    "text_lang_confusion" -> (textLangConfusion _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
@@ -344,6 +361,7 @@ object TextQueries {
     "text_bm25" -> textBm25Sql,
     "text_repetition" -> textRepetitionSql,
     "text_lang_id" -> textLangIdSql,
+    "text_lang_confusion" -> textLangConfusionSql,
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
