@@ -429,6 +429,40 @@ object DedupQueries {
     FROM spans GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2
     ORDER BY span_md5"""
 
+  /** D10: incremental-ingest dedup ledger — per arrival day: events,
+    * distinct payloads, and payloads seen for the FIRST time that day.
+    * The production question a continuously-recorded archive asks
+    * daily: "how much of today's traffic is new?". First-seen days
+    * come from one min() aggregate on the 16-byte hash (map-side
+    * combined); the day rollup is a second small aggregate — no
+    * day-over-day loop, the whole history resolves in one pass.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(md5(col("props").cast("binary")).as("h"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    val firstSeen = ev.groupBy(col("h")).agg(min(col("day")).as("first_day"))
+    ev.join(firstSeen, Seq("h"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("h")).as("n_payloads"),
+        countDistinct(when(col("day") === col("first_day"), col("h")))
+          .as("n_novel"))
+      .orderBy(col("day"))
+  }
+
+  val dedupIncrementalSql: String = """
+    WITH ev AS (
+      SELECT md5(props) AS h,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    first_seen AS (SELECT h, min(day) AS first_day FROM ev GROUP BY h)
+    SELECT day, count(*) AS n_events,
+           count(DISTINCT h) AS n_payloads,
+           count(DISTINCT CASE WHEN day = first_day THEN h END) AS n_novel
+    FROM ev JOIN first_seen USING (h)
+    GROUP BY day ORDER BY day"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -437,7 +471,8 @@ object DedupQueries {
     "dedup_simhash_wide" -> (dedupSimhashWide _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),
-    "dedup_spans" -> (dedupSpans _))
+    "dedup_spans" -> (dedupSpans _),
+    "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -447,5 +482,6 @@ object DedupQueries {
     "dedup_simhash_wide" -> dedupSimhashWideSql,
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_clusters" -> dedupClustersSql,
-    "dedup_spans" -> dedupSpansSql)
+    "dedup_spans" -> dedupSpansSql,
+    "dedup_incremental" -> dedupIncrementalSql)
 }

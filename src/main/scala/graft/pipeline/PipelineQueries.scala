@@ -340,8 +340,59 @@ object PipelineQueries {
     WHERE rk <= $StratumCap
     ORDER BY lang, rk"""
 
+  /** P9: bigram language-model scoring — the step up from P6's unigram
+    * model: NLL = −Σ ln p(wᵢ | wᵢ₋₁) with conditional probabilities
+    * from corpus bigram/context counts. Self-scored corpus ⇒ every doc
+    * bigram exists in the vocab by construction (no backoff branch).
+    * The bigram vocab is larger than P6's unigram table, so it joins
+    * on (prev, cur) as a shuffle join with map-side-combined counts —
+    * NOT a broadcast — which is the honest 100 TB shape for an n-gram
+    * table. Same micro-nat discipline as P6: one rounding per distinct
+    * bigram, per-doc sums in exact BIGINT.
+    */
+  def textBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "struct(element_at(w, i) as prev, element_at(w, i+1) as cur))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val ctx = pairs.groupBy(col("prev")).agg(count(lit(1)).as("cn"))
+    val vocab = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+      .join(ctx, Seq("prev"))
+      .withColumn("lp_micro",
+        round(-log(col("cb") / col("cn")) * 1e6, 0).cast("long"))
+      .select(col("prev"), col("cur"), col("lp_micro"))
+    pairs.join(vocab, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp_micro")).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"), expr("s div n_bigrams").as("nll_micro"),
+        col("n_bigrams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBigramLmSql: String = """
+    WITH pairs AS (
+      SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+      FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 2)),
+    ctx AS (SELECT prev, count(*) AS cn FROM pairs GROUP BY prev),
+    big AS (SELECT prev, cur, count(*) AS cb FROM pairs GROUP BY prev, cur),
+    vocab AS (
+      SELECT prev, cur, round(-ln(cb / cn) * 1e6, 0)::BIGINT AS lp_micro
+      FROM big JOIN ctx USING (prev))
+    SELECT doc_id, (sum(lp_micro)::BIGINT // count(*)) AS nll_micro,
+           count(*) AS n_bigrams
+    FROM pairs JOIN vocab USING (prev, cur)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scrub" -> (piiScrub _),
+    "text_bigram_lm" -> (textBigramLm _),
     "stratified_sample" -> (stratifiedSample _),
     "data_split" -> (dataSplit _),
     "text_filter_chain" -> (textFilterChain _),
@@ -352,6 +403,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "pii_scrub" -> piiScrubSql,
+    "text_bigram_lm" -> textBigramLmSql,
     "stratified_sample" -> stratifiedSampleSql,
     "data_split" -> dataSplitSql,
     "text_filter_chain" -> textFilterChainSql,
