@@ -104,7 +104,49 @@ object MediaQueries {
           FROM m)
     ORDER BY media_id, chunk_idx"""
 
+  /** M5: content-addressed chunk dedup — the storage face of a blob
+    * lake: chunk every blob into fixed byte windows, hash the CONTENT
+    * (not a per-row salt), and group identical chunks across media.
+    * Duplicate chunks are stored once and referenced (the CAS shape);
+    * the shuffle carries 16-byte content hashes, never chunk bytes.
+    * Near-duplicate blobs surface as shared chunk runs — the byte-level
+    * sibling of D7's word-window spans.
+    */
+  def mediaChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("byte_len", octet_length(col("text").cast("binary")))
+      .withColumn("n_chunks", expr("cast((byte_len + 99) div 100 as int)"))
+      .select(col("doc_id").as("media_id"),
+        explode(expr("sequence(1, n_chunks)")).as("chunk_idx"), col("text"))
+      .withColumn("chunk_hash",
+        md5(substring(col("text"), (col("chunk_idx") - 1) * 100 + 1, lit(100))
+          .cast("binary")))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("media_id")).as("keeper_media"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("chunk_hash"))
+
+  val mediaChunkDedupSql: String = """
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS byte_len
+      FROM documents),
+    chunks AS (
+      SELECT media_id,
+             md5(substring(text, (k-1)*100+1, 100)) AS chunk_hash
+      FROM (SELECT media_id, text,
+                   unnest(range(1, 1 + (byte_len + 99) // 100)) AS k
+            FROM m))
+    SELECT chunk_hash, count(DISTINCT media_id) AS n_media,
+           count(*) AS n_occurrences, min(media_id) AS keeper_media
+    FROM chunks GROUP BY chunk_hash
+    HAVING count(DISTINCT media_id) >= 2
+    ORDER BY chunk_hash"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_chunk_dedup" -> (mediaChunkDedup _),
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
     "media_chunks" -> (mediaChunks _),
@@ -114,6 +156,7 @@ object MediaQueries {
     * boundary gets the driver's rows-only check + MediaSpec.
     */
   def oracles: Map[String, String] = Map(
+    "media_chunk_dedup" -> mediaChunkDedupSql,
     "media_meta" -> mediaMetaSql,
     "media_frames" -> mediaFramesSql,
     "media_chunks" -> mediaChunksSql)
