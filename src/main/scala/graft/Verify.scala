@@ -23,6 +23,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // release persisted multi-consumer frames (shingle indexes, token
+    // streams) — done consuming; don't lean on LRU eviction
+    graft.CachedFrames.releaseAll()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

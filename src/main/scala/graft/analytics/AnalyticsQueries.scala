@@ -1038,14 +1038,17 @@ object AnalyticsQueries {
       .hint("shuffle_hash")
     graft.operators.SaltedJoin.inner(ev, cust, Seq("user_id"), nSalts = 8)
       .groupBy(col("c_mktsegment"), col("event_type"))
+      // integer-cents: quantize per row, sum exact BIGINT (the q10
+      // discipline) — a 2dp-rounded double sum can land on a .005
+      // boundary where summation order flips the last digit
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("value_sum"))
+        sum(round(col("value") * 100.0, 0).cast("long")).as("value_cents"))
       .orderBy(col("c_mktsegment"), col("event_type"))
   }
 
   val qSkewJoinSql: String = """
     SELECT c_mktsegment, event_type, count(*) AS n_events,
-           round(sum(value), 2) AS value_sum
+           sum(round(value * 100.0, 0)::BIGINT)::BIGINT AS value_cents
     FROM events JOIN customer ON c_custkey = user_id
     GROUP BY 1, 2 ORDER BY c_mktsegment, event_type"""
 
@@ -1076,13 +1079,14 @@ object AnalyticsQueries {
         (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast("long").as("l_year"))
-      .agg(round(sum(disc), 2).as("revenue"))
+      // integer-cents revenue (q10 discipline): exact BIGINT sums
+      .agg(sum(round(disc * 100.0, 0).cast("long")).as("revenue_cents"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val q7VolumeShippingSql: String = """
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           sum(round(volume * 100.0, 0)::BIGINT)::BIGINT AS revenue_cents
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
@@ -1128,23 +1132,30 @@ object AnalyticsQueries {
       .select(year(col("o_orderdate")).cast("long").as("o_year"),
         disc.as("volume"), col("supp_nation"))
     base.groupBy(col("o_year"))
+      // integer-cents numerator and denominator (q10 discipline): both
+      // sums are exact BIGINT, so the share divides two integers —
+      // deterministic cross-engine with no .005-boundary hazard
       .agg(
-        round(sum(when(col("supp_nation") === "NATION_3", col("volume"))
-          .otherwise(lit(0.0))), 2).as("nation_rev"),
-        round(sum(col("volume")), 2).as("total_rev"))
-      .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 6))
+        sum(when(col("supp_nation") === "NATION_3",
+          round(col("volume") * 100.0, 0).cast("long"))
+          .otherwise(lit(0L))).as("nation_rev_cents"),
+        sum(round(col("volume") * 100.0, 0).cast("long"))
+          .as("total_rev_cents"))
+      .withColumn("mkt_share",
+        round(col("nation_rev_cents") / col("total_rev_cents"), 6))
       .orderBy(col("o_year"))
   }
 
   val q8MarketShareSql: String = """
-    SELECT o_year, nation_rev, total_rev,
-           round(nation_rev / total_rev, 6) AS mkt_share
+    SELECT o_year, nation_rev_cents, total_rev_cents,
+           round(nation_rev_cents / total_rev_cents, 6) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS o_year,
-             round(sum(CASE WHEN n2.n_name = 'NATION_3'
-               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2)
-               AS nation_rev,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+             sum(CASE WHEN n2.n_name = 'NATION_3'
+               THEN round(l_extendedprice * (1.0 - l_discount) * 100.0,
+                 0)::BIGINT ELSE 0 END)::BIGINT AS nation_rev_cents,
+             sum(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+               0)::BIGINT)::BIGINT AS total_rev_cents
       FROM part, lineitem, orders, customer, nation n1, region,
            supplier, nation n2
       WHERE p_partkey = l_partkey AND p_type = 'PROMO'
@@ -1246,28 +1257,30 @@ object AnalyticsQueries {
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(disc), 2).as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("mx"))
-    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      // integer-cents (q10 discipline): the revenue feeds an EQUALITY
+      // join against its own max — exact BIGINT makes the tie exact
+      .agg(sum(round(disc * 100.0, 0).cast("long")).as("revenue_cents"))
+    val mx = rev.agg(max(col("revenue_cents")).as("mx"))
+    rev.join(broadcast(mx), col("revenue_cents") === col("mx"))
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
       .orderBy(col("s_suppkey"))
   }
 
   val q15TopSupplierSql: String = """
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-               AS total_revenue
+             sum(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+               0)::BIGINT)::BIGINT AS revenue_cents
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, total_revenue
+    SELECT s_suppkey, s_name, revenue_cents
     FROM supplier, revenue
     WHERE s_suppkey = supplier_no
-      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      AND revenue_cents = (SELECT max(revenue_cents) FROM revenue)
     ORDER BY s_suppkey"""
 
   /** A40 / TPC-H Q21 shape adapted (late = shipped >90 days after the
@@ -1398,9 +1411,11 @@ object AnalyticsQueries {
     Tables.events(s, dir)
       .withColumn("first_type", first(col("event_type")).over(byUser))
       .groupBy(col("first_type"))
+      // integer-cents attribution (q10 discipline): exact BIGINT sum
       .agg(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("attributed_value"))
+        sum(round(col("value") * 100.0, 0).cast("long"))
+          .as("attributed_cents"))
       .orderBy(col("first_type"))
   }
 
@@ -1414,7 +1429,7 @@ object AnalyticsQueries {
       FROM events)
     SELECT first_type, count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           round(sum(value), 2) AS attributed_value
+           sum(round(value * 100.0, 0)::BIGINT)::BIGINT AS attributed_cents
     FROM tagged GROUP BY first_type ORDER BY first_type"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

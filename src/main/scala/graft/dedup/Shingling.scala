@@ -78,8 +78,7 @@ object Shingling {
     // plan, which Spark's CacheManager dedupes to the one existing
     // entry (the "already cached" warning) — storage holds one copy
     // per distinct corpus, LRU-evicted, not one per call.
-    val indexed = sh.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val indexed = graft.CachedFrames.persist(sh)
     val stop = indexed.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))

@@ -114,8 +114,12 @@ object MediaQueries {
     */
   def mediaChunkDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("byte_len", octet_length(col("text").cast("binary")))
-      .withColumn("n_chunks", expr("cast((byte_len + 99) div 100 as int)"))
+      // chunk windows slice CHARACTERS (substring), so the chunk count
+      // must come from char_length too: deriving it from the UTF-8
+      // octet count misaligns windows on multibyte text and emits
+      // trailing empty chunks whose md5('') collides across all media
+      .withColumn("char_len", length(col("text")))
+      .withColumn("n_chunks", expr("cast((char_len + 99) div 100 as int)"))
       .select(col("doc_id").as("media_id"),
         explode(expr("sequence(1, n_chunks)")).as("chunk_idx"), col("text"))
       .withColumn("chunk_hash",
@@ -131,13 +135,13 @@ object MediaQueries {
   val mediaChunkDedupSql: String = """
     WITH m AS (
       SELECT doc_id AS media_id, text,
-             octet_length(encode(text)) AS byte_len
+             length(text) AS char_len
       FROM documents),
     chunks AS (
       SELECT media_id,
              md5(substring(text, (k-1)*100+1, 100)) AS chunk_hash
       FROM (SELECT media_id, text,
-                   unnest(range(1, 1 + (byte_len + 99) // 100)) AS k
+                   unnest(range(1, 1 + (char_len + 99) // 100)) AS k
             FROM m))
     SELECT chunk_hash, count(DISTINCT media_id) AS n_media,
            count(*) AS n_occurrences, min(media_id) AS keeper_media

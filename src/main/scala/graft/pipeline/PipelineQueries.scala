@@ -312,22 +312,34 @@ object PipelineQueries {
     * language) at K documents, chosen by md5 rank so the sample is
     * reproducible and independent of partitioning/arrival order. The
     * class-balancing step of corpus assembly: downsample the dominant
-    * language without touching rare ones. The window partitions by the
-    * stratum key, so strata rank in parallel; at corpus scale the md5
-    * order also makes the sample STABLE under re-sharding (same doc
-    * set in → same sample out), which split/mix already rely on.
+    * language without touching rare ones.
+    *
+    * Plan shape: the rank runs through E18's [[graft.functions.TopKAgg]]
+    * bounded heap, NOT a per-stratum window sort — with a handful of
+    * language strata, `row_number() OVER (PARTITION BY lang …)` funnels
+    * the dominant language (tens of TB at corpus scale) through ONE
+    * task, while the heap keeps k rows per stratum per map task and
+    * ships k·strata rows total. The heap orders (score DESC, id ASC),
+    * so scoring by the NEGATED 48-bit md5 prefix (exact in a Double:
+    * 2^48 < 2^53) with doc_id tiebreak reproduces an md5-ranked sample,
+    * and the eval'd array is already rank-ordered — `posexplode`'s
+    * position IS the rank, no window anywhere. Re-shard-stable like
+    * split/mix: same doc set in → same sample out.
     */
   val StratumCap = 60
 
   def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(md5(concat(lit("strat-"), col("doc_id").cast("string"))),
-        col("doc_id"))
+    val h48 = conv(substring(
+      md5(concat(lit("strat-"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("long")
     Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= StratumCap)
+      .select(col("lang"), col("doc_id"), (-h48).cast("double").as("nh"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.TopKAgg(col("nh"), col("doc_id"), StratumCap)
+        .as("topk"))
+      .select(col("lang"), posexplode(col("topk")))
+      .select(col("lang"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rk"))
       .orderBy(col("lang"), col("rk"))
   }
 
@@ -335,7 +347,9 @@ object PipelineQueries {
     SELECT lang, doc_id, rk FROM (
       SELECT lang, doc_id,
              row_number() OVER (PARTITION BY lang
-               ORDER BY md5('strat-' || doc_id::VARCHAR), doc_id) AS rk
+               ORDER BY ('0x' || substring(
+                 md5('strat-' || doc_id::VARCHAR), 1, 12))::BIGINT,
+                 doc_id) AS rk
       FROM documents)
     WHERE rk <= $StratumCap
     ORDER BY lang, rk"""

@@ -179,9 +179,14 @@ class KinesisShapedMicroBatchStream(endpointName: String, stream: String,
           var full = false
           while (i < resp.records.size && remaining > 0 && !full) {
             val r = resp.records(i)
-            if (admitted == 0 || bytesUsed + r.data.length <= byteCap) {
+            // service throughput accounting charges payload + partition
+            // key (FakeKinesis's own PutRecords validation does too), so
+            // the admission budget must count both or a trigger admits
+            // slightly more than the modeled 1 MB/s/shard buffer
+            val rBytes = r.data.length.toLong + r.partitionKey.length
+            if (admitted == 0 || bytesUsed + rBytes <= byteCap) {
               newest = r.sequenceNumber
-              bytesUsed += r.data.length
+              bytesUsed += rBytes
               admitted += 1
               remaining -= 1
               i += 1

@@ -240,8 +240,11 @@ object TextQueries {
     * counts) in both engines.
     */
   def textBm25(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    // persist-multi-consumer-frames: toks feeds dl AND tf — without
+    // this the corpus tokenizes once per consumer (the Shingling /
+    // pqCore discipline); released via CachedFrames after consumption
+    val toks = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     // bounded plan-time scalars: corpus doc count + mean doc length
     // (both exact integer arithmetic, so cross-engine identical)
@@ -295,33 +298,45 @@ object TextQueries {
 
   /** T7: repetition signals (the Gopher repetition filters' shape):
     * duplicate-word fraction and the most-frequent-bigram share per
-    * document. All per-doc arithmetic — partitions by doc_id, pipelines
-    * in codegen, one small agg for the bigram mode.
+    * document. The statistic is PER-ROW, so the whole computation is
+    * one narrow projection: the top-bigram count folds over the sorted
+    * bigram array (max run of equal neighbours) with a higher-order
+    * `aggregate` — the corpus's bigrams are never exploded, never
+    * shuffled (the groupBy(doc_id, bg) idiom shuffles every bigram of
+    * the corpus TWICE for a per-document number; at 100 TB that is a
+    * key space the size of the corpus's bigram count for zero
+    * cross-row information). The only exchange left is the output
+    * ORDER BY. The DuckDB oracle restates the semantics via its
+    * GROUP BY idiom — same value, engine-appropriate plan.
     */
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
+    // max run length over the sorted per-doc bigram array = the count
+    // of the most frequent bigram; <=> makes the first element start
+    // its run at 1 (null prev compares false)
+    val topBg =
+      """aggregate(
+        |  array_sort(transform(sequence(1, size(w)-1),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i+1)))),
+        |  named_struct('prev', cast(null as string),
+        |    'run', cast(0 as bigint), 'best', cast(0 as bigint)),
+        |  (a, x) -> named_struct('prev', x,
+        |    'run', if(x <=> a.prev, a.run + 1, cast(1 as bigint)),
+        |    'best', greatest(a.best,
+        |      if(x <=> a.prev, a.run + 1, cast(1 as bigint)))),
+        |  a -> a.best)""".stripMargin
+    Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-    val perDoc = base.select(col("doc_id"),
-      size(col("w")).cast("long").as("n_words"),
-      size(array_distinct(col("w"))).cast("long").as("n_distinct"))
-    val bigrams = base.select(col("doc_id"),
-      size(col("w")).cast("long").as("n_words"),
-      explode(expr(
-        "transform(sequence(1, size(w)-1), i -> " +
-          "concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("bg"))
-    val topBg = bigrams.groupBy(col("doc_id"), col("n_words"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n_words"))
-      .agg(max(col("c")).as("top_bg"))
-      .withColumn("top_bigram_frac",
-        round(col("top_bg") / (col("n_words") - 1), 6))
-      .select(col("doc_id"), col("top_bg"), col("top_bigram_frac"))
-    perDoc.join(topBg, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        expr(topBg).as("top_bg"))
       .select(col("doc_id"), col("n_words"),
         round(lit(1.0) - col("n_distinct") / col("n_words"), 6)
           .as("dup_word_frac"),
-        col("top_bg"), col("top_bigram_frac"))
+        col("top_bg"),
+        round(col("top_bg") / (col("n_words") - 1), 6)
+          .as("top_bigram_frac"))
       .orderBy(col("doc_id"))
   }
 

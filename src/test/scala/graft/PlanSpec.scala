@@ -142,6 +142,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
   }
 
+  test("stratified_sample ranks via the bounded heap — no stratum sort") {
+    // a handful of language strata means row_number() OVER (PARTITION
+    // BY lang) sorts each stratum through ONE task — tens of TB for the
+    // dominant language. The TopKAgg plan ships k·strata rows instead.
+    val p = plan("stratified_sample")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("text_repetition is a narrow per-doc map — no corpus-wide shuffle") {
+    // the statistic is per-row; the only exchange allowed is the output
+    // ORDER BY's range partitioning. A groupBy(doc_id, bg) idiom would
+    // shuffle every bigram of the corpus (twice) for it.
+    val p = plan("text_repetition")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("text_bm25 tokenizes the corpus once (persisted token stream)") {
+    // dl and tf both read `toks`; without the persist the split+explode
+    // runs per consumer — the plan must show the InMemoryRelation reused
+    val p = plan("text_bm25")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("approx_percentile lands near the exact percentile (scale path)") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
