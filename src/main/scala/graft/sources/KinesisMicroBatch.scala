@@ -128,14 +128,20 @@ class KinesisShapedMicroBatchStream(endpointName: String, stream: String,
     if (maxRecordsPerTrigger > 0) ReadLimit.maxRows(maxRecordsPerTrigger)
     else ReadLimit.allAvailable()
 
-  /** Shard discovery at stream start (the KCL's DescribeStream seed).
-    * Shards appearing later (resharding) are picked up on restart —
-    * the same rule the tape stream applies to late files in consumed
-    * days.
+  /** Shard discovery at stream start (the KCL's ListShards seed): seed
+    * every shard with NO live parent — including closed shards that
+    * still hold undrained records. Children of a listed parent wait
+    * until that parent drains to SHARD_END (the KCL's parent-before-
+    * child rule behind KinesisRecorder.java:23-47); [[latestOffset]]
+    * re-lists per trigger, so mid-run resharding needs no restart.
     */
-  override def initialOffset(): Offset =
+  override def initialOffset(): Offset = {
+    val infos = endpoint.listShards(stream)
+    val ids = infos.map(_.shardId).toSet
     ShardPositionsOffset(
-      endpoint.listOpenShardIds(stream).map(_ -> "").toMap)
+      infos.filter(_.parentIds.forall(p => !ids.contains(p)))
+        .map(_.shardId -> "").toMap)
+  }
 
   override def deserializeOffset(json: String): Offset =
     ShardPositionsOffset.fromJson(json)
@@ -163,41 +169,72 @@ class KinesisShapedMicroBatchStream(endpointName: String, stream: String,
       else Long.MaxValue
     val ep = endpoint
     val positions = start.asInstanceOf[ShardPositionsOffset].positions
-    val advanced = positions.map { case (shardId, last) =>
-      var it: Option[String] = Some(KinesisShards.iteratorAfter(
-        ep, stream, shardId, last))
-      var newest = last
-      var remaining = cap
-      var bytesUsed = 0L
-      var admitted = 0
-      while (it.isDefined && remaining > 0 && bytesUsed < byteCap) {
-        val resp = KinesisShards.getRecordsWithRetry(ep, it.get,
-          math.min(remaining, KinesisShards.MaxPerCall))
-        if (resp.records.isEmpty) it = None
-        else {
-          var i = 0
-          var full = false
-          while (i < resp.records.size && remaining > 0 && !full) {
-            val r = resp.records(i)
-            // service throughput accounting charges payload + partition
-            // key (FakeKinesis's own PutRecords validation does too), so
-            // the admission budget must count both or a trigger admits
-            // slightly more than the modeled 1 MB/s/shard buffer
-            val rBytes = r.data.length.toLong + r.partitionKey.length
-            if (admitted == 0 || bytesUsed + rBytes <= byteCap) {
-              newest = r.sequenceNumber
-              bytesUsed += rBytes
-              admitted += 1
-              remaining -= 1
-              i += 1
-            } else full = true
+    val advanced = scala.collection.mutable.Map.empty[String, String]
+    positions.foreach { case (shardId, last) =>
+      if (last == KinesisShards.ShardEnd) advanced(shardId) = last
+      else {
+        var it: Option[String] = Some(KinesisShards.iteratorAfter(
+          ep, stream, shardId, last))
+        var newest = last
+        var remaining = cap
+        var bytesUsed = 0L
+        var admitted = 0
+        // drained = the service returned a null continuation with every
+        // record admitted: a CLOSED shard read to its end (open shards
+        // always return an iterator). The KCL's SHARD_END condition.
+        var drained = false
+        while (it.isDefined && remaining > 0 && bytesUsed < byteCap) {
+          val resp = KinesisShards.getRecordsWithRetry(ep, it.get,
+            math.min(remaining, KinesisShards.MaxPerCall))
+          if (resp.records.isEmpty) {
+            drained = resp.nextShardIterator.isEmpty
+            it = None
+          } else {
+            var i = 0
+            var full = false
+            while (i < resp.records.size && remaining > 0 && !full) {
+              val r = resp.records(i)
+              // service throughput accounting charges payload + partition
+              // key (FakeKinesis's own PutRecords validation does too), so
+              // the admission budget must count both or a trigger admits
+              // slightly more than the modeled 1 MB/s/shard buffer
+              val rBytes = r.data.length.toLong + r.partitionKey.length
+              if (admitted == 0 || bytesUsed + rBytes <= byteCap) {
+                newest = r.sequenceNumber
+                bytesUsed += rBytes
+                admitted += 1
+                remaining -= 1
+                i += 1
+              } else full = true
+            }
+            if (full) it = None
+            else {
+              it = resp.nextShardIterator
+              if (i == resp.records.size && it.isEmpty) drained = true
+            }
           }
-          it = if (full) None else resp.nextShardIterator
         }
+        advanced(shardId) = if (drained) KinesisShards.ShardEnd else newest
       }
-      shardId -> newest
     }
-    ShardPositionsOffset(advanced)
+    // mid-run resharding (the KCL's live split/merge handling): re-list
+    // shards each trigger; a shard not yet tracked enters the offset
+    // map at TRIM_HORIZON ("") only once EVERY listed parent has
+    // drained to SHARD_END — parent before child, so per-key order
+    // across the reshard boundary is preserved. Its records are read
+    // starting with the NEXT trigger (this one's batch is already
+    // bounded).
+    val infos = ep.listShards(stream)
+    val ids = infos.map(_.shardId).toSet
+    infos.foreach { info =>
+      if (!advanced.contains(info.shardId)) {
+        val parentsDone = info.parentIds.forall(p =>
+          advanced.get(p).contains(KinesisShards.ShardEnd) ||
+            !ids.contains(p))
+        if (parentsDone) advanced(info.shardId) = ""
+      }
+    }
+    ShardPositionsOffset(advanced.toMap)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -225,6 +262,13 @@ final case class KinesisShardInputPartition(endpointName: String,
 private[sources] object KinesisShards {
   val MaxPerCall = 10000 // the service's GetRecords Limit ceiling
   val RetryTimeoutMillis = 30000L
+
+  /** Offset-map sentinel: the shard is closed and fully consumed (the
+    * KCL's SHARD_END). A shard at this position is never polled again,
+    * and its children may start. Distinguishable from any real
+    * sequence number (those are decimal digits).
+    */
+  val ShardEnd = "SHARD_END"
 
   /** Sequence numbers are decimal STRINGS of arbitrary width (the real
     * service emits ~56-digit values) — order them numerically, never
@@ -287,9 +331,13 @@ class KinesisShardReaderFactory extends PartitionReaderFactory {
             KinesisShards.MaxPerCall)
           // the batch's bound: records past untilSeq belong to later
           // micro-batches (sequence numbers are monotonic per shard;
-          // compared numerically — see KinesisShards.seqLeq)
-          val inRange = resp.records.takeWhile(r =>
-            KinesisShards.seqLeq(r.sequenceNumber, p.untilSeq))
+          // compared numerically — see KinesisShards.seqLeq). A
+          // SHARD_END bound means "to the end of the closed shard":
+          // the drain is finite, the null continuation terminates it.
+          val inRange =
+            if (p.untilSeq == KinesisShards.ShardEnd) resp.records
+            else resp.records.takeWhile(r =>
+              KinesisShards.seqLeq(r.sequenceNumber, p.untilSeq))
           buf ++= inRange
           done = inRange.size < resp.records.size || resp.records.isEmpty
           it = resp.nextShardIterator

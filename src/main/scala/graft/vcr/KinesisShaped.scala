@@ -46,6 +46,15 @@ object ShardIteratorType {
   val AfterSequenceNumber = "AFTER_SEQUENCE_NUMBER"
 }
 
+/** One shard's lineage entry, as ListShards reports it: a shard born
+  * from a split carries its parent's id; a merge child carries both
+  * parents (ParentShardId + AdjacentParentShardId in the public API).
+  * Consumers use the lineage for the KCL's ordering rule: drain a
+  * parent to SHARD_END before starting its children.
+  */
+final case class ShardInfo(shardId: String, open: Boolean,
+                           parentIds: Seq[String])
+
 /** A service-shaped retryable error (the consume-side analog of the
   * positional error codes PutRecords reports).
   */
@@ -83,6 +92,12 @@ trait KinesisEndpoint {
     * from before assigning one consumer per shard.
     */
   def listOpenShardIds(stream: String): IndexedSeq[String]
+
+  /** ALL shards — open and closed — with their parent lineage, in id
+    * order: the ListShards face. Resharding-aware consumers re-list per
+    * poll so mid-run splits/merges are discovered without a restart.
+    */
+  def listShards(stream: String): IndexedSeq[ShardInfo]
 
   /** An opaque position token for a shard: TRIM_HORIZON (oldest),
     * LATEST, or AT/AFTER a sequence number — the public
@@ -123,10 +138,15 @@ final class FakeKinesis extends KinesisEndpoint {
   final case class StoredRecord(sequenceNumber: String, partitionKey: String,
                                 data: Array[Byte],
                                 arrivalMillis: Long = 0L)
-  final class Shard(val shardId: String, var open: Boolean) {
+  final class Shard(val shardId: String, var open: Boolean,
+                    val parents: Seq[String] = Nil) {
     val records = mutable.ArrayBuffer.empty[StoredRecord]
   }
-  private final class Stream(val shards: IndexedSeq[Shard])
+  private final class Stream(val shards: mutable.ArrayBuffer[Shard]) {
+    def shard(id: String): Shard = shards.find(_.shardId == id).getOrElse(
+      throw new NoSuchElementException(s"ResourceNotFound: shard $id"))
+    def nextShardId(): String = f"shardId-${shards.size}%012d"
+  }
 
   private val streams = mutable.Map.empty[String, Stream]
   private val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -144,9 +164,46 @@ final class FakeKinesis extends KinesisEndpoint {
     val shards = (0 until openShards).map(i => new Shard(f"shardId-$i%012d", true)) ++
       (0 until closedShards).map(i =>
         new Shard(f"shardId-${openShards + i}%012d", false))
-    streams(name) = new Stream(shards.toIndexedSeq)
+    streams(name) = new Stream(mutable.ArrayBuffer.from(shards))
     this
   }
+
+  /** SplitShard: the parent closes (stops serving writes, keeps its
+    * records for readers to drain to SHARD_END) and two children open,
+    * each carrying the parent's id in its lineage — the service's
+    * scale-up reshard. Returns the child ids.
+    */
+  def splitShard(stream: String, shardId: String): (String, String) =
+    synchronized {
+      val st = streams.getOrElse(stream,
+        throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+      val parent = st.shard(shardId)
+      require(parent.open, s"ValidationException: shard $shardId is closed")
+      parent.open = false
+      val c1 = new Shard(st.nextShardId(), true, Seq(shardId))
+      st.shards += c1
+      val c2 = new Shard(st.nextShardId(), true, Seq(shardId))
+      st.shards += c2
+      (c1.shardId, c2.shardId)
+    }
+
+  /** MergeShards: both parents close and one child opens carrying both
+    * ids in its lineage (ParentShardId + AdjacentParentShardId) — the
+    * scale-down reshard. Returns the child id.
+    */
+  def mergeShards(stream: String, shardA: String, shardB: String): String =
+    synchronized {
+      val st = streams.getOrElse(stream,
+        throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+      val (a, b) = (st.shard(shardA), st.shard(shardB))
+      require(a.open && b.open,
+        s"ValidationException: merge parents must be open")
+      a.open = false
+      b.open = false
+      val c = new Shard(st.nextShardId(), true, Seq(shardA, shardB))
+      st.shards += c
+      c.shardId
+    }
 
   def setFailureHook(h: (PutRecordsEntry, Int) => Option[String]): Unit =
     failureHook = h
@@ -167,7 +224,7 @@ final class FakeKinesis extends KinesisEndpoint {
   /** MD5 hash-range routing over the OPEN shards, like the service:
     * the 128-bit key hash is mapped to evenly-split shard ranges.
     */
-  private def route(shards: IndexedSeq[Shard], key: String): Shard = {
+  private def route(shards: collection.IndexedSeq[Shard], key: String): Shard = {
     val open = shards.filter(_.open)
     val h = BigInt(1, MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")))
@@ -205,7 +262,15 @@ final class FakeKinesis extends KinesisEndpoint {
     synchronized {
       streams.getOrElse(stream,
         throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
-        .shards.filter(_.open).map(_.shardId)
+        .shards.filter(_.open).map(_.shardId).toIndexedSeq
+    }
+
+  override def listShards(stream: String): IndexedSeq[ShardInfo] =
+    synchronized {
+      streams.getOrElse(stream,
+        throw new NoSuchElementException(s"ResourceNotFound: stream $stream"))
+        .shards.map(s => ShardInfo(s.shardId, s.open, s.parents))
+        .toIndexedSeq
     }
 
   /** Iterator token = stream / shard / position index, opaque to
@@ -270,7 +335,7 @@ final class FakeKinesis extends KinesisEndpoint {
 
   /** Assertion faces for specs. */
   def shardsOf(stream: String): IndexedSeq[Shard] = synchronized {
-    streams(stream).shards
+    streams(stream).shards.toIndexedSeq
   }
   /** GetRecords attempts for one shard of one stream — like the
     * put-side counter, keyed per (stream, shard) so identically-named

@@ -176,4 +176,144 @@ class KinesisLoopSpec extends AnyFunSuite {
     assert(ep.getRecords(itClosed, 10).nextShardIterator.isEmpty)
     FakeKinesisRegistry.remove(epName)
   }
+
+  /** Parse the source's offset JSON ({"shardId":"pos",…}). */
+  private def positions(json: String): Map[String, String] =
+    "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(json)
+      .map(m => m.group(1) -> m.group(2)).toMap
+
+  /** The KCL parent-before-child invariant over a query's committed
+    * offsets: whenever a child shard has consumed anything, every one
+    * of its listed parents reads SHARD_END in the SAME offset; and each
+    * shard's position advances monotonically (numeric, SHARD_END = ∞).
+    */
+  private def assertParentFirst(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      lineage: Map[String, Seq[String]]): Unit = {
+    val offs = q.recentProgress.toSeq
+      .flatMap(p => Option(p.sources.head.endOffset)).map(positions)
+    assert(offs.nonEmpty)
+    offs.foreach { m =>
+      lineage.foreach { case (child, parents) =>
+        if (m.get(child).exists(_.nonEmpty))
+          parents.foreach(p => assert(m.get(p).contains("SHARD_END"),
+            s"child $child active while parent $p at ${m.get(p)} in $m"))
+      }
+    }
+    val shards = offs.flatMap(_.keySet).distinct
+    shards.foreach { sh =>
+      val trace = offs.flatMap(_.get(sh)).map {
+        case "" => BigInt(-1)
+        case "SHARD_END" => BigInt(Long.MaxValue)
+        case seq => BigInt(seq)
+      }
+      trace.zip(trace.drop(1)).foreach { case (a, b) =>
+        assert(a <= b, s"$sh position regressed: $trace")
+      }
+    }
+  }
+
+  test("mid-run shard split: parents drain to SHARD_END before children " +
+    "start, no loss, checkpoint-resume intact") {
+    val epName = s"reshard-${java.util.UUID.randomUUID()}"
+    val ep = FakeKinesisRegistry.create(epName)
+    ep.createStream("s", openShards = 1)
+    ep.clock = () => 1709632800000L
+    val parent = "shardId-000000000000"
+
+    // wave 1 lands on the (sole) parent; the split closes it with its
+    // records UNDRAINED — the mid-drain reshard case
+    ep.putRecords("s",
+      (1 to 6).map(i => PutRecordsEntry(s"a$i", bytes(s"p$i"))).toIndexedSeq)
+    val (c1, c2) = ep.splitShard("s", parent)
+    // wave 2 routes to the children (the only open shards now)
+    ep.putRecords("s",
+      (1 to 4).map(i => PutRecordsEntry(s"b$i", bytes(s"q$i"))).toIndexedSeq)
+
+    // foreachBatch sink (memory sink can't recover from a checkpoint,
+    // and the resume leg below must)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    def sinkTo(buf: scala.collection.mutable.ArrayBuffer[String]) =
+      (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => {
+        val rows = df.select("data").collect()
+          .map(r => new String(r.getAs[Array[Byte]](0), UTF_8))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+    val ckpt = tmpDir()
+    val stream = spark.readStream.format("kinesis-shaped")
+      .option("endpoint", epName).option("stream", "s")
+      .option("maxRecordsPerTrigger", 2)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sinkTo(seen)).start()
+    q.processAllAvailable()
+
+    val wave12 = (1 to 6).map(i => s"p$i") ++ (1 to 4).map(i => s"q$i")
+    assert(seen.synchronized(seen.sorted.toSeq) === wave12.sorted)
+
+    // LIVE split while the query keeps running: c1 closes, grandkids
+    // open; a third wave lands on the new open set
+    val (g1, g2) = ep.splitShard("s", c1)
+    ep.putRecords("s",
+      (1 to 5).map(i => PutRecordsEntry(s"c$i", bytes(s"r$i"))).toIndexedSeq)
+    q.processAllAvailable()
+    val wave123 = wave12 ++ (1 to 5).map(i => s"r$i")
+    assert(seen.synchronized(seen.sorted.toSeq) === wave123.sorted)
+
+    assertParentFirst(q, Map(
+      c1 -> Seq(parent), c2 -> Seq(parent),
+      g1 -> Seq(c1), g2 -> Seq(c1)))
+    q.stop()
+
+    // checkpoint-resume across the reshard: a fresh query on the same
+    // checkpoint sees ONLY the post-restart wave — nothing re-read,
+    // nothing lost
+    ep.putRecords("s",
+      (1 to 3).map(i => PutRecordsEntry(s"d$i", bytes(s"s$i"))).toIndexedSeq)
+    val resumed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q2 = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sinkTo(resumed)).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(resumed.synchronized(resumed.sorted.toSeq) ===
+      (1 to 3).map(i => s"s$i").sorted)
+    FakeKinesisRegistry.remove(epName)
+  }
+
+  test("mid-run shard merge: the merge child waits for BOTH parents to " +
+    "drain") {
+    val epName = s"merge-${java.util.UUID.randomUUID()}"
+    val ep = FakeKinesisRegistry.create(epName)
+    ep.createStream("m", openShards = 2)
+    ep.clock = () => 1709632800000L
+    val (pa, pb) = ("shardId-000000000000", "shardId-000000000001")
+
+    // wave 1 spreads across both parents; the merge closes both with
+    // records undrained
+    ep.putRecords("m",
+      (1 to 8).map(i => PutRecordsEntry(s"k$i", bytes(s"p$i"))).toIndexedSeq)
+    val child = ep.mergeShards("m", pa, pb)
+    ep.putRecords("m",
+      (1 to 4).map(i => PutRecordsEntry(s"j$i", bytes(s"q$i"))).toIndexedSeq)
+
+    val q = spark.readStream.format("kinesis-shaped")
+      .option("endpoint", epName).option("stream", "m")
+      .option("maxRecordsPerTrigger", 3)
+      .load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .format("memory").queryName("merged").start()
+    q.processAllAvailable()
+
+    val got = spark.table("merged").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("data"), UTF_8)).toSeq
+    assert(got.sorted ===
+      ((1 to 8).map(i => s"p$i") ++ (1 to 4).map(i => s"q$i")).sorted)
+    assertParentFirst(q, Map(child -> Seq(pa, pb)))
+    q.stop()
+    FakeKinesisRegistry.remove(epName)
+  }
 }
