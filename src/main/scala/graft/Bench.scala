@@ -37,10 +37,23 @@ object Bench {
       val samples = passes.map(_.find(_._1 == name).get._2)
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact preserves only the stdout TAIL (2000 chars)
+    // — with 90+ queries that truncates most per-query medians. Persist
+    // the complete result (medians + raw samples) as a repo file so
+    // every regression is adjudicable.
+    val samples = ordered.map { case (name, _) =>
+      "\"" + name + "\":[" +
+        passes.map(_.find(_._1 == name).get._2).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+      s"""{"total_sec":$total,"sf":"$sfDir","medians":$qs,"samples":$samples}\n""")
     spark.stop()
   }
 }

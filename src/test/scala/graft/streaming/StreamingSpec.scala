@@ -377,4 +377,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.vcr.Estimator.minutesFor(bytes, 2) === 0L)
     graft.vcr.FakeKinesisRegistry.remove(epName)
   }
+
+  test("D10 x R-suite: the streaming incremental dedup ledger equals the " +
+    "batch twin on the same tape") {
+    val root = tmp()
+    import spark.implicits._
+    // three recorded days with planted duplicate payloads: dup-a spans
+    // all days (novel only on day 1), dup-b repeats within day 2, the
+    // rest are unique; seq follows day order like a real recording
+    val mk = (day: Int, i: Int, p: String) =>
+      (p.getBytes, (day * 1000 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-02-0$day%d 09:00:00"))
+    val records = (
+      (1 to 8).map(i => mk(1, i, if (i <= 2) "dup-a" else s"u1-$i")) ++
+      (1 to 9).map(i => mk(2, i,
+        if (i <= 2) "dup-a" else if (i <= 5) "dup-b" else s"u2-$i")) ++
+      (1 to 6).map(i => mk(3, i, if (i == 1) "dup-a" else s"u3-$i"))
+    ).toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(records, root, "s", numFiles = 2)
+
+    val tapeStream = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1) // many micro-batches, not one
+      .load(s"$root/s")
+    val q = StreamDedupLedger(tapeStream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ledger").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val tapeBatch = TapePlayer.read(spark, root, "s",
+      LocalDateTime.parse("2024-02-01T00:00:00"),
+      Some(LocalDateTime.parse("2024-02-04T00:00:00")))
+    val expected = StreamDedupLedger.batchTwin(tapeBatch)
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    val got = spark.table("ledger")
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    // and the planted structure is what the ledger says it is:
+    // day 1: 8 events, 7 distinct (dup-a x2), all 7 novel
+    // day 2: 9 events, 6 distinct, 5 novel (dup-a already known)
+    // day 3: 6 events, 6 distinct, 5 novel
+    assert(got === Seq(
+      Seq("2024-02-01", 8L, 7L, 7L),
+      Seq("2024-02-02", 9L, 6L, 5L),
+      Seq("2024-02-03", 6L, 6L, 5L)))
+  }
 }
