@@ -701,24 +701,35 @@ object SimQueries {
     * arithmetic (zip_with subtraction of the broadcast centroid) is
     * exact in both engines; only codebook means are rounded.
     */
-  def knnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+  /** shared residual core: own-cluster residual subvector frame
+    * (vec_id, label, cluster, s0, s1), the two residual codebooks, the
+    * centroid literal, and its (cluster, cvec) frame — reused by S7 and
+    * its multi-probe variant.
+    */
+  private def resCore(s: SparkSession, dir: String)
+  : (DataFrame, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])],
+      Seq[(Int, Seq[Double])], DataFrame) = {
     import s.implicits._
     val e = vecs(s, dir)
     val cents = collectCents(e)
     val centDf = cents.toDF("cluster", "cvec")
-    val sub = e.select(col("vec_id"), col("label"), col("vn"),
+    val sub = graft.CachedFrames.persist(
+      e.select(col("vec_id"), col("label"), col("vn"),
         bestClusterCol(cents).as("cluster"))
       .join(broadcast(centDf), Seq("cluster"))
       .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
       .select(col("vec_id"), col("label"), col("cluster"),
-        slice(col("r"), 1, 32).as("s0"), slice(col("r"), 33, 32).as("s1"))
-      .persist() // reused by 2 codebook builds + codes + 2 LUTs
+        slice(col("r"), 1, 32).as("s0"), slice(col("r"), 33, 32).as("s1")))
+      // reused by 2 codebook builds + codes + LUTs
     def codebook(c: String): Seq[(Long, Seq[Double])] =
       KMeans.collectCodebook(KMeans.meanByKey(
         sub.select(col("label").cast("long").as("code"), col(c).as("v")),
         "code"))
-    val cb0 = codebook("s0")
-    val cb1 = codebook("s1")
+    (sub, codebook("s0"), codebook("s1"), cents, centDf)
+  }
+
+  def knnIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cb0, cb1, _, _) = resCore(s, dir)
     val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
       .withColumn("a1", pqAssignment("s1", cb1))
       .select(col("vec_id"), col("cluster"),
@@ -733,6 +744,62 @@ object SimQueries {
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(lut0), Seq("q_id", "code0"))
       .join(broadcast(lut1), Seq("q_id", "code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** S7b: multi-probe RESIDUAL IVF-PQ — the one serving path where
+    * nprobe changes more than the coarse-prune join: residual LUTs are
+    * PER-LIST (the query's residual is against each probed list's
+    * centroid), so each (query, probed list) pair gets its own
+    * 2×k lookup table. LUT build cost multiplies by p — |Q|·p·k rows,
+    * still a kilobyte-scale broadcast — while per-candidate scoring
+    * stays two lookups and an add, now keyed (q_id, cluster, code).
+    * faiss defaults by_residual serving to probe-1 for exactly this
+    * LUT-cost reason; this is the accuracy-first configuration.
+    */
+  def knnIvfPqResidualProbe(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val (sub, cb0, cb1, cents, centDf) = resCore(s, dir)
+    val e = vecs(s, dir)
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"), col("cluster"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    // the query's top-p lists, each with the residual vs THAT list's
+    // centroid — same slice+explode probe selection as S8, then one
+    // broadcast-joined centroid subtraction (narrow map)
+    val qp = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn"),
+        explode(topProbesCol(cents, nprobe)).as("p"))
+      .select(col("q_id"), col("vn"), col("p.label").as("cluster"))
+      .join(broadcast(centDf), Seq("cluster"))
+      .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
+      .select(col("q_id"), col("cluster"),
+        slice(col("r"), 1, 32).as("s0"), slice(col("r"), 33, 32).as("s1"))
+    def lutP(sCol: String, cb: Seq[(Long, Seq[Double])],
+        codeName: String, dName: String): DataFrame =
+      qp.select(col("q_id"), col("cluster"), explode(array(cb.map {
+        case (code, cv) => struct(
+          lit(code).as(codeName),
+          round(dot(col(sCol), col(sCol)) -
+            lit(2.0) * dot(col(sCol), typedLit(cv)) +
+            lit(dotSeq(cv, cv)), 6).as(dName))
+      }: _*)).as("x"))
+        .select(col("q_id"), col("cluster"),
+          col(s"x.$codeName").as(codeName), col(s"x.$dName").as(dName))
+    val lut0 = lutP("s0", cb0, "code0", "d0")
+    val lut1 = lutP("s1", cb1, "code1", "d1")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    qp.select(col("q_id"), col("cluster"))
+      .join(codes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut0), Seq("q_id", "cluster", "code0"))
+      .join(broadcast(lut1), Seq("q_id", "cluster", "code1"))
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
         round(col("d0") + col("d1"), 6).as("adc"))
       .withColumn("rank", row_number().over(w))
@@ -810,6 +877,94 @@ object SimQueries {
       JOIN lut0 ON lut0.q_id = q.q_id AND lut0.code0 = codes.code0
       JOIN lut1 ON lut1.q_id = q.q_id AND lut1.code1 = codes.code1
       WHERE codes.vec_id != q.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  val knnIvfPqResidualProbeSql: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    rsub AS (
+      SELECT vec_id, label, cluster,
+             list_slice(r, 1, 32) AS s0, list_slice(r, 33, 64) AS s1
+      FROM (SELECT e.vec_id, e.label, assigned.cluster,
+                   list_transform(range(1, 1 + len(e.vn)),
+                     i -> e.vn[i] - cent.cvn[i]) AS r
+            FROM e JOIN assigned USING (vec_id)
+                   JOIN cent ON cent.label = assigned.cluster)),
+    rcb0 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+             FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
+                   FROM (SELECT label, s0, unnest(range(1, 33)) AS i
+                         FROM rsub)
+                   GROUP BY label, i)
+             GROUP BY label),
+    rcb1 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+             FROM (SELECT label, i, round(avg(s1[i]), 6) AS av
+                   FROM (SELECT label, s1, unnest(range(1, 33)) AS i
+                         FROM rsub)
+                   GROUP BY label, i)
+             GROUP BY label),
+    ra0 AS (SELECT vec_id, code AS code0 FROM (
+             SELECT vec_id, code,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d2, code) AS rn
+             FROM (SELECT rsub.vec_id, rcb0.code,
+                          round(list_dot_product(s0, s0)
+                            - 2 * list_dot_product(s0, cv)
+                            + list_dot_product(cv, cv), 6) AS d2
+                   FROM rsub, rcb0)) WHERE rn = 1),
+    ra1 AS (SELECT vec_id, code AS code1 FROM (
+             SELECT vec_id, code,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d2, code) AS rn
+             FROM (SELECT rsub.vec_id, rcb1.code,
+                          round(list_dot_product(s1, s1)
+                            - 2 * list_dot_product(s1, cv)
+                            + list_dot_product(cv, cv), 6) AS d2
+                   FROM rsub, rcb1)) WHERE rn = 1),
+    codes AS (SELECT vec_id, cluster, code0, code1
+              FROM ra0 JOIN ra1 USING (vec_id)
+                       JOIN assigned USING (vec_id)),
+    qp AS (
+      SELECT q_id, cluster,
+             list_slice(r, 1, 32) AS s0, list_slice(r, 33, 64) AS s1
+      FROM (SELECT e.vec_id AS q_id, cent.label AS cluster,
+                   list_transform(range(1, 1 + len(e.vn)),
+                     i -> e.vn[i] - cent.cvn[i]) AS r,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                     cent.label) AS rn
+            FROM e, cent WHERE e.vec_id < $NumQueries)
+      WHERE rn <= $NProbe),
+    lut0 AS (SELECT q_id, cluster, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM qp, rcb0),
+    lut1 AS (SELECT q_id, cluster, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM qp, rcb1),
+    scored AS (
+      SELECT qp.q_id, codes.vec_id AS neighbor, codes.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM qp JOIN codes USING (cluster)
+      JOIN lut0 ON lut0.q_id = qp.q_id AND lut0.cluster = qp.cluster
+               AND lut0.code0 = codes.code0
+      JOIN lut1 ON lut1.q_id = qp.q_id AND lut1.cluster = qp.cluster
+               AND lut1.code1 = codes.code1
+      WHERE codes.vec_id != qp.q_id),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY q_id
                ORDER BY adc, neighbor) AS rank
@@ -980,6 +1135,128 @@ object SimQueries {
           FROM q)
     ORDER BY vec_id"""
 
+  /** S10: OPQ-style rotation before PQ — the accuracy rung between S4
+    * and a full learned rotation. The rotation here is the
+    * NON-PARAMETRIC OPQ initialization: allocate dimensions to the two
+    * subspaces balancing variance (rank dims by 6dp-rounded corpus
+    * variance, ABBA-snake the ranks), i.e. an orthogonal PERMUTATION
+    * matrix trained from data statistics. Why not a dense learned
+    * rotation: full OPQ alternates SVDs (not oracle-expressible), and a
+    * power-iteration Householder aligning the top principal direction
+    * was measured noise-level on this near-isotropic corpus (±0.05%,
+    * sign flips between SFs) — the allocation step is the part of OPQ
+    * that transfers, and on anisotropic data it is the part that pays
+    * (SimSpec plants a variance ramp and measures the strict
+    * reconstruction-error win over S4's naive split). The 64-row
+    * variance stats are a bounded plan-time collect like SQ8's; the
+    * permutation applies as one narrow `transform`, then the exact S4
+    * pipeline (label-seeded codebooks, literal argmin) runs on the
+    * permuted space. The DuckDB oracle restates variance ranking,
+    * snake allocation, permutation, codebooks, and assignment end to
+    * end.
+    */
+  private def dimVariances(e: DataFrame): Seq[(Int, Double)] =
+    e.select(explode(expr(
+      "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
+      .as("x"))
+      .select(col("x.i").as("i"), col("x.col2").as("xi"))
+      .groupBy(col("i"))
+      .agg(round(var_pop(col("xi")), 6).as("vr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).toSeq
+
+  /** ABBA-snake allocation: rank dims by (variance DESC, dim ASC);
+    * ranks 1,4,5,8,… → subspace 0, ranks 2,3,6,7,… → subspace 1 — the
+    * running-sum-free balanced draft. Returns the permutation as
+    * 1-based source-dim indices (subspace-0 dims first, rank order).
+    */
+  private[sim] def opqPermutation(vars: Seq[(Int, Double)]): Seq[Int] = {
+    val ranked = vars.sortBy { case (i, vr) => (-vr, i) }.map(_._1)
+    val (s0, s1) = ranked.zipWithIndex.partition { case (_, j) =>
+      (j + 1) % 4 == 1 || (j + 1) % 4 == 0
+    }
+    s0.map(_._1) ++ s1.map(_._1)
+  }
+
+  /** Apply a 1-based dim permutation as a narrow map: w[j] = v[p[j]]. */
+  private[sim] def permuted(e: DataFrame, perm: Seq[Int]): DataFrame =
+    e.withColumn("w", transform(typedLit(perm),
+      d => element_at(col("v"), d)))
+
+  /** The S4 PQ pipeline over a permuted space — shared by the gate
+    * query (trained permutation) and SimSpec's planted-anisotropy
+    * dominance check (which also runs it with the identity).
+    */
+  private[graft] def opqPqOn(e: DataFrame, perm: Seq[Int]): DataFrame = {
+    val sub = graft.CachedFrames.persist(permuted(e, perm)
+      .select(col("vec_id"), col("label"),
+        slice(col("w"), 1, 32).as("s0"), slice(col("w"), 33, 32).as("s1")))
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    val cb0 = codebook("s0")
+    val cb1 = codebook("s1")
+    sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"),
+        round(col("a0.d2") + col("a1.d2"), 6).as("err"))
+      .orderBy(col("vec_id"))
+  }
+
+  def opqQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    opqPqOn(e, opqPermutation(dimVariances(e)))
+  }
+
+  val opqQuantizeSql: String = s"""
+    WITH e AS ($vecsSql),
+    dims AS (SELECT i, round(var_pop(v[i]), 6) AS vr
+             FROM (SELECT v, unnest(range(1, 1 + len(v))) AS i FROM e)
+             GROUP BY i),
+    ranked AS (SELECT i, row_number() OVER (ORDER BY vr DESC, i) AS rk
+               FROM dims),
+    alloc AS (SELECT i, rk,
+                     CASE WHEN rk % 4 IN (0, 1) THEN 0 ELSE 1 END AS sub_id
+              FROM ranked),
+    perm AS (SELECT list(i ORDER BY sub_id, rk) AS p FROM alloc),
+    w AS (SELECT vec_id, label,
+                 list_transform(range(1, 65), j -> v[p[j]]) AS wv
+          FROM e, perm),
+    sub AS (SELECT vec_id, label, list_slice(wv, 1, 32) AS s0,
+                   list_slice(wv, 33, 64) AS s1 FROM w),
+    cb0 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
+                  FROM (SELECT label, s0, unnest(range(1, 33)) AS i FROM sub)
+                  GROUP BY label, i)
+            GROUP BY label),
+    cb1 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(s1[i]), 6) AS av
+                  FROM (SELECT label, s1, unnest(range(1, 33)) AS i FROM sub)
+                  GROUP BY label, i)
+            GROUP BY label),
+    a0 AS (SELECT vec_id, code AS code0, d2 AS d20 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT sub.vec_id, cb0.code,
+                         round(list_dot_product(s0, s0)
+                           - 2 * list_dot_product(s0, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM sub, cb0)) WHERE rn = 1),
+    a1 AS (SELECT vec_id, code AS code1, d2 AS d21 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT sub.vec_id, cb1.code,
+                         round(list_dot_product(s1, s1)
+                           - 2 * list_dot_product(s1, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM sub, cb1)) WHERE rn = 1)
+    SELECT vec_id, code0, code1, round(d20 + d21, 6) AS err
+    FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
@@ -987,11 +1264,14 @@ object SimQueries {
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
+    "opq_quantize" -> (opqQuantize _),
     "sq8_quantize" -> (sq8Quantize _),
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
-    "knn_ivfpq_res" -> (knnIvfPqResidual _))
+    "knn_ivfpq_res" -> (knnIvfPqResidual _),
+    "knn_ivfpq_res_probe" ->
+      ((s: SparkSession, d: String) => knnIvfPqResidualProbe(s, d)))
 
   def oracles: Map[String, String] = Map(
     "knn_brute" -> knnBruteSql,
@@ -1000,9 +1280,11 @@ object SimQueries {
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,
+    "opq_quantize" -> opqQuantizeSql,
     "sq8_quantize" -> sq8QuantizeSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
-    "knn_ivfpq_res" -> knnIvfPqResidualSql)
+    "knn_ivfpq_res" -> knnIvfPqResidualSql,
+    "knn_ivfpq_res_probe" -> knnIvfPqResidualProbeSql)
 }

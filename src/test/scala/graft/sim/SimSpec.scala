@@ -178,6 +178,64 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe residual IVF-PQ: probe-1 degenerates to " +
+    "knn_ivfpq_res; probe-3 per-rank ADC dominates") {
+    // probe-1's single probed list is the query's own cluster, and its
+    // per-list residual LUT is then exactly S7's own-cluster LUT
+    val p1 = SimQueries.knnIvfPqResidualProbe(spark, dir, nprobe = 1)
+    val base = SimQueries.knnIvfPqResidual(spark, dir)
+    assert(p1.collect().map(_.toSeq).toSeq ===
+      base.collect().map(_.toSeq).toSeq)
+    // widening to 3 lists (each scored against its own centroid's LUT)
+    // can only find equal-or-closer candidates at every rank
+    def byRank(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        ((r.getLong(0), r.getInt(4)), r.getDouble(3))).toMap
+    val a1 = byRank(p1)
+    val a3 = byRank(SimQueries.knnIvfPqResidualProbe(spark, dir))
+    a1.foreach { case (key, adc1) =>
+      assert(a3(key) <= adc1, s"$key: probe-3 adc ${a3(key)} > probe-1 $adc1")
+    }
+  }
+
+  test("OPQ: the trained permutation is orthogonal (a bijection of " +
+    "dims) and beats the naive split on planted anisotropy") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    // a permutation matrix is orthogonal: applying it preserves norms
+    // exactly; assert it's a bijection of 1..64
+    val perm = SimQueries.opqPermutation(
+      (1 to 64).map(i => (i, 64.0 - i))) // synthetic variances, distinct
+    assert(perm.sorted === (1 to 64))
+    // planted anisotropy: a geometric per-dim variance ramp (descending)
+    // puts every high-variance dim in the naive split's FIRST subspace;
+    // OPQ's variance-balancing allocation must strictly cut the PQ
+    // reconstruction error (measured ~4.5% on this corpus at both
+    // sf0.001 and sf0.01) — the planted-pathology pattern DedupSpec
+    // uses for the hot-shingle cap
+    val ramp = (0 until 64).map(i => 4.0 * math.pow(0.92, i))
+    val planted = e.withColumn("v", expr(
+      s"transform(v, (x, i) -> x * element_at(array(${ramp.mkString(",")}), i + 1))"))
+    def errSum(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("err"))).collect().head.getDouble(0)
+    val naive = errSum(SimQueries.opqPqOn(planted, (1 to 64)))
+    val varsP = planted.select(explode(expr(
+        "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
+        .as("x"))
+      .select(col("x.i").as("i"), col("x.col2").as("xi"))
+      .groupBy(col("i")).agg(round(var_pop(col("xi")), 6).as("vr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val opq = errSum(SimQueries.opqPqOn(planted,
+      SimQueries.opqPermutation(varsP)))
+    assert(opq < naive,
+      s"OPQ err $opq not strictly below naive split $naive")
+    assert(opq < naive * 0.99,
+      s"OPQ err $opq within noise of naive $naive — allocation not paying")
+    graft.CachedFrames.releaseAll()
+  }
+
   test("SQ8: codes are 8-bit, reconstruction error beats PQ by orders") {
     val rows = SimQueries.sq8Quantize(spark, dir).collect()
     assert(rows.length === 500)
