@@ -61,6 +61,39 @@ object Estimator {
   def minutesFor(bytes: Long, shards: Int): Long =
     bytes / 1000 / 1000 / shards / 60
 
+  /** DECODED-byte estimate — the throughput-faithful model. The
+    * reference's estimate sums S3 OBJECT sizes (KinesisVcr.java:92-99),
+    * but tape bytes are base64 lines: ~4/3 the raw payload plus a
+    * newline per record, and Kinesis's 1 MB/s/shard cap meters the
+    * PutRecords PAYLOAD, not its base64 transport encoding — so the
+    * object-size model systematically overestimates replay time by
+    * ~33%. This variant reconciles through the tape DSv2 read
+    * ([[graft.sources.TapeDataSource]]): `dt` predicates prune to the
+    * requested day partitions in the planner, `src` counts the files,
+    * and the byte sum is `octet_length(payload)` — the exact quantity
+    * `vcr_batch`'s PutRecords budget and the replay pacer
+    * (`replayStreamShardPaced`) meter. Costs one pruned scan of the
+    * range (decode is needed to know payload sizes); the metadata-only
+    * walk above remains the reference-parity fast path.
+    */
+  def estimateDecoded(spark: org.apache.spark.sql.SparkSession,
+                      root: String, stream: String,
+                      start: LocalDateTime, end: Option[LocalDateTime],
+                      shards: Int): Estimate = {
+    import org.apache.spark.sql.functions._
+    val endEff = TimeArg.effectiveEnd(start, end)
+    val tape = spark.read.format("tape").load(s"$root/$stream")
+      .filter(col(Tape.DtCol) >= lit(start.toLocalDate.toString) &&
+        col(Tape.DtCol) <= lit(endEff.toLocalDate.toString))
+    val row = tape.agg(
+      countDistinct(col("src")).as("files"),
+      coalesce(sum(octet_length(col(Tape.PayloadCol))), lit(0L)).as("bytes"))
+      .head()
+    val (files, bytes) = (row.getLong(0), row.getLong(1))
+    val minutes = minutesFor(bytes, shards)
+    Estimate(files, bytes, shards, minutes, humanize(minutes))
+  }
+
   /** reference: KinesisVcr.java:132-148 */
   def humanize(timeInMinutes: Long): String = {
     if (timeInMinutes < 60) return s"$timeInMinutes mins"

@@ -118,6 +118,13 @@ object VcrCli {
           println(s"It would take around ${est.human} to replay the data in the " +
             s"provided range, which has ${est.files} files and a total size of " +
             s"${est.bytes / 1000 / 1000} MB")
+          // the decoded-byte model: what the 1 MB/s/shard cap actually
+          // meters (payload, not its base64 transport) — the tape-size
+          // figure above overestimates replay time by ~4/3
+          val dec = Estimator.estimateDecoded(spark, root, stream,
+            start, end, shards)
+          println(s"Decoded payload is ${dec.bytes} bytes; at 1 MB/s/shard " +
+            s"the replay itself would take around ${dec.human}")
         }
 
       case other =>

@@ -63,6 +63,26 @@ class VcrCliLoopSpec extends AnyFunSuite {
     val estOut = captured(VcrCli.run(spark, cfg, Array("estimate", "2024-03-05")))
     assert(estOut.contains("has 3 shards"), estOut)
 
+    // decoded-byte math: the CLI's second model must report EXACTLY the
+    // summed raw payload bytes (what PutRecords meters), not the
+    // base64-inflated tape size the reference-parity listing reports
+    val decodedBytes = payloads.map(_.getBytes(UTF_8).length.toLong).sum
+    assert(estOut.contains(s"Decoded payload is $decodedBytes bytes"), estOut)
+    val tapeBytes = new java.io.File(s"$root/cli-src/dt=2024-03-05")
+      .listFiles().filter(_.isFile)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.length()).sum
+    // and the two models differ by exactly the base64+newline framing
+    val framed = payloads.map { p =>
+      val n = p.getBytes(UTF_8).length; 4L * ((n + 2) / 3) + 1L
+    }.sum
+    assert(tapeBytes === framed, s"tape files $tapeBytes != framed $framed")
+    assert(decodedBytes < tapeBytes)
+    val viaApi = Estimator.estimateDecoded(spark, root, "cli-src",
+      java.time.LocalDateTime.parse("2024-03-05T00:00:00"), None, 3)
+    assert(viaApi.bytes === decodedBytes)
+    assert(viaApi.minutes === Estimator.minutesFor(decodedBytes, 3))
+
     // config validation matches the reference: playback without a
     // target stream must refuse (KinesisVcr.java:36-38)
     val noTarget = cfg.copy(targetStream = None)
