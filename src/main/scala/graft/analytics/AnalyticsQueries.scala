@@ -1432,7 +1432,45 @@ object AnalyticsQueries {
            sum(round(value * 100.0, 0)::BIGINT)::BIGINT AS attributed_cents
     FROM tagged GROUP BY first_type ORDER BY first_type"""
 
+  /** A44: heavy hitters via sketch-then-verify — the E22 Misra-Gries
+    * aggregate prunes an unbounded key space to ≤k candidates in ONE
+    * pass with k-bounded state per task (no full groupBy over every
+    * key), then an exact count over the broadcast candidate set
+    * verifies. The MG guarantee (every item with freq > n/(k+1)
+    * survives any merge order) makes the candidate set a superset of
+    * the truth, so the verified output is EXACT and the plain-SQL
+    * heavy-hitter query is its oracle — the LSH/MinHash two-phase
+    * discipline applied to frequency. At 100 TB: the first pass
+    * shuffles k-entry summaries (one per task), the verify pass
+    * shuffles only candidate keys.
+    */
+  val HeavyHittersK = 124 // threshold = n/125 of the stream
+
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val sketch = ev.agg(
+      graft.functions.MisraGriesAgg(col("user_id"), HeavyHittersK).as("mg"),
+      count(lit(1)).as("n"))
+    val cand = sketch
+      .select(explode(col("mg")).as("c"),
+        expr(s"n div ${HeavyHittersK + 1}").as("thresh"))
+      .select(col("c.item").as("user_id"), col("thresh"))
+    ev.join(broadcast(cand), Seq("user_id"))
+      .groupBy(col("user_id"), col("thresh"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > col("thresh"))
+      .select(col("user_id"), col("freq"))
+      .orderBy(col("freq").desc, col("user_id"))
+  }
+
+  val qHeavyHittersSql: String = s"""
+    SELECT user_id, count(*) AS freq
+    FROM events GROUP BY user_id
+    HAVING count(*) > (SELECT count(*) // ${HeavyHittersK + 1} FROM events)
+    ORDER BY freq DESC, user_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
     "q3_shipping" -> (q3Shipping _),
@@ -1478,6 +1516,7 @@ object AnalyticsQueries {
     "q_grouping_sets" -> (qGroupingSets _))
 
   def oracles: Map[String, String] = Map(
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q_scan_pushdown" -> qScanPushdownSql,
     "q3_shipping" -> q3ShippingSql,

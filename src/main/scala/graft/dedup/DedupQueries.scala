@@ -463,7 +463,81 @@ object DedupQueries {
     FROM ev JOIN first_seen USING (h)
     GROUP BY day ORDER BY day"""
 
+  /** D11: Bloom-filter ingest pre-filter (E23) — the day-zero filter a
+    * continuously-ingesting archive probes before exact dedup: build
+    * the filter over the FIRST day's distinct payload hashes in one
+    * aggregate pass (m-bit state, merge = OR), then probe every day's
+    * distinct payloads against the broadcast filter with pure codegen
+    * bit arithmetic — no join for the probe, the filter is m/8 bytes
+    * however large day one was. The ledger reports, per day: probed
+    * payloads, Bloom-positives, EXACT day-one members, and the
+    * difference = measured false positives (a Bloom positive only ever
+    * costs an extra exact check — never a wrong dedup verdict).
+    * Because the k hash positions are md5-derived, the DuckDB oracle
+    * reproduces the exact bit set and every membership verdict, so
+    * even the false-positive count is hash-checked cross-engine.
+    */
+  val BloomM = 1 << 16 // bits
+  val BloomK = 4 // hash functions
+
+  def dedupBloom(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(md5(col("props").cast("binary")).as("h"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+    // bounded plan-time scalars: the anchor day + the m/64-word filter
+    val day1 = ev.agg(min(col("day"))).head().getString(0)
+    val base = ev.filter(col("day") === day1).select(col("h")).distinct()
+    val words: Seq[Long] = base
+      .agg(graft.functions.BloomFilterAgg(col("h"), BloomM, BloomK).as("bf"))
+      .head().getSeq[Long](0)
+    val probes = ev.distinct()
+      .withColumn("__bf", typedLit(words))
+      .withColumn("maybe",
+        graft.functions.BloomFilterAgg.probe("__bf", "h", BloomM, BloomK))
+    probes
+      .join(broadcast(base.withColumn("seen", lit(1L))), Seq("h"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("n_false_pos", col("n_maybe") - col("n_seen"))
+      .orderBy(col("day"))
+  }
+
+  val dedupBloomSql: String = s"""
+    WITH ev AS (
+      SELECT md5(props) AS h,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events),
+    base AS (SELECT DISTINCT h FROM ev
+             WHERE day = (SELECT min(day) FROM ev)),
+    bits AS (SELECT DISTINCT
+               ('0x' || substring(md5(j::VARCHAR || '-' || h), 1, 7))::BIGINT
+                 % $BloomM AS pos
+             FROM base, (SELECT unnest(range(1, ${BloomK + 1})) AS j)),
+    probes AS (SELECT DISTINCT day, h FROM ev),
+    pj AS (SELECT day, h,
+                  ('0x' || substring(md5(j::VARCHAR || '-' || h), 1, 7))::BIGINT
+                    % $BloomM AS pos
+           FROM probes, (SELECT unnest(range(1, ${BloomK + 1})) AS j)),
+    maybe AS (SELECT day, h FROM pj JOIN bits USING (pos)
+              GROUP BY day, h HAVING count(*) = $BloomK)
+    SELECT day, n_payloads, n_maybe, n_seen,
+           (n_maybe - n_seen)::BIGINT AS n_false_pos
+    FROM (
+      SELECT p.day, count(*) AS n_payloads,
+             sum(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_maybe,
+             sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_seen
+      FROM probes p
+      LEFT JOIN maybe m ON m.day = p.day AND m.h = p.h
+      LEFT JOIN base b ON b.h = p.h
+      GROUP BY p.day)
+    ORDER BY day"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -475,6 +549,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,

@@ -354,6 +354,67 @@ object PipelineQueries {
     WHERE rk <= $StratumCap
     ORDER BY lang, rk"""
 
+  /** P10: temperature-scaled corpus sampling — the multilingual-LM
+    * mixing rule (the mT5/XLM-R α-sampling): per-source sampling
+    * weight ∝ n_s^α with α=0.5, so small sources are UP-weighted
+    * relative to their share and the dominant source stops drowning
+    * the mix — P5's fixed weights, derived from the data instead.
+    * Selection stays a pure narrow map over a salted md5 bucket
+    * (re-shard-stable, no shuffle beyond the per-source rollup):
+    * doc selected ⟺ h28(doc) < threshold_s, where threshold_s is the
+    * source's rate in 2^28 units. Exactness: w_s = round(√n_s·1e6)
+    * quantizes once per source, W = Σw_s is exact BIGINT, the rate
+    * divides exact integers, and one terminal rounding fixes the
+    * threshold — deterministic cross-engine.
+    */
+  val MixAlphaTarget = 200L // target docs in the sampled mix
+
+  def dataAlphaMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_micro",
+        round(sqrt(col("n_docs")) * 1e6, 0).cast("long"))
+    // bounded plan-time scalar: one row per corpus (Σ over ≤ #sources)
+    val wTotal = counts.agg(sum(col("w_micro"))).head().getLong(0)
+    val rates = counts.withColumn("threshold",
+      round(least(lit(1.0),
+        lit(MixAlphaTarget.toDouble) * col("w_micro") /
+          (lit(wTotal.toDouble) * col("n_docs"))) * 268435456.0, 0)
+        .cast("long"))
+    val h = conv(substring(
+      md5(concat(lit("tmix-"), col("doc_id").cast("string"))), 1, 7),
+      16, 10).cast("long")
+    docs.withColumn("h", h)
+      .join(rates, Seq("source"))
+      .groupBy(col("source"), col("n_docs"), col("w_micro"),
+        col("threshold"))
+      .agg(sum(when(col("h") < col("threshold"), 1L).otherwise(0L))
+        .as("n_selected"))
+      .orderBy(col("source"))
+  }
+
+  val dataAlphaMixSql: String = s"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    w AS (SELECT source, n_docs,
+                 round(sqrt(n_docs) * 1e6, 0)::BIGINT AS w_micro FROM c),
+    t AS (SELECT sum(w_micro)::BIGINT AS w_total FROM w),
+    r AS (SELECT source, n_docs, w_micro,
+                 round(least(1.0, $MixAlphaTarget * w_micro /
+                   ((SELECT w_total FROM t) * 1.0 * n_docs))
+                   * 268435456.0, 0)::BIGINT AS threshold
+          FROM w),
+    d AS (SELECT source,
+                 ('0x' || substring(md5('tmix-' || doc_id::VARCHAR),
+                   1, 7))::BIGINT AS h
+          FROM documents)
+    SELECT source, n_docs, w_micro, threshold,
+           sum(CASE WHEN h < threshold THEN 1 ELSE 0 END)::BIGINT
+             AS n_selected
+    FROM r JOIN d USING (source)
+    GROUP BY source, n_docs, w_micro, threshold
+    ORDER BY source"""
+
   /** P9: bigram language-model scoring — the step up from P6's unigram
     * model: NLL = −Σ ln p(wᵢ | wᵢ₋₁) with conditional probabilities
     * from corpus bigram/context counts. Self-scored corpus ⇒ every doc
@@ -413,9 +474,11 @@ object PipelineQueries {
     "text_decontam" -> (textDecontam _),
     "data_pack" -> (dataPack _),
     "data_mix" -> (dataMix _),
+    "data_alpha_mix" -> (dataAlphaMix _),
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "data_alpha_mix" -> dataAlphaMixSql,
     "pii_scrub" -> piiScrubSql,
     "text_bigram_lm" -> textBigramLmSql,
     "stratified_sample" -> stratifiedSampleSql,

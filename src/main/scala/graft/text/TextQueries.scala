@@ -296,6 +296,72 @@ object TextQueries {
     ORDER BY score_micro DESC, doc_id LIMIT 10"""
   }
 
+  /** T9: TF-IDF retrieval with cosine normalization — BM25's classical
+    * sibling, and a structurally DIFFERENT query: the per-doc norm
+    * needs the weight of EVERY term (the full inverted index with
+    * per-document norms — what a TF-IDF index build materializes),
+    * while scoring touches only query-term postings. The vocabulary
+    * df table joins back as a SHUFFLE join (P9's honest n-gram-table
+    * shape — a 100 TB vocabulary is not a broadcast). Exactness
+    * discipline: idf quantizes once per term (integer micro), doc
+    * weights are tf×idf_micro (exact BIGINT), norm² is an exact BIGINT
+    * sum of squares, and the final cosine divides two exact integers —
+    * deterministic cross-engine with one terminal rounding.
+    */
+  def textTfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
+    val nDocs = toks.select(col("doc_id")).distinct().count()
+    // the full index: every (doc, term) weight — feeds norms AND scoring
+    val tf = toks.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("idf_micro",
+        round(log(lit(nDocs.toDouble) / col("df")) * 1e6, 0).cast("long"))
+    val weights = graft.CachedFrames.persist(
+      tf.join(df.select(col("word"), col("idf_micro")), Seq("word"))
+        .withColumn("w_micro", col("tf") * col("idf_micro")))
+    val norms = weights.groupBy(col("doc_id"))
+      .agg(sum(col("w_micro") * col("w_micro")).as("norm2"))
+    val qpost = weights.filter(col("word").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_micro") * col("idf_micro")).as("dot_scaled"),
+        count(lit(1)).as("n_terms"))
+    qpost.join(norms, Seq("doc_id"))
+      .filter(col("norm2") > 0)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("dot_scaled") / sqrt(col("norm2")), 0).cast("long")
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val textTfidfSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM toks),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
+           GROUP BY doc_id, word),
+    df AS (SELECT word, round(ln((SELECT n_docs FROM n) / count(*)) * 1e6,
+                   0)::BIGINT AS idf_micro
+           FROM tf GROUP BY word),
+    weights AS (
+      SELECT doc_id, word, (tf * idf_micro)::BIGINT AS w_micro, idf_micro
+      FROM tf JOIN df USING (word)),
+    norms AS (SELECT doc_id, sum(w_micro * w_micro)::BIGINT AS norm2
+              FROM weights GROUP BY doc_id),
+    qpost AS (SELECT doc_id, sum(w_micro * idf_micro)::BIGINT AS dot_scaled,
+                     count(*) AS n_terms
+              FROM weights WHERE word IN ($terms) GROUP BY doc_id)
+    SELECT doc_id, n_terms,
+           round(dot_scaled / sqrt(norm2), 0)::BIGINT AS score_micro
+    FROM qpost JOIN norms USING (doc_id)
+    WHERE norm2 > 0
+    ORDER BY score_micro DESC, doc_id LIMIT 10"""
+  }
+
   /** T7: repetition signals (the Gopher repetition filters' shape):
     * duplicate-word fraction and the most-frequent-bigram share per
     * document. The statistic is PER-ROW, so the whole computation is
@@ -364,6 +430,7 @@ object TextQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (textBm25 _),
+    "text_tfidf" -> (textTfidf _),
     "text_repetition" -> (textRepetition _),
     "text_lang_id" -> (textLangId _),
     "text_lang_confusion" -> (textLangConfusion _),
@@ -374,6 +441,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
+    "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,
     "text_lang_id" -> textLangIdSql,
     "text_lang_confusion" -> textLangConfusionSql,
