@@ -422,4 +422,80 @@ class StreamingSpec extends AnyFunSuite {
       Seq("2024-02-02", 9L, 6L, 5L),
       Seq("2024-02-03", 6L, 6L, 5L)))
   }
+
+  test("R10: streaming index maintenance — df/tf stay equal to the " +
+    "batch index across waves, and later batches emit only deltas") {
+    val root = tmp()
+    import spark.implicits._
+    def tapeDocs(docs: Seq[(Long, String)], seqBase: Long): Unit =
+      graft.vcr.TapeWriter.write(
+        docs.map { case (id, t) => (s"$id|$t".getBytes, seqBase + id,
+          java.sql.Timestamp.valueOf("2024-03-01 09:00:00"))
+        }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+        root, "docs", numFiles = 2,
+        mode = org.apache.spark.sql.SaveMode.Append)
+
+    val wave1 = Seq(
+      1L -> "spark query engine", 2L -> "vector query store",
+      3L -> "spark spark runtime")
+    tapeDocs(wave1, 100)
+
+    // maintained serving stores: upserted from each batch's deltas
+    val dfStore = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val tfStore = new java.util.concurrent.ConcurrentHashMap[(Long, String), Long]()
+    val wave2DfDeltas = scala.collection.mutable.Set.empty[String]
+    @volatile var recordDeltas = false
+
+    val tape = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/docs")
+    val qDf = StreamIndex.dfUpdates(tape)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach { r =>
+            dfStore.put(r.getString(0), r.getLong(1))
+            if (recordDeltas) wave2DfDeltas += r.getString(0)
+          }
+          ()
+      }.start()
+    val qTf = StreamIndex.tfUpdates(tape)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            tfStore.put((r.getLong(0), r.getString(1)), r.getLong(2)))
+          ()
+      }.start()
+    qDf.processAllAvailable(); qTf.processAllAvailable()
+
+    def asMaps(docs: Seq[(Long, String)])
+    : (Map[String, Long], Map[(Long, String), Long]) = {
+      val d = docs.toDF("doc_id", "text")
+      (StreamIndex.dfBatch(d).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap,
+        StreamIndex.tfBatch(d).collect()
+          .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap)
+    }
+    import scala.jdk.CollectionConverters._
+    val (df1, tf1) = asMaps(wave1)
+    assert(dfStore.asScala.toMap === df1)
+    assert(tfStore.asScala.toMap === tf1)
+
+    // wave 2 touches 'query' and adds new words; 'spark'/'engine' etc
+    // are untouched and must NOT re-emit
+    recordDeltas = true
+    val wave2 = Seq(4L -> "query planner optimizer")
+    tapeDocs(wave2, 200)
+    qDf.processAllAvailable(); qTf.processAllAvailable()
+    qDf.stop(); qTf.stop()
+
+    val (dfAll, tfAll) = asMaps(wave1 ++ wave2)
+    assert(dfStore.asScala.toMap === dfAll)
+    assert(tfStore.asScala.toMap === tfAll)
+    // delta property: only wave-2 words were re-emitted
+    assert(wave2DfDeltas.toSet === Set("query", "planner", "optimizer"),
+      s"unexpected df deltas: $wave2DfDeltas")
+  }
 }
