@@ -1257,7 +1257,98 @@ object SimQueries {
     SELECT vec_id, code0, code1, round(d20 + d21, 6) AS err
     FROM a0 JOIN a1 USING (vec_id) ORDER BY vec_id"""
 
+  /** S12: graph-based ANN — the HNSW/NSW family re-expressed as
+    * relational iteration, since a pointer-chasing index is the one
+    * ANN shape Spark cannot host directly. Two phases, both
+    * deterministic:
+    *
+    *  - GRAPH BUILD: candidate pairs from multi-probe cluster
+    *    co-membership (each vector meets the members of its top-2
+    *    lists — an equi-join, never n²), ranked by 6dp cosine, top-M
+    *    kept per node via the E18 heap, then symmetrized (union of
+    *    both directions) — the NN-descent-style approximate kNN graph.
+    *  - BEAM SEARCH: per query, entry points are its own list's
+    *    members; each round expands the current beam's graph
+    *    neighbours (broadcast the tiny frontier against the
+    *    src-partitioned edge list), scores only UNSEEN candidates
+    *    (anti-join), and re-selects the beam — `GraphRounds` rounds of
+    *    broadcast joins over kilobyte frontiers. Each round's
+    *    accumulator persists (the §8a iterative-lineage lesson: the
+    *    plan doubles per round otherwise).
+    *
+    * Search quality comes from edges crossing cluster boundaries —
+    * beam search escapes the probe-1 list without scanning other
+    * lists wholesale. Scores are rounded and ties break on id, so the
+    * whole search is deterministic (spec: run-to-run identical); the
+    * L-round traversal is not SQL-expressible, so this is a rows-only
+    * gate entry with recall spec'd against brute force (≥ the IVF
+    * probe-1 baseline).
+    */
+  val GraphM = 8
+  val GraphBeam = 8
+  val GraphRounds = 3
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val assign = e.select(col("vec_id"), col("vn"),
+      bestClusterCol(cents).as("cluster"))
+    val probes = e.select(col("vec_id"), col("vn"),
+        explode(topProbesCol(cents, 2)).as("p"))
+      .select(col("vec_id"), col("vn"), col("p.label").as("cluster"))
+    val cand = probes
+      .join(assign.select(col("vec_id").as("dst"), col("vn").as("dvn"),
+        col("cluster")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"),
+        round(dot(col("vn"), col("dvn")), 6).as("cos"))
+    val edges = cand.groupBy(col("src"))
+      .agg(graft.functions.TopKAgg(col("cos"), col("dst"), GraphM).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    val graph = graft.CachedFrames.persist(
+      edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    val q = assign.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
+    var seen = graft.CachedFrames.persist(
+      q.join(assign.select(col("vec_id").as("cand"), col("vn").as("cvn"),
+          col("cluster")), Seq("cluster"))
+        .filter(col("cand") =!= col("q_id"))
+        .select(col("q_id"), col("cand"),
+          round(dot(col("qvn"), col("cvn")), 6).as("cos")))
+    var r = 0
+    while (r < GraphRounds) {
+      val frontier = seen.groupBy(col("q_id"))
+        .agg(graft.functions.TopKAgg(col("cos"), col("cand"), GraphBeam)
+          .as("top"))
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t.id").as("src"))
+      val expanded = broadcast(frontier).join(graph, Seq("src"))
+        .select(col("q_id"), col("dst").as("cand")).distinct()
+        .join(seen.select(col("q_id"), col("cand")),
+          Seq("q_id", "cand"), "left_anti")
+      val scoredNew = expanded
+        .join(vecById, Seq("cand"))
+        .join(q.select(col("q_id"), col("qvn")), Seq("q_id"))
+        .filter(col("cand") =!= col("q_id"))
+        .select(col("q_id"), col("cand"),
+          round(dot(col("qvn"), col("cvn")), 6).as("cos"))
+      seen = graft.CachedFrames.persist(seen.union(scoredNew))
+      r += 1
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand"))
+    seen.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("cand").as("neighbor"), col("cos"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_graph" -> (knnGraph _),
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),

@@ -33,8 +33,10 @@ class DriverContractSpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     assert(qs.size >= 62)
-    // rows-only entries are the documented exceptions
-    assert((qs -- os) === Set("media_decode"))
+    // rows-only entries are the documented exceptions: the stub-codec
+    // decode boundary, and graph ANN whose L-round beam traversal is
+    // not SQL-expressible (deterministic + recall-spec'd in SimSpec)
+    assert((qs -- os) === Set("media_decode", "knn_graph"))
   }
 
   test("VcrCli validates commands and arguments like the reference") {

@@ -178,6 +178,29 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("graph ANN: deterministic run to run; recall@5 beats the IVF " +
+    "probe-1 baseline (beam search escapes the query's own list)") {
+    val a = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val b = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(a === b, "beam search is not deterministic")
+    def recall5(rows: Seq[Seq[Any]]): Double = {
+      val got = rows.map(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Long])).toSet
+      val truth = topn(brute, 5)
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val graphRecall = recall5(a)
+    val ivfRecall = {
+      val got = topn(SimQueries.knnIvf(spark, dir), 5)
+      (got intersect topn(brute, 5)).size.toDouble / topn(brute, 5).size
+    }
+    assert(graphRecall >= ivfRecall,
+      s"graph recall $graphRecall < ivf probe-1 recall $ivfRecall")
+    assert(graphRecall > 0.5, s"graph recall $graphRecall too low")
+  }
+
   test("multi-probe residual IVF-PQ: probe-1 degenerates to " +
     "knn_ivfpq_res; probe-3 per-rank ADC dominates") {
     // probe-1's single probed list is the query's own cluster, and its
