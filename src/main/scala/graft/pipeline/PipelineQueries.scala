@@ -63,8 +63,14 @@ object PipelineQueries {
     * auditable): token-count bounds, mean-token-length band, stopword
     * presence. Everything is closed-form per document.
     */
-  def textFilterChain(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** The rule chain as a frame→frame map over any (doc_id, text)
+    * frame — a pure narrow projection, so the SAME code is the
+    * streaming face (StreamingSpec runs it over the tape stream and
+    * proves batch parity): quality filtering is an ingest-time
+    * operator, not only a batch sweep.
+    */
+  def filterChainAnnotate(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_tokens", size(col("w")))
       .withColumn("avg_token_len",
@@ -81,6 +87,9 @@ object PipelineQueries {
       .withColumn("keep", col("reason") === "kept")
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
         col("stop_hits"), col("keep"), col("reason"))
+
+  def textFilterChain(s: SparkSession, dir: String): DataFrame =
+    filterChainAnnotate(Tables.documents(s, dir))
       .orderBy(col("doc_id"))
 
   val textFilterChainSql: String = """
@@ -244,8 +253,8 @@ object PipelineQueries {
     // the corpus token total is Σ vocab counts — read it off the
     // (bounded, persisted) vocab aggregate instead of a separate
     // corpus-wide count() scan
-    val counts = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .persist()
+    val counts = graft.CachedFrames.persist(
+      toks.groupBy(col("word")).agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum(col("cnt"))).head().getLong(0)
     val vocab = counts
       .withColumn("lp_micro",
@@ -415,6 +424,70 @@ object PipelineQueries {
     GROUP BY source, n_docs, w_micro, threshold
     ORDER BY source"""
 
+  /** P11: cross-source contamination matrix — corpus governance's
+    * pairwise question: how much does source A duplicate source B?
+    * Computed on D7's 10-word spans: distinct (source, span) FIRST —
+    * which bounds every span's join bucket at the source count (C(S,2)
+    * pairs per span however viral the span, the D8 bounded-bucket
+    * discipline for free) — then a self-join on the 16-byte span hash
+    * with source_a < source_b, one count per ordered pair, and an
+    * overlap coefficient against the smaller side's span inventory.
+    * Only hashes shuffle; span text never leaves the map side.
+    */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w) div 10), " +
+          "k -> concat_ws(' ', slice(w, (k-1)*10+1, 10)))")).as("span"))
+      .select(col("source"), md5(col("span")).as("h"))
+      .distinct()
+    val sp = graft.CachedFrames.persist(spans)
+    val totals = sp.groupBy(col("source")).agg(count(lit(1)).as("n_spans"))
+    val shared = sp.as("a")
+      .join(sp.as("b"), col("a.h") === col("b.h") &&
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(totals.select(col("source").as("source_a"),
+        col("n_spans").as("n_a")), Seq("source_a"))
+      .join(totals.select(col("source").as("source_b"),
+        col("n_spans").as("n_b")), Seq("source_b"))
+      .withColumn("overlap",
+        round(col("n_shared") / least(col("n_a"), col("n_b")), 6))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("overlap"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String = """
+    WITH spans AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+               list_slice(w, (k-1)*10+1, (k-1)*10+10), ' ')) AS h
+      FROM (SELECT source, w, unnest(range(1, 1 + len(w)//10)) AS k
+            FROM (SELECT source, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 10)),
+    totals AS (SELECT source, count(*) AS n_spans FROM spans
+               GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM spans a JOIN spans b
+        ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, n_shared,
+           ta.n_spans AS n_a, tb.n_spans AS n_b,
+           round(n_shared / least(ta.n_spans, tb.n_spans), 6) AS overlap
+    FROM shared
+    JOIN totals ta ON ta.source = source_a
+    JOIN totals tb ON tb.source = source_b
+    ORDER BY source_a, source_b"""
+
   /** P9: bigram language-model scoring — the step up from P6's unigram
     * model: NLL = −Σ ln p(wᵢ | wᵢ₋₁) with conditional probabilities
     * from corpus bigram/context counts. Self-scored corpus ⇒ every doc
@@ -475,10 +548,12 @@ object PipelineQueries {
     "data_pack" -> (dataPack _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
+    "source_overlap" -> (sourceOverlap _),
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
     "data_alpha_mix" -> dataAlphaMixSql,
+    "source_overlap" -> sourceOverlapSql,
     "pii_scrub" -> piiScrubSql,
     "text_bigram_lm" -> textBigramLmSql,
     "stratified_sample" -> stratifiedSampleSql,

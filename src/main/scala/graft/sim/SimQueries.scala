@@ -464,9 +464,10 @@ object SimQueries {
     // code assignment, and the query LUTs — four traversals otherwise.
     // (At corpus scale you train codebooks on a SAMPLE and only the
     // encoding pass touches everything; here the frame is the sample.)
-    val sub = vecs(s, dir).select(col("vec_id"), col("label"),
-      slice(col(vecCol), 1, Half).as("s0"),
-      slice(col(vecCol), Half + 1, Half).as("s1")).persist()
+    val sub = graft.CachedFrames.persist(
+      vecs(s, dir).select(col("vec_id"), col("label"),
+        slice(col(vecCol), 1, Half).as("s0"),
+        slice(col(vecCol), Half + 1, Half).as("s1")))
     def codebook(c: String): Seq[(Long, Seq[Double])] =
       KMeans.collectCodebook(KMeans.meanByKey(
         sub.select(col("label").cast("long").as("code"), col(c).as("v")),

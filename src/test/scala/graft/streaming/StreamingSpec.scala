@@ -498,4 +498,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(wave2DfDeltas.toSet === Set("query", "planner", "optimizer"),
       s"unexpected df deltas: $wave2DfDeltas")
   }
+
+  test("R11: the quality filter chain runs unchanged on the stream " +
+    "(narrow projection) and matches the batch verdicts") {
+    val root = tmp()
+    import spark.implicits._
+    // real corpus docs through the tape, so verdict variety is real
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.vcr.TapeWriter.write(
+      docs.map { case (id, t) => (s"$id|$t".getBytes, id,
+        java.sql.Timestamp.valueOf("2024-04-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "docs", numFiles = 3)
+
+    val stream = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/docs")
+    val q = graft.pipeline.PipelineQueries.filterChainAnnotate(
+        StreamIndex.docs(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qchain").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("qchain").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val expected = graft.pipeline.PipelineQueries.filterChainAnnotate(
+        docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    assert(got.map(_(5)).distinct.size >= 3,
+      "corpus slice too uniform: verdict variety not exercised")
+  }
 }
