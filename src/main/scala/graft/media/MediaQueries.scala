@@ -149,7 +149,91 @@ object MediaQueries {
     HAVING count(DISTINCT media_id) >= 2
     ORDER BY chunk_hash"""
 
+  /** M6: content-defined chunking + CAS dedup — the rsync/CDC answer
+    * to M5's weakness: fixed windows shift under a single insertion,
+    * so two media differing by one leading word share NO fixed chunks.
+    * CDC cuts where a rolling fingerprint of the last 3 words hits
+    * `h % 16 == 0`, so boundaries are CONTENT-anchored: after an
+    * insertion, chunks re-align at the first surviving boundary and
+    * everything downstream dedups again (spec plants exactly that).
+    * Segmentation is one narrow projection (higher-order filter over
+    * word positions → cut list → slice per chunk); the CAS rollup then
+    * groups 16-byte chunk hashes across media — the same
+    * store-once-reference-many shape as M5, now insertion-robust.
+    * The md5-derived fingerprint keeps the oracle exact: DuckDB
+    * reproduces boundaries, chunks, and the dedup ledger end to end.
+    */
+  def mediaCdcDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), split(col("text"), " ").as("w"))
+      .withColumn("base", expr(
+        """concat(
+          |  array(0),
+          |  filter(transform(sequence(1, size(w)),
+          |    i -> if(i >= 3 and
+          |      cast(conv(substring(md5(concat_ws(' ', slice(w, i-2, 3))),
+          |        1, 7), 16, 10) as bigint) % 16 = 0, i, -1)),
+          |    x -> x > 0))""".stripMargin))
+      // append the terminal cut only when the last rolling boundary
+      // didn't already land there (array_distinct would do it, but
+      // order preservation there is a Spark detail the oracle's engine
+      // does not promise — make the construction order-explicit)
+      .withColumn("cuts", expr(
+        "if(element_at(base, size(base)) = size(w), base, " +
+          "concat(base, array(size(w))))"))
+      .select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(cuts)-1),
+            |  j -> concat_ws(' ', slice(w, element_at(cuts, j) + 1,
+            |    element_at(cuts, j+1) - element_at(cuts, j))))""".stripMargin)))
+      .select(col("media_id"), (col("pos") + 1).as("chunk_idx"),
+        md5(col("col")).as("chunk_hash"),
+        size(split(col("col"), " ")).cast("long").as("n_words"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("media_id")).as("keeper_media"),
+        max(col("n_words")).as("n_words"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("chunk_hash"))
+
+  val mediaCdcDedupSql: String = """
+    WITH m AS (SELECT doc_id AS media_id, string_split(text, ' ') AS w
+               FROM documents),
+    cb AS (
+      SELECT media_id, w,
+             list_concat(
+               [0],
+               list_filter(list_transform(range(1, 1 + len(w)),
+                 i -> CASE WHEN i >= 3 AND
+                   ('0x' || substring(md5(array_to_string(
+                     list_slice(w, i-2, i), ' ')), 1, 7))::BIGINT % 16 = 0
+                   THEN i ELSE -1 END),
+                 x -> x > 0)) AS base
+      FROM m),
+    cut AS (
+      SELECT media_id, w,
+             CASE WHEN base[len(base)] = len(w) THEN base
+                  ELSE list_concat(base, [len(w)]) END AS cuts
+      FROM cb),
+    chunks AS (
+      SELECT media_id,
+             array_to_string(list_slice(w, cuts[j] + 1, cuts[j+1]), ' ')
+               AS chunk
+      FROM (SELECT media_id, w, cuts,
+                   unnest(range(1, len(cuts))) AS j
+            FROM cut))
+    SELECT md5(chunk) AS chunk_hash,
+           count(DISTINCT media_id) AS n_media,
+           count(*) AS n_occurrences,
+           min(media_id) AS keeper_media,
+           max(len(string_split(chunk, ' ')))::BIGINT AS n_words
+    FROM chunks GROUP BY chunk_hash
+    HAVING count(DISTINCT media_id) >= 2
+    ORDER BY chunk_hash"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_cdc_dedup" -> (mediaCdcDedup _),
     "media_chunk_dedup" -> (mediaChunkDedup _),
     "media_meta" -> (mediaMeta _),
     "media_frames" -> (mediaFrames _),
@@ -160,6 +244,7 @@ object MediaQueries {
     * boundary gets the driver's rows-only check + MediaSpec.
     */
   def oracles: Map[String, String] = Map(
+    "media_cdc_dedup" -> mediaCdcDedupSql,
     "media_chunk_dedup" -> mediaChunkDedupSql,
     "media_meta" -> mediaMetaSql,
     "media_frames" -> mediaFramesSql,

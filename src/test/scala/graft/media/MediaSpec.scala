@@ -49,4 +49,36 @@ class MediaSpec extends AnyFunSuite {
       assert(fs.map(_.getString(3)).distinct.length === n)
     }
   }
+
+  test("CDC chunking is insertion-robust where fixed windows are not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the same long text, and a copy with ONE word prepended — fixed
+    // 100-char windows all shift; CDC re-anchors at the first
+    // surviving content boundary
+    val words = (1 to 400).map(i => s"tok$i")
+    val original = words.mkString(" ")
+    val shifted = ("inserted " + original)
+    val docs = Seq((1L, original), (2L, shifted)).toDF("doc_id", "text")
+    // the gate query itself reports shared chunks: write the two-doc
+    // corpus and count chunk hashes shared by BOTH media
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    docs.select(col("doc_id"), col("text"),
+        lit("en").as("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shared = MediaQueries.mediaCdcDedup(spark, dir)
+      .filter(col("n_media") === 2).collect()
+    // CDC: nearly the whole document dedups despite the shift
+    val sharedWords = shared.map(_.getAs[Long]("n_words")).sum
+    assert(shared.length >= 5, s"only ${shared.length} shared CDC chunks")
+    assert(sharedWords >= 300,
+      s"CDC re-anchored only $sharedWords of 400 words")
+    // fixed windows on the same pair: zero shared chunks (every window
+    // shifted by the insertion)
+    val fixedShared = MediaQueries.mediaChunkDedup(spark, dir)
+      .filter(col("n_media") === 2).count()
+    assert(fixedShared === 0L,
+      s"fixed windows unexpectedly aligned: $fixedShared")
+  }
 }
