@@ -424,6 +424,50 @@ object PipelineQueries {
     GROUP BY source, n_docs, w_micro, threshold
     ORDER BY source"""
 
+  /** P13: dedup-aware token accounting — the budget question behind
+    * every dedup pass: how many tokens does each source ACTUALLY
+    * contribute once exact duplicates collapse to their keeper
+    * (D1 semantics: global min doc_id per payload hash)? A duplicate
+    * whose keeper lives in another source contributes zero here — the
+    * honest attribution for cross-source copies. One shuffle on the
+    * 16-byte hash for the keeper resolution, one per-source rollup.
+    */
+  def dataDedupBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    docs.join(keep, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("doc_id") === col("keeper"), 1L).otherwise(0L))
+          .as("n_unique_docs"),
+        sum(when(col("doc_id") === col("keeper"), col("n_tok"))
+          .otherwise(0L)).as("tokens_unique"))
+      .withColumn("dup_token_rate",
+        round(lit(1.0) - col("tokens_unique") / col("tokens_total"), 6))
+      .orderBy(col("source"))
+  }
+
+  val dataDedupBudgetSql: String = """
+    WITH docs AS (
+      SELECT source, doc_id, md5(text) AS h,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM documents),
+    keep AS (SELECT h, min(doc_id) AS keeper FROM docs GROUP BY h)
+    SELECT source, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS tokens_total,
+           sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END)::BIGINT
+             AS n_unique_docs,
+           sum(CASE WHEN doc_id = keeper THEN n_tok ELSE 0 END)::BIGINT
+             AS tokens_unique,
+           round(1.0 - sum(CASE WHEN doc_id = keeper THEN n_tok ELSE 0
+             END) / sum(n_tok), 6) AS dup_token_rate
+    FROM docs JOIN keep USING (h)
+    GROUP BY source ORDER BY source"""
+
   /** P11: cross-source contamination matrix — corpus governance's
     * pairwise question: how much does source A duplicate source B?
     * Computed on D7's 10-word spans: distinct (source, span) FIRST —
@@ -549,11 +593,13 @@ object PipelineQueries {
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
     "source_overlap" -> (sourceOverlap _),
+    "data_dedup_budget" -> (dataDedupBudget _),
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
     "data_alpha_mix" -> dataAlphaMixSql,
     "source_overlap" -> sourceOverlapSql,
+    "data_dedup_budget" -> dataDedupBudgetSql,
     "pii_scrub" -> piiScrubSql,
     "text_bigram_lm" -> textBigramLmSql,
     "stratified_sample" -> stratifiedSampleSql,
