@@ -104,7 +104,7 @@ object DedupQueries {
     * one-pass MinHashAgg (no ×k row explosion); banding slices the
     * signature array.
     */
-  private def minhashBands(sh: DataFrame): DataFrame =
+  private[graft] def minhashBands(sh: DataFrame): DataFrame =
     sh.withColumn("h", h28(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg(col("h")).as("sig"))

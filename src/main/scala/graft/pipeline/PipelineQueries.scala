@@ -155,6 +155,30 @@ object PipelineQueries {
     WHERE round(coalesce(n_overlap, 0) / n_shingles, 6) >= 0.2
     ORDER BY doc_id"""
 
+  /** P3's streaming face: decontamination at INGEST — the benchmark
+    * shingle set ships as a literal (it is KBs–MBs however large the
+    * corpus, the same broadcast P3 relies on) and each arriving doc
+    * scores in one narrow projection: distinct shingles via the same
+    * positional transform, overlap via array_intersect. No shuffle, no
+    * per-doc aggregation — append-mode safe on any stream.
+    * StreamingSpec R12 proves tape-stream verdicts ≡ the batch P3
+    * frame on the same corpus.
+    */
+  def decontamAnnotate(docs: DataFrame,
+                       evalShingles: Seq[String]): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(w)-2), " +
+          "i -> concat_ws(' ', slice(w, i, 3))))"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_intersect(col("sh"), typedLit(evalShingles)))
+          .cast("long").as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap") / col("n_shingles"), 6))
+      .filter(col("contamination") >= 0.2)
+
   /** P4: token-budget sequence packing — assign documents (in stable
     * doc_id order) to training shards of ~2000 BPE-estimate tokens by
     * exclusive running sum. The running sum is computed as a

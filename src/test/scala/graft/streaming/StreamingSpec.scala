@@ -499,6 +499,95 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected df deltas: $wave2DfDeltas")
   }
 
+  test("D12: near-dup candidates at ingest — streamed LSH pairs equal " +
+    "the batch band-index candidates (cross-implementation parity)") {
+    val root = tmp()
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // two ingest waves so cross-batch pairing (old bucket members vs
+    // new arrivals) is actually exercised
+    val (w1, w2) = rows.partition(_._1 % 2 == 0)
+    // tape appends must carry INCREASING seq (the recorder's invariant
+    // behind the source's append-stable offsets) — interleaving a later
+    // wave's seqs below the consumed range is a mis-recorded tape
+    def writeWave(wave: Seq[(Long, String)], seqBase: Long): Unit =
+      graft.vcr.TapeWriter.write(
+        wave.map { case (id, t) => (s"$id|$t".getBytes, seqBase + id,
+          java.sql.Timestamp.valueOf("2024-06-01 09:00:00"))
+        }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+        root, "docs", numFiles = 2,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    writeWave(w1, 0L)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = StreamNearDup(StreamIndex.docs(
+        spark.readStream.format("tape")
+          .option("maxFilesPerTrigger", 1).load(s"$root/docs")))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamNearDup.CandPair], _: Long) =>
+          val ps = b.collect()
+          got.synchronized { got ++= ps.map(p => (p.doc_a, p.doc_b)) }
+          ()
+      }.start()
+    q.processAllAvailable()
+    writeWave(w2, 1000L)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: the REAL batch pipeline (MinHashAgg signatures) —
+    // parity across the two signature implementations
+    val bands = graft.dedup.DedupQueries.minhashBands(
+      graft.dedup.Shingling.shingles(docs))
+    val expected = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet === expected)
+    assert(expected.nonEmpty, "no LSH candidates at this SF: vacuous")
+  }
+
+  test("R12: decontamination at ingest — streamed verdicts equal the " +
+    "batch P3 frame (broadcast eval set, narrow per-doc scoring)") {
+    val root = tmp()
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // the benchmark side, exactly as batch P3 builds it
+    val evalSet = graft.dedup.Shingling.shingles(
+        docs.filter(col("doc_id") % 20 === 0))
+      .select("shingle").distinct().collect().map(_.getString(0)).toSeq
+    // training docs arrive on the tape
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    graft.vcr.TapeWriter.write(
+      train.map { case (id, t) => (s"$id|$t".getBytes, id,
+        java.sql.Timestamp.valueOf("2024-05-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "docs", numFiles = 3)
+    val q = graft.pipeline.PipelineQueries.decontamAnnotate(
+        StreamIndex.docs(spark.readStream.format("tape")
+          .option("maxFilesPerTrigger", 1).load(s"$root/docs")),
+        evalSet)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decontam").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decontam").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    val expected = graft.pipeline.PipelineQueries
+      .textDecontam(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "no contaminated docs at this SF: vacuous")
+  }
+
   test("R11: the quality filter chain runs unchanged on the stream " +
     "(narrow projection) and matches the batch verdicts") {
     val root = tmp()
