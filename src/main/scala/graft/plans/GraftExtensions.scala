@@ -1,13 +1,13 @@
 package graft.plans
 
-import graft.functions.{DotProduct, MinHashAgg, SimHashAgg, TopKAgg}
+import graft.functions.{BloomFilterAgg, DotProduct, MinHashAgg, MisraGriesAgg, SimHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
 
 /** Session extensions (SparkSessionExtensions): SQL faces for graft's
   * custom expressions plus an optimizer rule that rewrites the
@@ -45,6 +45,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_topk(score, id, k): k must be an INT literal, got $other")
         }
         TopKAgg.coerced(exprs(0), exprs(1), k).toAggregateExpression()
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName,
+        "graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_heavy_hitters(item, k) takes 2 arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_heavy_hitters(item, k): k must be an INT literal, got $other")
+        }
+        val item = if (exprs.head.dataType == LongType) exprs.head
+          else Cast(exprs.head, LongType)
+        MisraGriesAgg(item, k).toAggregateExpression()
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomFilterAgg].getName, "graft_bloom"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"graft_bloom(item, m, k) takes 3 arguments, got ${exprs.length}")
+        val (m, k) = (exprs(1), exprs(2)) match {
+          case (Literal(mv: Int, _), Literal(kv: Int, _)) => (mv, kv)
+          case other => throw new IllegalArgumentException(
+            s"graft_bloom(item, m, k): m and k must be INT literals, got $other")
+        }
+        BloomFilterAgg(exprs.head, m, k).toAggregateExpression()
       }))
     e.injectOptimizerRule(_ => RewriteDotProductFold)
     e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)

@@ -122,6 +122,41 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.getDouble(3) === 11.0)
   }
 
+  test("graft_heavy_hitters / graft_bloom SQL faces run the sketches") {
+    import spark.implicits._
+    // skewed stream: item 7 dominates
+    (Seq.fill(60)(7L) ++ (1L to 40L)).toDF("x")
+      .createOrReplaceTempView("hh_items")
+    val summary = spark.sql(
+      "SELECT graft_heavy_hitters(x, 5) AS s FROM hh_items")
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(summary.size <= 5)
+    // 7 has freq 60 > 100/6: the MG guarantee says it must survive,
+    // and its lower bound never exceeds the true count
+    val seven = summary.find(_.getLong(0) == 7L)
+    assert(seven.isDefined, s"heavy item evicted: $summary")
+    assert(seven.get.getLong(1) <= 60L)
+
+    val words = spark.sql(
+      "SELECT graft_bloom(cast(x as string), 1024, 3) AS bf FROM hh_items")
+      .collect().head.getSeq[Long](0)
+    assert(words.length === 1024 / 64)
+    // every inserted key probes positive through the same hash family
+    val misses = spark.sql(
+      """SELECT count(*) AS missing FROM hh_items,
+        |  (SELECT graft_bloom(cast(x as string), 1024, 3) AS bf
+        |   FROM hh_items) f
+        |WHERE NOT (
+        |  (shiftrightunsigned(element_at(f.bf, cast(
+        |     pmod(cast(conv(substring(md5(concat('1-', cast(x as string))),
+        |       1, 7), 16, 10) as bigint), 1024) div 64 as int) + 1),
+        |   cast(pmod(cast(conv(substring(md5(concat('1-',
+        |     cast(x as string))), 1, 7), 16, 10) as bigint), 1024) % 64
+        |     as int)) & 1) = 1)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(misses === 0L)
+  }
+
   test("rewrite preserves results on real embedding data") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
