@@ -499,6 +499,64 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected df deltas: $wave2DfDeltas")
   }
 
+  test("R13: the sketch aggregates run over the stream — Bloom state " +
+    "is EXACTLY the batch filter (OR is order-free), MG keeps its " +
+    "guarantee under streaming arrival") {
+    val root = tmp()
+    import spark.implicits._
+    val payloads = (1 to 300).map(i => s"payload-${i % 90}") // skewed dups
+    graft.vcr.TapeWriter.write(
+      payloads.zipWithIndex.map { case (p, i) =>
+        (p.getBytes, i.toLong,
+          java.sql.Timestamp.valueOf("2024-07-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    val stream = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .select(md5(col("payload")).as("h"),
+        (octet_length(col("payload")) % 7).cast("long").as("item"))
+
+    @volatile var bloomWords: Seq[Long] = Seq.empty
+    @volatile var mgRows: Seq[org.apache.spark.sql.Row] = Seq.empty
+    val q = stream
+      .agg(graft.functions.BloomFilterAgg(col("h"), 1 << 12, 4).as("bf"),
+        graft.functions.MisraGriesAgg(col("item"), 3).as("mg"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().headOption.foreach { r =>
+            bloomWords = r.getSeq[Long](0)
+            mgRows = r.getSeq[org.apache.spark.sql.Row](1)
+          }
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+
+    // Bloom: bitwise-identical to the batch build on the same tape —
+    // the OR-merge is order-independent, so incremental == one-shot
+    val batch = TapePlayer.read(spark, root, "s",
+      java.time.LocalDateTime.parse("2024-07-01T00:00:00"), None)
+      .select(md5(col("payload")).as("h"),
+        (octet_length(col("payload")) % 7).cast("long").as("item"))
+    val batchWords = batch
+      .agg(graft.functions.BloomFilterAgg(col("h"), 1 << 12, 4).as("bf"))
+      .head().getSeq[Long](0)
+    assert(bloomWords === batchWords)
+    assert(bloomWords.exists(_ != 0L))
+
+    // MG: content may differ by arrival order, the GUARANTEE may not —
+    // heavy items (freq > n/(k+1)) survive with true-count lower bounds
+    val truth = batch.groupBy(col("item")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = truth.values.sum
+    val summary = mgRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summary.size <= 3)
+    summary.foreach { case (i, lb) => assert(lb <= truth(i)) }
+    truth.filter(_._2 > n / 4).keys.foreach(hh =>
+      assert(summary.contains(hh), s"heavy $hh evicted from $summary"))
+  }
+
   test("D12: near-dup candidates at ingest — streamed LSH pairs equal " +
     "the batch band-index candidates (cross-implementation parity)") {
     val root = tmp()
