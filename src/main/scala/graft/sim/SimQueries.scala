@@ -1288,6 +1288,36 @@ object SimQueries {
   val GraphM = 8
   val GraphBeam = 8
   val GraphRounds = 3
+  val GraphRefineRounds = 1
+
+  /** top-M per src from a scored candidate edge set (E18 heap). */
+  private[sim] def topMEdges(cand: DataFrame): DataFrame =
+    cand.groupBy(col("src"))
+      .agg(graft.functions.TopKAgg(col("cos"), col("dst"), GraphM).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+
+  /** one NN-descent round: the neighbors of my neighbors are candidate
+    * neighbors of mine — union current edges with 2-hop pairs, rescore
+    * everything fresh (rounded cosine, deterministic), keep top-M.
+    * Strictly-or-equal improvement: the new top-M selects over a
+    * SUPERSET of the old candidate set (SimSpec pins the mean
+    * kept-edge cosine as non-decreasing).
+    */
+  private[sim] def refineEdges(edges: DataFrame, vecById: DataFrame): DataFrame = {
+    val twoHop = edges.select(col("src"), col("dst").as("via"))
+      .join(edges.select(col("src").as("via"), col("dst")), Seq("via"))
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val cand = edges.union(twoHop).distinct()
+      .join(vecById.select(col("cand").as("src"), col("cvn").as("svn")),
+        Seq("src"))
+      .join(vecById.select(col("cand").as("dst"), col("cvn").as("dvn")),
+        Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(dot(col("svn"), col("dvn")), 6).as("cos"))
+    topMEdges(cand)
+  }
 
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
@@ -1303,14 +1333,17 @@ object SimQueries {
       .filter(col("vec_id") =!= col("dst"))
       .select(col("vec_id").as("src"), col("dst"),
         round(dot(col("vn"), col("dvn")), 6).as("cos"))
-    val edges = cand.groupBy(col("src"))
-      .agg(graft.functions.TopKAgg(col("cos"), col("dst"), GraphM).as("top"))
-      .select(col("src"), explode(col("top")).as("t"))
-      .select(col("src"), col("t.id").as("dst"))
+    val vecByIdAll = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    var edges = graft.CachedFrames.persist(topMEdges(cand))
+    var rr = 0
+    while (rr < GraphRefineRounds) {
+      edges = graft.CachedFrames.persist(refineEdges(edges, vecByIdAll))
+      rr += 1
+    }
     val graph = graft.CachedFrames.persist(
       edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
-    val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    val vecById = vecByIdAll
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
     var seen = graft.CachedFrames.persist(

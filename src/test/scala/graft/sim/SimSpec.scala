@@ -178,6 +178,55 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("graph refinement: the NN-descent round dominates per rank — " +
+    "each node's j-th best edge never worsens (candidate superset)") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", graft.functions.VectorFunctions.normalize(col("v")))
+    val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    // a deliberately weak starting graph: two fixed-stride rings
+    val n = e.count()
+    val ring = e.select(col("vec_id").as("src"),
+      ((col("vec_id") + 17) % n).as("dst"))
+      .union(e.select(col("vec_id").as("src"),
+        ((col("vec_id") + 311) % n).as("dst")))
+    def ranked(edges: org.apache.spark.sql.DataFrame)
+    : Map[Long, Seq[Double]] =
+      edges.join(vecById.select(col("cand").as("src"),
+          col("cvn").as("svn")), Seq("src"))
+        .join(vecById.select(col("cand").as("dst"),
+          col("cvn").as("dvn")), Seq("dst"))
+        .select(col("src"), round(graft.functions.VectorFunctions.dot(
+          col("svn"), col("dvn")), 6).as("cos"))
+        .collect().groupBy(_.getLong(0))
+        .map { case (s, rows) =>
+          s -> rows.map(_.getDouble(1)).sorted(Ordering[Double].reverse)
+            .toSeq
+        }
+    val r1 = SimQueries.refineEdges(ring, vecById)
+    val r2 = SimQueries.refineEdges(r1, vecById)
+    val (k1, k2) = (ranked(r1), ranked(r2))
+    graft.CachedFrames.releaseAll()
+    // r2 selects top-M from a superset of r1's kept edges, so at every
+    // rank j <= |r1(src)| the score can only improve
+    k1.foreach { case (src, c1) =>
+      val c2 = k2(src)
+      c1.zip(c2).zipWithIndex.foreach { case ((a, b), j) =>
+        assert(b >= a, s"src $src rank $j degraded: $a -> $b")
+      }
+    }
+    // and measurable progress from the weak start: each node's BEST
+    // edge (rank 1) improves on average — count-safe (kept-edge counts
+    // grow across rounds, so whole-set means aren't comparable)
+    val ring0 = ranked(ring)
+    val best0 = ring0.values.map(_.head).sum / ring0.size
+    val best1 = k1.values.map(_.head).sum / k1.size
+    assert(best1 > best0,
+      s"no rank-1 progress from the ring start: $best0 -> $best1")
+  }
+
   test("graph ANN: deterministic run to run; recall@5 beats the IVF " +
     "probe-1 baseline (beam search escapes the query's own list)") {
     val a = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq
