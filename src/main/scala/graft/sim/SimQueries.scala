@@ -1309,11 +1309,14 @@ object SimQueries {
       .join(edges.select(col("src").as("via"), col("dst")), Seq("via"))
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // the vector table is n·d doubles — megabytes at any n the literal
+    // codebooks already assume — so BOTH rescoring joins broadcast it:
+    // the (candidate-pair × 64-double) frames never shuffle
     val cand = edges.union(twoHop).distinct()
-      .join(vecById.select(col("cand").as("src"), col("cvn").as("svn")),
-        Seq("src"))
-      .join(vecById.select(col("cand").as("dst"), col("cvn").as("dvn")),
-        Seq("dst"))
+      .join(broadcast(vecById.select(col("cand").as("src"),
+        col("cvn").as("svn"))), Seq("src"))
+      .join(broadcast(vecById.select(col("cand").as("dst"),
+        col("cvn").as("dvn"))), Seq("dst"))
       .select(col("src"), col("dst"),
         round(dot(col("svn"), col("dvn")), 6).as("cos"))
     topMEdges(cand)
