@@ -169,6 +169,29 @@ class PlanSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("q_heavy_hitters: k-bounded sketch aggregate + broadcast verify") {
+    val p = plan("q_heavy_hitters")
+    // the sketch pass is an ObjectHashAggregate (partial per task, one
+    // k-entry summary through the shuffle), and the exact verify joins
+    // the <=k candidate set as a broadcast — the full key space never
+    // group-bys
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("misragries"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_bloom: the filter probe is join-free codegen arithmetic") {
+    val p = plan("dedup_bloom")
+    // membership tests run inside projections/aggregates over the
+    // broadcast literal words; the ONLY join is the exact-seen
+    // broadcast join — no join keyed on bit positions
+    // (the probe expression itself is elided from plan strings — the
+    // join census is the observable: exactly one broadcast join, no
+    // sort-merge join anywhere)
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("approx_percentile lands near the exact percentile (scale path)") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
