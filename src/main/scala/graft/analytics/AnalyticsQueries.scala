@@ -1447,7 +1447,12 @@ object AnalyticsQueries {
   val HeavyHittersK = 124 // threshold = n/125 of the stream
 
   def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir).select(col("user_id"))
+    // NULL user_ids are excluded on BOTH sides by construction: the MG
+    // sketch skips nulls and the broadcast verify join drops them, but
+    // SQL's GROUP BY would emit a NULL group — filter before counting
+    // so threshold n and the oracle agree on nullable data
+    val ev = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull).select(col("user_id"))
     val sketch = ev.agg(
       graft.functions.MisraGriesAgg(col("user_id"), HeavyHittersK).as("mg"),
       count(lit(1)).as("n"))
@@ -1465,8 +1470,9 @@ object AnalyticsQueries {
 
   val qHeavyHittersSql: String = s"""
     SELECT user_id, count(*) AS freq
-    FROM events GROUP BY user_id
-    HAVING count(*) > (SELECT count(*) // ${HeavyHittersK + 1} FROM events)
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    HAVING count(*) > (SELECT count(*) // ${HeavyHittersK + 1}
+                       FROM events WHERE user_id IS NOT NULL)
     ORDER BY freq DESC, user_id"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(

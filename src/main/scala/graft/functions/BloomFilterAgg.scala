@@ -32,7 +32,10 @@ case class BloomFilterAgg(item: Expression, m: Int, k: Int,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
-  require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+  // the buffer layout is m/64 long words, so m below 64 would build a
+  // zero-length buffer and fail at the first update() instead of here
+  require(m >= 64 && (m & (m - 1)) == 0,
+    s"m must be a power of two >= 64, got $m")
   require(k > 0, s"k must be positive, got $k")
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](m / 64)

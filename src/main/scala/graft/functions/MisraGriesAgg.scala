@@ -71,6 +71,10 @@ case class MisraGriesAgg(item: Expression, k: Int,
   override def deserialize(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
+    // eval/absorb assume the <=k invariant; a corrupted or
+    // version-skewed shuffle buffer must fail loudly, not produce a
+    // silently-overweight summary
+    require(n <= k, s"corrupt MG buffer: $n entries exceeds k=$k")
     val buf = new Buf(k)
     var j = 0
     while (j < n) { buf.counts(bb.getLong) = bb.getLong; j += 1 }

@@ -390,9 +390,13 @@ object SimQueries {
     val dim = e.select(size(col("v")).as("d")).head().getInt(0)
     val sigs = e.select(col("vec_id"),
       Hyperplanes.signature(col("v"), dim).as("sig"))
-    val bands = sigs.select(col("vec_id"), col("sig"),
-      explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
-      .withColumn("bkey", Hyperplanes.bandKey(col("sig"), col("band")))
+    // bands feeds BOTH sides of the candidate join (query bands and
+    // corpus bands) — persist so the corpus signature pass runs once
+    // (E24 discipline; at 100 TB the re-scan is a full corpus read)
+    val bands = graft.CachedFrames.persist(
+      sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
+        .withColumn("bkey", Hyperplanes.bandKey(col("sig"), col("band"))))
     val qb = bands.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("band"), col("bkey"))
     val cand = broadcast(qb).join(bands.select(col("vec_id").as("neighbor"),
@@ -1309,14 +1313,17 @@ object SimQueries {
       .join(edges.select(col("src").as("via"), col("dst")), Seq("via"))
       .select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    // the vector table is n·d doubles — megabytes at any n the literal
-    // codebooks already assume — so BOTH rescoring joins broadcast it:
-    // the (candidate-pair × 64-double) frames never shuffle
+    // the vector table is n·d — O(corpus), the one thing that must
+    // NEVER broadcast (at 100 TB it is the whole dataset). Rescoring
+    // shuffle-joins the (src,dst) candidate pairs against the
+    // id-partitioned vectors, the same shape the beam-search scoring
+    // join uses; AQE may still elect a broadcast at toy scale, but the
+    // plan carries no hint forcing it
     val cand = edges.union(twoHop).distinct()
-      .join(broadcast(vecById.select(col("cand").as("src"),
-        col("cvn").as("svn"))), Seq("src"))
-      .join(broadcast(vecById.select(col("cand").as("dst"),
-        col("cvn").as("dvn"))), Seq("dst"))
+      .join(vecById.select(col("cand").as("src"),
+        col("cvn").as("svn")), Seq("src"))
+      .join(vecById.select(col("cand").as("dst"),
+        col("cvn").as("dvn")), Seq("dst"))
       .select(col("src"), col("dst"),
         round(dot(col("svn"), col("dvn")), 6).as("cos"))
     topMEdges(cand)

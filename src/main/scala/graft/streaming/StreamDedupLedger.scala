@@ -19,9 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * horizon would evict via event-time timeout like R3's sessionizer).
   * The shuffle carries the hash, never payload bytes — D1/D10's rule.
   *
-  * First-seen is resolved by ARRIVAL order (the online ledger's only
-  * option); it equals the batch twin's min(day) whenever each hash's
-  * arrival order respects its event-time day order — true for the tape,
+  * First-seen within a micro-batch is min(day) — the group is sorted
+  * by day before state threads through it, so trigger packing (one
+  * batch spanning several dt partitions on catch-up) never shifts
+  * novelty to a later day. ACROSS batches it is arrival order (the
+  * online ledger's only option); that equals the batch twin's
+  * min(day) whenever batches arrive in day order — true for the tape,
   * whose replay order is (dt, firstSeq): the recorder wrote days in
   * arrival order (reference tape naming, InjectableS3Emitter.java:38-44).
   */
@@ -51,9 +54,15 @@ object StreamDedupLedger {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, it: Iterator[Rec], state: GroupState[LedgerState]) =>
           var st = state.getOption
-          // materialize before the state update — the map closure
-          // threads `st` through the batch's records in arrival order
-          val out = it.map { r =>
+          // Spark guarantees only the grouping key, NOT within-key
+          // order, so a micro-batch holding one hash across several
+          // days (first batch, or a catch-up batch after restart)
+          // must not credit novelty by iterator luck. Sorting the
+          // group by day makes first-seen = min(day) over state+batch
+          // — deterministic and equal to the batch twin by
+          // construction, whatever the trigger packing. Within-day
+          // order is immaterial: the flags are day-granular.
+          val out = it.toList.sortBy(_.day).map { r =>
             st match {
               case None =>
                 st = Some(LedgerState(r.day, Seq(r.day)))
@@ -64,7 +73,7 @@ object StreamDedupLedger {
               case Some(_) =>
                 Marked(r.day, first_in_day = false, novel = false)
             }
-          }.toList
+          }
           st.foreach(state.update)
           out.iterator
       }

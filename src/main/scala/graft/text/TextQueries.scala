@@ -311,7 +311,10 @@ object TextQueries {
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.CachedFrames.persist(Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
-    val nDocs = toks.select(col("doc_id")).distinct().count()
+    // every doc yields >=1 token row under split(), so the doc count
+    // answers what distinct-counting the exploded token stream would —
+    // without shuffling corpus-token-cardinality rows for a scalar
+    val nDocs = Tables.documents(s, dir).count()
     // the full index: every (doc, term) weight — feeds norms AND scoring
     val tf = toks.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
@@ -321,11 +324,18 @@ object TextQueries {
     val weights = graft.CachedFrames.persist(
       tf.join(df.select(col("word"), col("idf_micro")), Seq("word"))
         .withColumn("w_micro", col("tf") * col("idf_micro")))
+    // w_micro ~ tf*idf*1e6 can reach 1e10; its square breaks 63 bits
+    // long before the corpus is interesting, and Spark's non-ANSI sum
+    // WRAPS silently where DuckDB errors. Both accumulations therefore
+    // run 128-bit exact: decimal(38,0) here, HUGEINT in the oracle —
+    // w^2 <= 1.2e23 summed over 1e6 terms stays < 1e30 << 1e38
+    val wDec = col("w_micro").cast("decimal(20,0)")
     val norms = weights.groupBy(col("doc_id"))
-      .agg(sum(col("w_micro") * col("w_micro")).as("norm2"))
+      .agg(sum(wDec * wDec).as("norm2"))
     val qpost = weights.filter(col("word").isin(Bm25Terms: _*))
       .groupBy(col("doc_id"))
-      .agg(sum(col("w_micro") * col("idf_micro")).as("dot_scaled"),
+      .agg(sum(wDec * col("idf_micro").cast("decimal(20,0)"))
+          .as("dot_scaled"),
         count(lit(1)).as("n_terms"))
     qpost.join(norms, Seq("doc_id"))
       .filter(col("norm2") > 0)
@@ -341,7 +351,7 @@ object TextQueries {
     s"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM toks),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
     tf AS (SELECT doc_id, word, count(*) AS tf FROM toks
            GROUP BY doc_id, word),
     df AS (SELECT word, round(ln((SELECT n_docs FROM n) / count(*)) * 1e6,
@@ -350,9 +360,11 @@ object TextQueries {
     weights AS (
       SELECT doc_id, word, (tf * idf_micro)::BIGINT AS w_micro, idf_micro
       FROM tf JOIN df USING (word)),
-    norms AS (SELECT doc_id, sum(w_micro * w_micro)::BIGINT AS norm2
+    norms AS (SELECT doc_id,
+                     sum(CAST(w_micro AS HUGEINT) * w_micro) AS norm2
               FROM weights GROUP BY doc_id),
-    qpost AS (SELECT doc_id, sum(w_micro * idf_micro)::BIGINT AS dot_scaled,
+    qpost AS (SELECT doc_id,
+                     sum(CAST(w_micro AS HUGEINT) * idf_micro) AS dot_scaled,
                      count(*) AS n_terms
               FROM weights WHERE word IN ($terms) GROUP BY doc_id)
     SELECT doc_id, n_terms,

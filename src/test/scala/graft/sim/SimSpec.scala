@@ -354,4 +354,30 @@ class SimSpec extends AnyFunSuite {
         s"vec $id: pq ${pqErr(id)} > full $bestFull")
     }
   }
+
+  test("graph build: refinement rescoring never broadcasts the vector " +
+    "table (the one O(corpus) frame — must shuffle-join on id)") {
+    import org.apache.spark.sql.functions._
+    // with the threshold disabled, any BroadcastExchange left in the
+    // plan could only come from a hint — the exact regression this
+    // guards against. (The beam-search FRONTIER broadcast is a
+    // different, kilobyte-sized frame and lives in the serving plan.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("vn",
+          graft.functions.VectorFunctions.normalize(col("v")))
+      val vecById = e.select(col("vec_id").as("cand"),
+        col("vn").as("cvn"))
+      val seed = e.select(col("vec_id").as("src"),
+        ((col("vec_id") + 17) % lit(100)).as("dst"))
+      val p = SimQueries.refineEdges(seed, vecById)
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("BroadcastExchange"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
