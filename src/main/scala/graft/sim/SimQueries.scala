@@ -1329,12 +1329,15 @@ object SimQueries {
     topMEdges(cand)
   }
 
-  def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
-    val cents = collectCents(e)
-    val assign = e.select(col("vec_id"), col("vn"),
+  /** Symmetrized kNN edge list over `members` from multi-probe cluster
+    * co-membership candidates (shared by the flat S12 base layer and
+    * every HNSW layer — upper layers are just smaller member sets).
+    */
+  private[sim] def coMemberGraph(members: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val assign = members.select(col("vec_id"), col("vn"),
       bestClusterCol(cents).as("cluster"))
-    val probes = e.select(col("vec_id"), col("vn"),
+    val probes = members.select(col("vec_id"), col("vn"),
         explode(topProbesCol(cents, 2)).as("p"))
       .select(col("vec_id"), col("vn"), col("p.label").as("cluster"))
     val cand = probes
@@ -1343,17 +1346,61 @@ object SimQueries {
       .filter(col("vec_id") =!= col("dst"))
       .select(col("vec_id").as("src"), col("dst"),
         round(dot(col("vn"), col("dvn")), 6).as("cos"))
-    val vecByIdAll = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
-    var edges = graft.CachedFrames.persist(topMEdges(cand))
+    topMEdges(cand)
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+
+  /** One beam-search round: top-`beam` frontier per query (kilobytes —
+    * the ONLY broadcast in the serving path), expand over the edge
+    * list, anti-join vs already-seen, rescore fresh candidates exactly.
+    */
+  private def expandRound(seen: DataFrame, graph: DataFrame,
+      q: DataFrame, vecById: DataFrame, beam: Int): DataFrame = {
+    val frontier = seen.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(col("cos"), col("cand"), beam)
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("src"))
+    val expanded = broadcast(frontier).join(graph, Seq("src"))
+      .select(col("q_id"), col("dst").as("cand")).distinct()
+      .join(seen.select(col("q_id"), col("cand")),
+        Seq("q_id", "cand"), "left_anti")
+    val scoredNew = expanded
+      .join(vecById, Seq("cand"))
+      .join(q.select(col("q_id"), col("qvn")), Seq("q_id"))
+      .filter(col("cand") =!= col("q_id"))
+      .select(col("q_id"), col("cand"),
+        round(dot(col("qvn"), col("cvn")), 6).as("cos"))
+    seen.union(scoredNew)
+  }
+
+  private def rankTopK(seen: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand"))
+    seen.filter(col("cand") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("cand").as("neighbor"), col("cos"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val assign = e.select(col("vec_id"), col("vn"),
+      bestClusterCol(cents).as("cluster"))
+    val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    var edges = graft.CachedFrames.persist(coMemberGraph(e, cents))
     var rr = 0
     while (rr < GraphRefineRounds) {
-      edges = graft.CachedFrames.persist(refineEdges(edges, vecByIdAll))
+      edges = graft.CachedFrames.persist(refineEdges(edges, vecById))
       rr += 1
     }
-    val graph = graft.CachedFrames.persist(
-      edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    val vecById = vecByIdAll
+    val graph = graft.CachedFrames.persist(symmetrize(edges))
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
     var seen = graft.CachedFrames.persist(
@@ -1364,35 +1411,93 @@ object SimQueries {
           round(dot(col("qvn"), col("cvn")), 6).as("cos")))
     var r = 0
     while (r < GraphRounds) {
-      val frontier = seen.groupBy(col("q_id"))
-        .agg(graft.functions.TopKAgg(col("cos"), col("cand"), GraphBeam)
-          .as("top"))
-        .select(col("q_id"), explode(col("top")).as("t"))
-        .select(col("q_id"), col("t.id").as("src"))
-      val expanded = broadcast(frontier).join(graph, Seq("src"))
-        .select(col("q_id"), col("dst").as("cand")).distinct()
-        .join(seen.select(col("q_id"), col("cand")),
-          Seq("q_id", "cand"), "left_anti")
-      val scoredNew = expanded
-        .join(vecById, Seq("cand"))
-        .join(q.select(col("q_id"), col("qvn")), Seq("q_id"))
-        .filter(col("cand") =!= col("q_id"))
-        .select(col("q_id"), col("cand"),
-          round(dot(col("qvn"), col("cvn")), 6).as("cos"))
-      seen = graft.CachedFrames.persist(seen.union(scoredNew))
+      seen = graft.CachedFrames.persist(
+        expandRound(seen, graph, q, vecById, GraphBeam))
       r += 1
     }
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("cand"))
-    seen.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("cand").as("neighbor"), col("cos"),
-        col("rank"))
-      .orderBy(col("q_id"), col("rank"))
+    rankTopK(seen)
+  }
+
+  // HNSW layering over the S12 graph: p = 1/HnswLevelBase per level,
+  // max level 2. Descent replaces base-layer breadth: the flat build
+  // needs GraphRounds = 3 full-graph expansions to walk from arbitrary
+  // cluster co-members to the answer; HNSW walks the n/16-node then
+  // n/4-node layers first (one expansion each, exponentially cheaper
+  // joins), so the base layer starts NEXT DOOR to the answer and
+  // HnswBaseRounds = 2 < 3 full-graph expansions suffice.
+  val HnswLevelBase = 4
+  val HnswBaseRounds = 2
+  // ef(search) > M, HNSW's standard knob: a slightly wider frontier
+  // (still kilobytes broadcast) buys back the breadth the two dropped
+  // base rounds carried
+  val HnswBeam = 12
+
+  /** Deterministic level per node: first 8 md5 hex chars of the id as
+    * a uniform 32-bit draw; level l iff draw < 2^32 / base^l (nested —
+    * every level-2 node is a level-1 node).
+    */
+  private[sim] def hnswLevels(e: DataFrame): DataFrame = {
+    val draw = conv(substring(md5(col("vec_id").cast("string")), 1, 8),
+      16, 10).cast("long")
+    e.select(col("vec_id"), col("vn"),
+      when(draw < lit(4294967296L / (HnswLevelBase * HnswLevelBase)), 2)
+        .when(draw < lit(4294967296L / HnswLevelBase), 1)
+        .otherwise(0).as("lvl"))
+  }
+
+  /** S12b: HNSW-layered graph ANN. Same rows-only gate shape as
+    * `knn_graph` (q_id, neighbor, cos, rank). Build: the refined base
+    * graph plus one co-membership graph per upper layer. Search: all
+    * queries enter at THE deterministic entry point (highest layer,
+    * lowest id — one row), one beam round per upper layer over the
+    * small layer graphs, then HnswBaseRounds rounds over the base
+    * graph. Self-visits are legitimate traversal state (a query IS a
+    * corpus node here) and are excluded only at final ranking.
+    */
+  def knnGraphHnsw(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val lv = graft.CachedFrames.persist(hnswLevels(e))
+    val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    var edges = graft.CachedFrames.persist(coMemberGraph(e, cents))
+    var rr = 0
+    while (rr < GraphRefineRounds) {
+      edges = graft.CachedFrames.persist(refineEdges(edges, vecById))
+      rr += 1
+    }
+    val g0 = graft.CachedFrames.persist(symmetrize(edges))
+    val g1 = graft.CachedFrames.persist(
+      coMemberGraph(lv.filter(col("lvl") >= 1), cents).transform(symmetrize))
+    val g2 = graft.CachedFrames.persist(
+      coMemberGraph(lv.filter(col("lvl") >= 2), cents).transform(symmetrize))
+    // bounded plan-time collect: ONE row, the graph's entry point —
+    // its id and vector embed as literals (the codebook idiom), so the
+    // seed is a narrow projection over the query block, no join
+    val entryRow = lv.orderBy(col("lvl").desc, col("vec_id").asc)
+      .select(col("vec_id"), col("vn")).head()
+    val entryId = entryRow.getLong(0)
+    val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+    var seen = graft.CachedFrames.persist(
+      q.select(col("q_id"), lit(entryId).as("cand"),
+        round(dot(col("qvn"), typedLit(entryVn)), 6).as("cos")))
+    Seq(g2, g1).foreach { g =>
+      seen = graft.CachedFrames.persist(
+        expandRound(seen, g, q, vecById, HnswBeam))
+    }
+    var r = 0
+    while (r < HnswBaseRounds) {
+      seen = graft.CachedFrames.persist(
+        expandRound(seen, g0, q, vecById, HnswBeam))
+      r += 1
+    }
+    rankTopK(seen)
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_graph" -> (knnGraph _),
+    "knn_graph_hnsw" -> (knnGraphHnsw _),
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),

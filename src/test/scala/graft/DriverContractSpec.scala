@@ -36,7 +36,8 @@ class DriverContractSpec extends AnyFunSuite {
     // rows-only entries are the documented exceptions: the stub-codec
     // decode boundary, and graph ANN whose L-round beam traversal is
     // not SQL-expressible (deterministic + recall-spec'd in SimSpec)
-    assert((qs -- os) === Set("media_decode", "knn_graph"))
+    assert((qs -- os) === Set("media_decode", "knn_graph",
+      "knn_graph_hnsw"))
   }
 
   test("VcrCli validates commands and arguments like the reference") {

@@ -355,6 +355,40 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("HNSW graph ANN: deterministic; recall@5 >= the flat S12 graph " +
+    "with strictly fewer base-layer expansion rounds; layers nest") {
+    import org.apache.spark.sql.functions._
+    val a = SimQueries.knnGraphHnsw(spark, dir).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val b = SimQueries.knnGraphHnsw(spark, dir).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(a === b, "hnsw search is not deterministic")
+    def recall5(rows: Seq[Seq[Any]]): Double = {
+      val got = rows.map(r => (r.head.asInstanceOf[Long],
+        r(1).asInstanceOf[Long])).toSet
+      val truth = topn(brute, 5)
+      (got intersect truth).size.toDouble / truth.size
+    }
+    val flat = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val (hr, fr) = (recall5(a), recall5(flat))
+    assert(hr >= fr, s"hnsw recall $hr < flat recall $fr")
+    // the layered descent must BUY something: fewer full-graph rounds
+    assert(SimQueries.HnswBaseRounds < SimQueries.GraphRounds)
+    // levels are md5-deterministic and nested: |L2| < |L1| < n, and
+    // upper layers are sampled subsets, not empty or everything
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", graft.functions.VectorFunctions.normalize(col("v")))
+    val lv = SimQueries.hnswLevels(e)
+    val n = lv.count()
+    val n1 = lv.filter(col("lvl") >= 1).count()
+    val n2 = lv.filter(col("lvl") >= 2).count()
+    graft.CachedFrames.releaseAll()
+    assert(n2 > 0 && n2 < n1 && n1 < n, s"layer sizes $n/$n1/$n2")
+  }
+
   test("graph build: refinement rescoring never broadcasts the vector " +
     "table (the one O(corpus) frame — must shuffle-join on id)") {
     import org.apache.spark.sql.functions._
