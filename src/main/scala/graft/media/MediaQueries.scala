@@ -232,7 +232,90 @@ object MediaQueries {
     HAVING count(DISTINCT media_id) >= 2
     ORDER BY chunk_hash"""
 
+  /** M7: BYTE-level CDC + CAS dedup — M6 cuts on word boundaries,
+    * which only exist for text; real media dedup (the storage layer
+    * under the tape's binary payloads) must cut on BYTES. Same CDC
+    * idea one level down: a rolling fingerprint of the last 4 bytes
+    * cuts where `h % 32 == 0`, so boundaries are content-anchored in
+    * the byte stream and survive insertions that shift every
+    * fixed-offset window. The payload travels as its hex encoding
+    * (2 chars/byte) because substring-on-hex is exact and identical in
+    * both engines for ANY byte value — including multibyte UTF-8 and
+    * binary blobs where character windows misalign (the M5 lesson).
+    * Per-row segmentation is one narrow projection (no shuffle); the
+    * CAS rollup shuffles 16-byte chunk hashes only, never payloads —
+    * at 100 TB the exchange carries ~n/20 hashes, not bytes.
+    */
+  def mediaCdcBytes(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        hex(col("text").cast("binary")).as("h"))
+      .withColumn("n", expr("cast(length(h) div 2 as int)"))
+      .withColumn("base", expr(
+        """concat(
+          |  array(0),
+          |  filter(transform(sequence(1, n),
+          |    i -> if(i >= 4 and
+          |      cast(conv(substring(md5(substring(h, 2*i-7, 8)),
+          |        1, 7), 16, 10) as bigint) % 32 = 0, i, -1)),
+          |    x -> x > 0))""".stripMargin))
+      // terminal cut appended order-explicitly (same reasoning as M6:
+      // the oracle's engine does not promise list_distinct order)
+      .withColumn("cuts", expr(
+        "if(element_at(base, size(base)) = n, base, " +
+          "concat(base, array(n)))"))
+      .select(col("media_id"),
+        posexplode(expr(
+          """transform(sequence(1, size(cuts)-1),
+            |  j -> substring(h, 2*element_at(cuts, j) + 1,
+            |    2*(element_at(cuts, j+1) - element_at(cuts, j))))""".stripMargin)))
+      .select(col("media_id"), (col("pos") + 1).as("chunk_idx"),
+        md5(col("col")).as("chunk_hash"),
+        expr("cast(length(col) div 2 as bigint)").as("n_bytes"))
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("media_id")).as("keeper_media"),
+        max(col("n_bytes")).as("n_bytes"))
+      .filter(col("n_media") >= 2)
+      .orderBy(col("chunk_hash"))
+
+  val mediaCdcBytesSql: String = """
+    WITH m AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents),
+    cb AS (
+      SELECT media_id, h, n,
+             list_concat([0],
+               list_filter(list_transform(range(1, 1 + n),
+                 i -> CASE WHEN i >= 4 AND
+                   ('0x' || substring(md5(substring(h, 2*i-7, 8)),
+                     1, 7))::BIGINT % 32 = 0
+                   THEN i ELSE -1 END),
+                 x -> x > 0)) AS base
+      FROM m),
+    cut AS (
+      SELECT media_id, h,
+             CASE WHEN base[len(base)] = n THEN base
+                  ELSE list_concat(base, [n]) END AS cuts
+      FROM cb),
+    chunks AS (
+      SELECT media_id,
+             substring(h, 2*cuts[j] + 1, 2*(cuts[j+1] - cuts[j])) AS chunk
+      FROM (SELECT media_id, h, cuts, unnest(range(1, len(cuts))) AS j
+            FROM cut))
+    SELECT md5(chunk) AS chunk_hash,
+           count(DISTINCT media_id) AS n_media,
+           count(*) AS n_occurrences,
+           min(media_id) AS keeper_media,
+           (max(length(chunk) // 2))::BIGINT AS n_bytes
+    FROM chunks GROUP BY chunk_hash
+    HAVING count(DISTINCT media_id) >= 2
+    ORDER BY chunk_hash"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_cdc_bytes" -> (mediaCdcBytes _),
     "media_cdc_dedup" -> (mediaCdcDedup _),
     "media_chunk_dedup" -> (mediaChunkDedup _),
     "media_meta" -> (mediaMeta _),
@@ -244,6 +327,7 @@ object MediaQueries {
     * boundary gets the driver's rows-only check + MediaSpec.
     */
   def oracles: Map[String, String] = Map(
+    "media_cdc_bytes" -> mediaCdcBytesSql,
     "media_cdc_dedup" -> mediaCdcDedupSql,
     "media_chunk_dedup" -> mediaChunkDedupSql,
     "media_meta" -> mediaMetaSql,

@@ -81,4 +81,34 @@ class MediaSpec extends AnyFunSuite {
     assert(fixedShared === 0L,
       s"fixed windows unexpectedly aligned: $fixedShared")
   }
+
+  test("byte-level CDC re-anchors after a single-BYTE insertion; " +
+    "fixed byte windows do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a pseudo-random (but deterministic) byte-ish payload with no
+    // word structure at all — the regime word-level CDC can't touch —
+    // and a copy with ONE byte prepended, shifting every fixed offset
+    val rnd = new scala.util.Random(42)
+    val original = (1 to 1200).map(_ =>
+      (33 + rnd.nextInt(94)).toChar).mkString
+    val shifted = "X" + original
+    val docs = Seq((1L, original), (2L, shifted)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdcb").toString
+    docs.select(col("doc_id"), col("text"),
+        lit("en").as("lang"), lit("s").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shared = MediaQueries.mediaCdcBytes(spark, dir)
+      .filter(col("n_media") === 2).collect()
+    val sharedBytes = shared.map(_.getAs[Long]("n_bytes")).sum
+    assert(shared.length >= 5, s"only ${shared.length} shared byte chunks")
+    assert(sharedBytes >= 900,
+      s"byte CDC re-anchored only $sharedBytes of 1200 bytes")
+    // fixed 100-char windows on the same pair: nothing aligns
+    val fixedShared = MediaQueries.mediaChunkDedup(spark, dir)
+      .filter(col("n_media") === 2).count()
+    assert(fixedShared === 0L,
+      s"fixed windows unexpectedly aligned: $fixedShared")
+  }
 }
