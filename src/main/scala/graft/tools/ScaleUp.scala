@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× scale-up of the driver's sf0.1 tables, for the
+  * sf1.0 scale probe (VERDICT r4 #6). The driver provides
+  * sf{0.001,0.01,0.1}; the probe needs one decade more to measure —
+  * not argue — that the bounded-bucket/broadcast/state claims hold.
+  *
+  * Replication is structure-preserving, not row-copying:
+  *  - documents: replica r>0 prefixes one replica token to the text,
+  *    so every intra-replica duplicate/near-dup cluster recurs 10×
+  *    (cluster COUNT scales, cluster SIZE doesn't — the realistic
+  *    shape for a bigger crawl) and n_chars is recomputed.
+  *  - embeddings: replica r rotates the 64-dim vector left by r —
+  *    norm-preserving, direction-distinct, so cluster geometry scales
+  *    without planting artificial near-dup pairs across replicas.
+  *  - events: replica r offsets event_id/user_id and shifts ts by r
+  *    seconds; props is left alone — the payload-distinct set stays
+  *    ~100 while arrivals grow 10×, exactly the dup-heavy regime the
+  *    ingest-dedup ladder exists for.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor]
+  */
+object ScaleUp {
+
+  def replicate(s: SparkSession, src: String, out: String,
+                factor: Int): Unit = {
+    val docs = s.read.parquet(s"$src/documents.parquet")
+    val nDocs = docs.count()
+    val emb = s.read.parquet(s"$src/embeddings.parquet")
+    val nEmb = emb.count()
+    val ev = s.read.parquet(s"$src/events.parquet")
+    val nEv = ev.count()
+
+    val docReps = (0 until factor).map { r =>
+      val t = if (r == 0) col("text")
+        else concat(lit(s"rep$r "), col("text"))
+      docs.select((col("doc_id") + lit(r * nDocs)).as("doc_id"),
+        t.as("text"), col("lang"), col("source"),
+        length(t).cast("long").as("n_chars"))
+    }
+    docReps.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val embReps = (0 until factor).map { r =>
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      emb.select((col("vec_id") + lit(r * nEmb)).as("vec_id"),
+        rot.as("embedding"), col("label"))
+    }
+    embReps.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // ts arrives as TIMESTAMP(NANOS)→long (nanosAsLong, set in main),
+    // so the r-second shift is integer nanos and the written long
+    // round-trips through Tables.withEventTime like the original
+    val evReps = (0 until factor).map { r =>
+      ev.select((col("event_id") + lit(r * nEv)).as("event_id"),
+        (col("ts") + lit(r * 1000000000L)).as("ts"),
+        (col("user_id") + lit(r * 100000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    evReps.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-scaleup")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    replicate(spark, src, out, factor)
+    spark.stop()
+  }
+}

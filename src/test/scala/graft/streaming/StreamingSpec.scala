@@ -423,6 +423,85 @@ class StreamingSpec extends AnyFunSuite {
       Seq("2024-02-03", 6L, 6L, 5L)))
   }
 
+  test("D11 x R9: Bloom-gated ingest dedup — verdicts equal the batch " +
+    "twin, and keyed state holds only non-archived hashes, not the " +
+    "arrival count") {
+    val root = tmp()
+    import spark.implicits._
+    val mk = (day: Int, seq: Long, p: String) =>
+      (p.getBytes, seq, java.sql.Timestamp.valueOf(f"2024-03-0$day%d 09:00:00"))
+    // archive day: 40 distinct payloads, a few in-day repeats
+    val archRecords = ((1 to 40).map(i => mk(1, i.toLong, s"arch-$i")) ++
+      Seq(mk(1, 41L, "arch-1"), mk(1, 42L, "arch-1"), mk(1, 43L, "arch-2"))
+    ).toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(archRecords, root, "arch", numFiles = 2)
+    // stream days 2-3: re-ingest traffic dominated by archive dups,
+    // plus fresh payloads with in-day AND cross-day repeats (the case
+    // a static gate gets wrong unless routing is consistent per hash)
+    val streamRecords = (
+      (1 to 15).map(i => mk(2, 2000L + i, s"arch-$i")) ++
+      (1 to 8).map(i => mk(2, 2100L + i, s"f2-$i")) ++
+      Seq(mk(2, 2201L, "xa"), mk(2, 2202L, "xa")) ++
+      (1 to 10).map(i => mk(3, 3000L + i, s"arch-$i")) ++
+      Seq(mk(3, 3101L, "xa"), mk(3, 3102L, "f2-1")) ++
+      (1 to 6).map(i => mk(3, 3200L + i, s"f3-$i"))
+    ).toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(streamRecords, root, "s", numFiles = 2)
+
+    // small filter (m=256, k=2) so false positives actually occur in
+    // range — the parity statement must hold at ANY fp rate
+    val archTape = TapePlayer.read(spark, root, "arch",
+      LocalDateTime.parse("2024-03-01T00:00:00"), None)
+    val archive = StreamBloomGate.buildArchive(archTape, m = 256, k = 2)
+    val tapeStream = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+    val q = StreamBloomGate(tapeStream, archive)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bloomgate").start()
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("flatmapgroups"))
+      .map(_.numRowsTotal)
+    q.stop()
+
+    val streamTape = TapePlayer.read(spark, root, "s",
+      LocalDateTime.parse("2024-03-02T00:00:00"),
+      Some(LocalDateTime.parse("2024-03-04T00:00:00")))
+    val expected = StreamBloomGate.batchTwin(archTape, streamTape,
+      m = 256, k = 2).orderBy("day").collect().map(_.toSeq).toSeq
+    val got = spark.table("bloomgate")
+      .orderBy("day").collect().map(_.toSeq).toSeq
+    assert(got === expected, "gated streaming ledger != batch twin")
+
+    // the planted structure, by hand: per day (events, archive dups,
+    // novel) — novelty counts archive membership as seen
+    val core = got.map(r => (r.head, r(1), r(4), r(6)))
+    assert(core === Seq(
+      ("2024-03-02", 25L, 15L, 9L),
+      ("2024-03-03", 18L, 10L, 6L)))
+    // fp accounting closes: every maybe is either an exact archive
+    // hit or a measured false positive
+    got.foreach { r =>
+      assert(r(3).asInstanceOf[Long] ===
+        r(4).asInstanceOf[Long] + r(5).asInstanceOf[Long])
+      assert(r(1).asInstanceOf[Long] ===
+        r(2).asInstanceOf[Long] + r(3).asInstanceOf[Long])
+    }
+    // novelty verdicts equal the UNGATED batch ledger (D10's shape)
+    // on the stream days: the gate changes cost, never answers
+    val ungated = StreamDedupLedger.batchTwin(archTape.union(streamTape))
+      .filter(col("day") >= "2024-03-02")
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(3))).toSeq
+    assert(got.map(r => (r.head, r(6))) === ungated)
+
+    // THE point of the gate: keyed state == the 15 distinct
+    // non-archived hashes (8 f2 + xa + 6 f3) — not the 43 arrivals,
+    // not the 55 distinct hashes overall
+    assert(stateRows.nonEmpty && stateRows.max === 15L,
+      s"state rows ${stateRows.toSeq} != distinct new-hash count 15")
+  }
+
   test("R10: streaming index maintenance — df/tf stay equal to the " +
     "batch index across waves, and later batches emit only deltas") {
     val root = tmp()
