@@ -556,6 +556,148 @@ object PipelineQueries {
     JOIN totals tb ON tb.source = source_b
     ORDER BY source_a, source_b"""
 
+  /** P14: KMV (k-minimum-values) distinct sketch per source — the
+    * DISTINCT-COUNTING rung of the sketch ladder (Bloom = membership,
+    * Misra-Gries = frequency, KMV = cardinality; the bottom-k /
+    * theta-sketch family). One pass with the E18 bounded heap keeps
+    * the k smallest 28-bit md5 shingle hashes per source (score =
+    * −hash): k·|sources| longs of state however large the corpus, and
+    * the min-k merge is order-free, so map-side combine does almost
+    * all the work. The estimate (k−1)·2²⁸ / h₍ₖ₎ is exact integer
+    * arithmetic over the md5-derived hash, so the DuckDB oracle
+    * reproduces the sketch AND the estimate bit-for-bit — like D11's
+    * Bloom, a hash-checked probabilistic structure. n_exact rides
+    * along so the artifact itself shows the estimation error.
+    */
+  val KmvK = 64
+
+  private def kmvSketches(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))"))
+        .as("sh"))
+      .select(col("source"),
+        graft.dedup.Shingling.h28(col("sh")).as("h"))
+      // no distinct pre-shuffle: the sketch dedups in-buffer, so the
+      // exchange carries <=k longs per source; n_exact (the error
+      // yardstick the artifact publishes) is the one column that
+      // genuinely needs the distinct machinery
+      .groupBy(col("source"))
+      .agg(countDistinct(col("h")).as("n_exact"),
+        graft.functions.KmvAgg(col("h"), KmvK).as("mins"))
+
+  def sketchKmv(s: SparkSession, dir: String): DataFrame =
+    kmvSketches(s, dir)
+      .withColumn("kth", expr("element_at(mins, size(mins))"))
+      .withColumn("est_kmv",
+        when(col("n_exact") < KmvK, col("n_exact"))
+          .otherwise(expr(s"cast(${(KmvK - 1).toLong * 268435456L}L div kth as bigint)")))
+      .select(col("source"), col("n_exact"), col("kth"), col("est_kmv"))
+      .orderBy(col("source"))
+
+  val sketchKmvSql: String = s"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substring(md5(array_to_string(
+               list_slice(w, i, i+2), ' ')), 1, 7))::BIGINT AS h
+      FROM (SELECT source, w, unnest(range(1, len(w)-1)) AS i
+            FROM (SELECT source, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 3)),
+    mins AS (
+      SELECT source, list(h ORDER BY h) AS mins
+      FROM (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM sh)
+      WHERE rn <= $KmvK GROUP BY source),
+    tot AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY source)
+    SELECT source, n_exact, mins[len(mins)] AS kth,
+           CASE WHEN n_exact < $KmvK THEN n_exact
+                ELSE ${(KmvK - 1).toLong * 268435456L} // mins[len(mins)]
+           END AS est_kmv
+    FROM mins JOIN tot USING (source) ORDER BY source"""
+
+  /** P15: theta-sketch set operations from the P14 sketches — the
+    * production reason bottom-k sketches exist: pairwise source
+    * union/intersection cardinalities WITHOUT touching the corpus
+    * again. The pair compute is k-array arithmetic over |sources|²
+    * sketch rows (kilobytes); P11 answers the same question exactly
+    * with a full self-join of the span index — this is the rung that
+    * replaces it when |sources| or the index no longer fits the join.
+    * θ = kth smallest of the merged sketch; matches = hashes ≤ θ in
+    * both; est_∩ = matches·est_∪ / k — all exact integer arithmetic,
+    * hash-checked cross-engine like P14.
+    */
+  def sketchKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sk = graft.CachedFrames.persist(kmvSketches(s, dir))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.mins").as("ma"), col("b.mins").as("mb"),
+        (col("a.n_exact") + col("b.n_exact")).as("nab"))
+      .withColumn("uall", expr("array_sort(array_distinct(concat(ma, mb)))"))
+      .withColumn("nu", expr("cast(size(uall) as bigint)"))
+      .withColumn("u", expr(s"slice(uall, 1, $KmvK)"))
+      .withColumn("theta", expr("element_at(u, size(u))"))
+      .withColumn("matches", expr(
+        "cast(size(filter(array_intersect(ma, mb), x -> x <= theta)) as bigint)"))
+      .withColumn("est_union",
+        when(col("nu") < KmvK, col("nu"))
+          .otherwise(expr(s"cast(${(KmvK - 1).toLong * 268435456L}L div theta as bigint)")))
+      .withColumn("est_inter",
+        when(col("nu") < KmvK,
+          expr("cast(size(array_intersect(ma, mb)) as bigint)"))
+          .otherwise(expr(s"matches * est_union div $KmvK")))
+      .select(col("source_a"), col("source_b"), col("matches"),
+        col("theta"), col("est_union"), col("est_inter"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sketchKmvOverlapSql: String = s"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             ('0x' || substring(md5(array_to_string(
+               list_slice(w, i, i+2), ' ')), 1, 7))::BIGINT AS h
+      FROM (SELECT source, w, unnest(range(1, len(w)-1)) AS i
+            FROM (SELECT source, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 3)),
+    mins AS (
+      SELECT source, list(h ORDER BY h) AS mins
+      FROM (SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM sh)
+      WHERE rn <= $KmvK GROUP BY source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.mins AS ma, b.mins AS mb,
+             list_sort(list_distinct(list_concat(a.mins, b.mins))) AS uall
+      FROM mins a JOIN mins b ON a.source < b.source),
+    calc AS (
+      SELECT source_a, source_b, ma, mb,
+             len(uall)::BIGINT AS nu,
+             uall[:$KmvK] AS u
+      FROM pairs),
+    calc2 AS (
+      SELECT source_a, source_b, ma, mb, nu, u,
+             u[len(u)] AS theta
+      FROM calc),
+    calc3 AS (
+      SELECT source_a, source_b, nu, theta,
+             len(list_filter(list_intersect(ma, mb),
+               x -> x <= theta))::BIGINT AS matches,
+             len(list_intersect(ma, mb))::BIGINT AS inter_full,
+             CASE WHEN nu < $KmvK THEN nu
+                  ELSE ${(KmvK - 1).toLong * 268435456L} // theta
+             END AS est_union
+      FROM calc2)
+    SELECT source_a, source_b, matches, theta, est_union,
+           CASE WHEN nu < $KmvK THEN inter_full
+                ELSE matches * est_union // $KmvK
+           END AS est_inter
+    FROM calc3 ORDER BY source_a, source_b"""
+
   /** P9: bigram language-model scoring — the step up from P6's unigram
     * model: NLL = −Σ ln p(wᵢ | wᵢ₋₁) with conditional probabilities
     * from corpus bigram/context counts. Self-scored corpus ⇒ every doc
@@ -617,12 +759,16 @@ object PipelineQueries {
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
     "source_overlap" -> (sourceOverlap _),
+    "sketch_kmv" -> (sketchKmv _),
+    "sketch_kmv_overlap" -> (sketchKmvOverlap _),
     "data_dedup_budget" -> (dataDedupBudget _),
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
     "data_alpha_mix" -> dataAlphaMixSql,
     "source_overlap" -> sourceOverlapSql,
+    "sketch_kmv" -> sketchKmvSql,
+    "sketch_kmv_overlap" -> sketchKmvOverlapSql,
     "data_dedup_budget" -> dataDedupBudgetSql,
     "pii_scrub" -> piiScrubSql,
     "text_bigram_lm" -> textBigramLmSql,

@@ -81,13 +81,26 @@ class PlanSpec extends AnyFunSuite {
     // the all-pairs baselines (knnBruteJoin, dedupEmbeddingBrute) are
     // spec-level cross-checks only: at 100 TB a nested-loop pair
     // enumeration is the textbook scale-killer, so the gate — what a
-    // user reaches for — must never plan one
-    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    // user reaches for — must never plan one. The ONE exemption is
+    // pair enumeration over SKETCH rows, not corpus rows:
+    // sketch_kmv_overlap joins |sources| k-long KMV summaries on
+    // a.source < b.source — O(|sources|²) kilobyte rows by
+    // construction, which is the entire point of sketching (the
+    // corpus-sized equivalent, P11, joins equi on the span hash)
+    val sketchRowPairs = Set("sketch_kmv_overlap")
+    (SparkEntry.queries.keys.toSet -- sketchRowPairs).toSeq.sorted.foreach {
+      name =>
       val p = SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString()
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ")
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian")
     }
+    // the exempted pair join must still be over the AGGREGATED sketch
+    // frame (one row per source, bounded arrays), never corpus rows
+    val sk = SparkEntry.queries("sketch_kmv_overlap")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(sk.contains("kmvagg"),
+      s"sketch pair join no longer feeds from the KMV aggregate:\n$sk")
   }
 
   test("q_skew_join shuffles on the salted key and spreads the hot key") {

@@ -121,4 +121,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"benchmark join not broadcast:\n$plan")
   }
+
+  test("KMV sketch: estimates land within the k=64 error envelope, " +
+    "and theta-sketch intersections track the exact overlaps") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.sketchKmv(spark, dir).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(3))
+      assert(exact > PipelineQueries.KmvK,
+        s"${r.getString(0)}: only $exact distinct — estimation unexercised")
+      // KMV relative error ~1/sqrt(k-2) = 12.7% at k=64; 3.5 sigma
+      assert(math.abs(est - exact).toDouble / exact < 0.45,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+    // theta-sketch intersections vs the EXACT pairwise overlaps,
+    // recomputed from the same distinct (source, h) base
+    val sh = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, size(w)-2)," +
+          " i -> concat_ws(' ', slice(w, i, 3)))")).as("sh"))
+      .select(col("source"),
+        graft.dedup.Shingling.h28(col("sh")).as("h"))
+      .distinct()
+    val exactInter = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ov = PipelineQueries.sketchKmvOverlap(spark, dir).collect()
+    assert(ov.length === 20 * 19 / 2)
+    // per-pair expected matches at k=64 are Poisson(~3-6) — too noisy
+    // for per-pair bands — so the accuracy statement is AGGREGATE:
+    // over the substantially-overlapping pairs (exact > 100), the
+    // summed intersection estimate tracks the summed exact overlap,
+    // and the sketch detects most of them individually
+    val big = ov.filter { r =>
+      exactInter.getOrElse((r.getString(0), r.getString(1)), 0L) > 100L }
+    assert(big.length >= 10, s"only ${big.length} substantial pairs")
+    val exSum = big.map(r =>
+      exactInter((r.getString(0), r.getString(1)))).sum.toDouble
+    val estSum = big.map(_.getLong(5)).sum.toDouble
+    assert(estSum > exSum * 0.4 && estSum < exSum * 2.5,
+      s"aggregate est $estSum vs exact $exSum over ${big.length} pairs")
+    val detected = big.count(_.getLong(2) > 0)
+    assert(detected * 2 >= big.length,
+      s"sketch detected only $detected of ${big.length} overlapping pairs")
+    graft.CachedFrames.releaseAll()
+  }
 }

@@ -308,6 +308,65 @@ class SimSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("dense OPQ rotation: orthogonal (norms preserved), and on " +
+    "planted OFF-AXIS anisotropy it beats the permutation where the " +
+    "permutation provably cannot act") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    // planted: one dominant DIAGONAL direction (unit mass on all 64
+    // dims — maximally cross-subspace) whose coefficient is 4-modal
+    // and label-independent: v' = v + (mode - 1.5) * ones (mode from a
+    // Knuth-hash of vec_id, spacing 8 along ones/8). Per-dim variances
+    // rise UNIFORMLY, so variance-ranked allocation (S11) sees nothing
+    // to reorder — the regime where only a dense rotation can help.
+    val planted = e.withColumn("v", expr(
+      "transform(v, x -> x + cast((vec_id * 2654435761) % 4 as double)" +
+        " - 1.5)"))
+    def errSum(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("err"))).collect().head.getDouble(0)
+    val iters = 5
+    val naive = errSum(SimQueries.opqPqOnTrained(planted, 1 to 64, iters))
+    graft.CachedFrames.releaseAll()
+    val varsP = planted.select(explode(expr(
+        "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
+        .as("x"))
+      .select(col("x.i").as("i"), col("x.col2").as("xi"))
+      .groupBy(col("i")).agg(round(var_pop(col("xi")), 6).as("vr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val perm = errSum(SimQueries.opqPqOnTrained(planted,
+      SimQueries.opqPermutation(varsP), iters))
+    graft.CachedFrames.releaseAll()
+    // the learned rotation: integer power iteration + Householder
+    val u = SimQueries.powerIterate(SimQueries.covMicro(planted))
+    val rot = SimQueries.rotated(planted, u)
+    // orthogonality: a reflection preserves norms (6dp coordinate
+    // rounding is the only slack)
+    val normDrift = planted.select(col("vec_id"),
+        expr("aggregate(v, 0D, (a, x) -> a + x * x)").as("n2"))
+      .join(rot.select(col("vec_id"),
+        expr("aggregate(v, 0D, (a, x) -> a + x * x)").as("r2")), Seq("vec_id"))
+      .agg(max(abs(col("n2") - col("r2")) / col("n2"))).collect()
+      .head.getDouble(0)
+    assert(normDrift < 1e-4, s"reflection drifted norms by $normDrift")
+    val varsR = rot.select(explode(expr(
+        "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
+        .as("x"))
+      .select(col("x.i").as("i"), col("x.col2").as("xi"))
+      .groupBy(col("i")).agg(round(var_pop(col("xi")), 6).as("vr"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val dense = errSum(SimQueries.opqPqOnTrained(rot,
+      SimQueries.opqPermutation(varsR), iters))
+    graft.CachedFrames.releaseAll()
+    // the permutation can't see off-axis structure: within 1% of naive
+    assert(math.abs(perm - naive) < 0.01 * naive,
+      s"perm $perm not ~ naive $naive on uniform per-dim variances")
+    // the dense rotation concentrates the planted direction: a real win
+    assert(dense < perm * 0.98,
+      s"dense-rotation err $dense not below perm $perm by >2%")
+  }
+
   test("SQ8: codes are 8-bit, reconstruction error beats PQ by orders") {
     val rows = SimQueries.sq8Quantize(spark, dir).collect()
     assert(rows.length === 500)

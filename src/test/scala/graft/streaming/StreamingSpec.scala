@@ -636,6 +636,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(summary.contains(hh), s"heavy $hh evicted from $summary"))
   }
 
+  test("R13b: the KMV sketch runs over the stream — the min-k buffer " +
+    "is EXACTLY the batch sketch (bottom-k merge is order-free)") {
+    val root = tmp()
+    import spark.implicits._
+    val payloads = (1 to 400).map(i => s"pay-${i % 150}")
+    graft.vcr.TapeWriter.write(
+      payloads.zipWithIndex.map { case (p, i) =>
+        (p.getBytes, i.toLong,
+          java.sql.Timestamp.valueOf("2024-08-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    val h = graft.dedup.Shingling.h28(col("payload").cast("string"))
+    @volatile var streamed: Seq[Long] = Seq.empty
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .select(h.as("h"))
+      .agg(graft.functions.KmvAgg(col("h"), 64).as("mins"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().headOption.foreach(r => streamed = r.getSeq[Long](0))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = TapePlayer.read(spark, root, "s",
+      java.time.LocalDateTime.parse("2024-08-01T00:00:00"), None)
+      .select(h.as("h"))
+      .agg(graft.functions.KmvAgg(col("h"), 64).as("mins"))
+      .head().getSeq[Long](0)
+    assert(streamed === batch)
+    assert(streamed.size === 64)
+    // and it IS the bottom-64 of the batch distinct set
+    val mins = TapePlayer.read(spark, root, "s",
+      java.time.LocalDateTime.parse("2024-08-01T00:00:00"), None)
+      .select(h.as("h")).distinct()
+      .orderBy(col("h")).limit(64).collect().map(_.getLong(0)).toSeq
+    assert(streamed === mins)
+  }
+
   test("D12: near-dup candidates at ingest — streamed LSH pairs equal " +
     "the batch band-index candidates (cross-implementation parity)") {
     val root = tmp()
