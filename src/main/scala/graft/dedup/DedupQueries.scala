@@ -141,10 +141,17 @@ object DedupQueries {
         Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    // exact verification restricted to candidates (the LSH point: never
-    // pay the all-pairs index join); values identical to jaccardPairs,
-    // including its df cap — signatures hash the FULL shingle set, the
-    // verify totals use the capped one
+    verifiedPairs(cand, sh)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact-jaccard verification restricted to candidate pairs (the LSH
+    * point: never pay the all-pairs index join); values identical to
+    * jaccardPairs, including its df cap — signatures hash the FULL
+    * shingle set, the verify totals use the capped one. Shared by D3
+    * and D15.
+    */
+  private def verifiedPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
     val capped = cappedShingles(sh)
     val counts = shingleCounts(capped)
     val common = cand
@@ -159,7 +166,6 @@ object DedupQueries {
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   val dedupMinhashSql: String = s"""
@@ -173,6 +179,190 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard
     FROM cand JOIN jp USING (doc_a, doc_b)
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** D13: PageRank centrality over the near-dup candidate graph — the
+    * canonical-document signal: inside a duplicate neighborhood, the
+    * doc most linked-to by band-bucket candidacy is the natural keeper
+    * (D6's min-id rule is the cheap tiebreak; centrality is the
+    * quality-aware upgrade). Relational iteration at the 100 TB shape:
+    * PrIters rounds of edge-shuffled contributions + per-node
+    * aggregate — rank/degree/damping all in exact integer micro units
+    * (contribution = r div deg per edge, r' = 0.15e6 + 85·Σ div 100),
+    * so sums are order-free BIGINTs and the DuckDB oracle (an
+    * adjacency-list matvec in a recursive CTE, the S14 idiom) matches
+    * bit-for-bit. Per-round localCheckpoint per the §8a lineage lesson.
+    */
+  val PrIters = 10
+
+  /** The iteration over any undirected pair frame (doc_a, doc_b) —
+    * shared by the gate (band-candidate pairs) and DedupSpec's planted
+    * star/pair structural checks.
+    */
+  private[dedup] def pagerankOn(cand: DataFrame): DataFrame = {
+    val edges = graft.CachedFrames.persist(
+      cand.union(cand.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val ed = graft.CachedFrames.persist(edges.join(deg, Seq("src")))
+    // §8a iterative-loop discipline (same as ConnectedComponents):
+    // each round's rank frame is localCheckpoint()ed, truncating its
+    // logical plan to a LogicalRDD. persist() alone does NOT — the
+    // round-t plan then nests every prior round's (join + AQE + cached
+    // relation) subtree, and the per-execution plan-description string
+    // grows multiplicatively: at sf0.1 it capped at Int.MaxValue chars
+    // (2 GB), turning a ~2 s query into ~60 s of string building and
+    // aborting test JVMs. Round RDD blocks (|V| rows each) are freed
+    // by the ContextCleaner as the loop drops references.
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint(false)
+    var t = 0
+    while (t < PrIters) {
+      ranks = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node2"), expr("r div deg").as("c"))
+        .groupBy(col("node2"))
+        .agg(expr("150000 + 85 * sum(c) div 100").as("r"))
+        .select(col("node2").as("node"), col("r"))
+        .localCheckpoint(false)
+      t += 1
+    }
+    ranks.join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+      .select(col("node").as("doc_id"), col("deg").as("degree"), col("r")
+        .as("rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(shingles(Tables.documents(s, dir)))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pagerankOn(cand)
+  }
+
+  val dedupPagerankSql: String = s"""
+    WITH RECURSIVE shingles AS ($shinglesSql),
+    $minhashBandsSql,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+              UNION ALL SELECT doc_b, doc_a FROM cand),
+    degs AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node, deg,
+                     row_number() OVER (ORDER BY src) AS idx
+              FROM degs),
+    adj AS (SELECT nv.idx AS vidx, list(nu.idx ORDER BY nu.idx) AS ins
+            FROM edges e JOIN nodes nu ON nu.node = e.src
+                         JOIN nodes nv ON nv.node = e.dst
+            GROUP BY nv.idx),
+    mats AS (
+      SELECT (SELECT list(ins ORDER BY vidx) FROM adj) AS al,
+             (SELECT list(deg ORDER BY idx) FROM nodes) AS dv,
+             (SELECT count(*) FROM nodes) AS n),
+    pr AS (
+      SELECT 0 AS t,
+             list_transform(range(1, n + 1), i -> 1000000::BIGINT) AS r
+      FROM mats
+      UNION ALL
+      SELECT t + 1,
+             list_transform(range(1, CAST(len(al) AS BIGINT) + 1), v ->
+               150000::BIGINT + (85 * CAST(list_sum(list_transform(al[v],
+                 u -> r[u] // dv[u])) AS BIGINT)) // 100)
+      FROM pr, mats WHERE t < $PrIters)
+    SELECT n.node AS doc_id, n.deg::BIGINT AS degree, r[n.idx] AS rank_micro
+    FROM pr, nodes n WHERE t = $PrIters ORDER BY doc_id"""
+
+  /** D14: centrality-aware keeper election — D13's PageRank composed
+    * into D6's clusters: per duplicate component the keeper is the
+    * argmax-centrality member (tiebreak min doc_id), upgrading D6's
+    * min-id rule to the quality-aware choice a curation pipeline
+    * actually wants (keep the most-corroborated copy). One edge frame
+    * (jaccard ≥ 0.5) feeds BOTH the CC labels and the rank iteration;
+    * the election itself is a per-component max(struct(rank, −id)) —
+    * a partial-aggregating groupBy over |V| rows, no window, no extra
+    * corpus pass. Ranks are D13's exact integer micro units, so the
+    * argmax is deterministic cross-engine.
+    */
+  private[dedup] def keeperOn(edges0: DataFrame): DataFrame = {
+    val edges = graft.CachedFrames.persist(edges0)
+    val labels = graft.operators.ConnectedComponents.run(edges)
+    val ranks = pagerankOn(edges)
+    val ranked = graft.CachedFrames.persist(
+      labels.join(ranks.select(col("doc_id").as("node"),
+        col("rank_micro")), Seq("node")))
+    val keepers = ranked.groupBy(col("root"))
+      .agg(max(struct(col("rank_micro"), (-col("node")).as("neg_id")))
+        .as("kb"), count(lit(1)).as("cluster_size"))
+      .select(col("root"), col("cluster_size"),
+        (-col("kb.neg_id")).as("keeper"),
+        col("kb.rank_micro").as("keeper_rank_micro"))
+    ranked.join(keepers, Seq("root"))
+      .select(col("node").as("doc_id"), col("root").as("canonical"),
+        col("cluster_size"), col("rank_micro"), col("keeper"),
+        col("keeper_rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupKeeper(s: SparkSession, dir: String): DataFrame =
+    keeperOn(jaccardPairs(shingles(Tables.documents(s, dir)))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
+  val dedupKeeperSql: String = s"""
+    WITH RECURSIVE $jaccardPairsSql,
+    e14 AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+    und14 AS (SELECT doc_a AS a, doc_b AS b FROM e14
+              UNION ALL SELECT doc_b, doc_a FROM e14),
+    n14 AS (SELECT DISTINCT a AS doc FROM und14),
+    reach14(doc, r) AS (
+      SELECT doc, doc FROM n14
+      UNION
+      SELECT u.b, reach14.r FROM reach14 JOIN und14 u ON u.a = reach14.doc),
+    comp14 AS (SELECT doc, min(r) AS canonical FROM reach14 GROUP BY doc),
+    sizes14 AS (SELECT canonical, count(*) AS cluster_size
+                FROM comp14 GROUP BY canonical),
+    degs14 AS (SELECT a AS src, count(*) AS deg FROM und14 GROUP BY src),
+    nodes14 AS (SELECT src AS node, deg,
+                       row_number() OVER (ORDER BY src) AS idx
+                FROM degs14),
+    adj14 AS (SELECT nv.idx AS vidx, list(nu.idx ORDER BY nu.idx) AS ins
+              FROM und14 e JOIN nodes14 nu ON nu.node = e.a
+                           JOIN nodes14 nv ON nv.node = e.b
+              GROUP BY nv.idx),
+    mats14 AS (
+      SELECT (SELECT list(ins ORDER BY vidx) FROM adj14) AS al,
+             (SELECT list(deg ORDER BY idx) FROM nodes14) AS dv,
+             (SELECT count(*) FROM nodes14) AS n),
+    pr14 AS (
+      SELECT 0 AS t,
+             list_transform(range(1, n + 1), i -> 1000000::BIGINT) AS r
+      FROM mats14
+      UNION ALL
+      SELECT t + 1,
+             list_transform(range(1, CAST(len(al) AS BIGINT) + 1), v ->
+               150000::BIGINT + (85 * CAST(list_sum(list_transform(al[v],
+                 u -> r[u] // dv[u])) AS BIGINT)) // 100)
+      FROM pr14, mats14 WHERE t < $PrIters),
+    ranks14 AS (SELECT n.node AS doc_id, r[n.idx] AS rank_micro
+                FROM pr14, nodes14 n WHERE t = $PrIters),
+    ranked14 AS (
+      SELECT comp14.doc AS doc_id, comp14.canonical, sizes14.cluster_size,
+             ranks14.rank_micro
+      FROM comp14 JOIN sizes14 USING (canonical)
+                  JOIN ranks14 ON ranks14.doc_id = comp14.doc),
+    keep14 AS (
+      SELECT canonical, doc_id AS keeper, rank_micro AS keeper_rank_micro
+      FROM (SELECT *, row_number() OVER (PARTITION BY canonical
+              ORDER BY rank_micro DESC, doc_id) AS rn FROM ranked14)
+      WHERE rn = 1)
+    SELECT r.doc_id, r.canonical, r.cluster_size, r.rank_micro,
+           k.keeper, k.keeper_rank_micro
+    FROM ranked14 r JOIN keep14 k USING (canonical) ORDER BY r.doc_id"""
 
   /** 60-bit SimHash per doc over its shingle set — one-pass SimHashAgg
     * (no doc×bit row explosion).
@@ -394,6 +584,89 @@ object DedupQueries {
     SELECT comp.doc AS doc_id, comp.canonical, sizes.cluster_size
     FROM comp JOIN sizes USING (canonical) ORDER BY doc_id"""
 
+  /** D15: band-bucket occupancy caps — the sf1-probe's named
+    * mitigation for recrawl-shaped corpora, where one mega-cluster
+    * puts thousands of docs in the SAME band bucket and D3's
+    * within-bucket all-pairs join goes quadratic. Capped candidate
+    * rule, per (band, band_key): every member links to the bucket MIN
+    * id (a star — occupancy−1 edges, connectivity of the bucket
+    * preserved exactly), plus all-pairs among the bottom-$CapK ids
+    * (≤ C($CapK,2) edges — borderline-pair robustness where the hub
+    * itself might fail verification). Pair mass per bucket is O(occ)
+    * instead of O(occ²); candidates still verify with EXACT jaccard,
+    * and since capped edges ⊆ D3's bucket all-pairs, every capped
+    * component refines a D6 component (spec'd). Bottom-k via the E18
+    * bounded heap (constant score ⇒ min-id tiebreak ordering), pairs
+    * generated row-local by a higher-order transform — no self-join.
+    */
+  val CapK = 8
+
+  private[dedup] def cappedCandidates(bands: DataFrame): DataFrame = {
+    val bmin = bands.groupBy(col("band"), col("band_key"))
+      .agg(min(col("doc_id")).as("m"))
+    val star = bands.join(bmin, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+    val kpairs = bands.groupBy(col("band"), col("band_key"))
+      .agg(graft.functions.TopKAgg(lit(0.0), col("doc_id"), CapK).as("kept"))
+      .select(expr("array_sort(transform(kept, x -> x.id))").as("ids"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 1), i -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "struct(ids[i] AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    star.union(kpairs).distinct()
+  }
+
+  def dedupClustersCapped(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.CachedFrames.persist(shingles(Tables.documents(s, dir)))
+    val bands = graft.CachedFrames.persist(minhashBands(sh))
+    val cand = cappedCandidates(bands)
+    val edges = verifiedPairs(cand, sh).select(col("doc_a"), col("doc_b"))
+    val labels = graft.operators.ConnectedComponents.run(edges)
+    val sizes = labels.groupBy(col("root"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("root"))
+      .select(col("node").as("doc_id"), col("root").as("canonical"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupClustersCappedSql: String = s"""
+    WITH RECURSIVE $jaccardPairsSql,
+    $minhashBandsSql,
+    bmin15 AS (SELECT band, band_key, min(doc_id) AS m
+               FROM bands GROUP BY band, band_key),
+    star15 AS (SELECT bm.m AS doc_a, b.doc_id AS doc_b
+               FROM bands b JOIN bmin15 bm USING (band, band_key)
+               WHERE b.doc_id != bm.m),
+    topk15 AS (SELECT band, band_key, doc_id
+               FROM (SELECT *, row_number() OVER (
+                       PARTITION BY band, band_key ORDER BY doc_id) AS rn
+                     FROM bands)
+               WHERE rn <= $CapK),
+    kp15 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM topk15 a JOIN topk15 b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    cand15 AS (SELECT DISTINCT doc_a, doc_b FROM
+               (SELECT doc_a, doc_b FROM star15
+                UNION ALL SELECT doc_a, doc_b FROM kp15)),
+    e15 AS (SELECT doc_a AS a, doc_b AS b
+            FROM cand15 JOIN jp USING (doc_a, doc_b)
+            WHERE jaccard >= 0.5),
+    und15 AS (SELECT a, b FROM e15 UNION SELECT b, a FROM e15),
+    n15 AS (SELECT DISTINCT a AS doc FROM und15),
+    reach15(doc, r) AS (
+      SELECT doc, doc FROM n15
+      UNION
+      SELECT u.b, reach15.r FROM reach15 JOIN und15 u ON u.a = reach15.doc),
+    comp15 AS (SELECT doc, min(r) AS canonical FROM reach15 GROUP BY doc),
+    sizes15 AS (SELECT canonical, count(*) AS cluster_size
+                FROM comp15 GROUP BY canonical)
+    SELECT comp15.doc AS doc_id, comp15.canonical, sizes15.cluster_size
+    FROM comp15 JOIN sizes15 USING (canonical) ORDER BY doc_id"""
+
   /** D7: sub-document (span-level) exact dedup — fixed 10-word windows
     * per document, cross-corpus duplicate spans by md5. The pipeline
     * face of "boilerplate removal": a span shared by many documents is
@@ -541,6 +814,9 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_pagerank" -> (dedupPagerank _),
+    "dedup_keeper" -> (dedupKeeper _),
+    "dedup_clusters_capped" -> (dedupClustersCapped _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_wide" -> (dedupSimhashWide _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -553,6 +829,9 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_pagerank" -> dedupPagerankSql,
+    "dedup_keeper" -> dedupKeeperSql,
+    "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_wide" -> dedupSimhashWideSql,
     "dedup_embedding" -> dedupEmbeddingSql,

@@ -698,6 +698,56 @@ object PipelineQueries {
            END AS est_inter
     FROM calc3 ORDER BY source_a, source_b"""
 
+  /** P16: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES) — the quality/length-weighted corpus draw every data-mix
+    * recipe needs: P(doc survives) ∝ its weight (here n_chars — a
+    * token-budget draw), deterministic via the md5 hash family. Key =
+    * ln(u)/w with u = (h28+1)/2²⁸ ∈ (0,1], quantized to integer
+    * micro-nats (the P6 discipline) BEFORE ranking, so both engines
+    * rank identical BIGINTs; the per-source top-k runs on the E18
+    * bounded heap — k·|sources| rows of state, no stratum sort, the
+    * P8 shape. Sampled ids join back for metadata (a kilobyte side —
+    * AQE broadcasts it).
+    */
+  val WsK = 5
+
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.dedup.Shingling.h28(
+          concat(lit("ws-"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("key_micro",
+        round(log((col("h") + 1) / lit(268435456.0)) / col("n_chars")
+          * 1e9, 0).cast("long"))
+    val sampled = keyed
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg(col("key_micro").cast("double"),
+        col("doc_id"), WsK).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).as("rank"),
+        col("col.id").as("doc_id"))
+    sampled
+      .join(keyed.select(col("doc_id"), col("n_chars"), col("key_micro")),
+        Seq("doc_id"))
+      .select(col("source"), col("rank"), col("doc_id"), col("n_chars"),
+        col("key_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val weightedSampleSql: String = s"""
+    WITH keys AS (
+      SELECT source, doc_id, n_chars,
+             CAST(round(ln((('0x' || substring(md5('ws-' || doc_id::VARCHAR),
+               1, 7))::BIGINT + 1) / 268435456.0) / n_chars * 1e9, 0)
+               AS BIGINT) AS key_micro
+      FROM documents),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY key_micro DESC, doc_id) AS rank
+      FROM keys)
+    SELECT source, rank, doc_id, n_chars, key_micro
+    FROM ranked WHERE rank <= $WsK ORDER BY source, rank"""
+
   /** P9: bigram language-model scoring — the step up from P6's unigram
     * model: NLL = −Σ ln p(wᵢ | wᵢ₋₁) with conditional probabilities
     * from corpus bigram/context counts. Self-scored corpus ⇒ every doc
@@ -760,6 +810,7 @@ object PipelineQueries {
     "data_alpha_mix" -> (dataAlphaMix _),
     "source_overlap" -> (sourceOverlap _),
     "sketch_kmv" -> (sketchKmv _),
+    "weighted_sample" -> (weightedSample _),
     "sketch_kmv_overlap" -> (sketchKmvOverlap _),
     "data_dedup_budget" -> (dataDedupBudget _),
     "text_unigram_lm" -> (textUnigramLm _))
@@ -768,6 +819,7 @@ object PipelineQueries {
     "data_alpha_mix" -> dataAlphaMixSql,
     "source_overlap" -> sourceOverlapSql,
     "sketch_kmv" -> sketchKmvSql,
+    "weighted_sample" -> weightedSampleSql,
     "sketch_kmv_overlap" -> sketchKmvOverlapSql,
     "data_dedup_budget" -> dataDedupBudgetSql,
     "pii_scrub" -> piiScrubSql,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomFilterAgg, DotProduct, MinHashAgg, MisraGriesAgg, SimHashAgg, TopKAgg}
+import graft.functions.{BloomFilterAgg, DotProduct, KmvAgg, MinHashAgg, MisraGriesAgg, SimHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -74,6 +74,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_bloom(item, m, k): m and k must be INT literals, got $other")
         }
         BloomFilterAgg(exprs.head, m, k).toAggregateExpression()
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_kmv(item, k) takes 2 arguments, got ${exprs.length}")
+        val k = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv(item, k): k must be an INT literal, got $other")
+        }
+        val item = if (exprs.head.dataType == LongType) exprs.head
+          else Cast(exprs.head, LongType)
+        KmvAgg(item, k).toAggregateExpression()
       }))
     e.injectOptimizerRule(_ => RewriteDotProductFold)
     e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)

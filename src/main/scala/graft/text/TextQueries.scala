@@ -222,6 +222,74 @@ object TextQueries {
     FROM sh GROUP BY shingle
     ORDER BY occurrences DESC, shingle LIMIT 20"""
 
+  /** T10: corpus-law statistics — the two empirical laws every corpus
+    * report leads with: Zipf (log-log rank-frequency slope ≈ −1) and
+    * Heaps (type/token ratio). One token pass → term counts → top-N by
+    * TakeOrdered (the A8 shape, never a full sort); the slope is OLS
+    * over (ln rank, ln freq) for the top ZipfN terms, with both
+    * coordinates quantized to integer micro-nats (the P6 discipline)
+    * so all four OLS sums are exact order-free BIGINTs and the final
+    * slope = (N·Σxy − Σx·Σy)/(N·Σxx − Σx²) is one division of exact
+    * integers — cross-engine identical, hash-checked.
+    */
+  val ZipfN = 100
+
+  def textZipf(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+    // two consumers (the totals scalar and the top-N rank) — E24
+    val counts = graft.CachedFrames.persist(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("freq")))
+    val totals = counts.agg(
+      count(lit(1)).as("n_types"), sum(col("freq")).as("n_tokens"))
+    val top = counts.orderBy(col("freq").desc, col("term")).limit(ZipfN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term"))))
+      .select(
+        (round(log(col("rank").cast("double")) * 1e6, 0)).cast("long").as("x"),
+        (round(log(col("freq").cast("double")) * 1e6, 0)).cast("long").as("y"))
+    val sums = top.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    // totals is a 1-row aggregate: a plan-time scalar per the repo's
+    // bounded-collect discipline (a 1x1 frame combine would plan a
+    // BNLJ, which the no-BNLJ gate guard forbids even at one row)
+    val tot = totals.head()
+    sums
+      .withColumn("n_types", lit(tot.getLong(0)))
+      .withColumn("n_tokens", lit(tot.getLong(1)))
+      .select(col("n_types"), col("n_tokens"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6)
+          .as("heaps_ttr"))
+  }
+
+  val textZipfSql: String = s"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+    totals AS (SELECT count(*) AS n_types, sum(freq)::BIGINT AS n_tokens
+               FROM counts),
+    top AS (
+      SELECT CAST(round(ln(rank) * 1e6, 0) AS BIGINT) AS x,
+             CAST(round(ln(freq) * 1e6, 0) AS BIGINT) AS y
+      FROM (SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, term) AS rank
+            FROM counts
+            ORDER BY freq DESC, term LIMIT $ZipfN)),
+    sums AS (SELECT count(*) AS n, sum(x)::BIGINT AS sx,
+                    sum(y)::BIGINT AS sy, sum(x*y)::BIGINT AS sxy,
+                    sum(x*x)::BIGINT AS sxx
+             FROM top)
+    SELECT n_types, n_tokens,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                 CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS heaps_ttr
+    FROM sums, totals"""
+
   /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
     * query term set for the `text_bm25` gate entry.
     */
@@ -449,7 +517,8 @@ object TextQueries {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_ngram_stats" -> (textNgramStats _))
+    "text_ngram_stats" -> (textNgramStats _),
+    "text_zipf" -> (textZipf _))
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
@@ -460,5 +529,6 @@ object TextQueries {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_ngram_stats" -> textNgramStatsSql)
+    "text_ngram_stats" -> textNgramStatsSql,
+    "text_zipf" -> textZipfSql)
 }

@@ -164,4 +164,110 @@ class DedupSpec extends AnyFunSuite {
     val dflt = DedupQueries.jaccardPairs(sh).count()
     assert(dflt === uncapped.count())
   }
+
+  test("pagerank over the candidate graph: deterministic, damped floor " +
+    "holds, and hubs outrank leaves") {
+    import org.apache.spark.sql.functions._
+    val a = DedupQueries.dedupPagerank(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val b = DedupQueries.dedupPagerank(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+    // integer damping floor: rank >= 0.15e6 always (every node keeps
+    // the teleport mass; truncation only shrinks the propagated part)
+    a.foreach { r =>
+      assert(r.getLong(2) >= 150000L,
+        s"doc ${r.getLong(0)} rank ${r.getLong(2)} below the floor")
+    }
+    // structural check on a PLANTED graph (cross-component degree
+    // comparisons are NOT a PageRank property — a 2-clique leaf sits
+    // at exactly 1e6): a star's hub must strictly outrank its leaves
+    // (closed form ~1.92e6 vs ~0.69e6), and a symmetric pair must sit
+    // at the 1e6 fixed point up to integer truncation
+    import spark.implicits._
+    val planted = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (200L, 201L)).toDF("doc_a", "doc_b")
+    val pr = DedupQueries.pagerankOn(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CachedFrames.releaseAll()
+    assert(pr(100L) > pr(1L) * 2,
+      s"star hub ${pr(100L)} does not dominate leaf ${pr(1L)}")
+    (1L to 4L).foreach(l => assert(pr(l) === pr(1L)))
+    assert(math.abs(pr(200L) - 1000000L) <= PrTruncSlack &&
+      pr(200L) === pr(201L), s"pair fixed point drifted: ${pr(200L)}")
+  }
+
+  private val PrTruncSlack = 10L
+
+  test("keeper election: keeper is the in-cluster rank argmax, and on " +
+    "a planted star the hub wins even against the min-id rule") {
+    import org.apache.spark.sql.functions._
+    val out = DedupQueries.dedupKeeper(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (canonical, rows) =>
+      val keeper = rows.head.getLong(4)
+      // one keeper per cluster, and it is a member of the cluster
+      assert(rows.forall(_.getLong(4) === keeper))
+      assert(rows.exists(_.getLong(0) === keeper),
+        s"keeper $keeper not a member of cluster $canonical")
+      // keeper holds the max rank; ties break to the min doc_id
+      val maxRank = rows.map(_.getLong(3)).max
+      assert(rows.head.getLong(5) === maxRank)
+      val argmax = rows.filter(_.getLong(3) === maxRank)
+        .map(_.getLong(0)).min
+      assert(keeper === argmax)
+    }
+    // planted star, hub id ABOVE the leaves: D6's min-id rule would
+    // crown leaf 1; centrality crowns the hub
+    import spark.implicits._
+    val planted = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L))
+      .toDF("doc_a", "doc_b")
+    val pk = DedupQueries.keeperOn(planted).collect()
+    graft.CachedFrames.releaseAll()
+    assert(pk.forall(_.getLong(4) === 100L),
+      s"star hub not elected: ${pk.map(_.toSeq).mkString(", ")}")
+    assert(pk.forall(_.getLong(1) === 1L))
+    assert(pk.forall(_.getLong(2) === 5L))
+  }
+
+  test("capped band candidates: a planted mega-bucket yields linear " +
+    "pair mass, and capped clusters refine the uncapped ones") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one bucket with 200 members: all-pairs would be C(200,2)=19900;
+    // the cap must produce exactly (occ-1) star + C(8,2) bottom-k pairs
+    val n = 200
+    val mega = (1 to n).flatMap(i => (0 until 8).map(b =>
+      (i.toLong, b, s"key-$b"))).toDF("doc_id", "band", "band_key")
+    val cand = DedupQueries.cappedCandidates(mega).collect()
+    val k = DedupQueries.CapK
+    assert(cand.length === (n - 1) + k * (k - 1) / 2 - (k - 1),
+      s"expected linear pair mass, got ${cand.length}")
+    // (star edges (1,j) duplicate the k-1 bottom-k pairs touching the
+    // min id — distinct() collapses them, hence the -(k-1) above)
+    // connectivity: every member appears in an edge, and every edge
+    // either touches the bucket min or stays inside the bottom-k set —
+    // one star component covering the whole bucket
+    assert(cand.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+      === (1L to n.toLong).toSet)
+    assert(cand.forall(r => r.getLong(0) === 1L ||
+      (r.getLong(0) <= k && r.getLong(1) <= k)))
+    // refinement on the real corpus: every capped cluster sits inside
+    // exactly one uncapped cluster (capped edges are a subset, so
+    // components can only split, never merge across)
+    val un = DedupQueries.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CachedFrames.releaseAll()
+    val capped = DedupQueries.dedupClustersCapped(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(capped.nonEmpty)
+    capped.groupBy(_.getLong(1)).foreach { case (canon, rows) =>
+      val parents = rows.map(r => un(r.getLong(0))).distinct
+      assert(parents.length === 1,
+        s"capped cluster $canon spans uncapped clusters $parents")
+    }
+  }
 }

@@ -122,6 +122,24 @@ class PipelineSpec extends AnyFunSuite {
       s"benchmark join not broadcast:\n$plan")
   }
 
+  test("weighted sampling (A-ES): deterministic, k per source, and " +
+    "length-biased — P(sampled) tracks n_chars") {
+    import org.apache.spark.sql.functions._
+    val a = PipelineQueries.weightedSample(spark, dir).collect()
+    val b = PipelineQueries.weightedSample(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === 20 * PipelineQueries.WsK)
+    assert(a.groupBy(_.getString(0)).forall(_._2.length ===
+      PipelineQueries.WsK))
+    // size-biased draw: the sampled mean length must sit measurably
+    // above the corpus mean (measured ratio ~1.16 on this corpus)
+    val sampledMean = a.map(_.getLong(3)).sum.toDouble / a.length
+    val corpusMean = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    assert(sampledMean > corpusMean * 1.05,
+      s"sampled mean $sampledMean not above corpus mean $corpusMean")
+  }
+
   test("KMV sketch: estimates land within the k=64 error envelope, " +
     "and theta-sketch intersections track the exact overlaps") {
     import org.apache.spark.sql.functions._

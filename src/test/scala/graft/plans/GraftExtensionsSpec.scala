@@ -157,6 +157,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(misses === 0L)
   }
 
+  test("graft_kmv SQL face builds the distinct bottom-k sketch") {
+    import spark.implicits._
+    // duplicates must not occupy sketch slots: 300 rows, 100 distinct
+    (1L to 300L).map(i => i % 100).toDF("x")
+      .createOrReplaceTempView("kmv_items")
+    val mins = spark.sql("SELECT graft_kmv(x, 16) AS m FROM kmv_items")
+      .collect().head.getSeq[Long](0)
+    assert(mins === (0L to 15L),
+      s"bottom-16 of 0..99 with duplicates should be 0..15, got $mins")
+  }
+
   test("rewrite preserves results on real embedding data") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
