@@ -1475,8 +1475,69 @@ object AnalyticsQueries {
                        FROM events WHERE user_id IS NOT NULL)
     ORDER BY freq DESC, user_id"""
 
+  /** A45: Count-Min point-frequency serving (E26) — the complement to
+    * A44: Misra-Gries answers "which keys are frequent", the CM sketch
+    * answers "how often is THIS key" for ANY key from d·w counters,
+    * whatever the key cardinality. One aggregate pass builds the
+    * 8·d·w-byte counter matrix (elementwise-add merge — order-free,
+    * so the matrix is bit-identical under any partitioning and a
+    * DuckDB oracle reproduces it exactly); serving collects it once
+    * (8 KB — the D11 Bloom-words discipline) and estimates are pure
+    * codegen min-of-d-lookups over the broadcast literal: no join, no
+    * shuffle. The gate outputs est alongside the exact count for the
+    * top-20 probe keys, so the hash-match VERIFIES both the CM
+    * guarantee (est ≥ true, checkable in the overshoot column) and
+    * the measured error — the strongest statement a sketch can make.
+    */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  def qCountMin(s: SparkSession, dir: String): DataFrame = {
+    // NULL keys excluded on both sides, as in A44
+    val ev = graft.CachedFrames.persist(Tables.events(s, dir)
+      .filter(col("user_id").isNotNull).select(col("user_id")))
+    // bounded plan-time scalar: d·w longs = 8 KB however large the input
+    val counters = ev
+      .agg(graft.functions.CountMinAgg(col("user_id"), CmDepth, CmWidth)
+        .as("cm"))
+      .head().getSeq[Long](0).toArray
+    val probes = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("user_id")).limit(20)
+    probes
+      .withColumn("cmarr", lit(counters))
+      .withColumn("est_cnt", graft.functions.CountMinAgg.estimate(
+        "cmarr", "user_id", CmDepth, CmWidth))
+      .select(col("user_id"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overshoot"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+  }
+
+  val qCountMinSql: String = s"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    ctr AS (
+      SELECT r, pos, count(*) AS c FROM (
+        SELECT t.r AS r,
+               ('0x' || substring(md5(t.r::VARCHAR || '-' ||
+                 user_id::VARCHAR), 1, 7))::BIGINT % $CmWidth AS pos
+        FROM ev CROSS JOIN range(1, ${CmDepth + 1}) t(r))
+      GROUP BY r, pos),
+    probes AS (
+      SELECT user_id, count(*) AS true_cnt FROM ev GROUP BY user_id
+      ORDER BY true_cnt DESC, user_id LIMIT 20),
+    est AS (
+      SELECT p.user_id, p.true_cnt, min(ctr.c) AS est_cnt
+      FROM probes p
+      CROSS JOIN range(1, ${CmDepth + 1}) t(r)
+      JOIN ctr ON ctr.r = t.r
+       AND ctr.pos = ('0x' || substring(md5(t.r::VARCHAR || '-' ||
+             p.user_id::VARCHAR), 1, 7))::BIGINT % $CmWidth
+      GROUP BY p.user_id, p.true_cnt)
+    SELECT user_id, true_cnt, est_cnt, est_cnt - true_cnt AS overshoot
+    FROM est ORDER BY true_cnt DESC, user_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "sketch_countmin" -> (qCountMin _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
     "q3_shipping" -> (q3Shipping _),
@@ -1523,6 +1584,7 @@ object AnalyticsQueries {
 
   def oracles: Map[String, String] = Map(
     "q_heavy_hitters" -> qHeavyHittersSql,
+    "sketch_countmin" -> qCountMinSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q_scan_pushdown" -> qScanPushdownSql,
     "q3_shipping" -> q3ShippingSql,

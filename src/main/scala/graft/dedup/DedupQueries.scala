@@ -364,6 +364,88 @@ object DedupQueries {
            k.keeper, k.keeper_rank_micro
     FROM ranked14 r JOIN keep14 k USING (canonical) ORDER BY r.doc_id"""
 
+  /** D16: WEIGHTED PageRank — D13 with each edge carrying its VERIFIED
+    * jaccard similarity as mass (w_micro = round(jaccard·1e6)), so a
+    * 0.95-duplicate pulls ~10× the rank a borderline 0.5 pair does:
+    * centrality now measures how strongly-corroborated a copy is, not
+    * just how often it collides. Same exact-integer discipline as D13
+    * with per-node weight totals replacing degrees: contribution =
+    * (r·w) div sw per edge (sw = Σ out-weights), r' = 0.15e6 +
+    * 85·Σ div 100 — order-free BIGINT sums, recursive-CTE weighted
+    * matvec oracle. Uniform weights reduce BIT-IDENTICALLY to D13
+    * (floor(r·w / (w·deg)) = floor(r/deg)) — spec'd, so the two
+    * rungs provably agree where they overlap.
+    */
+  private[dedup] def pagerankWeightedOn(pairs: DataFrame): DataFrame = {
+    // pairs: (doc_a, doc_b, w) with w a positive integer weight
+    val edges = graft.CachedFrames.persist(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))
+        .union(pairs.select(col("doc_b"), col("doc_a"), col("w"))))
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sw"))
+    val ed = graft.CachedFrames.persist(edges.join(sw, Seq("src")))
+    // per-round localCheckpoint — §8a, see pagerankOn
+    var ranks = sw.select(col("src").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint(false)
+    var t = 0
+    while (t < PrIters) {
+      ranks = ed.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node2"), expr("r * w div sw").as("c"))
+        .groupBy(col("node2"))
+        .agg(expr("150000 + 85 * sum(c) div 100").as("r"))
+        .select(col("node2").as("node"), col("r"))
+        .localCheckpoint(false)
+      t += 1
+    }
+    ranks.join(sw.select(col("src").as("node"), col("sw").as("w_out_micro")),
+        Seq("node"))
+      .select(col("node").as("doc_id"), col("w_out_micro"),
+        col("r").as("rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupPagerankWeighted(s: SparkSession, dir: String): DataFrame =
+    pagerankWeightedOn(
+      jaccardPairs(shingles(Tables.documents(s, dir)))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard") * 1e6, 0).cast("long").as("w")))
+
+  val dedupPagerankWeightedSql: String = s"""
+    WITH RECURSIVE $jaccardPairsSql,
+    e16 AS (SELECT doc_a, doc_b, CAST(round(jaccard * 1e6, 0) AS BIGINT) AS w
+            FROM jp WHERE jaccard >= 0.5),
+    und16 AS (SELECT doc_a AS a, doc_b AS b, w FROM e16
+              UNION ALL SELECT doc_b, doc_a, w FROM e16),
+    sw16 AS (SELECT a AS src, sum(w)::BIGINT AS sw FROM und16 GROUP BY a),
+    nodes16 AS (SELECT src AS node, sw,
+                       row_number() OVER (ORDER BY src) AS idx
+                FROM sw16),
+    adj16 AS (SELECT nv.idx AS vidx,
+                     list(nu.idx ORDER BY nu.idx) AS ins,
+                     list(e.w ORDER BY nu.idx) AS ws
+              FROM und16 e JOIN nodes16 nu ON nu.node = e.a
+                           JOIN nodes16 nv ON nv.node = e.b
+              GROUP BY nv.idx),
+    mats16 AS (
+      SELECT (SELECT list(ins ORDER BY vidx) FROM adj16) AS al,
+             (SELECT list(ws ORDER BY vidx) FROM adj16) AS wl,
+             (SELECT list(sw ORDER BY idx) FROM nodes16) AS sv,
+             (SELECT count(*) FROM nodes16) AS n),
+    pr16 AS (
+      SELECT 0 AS t,
+             list_transform(range(1, n + 1), i -> 1000000::BIGINT) AS r
+      FROM mats16
+      UNION ALL
+      SELECT t + 1,
+             list_transform(range(1, CAST(len(al) AS BIGINT) + 1), v ->
+               150000::BIGINT + (85 * CAST(list_sum(list_transform(
+                 range(1, CAST(len(al[v]) AS BIGINT) + 1),
+                 j -> (r[al[v][j]] * wl[v][j]) // sv[al[v][j]]))
+                 AS BIGINT)) // 100)
+      FROM pr16, mats16 WHERE t < $PrIters)
+    SELECT n.node AS doc_id, n.sw AS w_out_micro, r[n.idx] AS rank_micro
+    FROM pr16, nodes16 n WHERE t = $PrIters ORDER BY doc_id"""
+
   /** 60-bit SimHash per doc over its shingle set — one-pass SimHashAgg
     * (no doc×bit row explosion).
     */
@@ -815,6 +897,7 @@ object DedupQueries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_pagerank" -> (dedupPagerank _),
+    "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
     "dedup_keeper" -> (dedupKeeper _),
     "dedup_clusters_capped" -> (dedupClustersCapped _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -830,6 +913,7 @@ object DedupQueries {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_pagerank" -> dedupPagerankSql,
+    "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,
     "dedup_keeper" -> dedupKeeperSql,
     "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_simhash" -> dedupSimhashSql,

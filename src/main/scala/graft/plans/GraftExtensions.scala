@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomFilterAgg, DotProduct, KmvAgg, MinHashAgg, MisraGriesAgg, SimHashAgg, TopKAgg}
+import graft.functions.{BloomFilterAgg, CountMinAgg, DotProduct, KmvAgg, MinHashAgg, MisraGriesAgg, SimHashAgg, TopKAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -89,6 +89,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val item = if (exprs.head.dataType == LongType) exprs.head
           else Cast(exprs.head, LongType)
         KmvAgg(item, k).toAggregateExpression()
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_countmin"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "graft_countmin"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3) throw new IllegalArgumentException(
+          s"graft_countmin(item, d, w) takes 3 arguments, got ${exprs.length}")
+        val (d, w) = (exprs(1), exprs(2)) match {
+          case (Literal(dv: Int, _), Literal(wv: Int, _)) => (dv, wv)
+          case other => throw new IllegalArgumentException(
+            s"graft_countmin(item, d, w): d and w must be INT literals, got $other")
+        }
+        CountMinAgg(exprs.head, d, w).toAggregateExpression()
       }))
     e.injectOptimizerRule(_ => RewriteDotProductFold)
     e.injectPlannerStrategy(_ => graft.operators.AsOfJoinStrategy)

@@ -200,6 +200,37 @@ class DedupSpec extends AnyFunSuite {
 
   private val PrTruncSlack = 10L
 
+  test("weighted pagerank: uniform weights reduce bit-identically to " +
+    "the unweighted iteration, and heavier edges pull more rank") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // uniform-weight reduction: floor(r*w / (w*deg)) = floor(r/deg),
+    // so every round — and hence every rank — matches D13 exactly
+    val planted = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (200L, 201L)).toDF("doc_a", "doc_b")
+    val unw = DedupQueries.pagerankOn(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CachedFrames.releaseAll()
+    val uni = DedupQueries.pagerankWeightedOn(
+      planted.withColumn("w", lit(500000L))).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CachedFrames.releaseAll()
+    assert(uni === unw, "uniform weights diverged from unweighted ranks")
+    // weight sensitivity: hub 1 splits rank 9:1 between leaves 2 and 3
+    val skewed = Seq((1L, 2L, 900000L), (1L, 3L, 100000L))
+      .toDF("doc_a", "doc_b", "w")
+    val pw = DedupQueries.pagerankWeightedOn(skewed).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CachedFrames.releaseAll()
+    assert(pw(2L) > pw(3L) * 2,
+      s"heavy-edge leaf ${pw(2L)} does not dominate light ${pw(3L)}")
+    // the gate query is deterministic and floor-respecting like D13
+    val a = DedupQueries.dedupPagerankWeighted(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getLong(2) >= 150000L))
+  }
+
   test("keeper election: keeper is the in-cluster rank argmax, and on " +
     "a planted star the hub wins even against the min-id rule") {
     import org.apache.spark.sql.functions._

@@ -168,6 +168,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       s"bottom-16 of 0..99 with duplicates should be 0..15, got $mins")
   }
 
+  test("graft_countmin SQL face builds the counter matrix") {
+    import spark.implicits._
+    (1 to 120).map(i => s"u-${i % 30}").toDF("x")
+      .createOrReplaceTempView("cm_items")
+    val cm = spark.sql("SELECT graft_countmin(x, 2, 64) AS m FROM cm_items")
+      .collect().head.getSeq[Long](0)
+    assert(cm.length === 128)
+    // each hash row distributes all 120 increments
+    assert(cm.slice(0, 64).sum === 120L && cm.slice(64, 128).sum === 120L)
+  }
+
   test("rewrite preserves results on real embedding data") {
     import org.apache.spark.sql.functions._
     val e = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")

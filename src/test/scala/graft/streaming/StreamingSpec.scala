@@ -676,6 +676,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === mins)
   }
 
+  test("R13c: the Count-Min sketch runs over the stream — the counter " +
+    "matrix is EXACTLY the batch sketch (elementwise add is order-free)") {
+    val root = tmp()
+    import spark.implicits._
+    val payloads = (1 to 300).map(i => s"cm-${i % 45}")
+    graft.vcr.TapeWriter.write(
+      payloads.zipWithIndex.map { case (p, i) =>
+        (p.getBytes, i.toLong,
+          java.sql.Timestamp.valueOf("2024-09-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    @volatile var streamed: Seq[Long] = Seq.empty
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .select(col("payload").cast("string").as("p"))
+      .agg(graft.functions.CountMinAgg(col("p"), 4, 64).as("cm"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().headOption.foreach(r => streamed = r.getSeq[Long](0))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = TapePlayer.read(spark, root, "s",
+      java.time.LocalDateTime.parse("2024-09-01T00:00:00"), None)
+      .select(col("payload").cast("string").as("p"))
+      .agg(graft.functions.CountMinAgg(col("p"), 4, 64).as("cm"))
+      .head().getSeq[Long](0)
+    assert(streamed === batch)
+    // every row of the matrix carries the full event mass
+    (0 until 4).foreach(r =>
+      assert(streamed.slice(r * 64, (r + 1) * 64).sum === 300L))
+  }
+
   test("D12: near-dup candidates at ingest — streamed LSH pairs equal " +
     "the batch band-index candidates (cross-implementation parity)") {
     val root = tmp()
