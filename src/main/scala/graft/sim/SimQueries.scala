@@ -135,7 +135,7 @@ object SimQueries {
     * bounded (k-row) broadcast-table build shared by every IVF-family
     * query.
     */
-  private def collectCents(e: DataFrame): Seq[(Int, Seq[Double])] =
+  private[sim] def collectCents(e: DataFrame): Seq[(Int, Seq[Double])] =
     centroids(e)
       .select(col("label"), col("cvn")).collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
@@ -1496,8 +1496,10 @@ object SimQueries {
     *    src-partitioned edge list), scores only UNSEEN candidates
     *    (anti-join), and re-selects the beam — `GraphRounds` rounds of
     *    broadcast joins over kilobyte frontiers. Each round's
-    *    accumulator persists (the §8a iterative-lineage lesson: the
-    *    plan doubles per round otherwise).
+    *    accumulator localCheckpoints (the §8a iterative-lineage
+    *    lesson: expandRound references `seen` three times, so the
+    *    logical plan TRIPLES per round under persist() — which caches
+    *    data but never truncates lineage).
     *
     * Search quality comes from edges crossing cluster boundaries —
     * beam search escapes the probe-1 list without scanning other
@@ -1567,7 +1569,7 @@ object SimQueries {
     topMEdges(cand)
   }
 
-  private def symmetrize(edges: DataFrame): DataFrame =
+  private[sim] def symmetrize(edges: DataFrame): DataFrame =
     edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
 
@@ -1575,7 +1577,7 @@ object SimQueries {
     * the ONLY broadcast in the serving path), expand over the edge
     * list, anti-join vs already-seen, rescore fresh candidates exactly.
     */
-  private def expandRound(seen: DataFrame, graph: DataFrame,
+  private[sim] def expandRound(seen: DataFrame, graph: DataFrame,
       q: DataFrame, vecById: DataFrame, beam: Int): DataFrame = {
     val frontier = seen.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg(col("cos"), col("cand"), beam)
@@ -1595,7 +1597,7 @@ object SimQueries {
     seen.union(scoredNew)
   }
 
-  private def rankTopK(seen: DataFrame): DataFrame = {
+  private[sim] def rankTopK(seen: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand"))
     seen.filter(col("cand") =!= col("q_id"))
@@ -1612,25 +1614,26 @@ object SimQueries {
     val assign = e.select(col("vec_id"), col("vn"),
       bestClusterCol(cents).as("cluster"))
     val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
-    var edges = graft.CachedFrames.persist(coMemberGraph(e, cents))
+    var edges = coMemberGraph(e, cents).localCheckpoint(false)
     var rr = 0
     while (rr < GraphRefineRounds) {
-      edges = graft.CachedFrames.persist(refineEdges(edges, vecById))
+      edges = refineEdges(edges, vecById).localCheckpoint(false)
       rr += 1
     }
     val graph = graft.CachedFrames.persist(symmetrize(edges))
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
-    var seen = graft.CachedFrames.persist(
-      q.join(assign.select(col("vec_id").as("cand"), col("vn").as("cvn"),
+    var seen = q
+      .join(assign.select(col("vec_id").as("cand"), col("vn").as("cvn"),
           col("cluster")), Seq("cluster"))
-        .filter(col("cand") =!= col("q_id"))
-        .select(col("q_id"), col("cand"),
-          round(dot(col("qvn"), col("cvn")), 6).as("cos")))
+      .filter(col("cand") =!= col("q_id"))
+      .select(col("q_id"), col("cand"),
+        round(dot(col("qvn"), col("cvn")), 6).as("cos"))
+      .localCheckpoint(false)
     var r = 0
     while (r < GraphRounds) {
-      seen = graft.CachedFrames.persist(
-        expandRound(seen, graph, q, vecById, GraphBeam))
+      seen = expandRound(seen, graph, q, vecById, GraphBeam)
+        .localCheckpoint(false)
       r += 1
     }
     rankTopK(seen)
@@ -1677,10 +1680,10 @@ object SimQueries {
     val cents = collectCents(e)
     val lv = graft.CachedFrames.persist(hnswLevels(e))
     val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
-    var edges = graft.CachedFrames.persist(coMemberGraph(e, cents))
+    var edges = coMemberGraph(e, cents).localCheckpoint(false)
     var rr = 0
     while (rr < GraphRefineRounds) {
-      edges = graft.CachedFrames.persist(refineEdges(edges, vecById))
+      edges = refineEdges(edges, vecById).localCheckpoint(false)
       rr += 1
     }
     val g0 = graft.CachedFrames.persist(symmetrize(edges))
@@ -1697,17 +1700,17 @@ object SimQueries {
     val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
-    var seen = graft.CachedFrames.persist(
-      q.select(col("q_id"), lit(entryId).as("cand"),
-        round(dot(col("qvn"), typedLit(entryVn)), 6).as("cos")))
+    var seen = q.select(col("q_id"), lit(entryId).as("cand"),
+        round(dot(col("qvn"), typedLit(entryVn)), 6).as("cos"))
+      .localCheckpoint(false)
     Seq(g2, g1).foreach { g =>
-      seen = graft.CachedFrames.persist(
-        expandRound(seen, g, q, vecById, HnswBeam))
+      seen = expandRound(seen, g, q, vecById, HnswBeam)
+        .localCheckpoint(false)
     }
     var r = 0
     while (r < HnswBaseRounds) {
-      seen = graft.CachedFrames.persist(
-        expandRound(seen, g0, q, vecById, HnswBeam))
+      seen = expandRound(seen, g0, q, vecById, HnswBeam)
+        .localCheckpoint(false)
       r += 1
     }
     rankTopK(seen)
