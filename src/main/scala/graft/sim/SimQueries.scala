@@ -1480,6 +1480,135 @@ object SimQueries {
       FROM e0, hh),
     $opqTailSql"""
 
+  /** S15: multi-direction rotation via DEFLATED power iteration — the
+    * refinement loop past S14's single-shot init. Full OPQ alternates
+    * assignment with a Procrustes rotation update (an SVD — not
+    * oracle-expressible); the integer-exact loop that IS expressible
+    * is deflation: after round r aligns the current dominant direction
+    * to dim r, round r+1 power-iterates the covariance of the
+    * REMAINING subspace (dims r+1..d, recomputed on the rotated
+    * corpus) and reflects only that tail — a partial PCA, one exact
+    * Householder per round, head dims untouched. Every round is the
+    * S14 machinery verbatim (micro-quantized covariance, BIGINT power
+    * iteration, Householder from identical integers), so the oracle
+    * restates R rounds as R generated CTE blocks and the gate
+    * hash-checks the composition. Round 1 alone reproduces S14
+    * bit-for-bit (spec'd); on TWO planted off-axis modes the second
+    * round concentrates the direction the first one deflated away and
+    * trained codebooks cut reconstruction error further (spec'd).
+    */
+  val DeflateRounds = 2
+
+  /** Householder reflection of dims off+1..d only (identity on the
+    * first `off` dims): w_i = v_i − t·(g·v_tail)·g_{i−off}, 6dp. With
+    * off = 0 this is exactly [[rotated]].
+    */
+  private[sim] def reflected(e: DataFrame, u: Seq[Long],
+                             off: Int): DataFrame =
+    householderG(u) match {
+      case None => e
+      case Some((g, t2)) =>
+        e.withColumn("__g", typedLit(g))
+          .withColumn("__gv", expr(
+            s"aggregate(zip_with(__g, slice(v, ${off + 1}, ${g.size})," +
+              " (a, b) -> a * b), 0D, (acc, x) -> acc + x)"))
+          .withColumn("v", transform(expr("sequence(1, size(v))"),
+            i => when(i <= off, element_at(col("v"), i))
+              .otherwise(round(element_at(col("v"), i)
+                - lit(t2) * col("__gv")
+                * element_at(col("__g"), i - off), 6))))
+          .drop("__g", "__gv")
+    }
+
+  /** R deflation rounds over (vec_id, v, label): each round covMicro
+    * on the CURRENT corpus, power-iterates the tail submatrix, and
+    * reflects the tail. localCheckpoint per round (§8a) — also keeps
+    * each round's covariance pass from recomputing its predecessors.
+    */
+  private[sim] def deflatedVecs(e: DataFrame, rounds: Int): DataFrame = {
+    var cur = e
+    var r = 0
+    while (r < rounds) {
+      val cm = covMicro(cur)
+      val u = powerIterate(cm.drop(r).map(_.drop(r)))
+      cur = reflected(cur, u, r).localCheckpoint(false)
+      r += 1
+    }
+    cur
+  }
+
+  def opqRotateDeflate(s: SparkSession, dir: String): DataFrame = {
+    val e2 = deflatedVecs(vecs(s, dir), DeflateRounds)
+    opqPqOn(e2, opqPermutation(dimVariances(e2)))
+  }
+
+  /** One generated oracle block for deflation round r (1-based): the
+    * S14 cov → cmat → pit → hh chain over dims r..64 of the previous
+    * round's frame, then the tail-only reflection.
+    */
+  private def deflateRoundSql(r: Int): String = {
+    val off = r - 1
+    val dsub = 64 - off
+    val prev = if (r == 1) "e0" else s"e${r - 1}r"
+    s"""
+    cov_$r AS (
+      SELECT i, j,
+             CAST(round((avg(v[i+$off]*v[j+$off])
+               - avg(v[i+$off])*avg(v[j+$off])) * 1000000) AS BIGINT) AS cij
+      FROM $prev, unnest(range(1, ${dsub + 1})) AS t1(i),
+           unnest(range(1, ${dsub + 1})) AS t2(j)
+      GROUP BY i, j),
+    cmat_$r AS (
+      SELECT list(rr ORDER BY i) AS cm
+      FROM (SELECT i, list(cij ORDER BY j) AS rr FROM cov_$r GROUP BY i)),
+    pit_$r AS (
+      SELECT 0 AS t,
+             list_transform(range(1, ${dsub + 1}), i -> 1000000::BIGINT) AS x
+      UNION ALL
+      SELECT t + 1,
+             list_transform(y, yi -> CASE WHEN yi >= 0
+               THEN CAST((CAST(yi AS HUGEINT) * 1000000) // m AS BIGINT)
+               ELSE -CAST((CAST(-yi AS HUGEINT) * 1000000) // m AS BIGINT)
+               END)
+      FROM (
+        SELECT t, y,
+               greatest(list_max(list_transform(y, yi -> abs(yi))), 1) AS m
+        FROM (
+          SELECT t,
+                 list_transform(range(1, ${dsub + 1}), i ->
+                   CAST(list_sum(list_transform(range(1, ${dsub + 1}),
+                     j -> cm[i][j] * x[j])) AS BIGINT)) AS y
+          FROM pit_$r, cmat_$r WHERE t < $PowerIters))),
+    hh_$r AS (
+      SELECT gvec,
+             list_sum(list_transform(range(1, ${dsub + 1}),
+               i -> gvec[i] * gvec[i])) AS gg
+      FROM (
+        SELECT list_transform(range(1, ${dsub + 1}), i ->
+                 (CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END) - x[i] / bl) AS gvec
+        FROM (SELECT x,
+                     sqrt(CAST(list_sum(list_transform(x, xi ->
+                       CAST(xi AS HUGEINT) * xi)) AS DOUBLE)) AS bl
+              FROM pit_$r WHERE t = $PowerIters))),
+    e${r}r AS (
+      SELECT vec_id, label,
+             CASE WHEN gg = 0 THEN v ELSE
+               list_transform(range(1, 65), i ->
+                 CASE WHEN i <= $off THEN v[i] ELSE
+                   round(v[i] - (2.0 / gg) *
+                     list_sum(list_transform(range(1, ${dsub + 1}),
+                       j -> gvec[j] * v[j+$off])) * gvec[i-$off], 6)
+                 END)
+             END AS v
+      FROM $prev, hh_$r)"""
+  }
+
+  val opqRotateDeflateSql: String = s"""
+    WITH RECURSIVE e0 AS ($vecsSql),
+    ${(1 to DeflateRounds).map(deflateRoundSql).mkString(",")},
+    e AS (SELECT vec_id, label, v FROM e${DeflateRounds}r),
+    $opqTailSql"""
+
   /** S12: graph-based ANN — the HNSW/NSW family re-expressed as
     * relational iteration, since a pointer-chasing index is the one
     * ANN shape Spark cannot host directly. Two phases, both
@@ -1727,6 +1856,7 @@ object SimQueries {
     "pq_quantize" -> (pqQuantize _),
     "opq_quantize" -> (opqQuantize _),
     "opq_rotate" -> (opqRotate _),
+    "opq_rotate_deflate" -> (opqRotateDeflate _),
     "sq8_quantize" -> (sq8Quantize _),
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
@@ -1744,6 +1874,7 @@ object SimQueries {
     "pq_quantize" -> pqQuantizeSql,
     "opq_quantize" -> opqQuantizeSql,
     "opq_rotate" -> opqRotateSql,
+    "opq_rotate_deflate" -> opqRotateDeflateSql,
     "sq8_quantize" -> sq8QuantizeSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,

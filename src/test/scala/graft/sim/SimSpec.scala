@@ -367,6 +367,57 @@ class SimSpec extends AnyFunSuite {
       s"dense-rotation err $dense not below perm $perm by >2%")
   }
 
+  test("deflated rotation: round 1 alone IS the S14 rotation " +
+    "bit-for-bit, and a second round pays on a second planted mode") {
+    import org.apache.spark.sql.functions._
+    // round-1 parity on the real corpus: deflation with R=1 reduces to
+    // the single-shot S14 pipeline exactly (same covariance, same
+    // power iteration, off=0 reflection == rotated)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val one = SimQueries.deflatedVecs(e, 1)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val s14 = SimQueries.rotated(e,
+        SimQueries.powerIterate(SimQueries.covMicro(e)))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(one === s14, "one deflation round diverged from S14")
+    graft.CachedFrames.releaseAll()
+
+    // two planted ORTHOGONAL off-axis modes: ones/8 (4-level) and the
+    // alternating ±1/8 direction (3-level, independent hash). Per-dim
+    // variances again rise uniformly (each direction hits every dim
+    // with equal mass), so only dense rotations can act; round 1
+    // deflates the dominant mode, round 2 must find the second one.
+    val planted = e.withColumn("v", expr(
+      "transform(v, (x, i) -> x" +
+        " + (cast((vec_id * 2654435761) % 4 as double) - 1.5)" +
+        " + (case when i % 2 = 0 then 2.0 else -2.0 end)" +
+        "   * (cast((vec_id * 40507) % 3 as double) - 1.0))"))
+    def errSum(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum(col("err"))).collect().head.getDouble(0)
+    def vars(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(expr(
+          "transform(sequence(1, size(v)), i -> struct(i, element_at(v, i)))"))
+          .as("x"))
+        .select(col("x.i").as("i"), col("x.col2").as("xi"))
+        .groupBy(col("i")).agg(round(var_pop(col("xi")), 6).as("vr"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val iters = 5
+    val r1 = SimQueries.deflatedVecs(planted, 1).localCheckpoint(false)
+    val err1 = errSum(SimQueries.opqPqOnTrained(r1,
+      SimQueries.opqPermutation(vars(r1)), iters))
+    graft.CachedFrames.releaseAll()
+    val r2 = SimQueries.deflatedVecs(planted, 2).localCheckpoint(false)
+    val err2 = errSum(SimQueries.opqPqOnTrained(r2,
+      SimQueries.opqPermutation(vars(r2)), iters))
+    graft.CachedFrames.releaseAll()
+    assert(err2 < err1 * 0.99,
+      s"second deflation round did not pay: $err2 vs $err1")
+  }
+
   test("SQ8: codes are 8-bit, reconstruction error beats PQ by orders") {
     val rows = SimQueries.sq8Quantize(spark, dir).collect()
     assert(rows.length === 500)
