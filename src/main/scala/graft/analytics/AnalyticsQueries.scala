@@ -652,6 +652,75 @@ object AnalyticsQueries {
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** A46: quantile estimation over a DETERMINISTIC hash-threshold
+    * sample — the scale face of A22: exact percentiles shuffle the
+    * full value distribution; at 100 TB the standard move is a uniform
+    * sample, and a hash threshold (keep rows whose md5-prefix draw
+    * falls below 2²⁸/rate) makes the sample a pure codegen filter —
+    * no RNG state, no seed coordination across executors, identical
+    * in any engine. The gate emits estimated beside exact percentiles
+    * with their absolute errors, so the hash-match VERIFIES the
+    * measured sampling error (the D11/A45 discipline applied to
+    * quantiles). The filter pushes to the scan; the exact side exists
+    * only to verify (production runs the sample side alone).
+    */
+  val QsRate = 16 // keep ~1/16 of rows
+
+  def qSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.CachedFrames.persist(Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        graft.dedup.Shingling.h28(concat(lit("qs-"),
+          col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))).as("h")))
+    def pcts(df: DataFrame, suffix: String) =
+      df.groupBy(col("l_returnflag")).agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 4)
+          .as(s"p50$suffix"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 4)
+          .as(s"p90$suffix"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 4)
+          .as(s"p99$suffix"),
+        count(lit(1)).as(s"n$suffix"))
+    val est = pcts(li.filter(col("h") < lit(268435456L / QsRate)), "_est")
+    val tru = pcts(li, "")
+    tru.join(est, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("n_est").as("n_sample"),
+        col("p50"), col("p50_est"),
+        round(abs(col("p50_est") - col("p50")), 4).as("err50"),
+        col("p90"), col("p90_est"),
+        round(abs(col("p90_est") - col("p90")), 4).as("err90"),
+        col("p99"), col("p99_est"),
+        round(abs(col("p99_est") - col("p99")), 4).as("err99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qSketchQuantilesSql: String = s"""
+    WITH li AS (
+      SELECT l_returnflag, l_extendedprice,
+             ('0x' || substring(md5('qs-' || l_orderkey::VARCHAR || '-' ||
+               l_linenumber::VARCHAR), 1, 7))::BIGINT AS h
+      FROM lineitem),
+    est AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_est,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_est,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_est,
+             count(*) AS n_sample
+      FROM li WHERE h < ${268435456L / QsRate} GROUP BY l_returnflag),
+    tru AS (
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+             round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+             count(*) AS n
+      FROM li GROUP BY l_returnflag)
+    SELECT t.l_returnflag, n, n_sample,
+           p50, p50_est, round(abs(p50_est - p50), 4) AS err50,
+           p90, p90_est, round(abs(p90_est - p90), 4) AS err90,
+           p99, p99_est, round(abs(p99_est - p99), 4) AS err99
+    FROM tru t JOIN est e ON t.l_returnflag = e.l_returnflag
+    ORDER BY t.l_returnflag"""
+
   /** A23: pivot — order counts per year × priority (wide layout) plus
     * yearly revenue, in ONE scan: `.pivot` with explicit values and two
     * aggregates per cell (count + raw revenue) compiles to a single
@@ -1538,6 +1607,7 @@ object AnalyticsQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
+    "sketch_quantiles" -> (qSketchQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
     "q3_shipping" -> (q3Shipping _),
@@ -1585,6 +1655,7 @@ object AnalyticsQueries {
   def oracles: Map[String, String] = Map(
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,
+    "sketch_quantiles" -> qSketchQuantilesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q_scan_pushdown" -> qScanPushdownSql,
     "q3_shipping" -> q3ShippingSql,

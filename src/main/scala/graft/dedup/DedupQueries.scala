@@ -194,6 +194,13 @@ object DedupQueries {
     */
   val PrIters = 10
 
+  /** D15 bottom-k bucket cap — declared beside PrIters because the
+    * D17 oracle string above D15 interpolates it: a later declaration
+    * initializes AFTER the string (Scala top-to-bottom val order) and
+    * bakes in 0.
+    */
+  val CapK = 8
+
   /** The iteration over any undirected pair frame (doc_a, doc_b) —
     * shared by the gate (band-candidate pairs) and DedupSpec's planted
     * star/pair structural checks.
@@ -363,6 +370,65 @@ object DedupQueries {
     SELECT r.doc_id, r.canonical, r.cluster_size, r.rank_micro,
            k.keeper, k.keeper_rank_micro
     FROM ranked14 r JOIN keep14 k USING (canonical) ORDER BY r.doc_id"""
+
+  /** D17: PageRank over the CAPPED candidate graph — D13 composed with
+    * D15's occupancy caps, the shape a recrawl-heavy corpus actually
+    * runs: band-candidate centrality where every bucket contributes
+    * O(occ) star + bottom-k pairs instead of O(occ²), so the edge
+    * shuffle each iteration is linear in bucket occupancy. Same
+    * integer iteration and recursive-CTE matvec oracle as D13, over
+    * the D15 candidate CTEs.
+    */
+  def dedupPagerankCapped(s: SparkSession, dir: String): DataFrame =
+    pagerankOn(cappedCandidates(
+      minhashBands(shingles(Tables.documents(s, dir)))))
+
+  val dedupPagerankCappedSql: String = s"""
+    WITH RECURSIVE shingles AS ($shinglesSql),
+    $minhashBandsSql,
+    bmin17 AS (SELECT band, band_key, min(doc_id) AS m
+               FROM bands GROUP BY band, band_key),
+    star17 AS (SELECT bm.m AS doc_a, b.doc_id AS doc_b
+               FROM bands b JOIN bmin17 bm USING (band, band_key)
+               WHERE b.doc_id != bm.m),
+    topk17 AS (SELECT band, band_key, doc_id
+               FROM (SELECT *, row_number() OVER (
+                       PARTITION BY band, band_key ORDER BY doc_id) AS rn
+                     FROM bands)
+               WHERE rn <= $CapK),
+    kp17 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM topk17 a JOIN topk17 b
+               ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id),
+    cand17 AS (SELECT DISTINCT doc_a, doc_b FROM
+               (SELECT doc_a, doc_b FROM star17
+                UNION ALL SELECT doc_a, doc_b FROM kp17)),
+    edges17 AS (SELECT doc_a AS src, doc_b AS dst FROM cand17
+                UNION ALL SELECT doc_b, doc_a FROM cand17),
+    degs17 AS (SELECT src, count(*) AS deg FROM edges17 GROUP BY src),
+    nodes17 AS (SELECT src AS node, deg,
+                       row_number() OVER (ORDER BY src) AS idx
+                FROM degs17),
+    adj17 AS (SELECT nv.idx AS vidx, list(nu.idx ORDER BY nu.idx) AS ins
+              FROM edges17 e JOIN nodes17 nu ON nu.node = e.src
+                             JOIN nodes17 nv ON nv.node = e.dst
+              GROUP BY nv.idx),
+    mats17 AS (
+      SELECT (SELECT list(ins ORDER BY vidx) FROM adj17) AS al,
+             (SELECT list(deg ORDER BY idx) FROM nodes17) AS dv,
+             (SELECT count(*) FROM nodes17) AS n),
+    pr17 AS (
+      SELECT 0 AS t,
+             list_transform(range(1, n + 1), i -> 1000000::BIGINT) AS r
+      FROM mats17
+      UNION ALL
+      SELECT t + 1,
+             list_transform(range(1, CAST(len(al) AS BIGINT) + 1), v ->
+               150000::BIGINT + (85 * CAST(list_sum(list_transform(al[v],
+                 u -> r[u] // dv[u])) AS BIGINT)) // 100)
+      FROM pr17, mats17 WHERE t < $PrIters)
+    SELECT n.node AS doc_id, n.deg::BIGINT AS degree, r[n.idx] AS rank_micro
+    FROM pr17, nodes17 n WHERE t = $PrIters ORDER BY doc_id"""
 
   /** D16: WEIGHTED PageRank — D13 with each edge carrying its VERIFIED
     * jaccard similarity as mass (w_micro = round(jaccard·1e6)), so a
@@ -680,9 +746,9 @@ object DedupQueries {
     * component refines a D6 component (spec'd). Bottom-k via the E18
     * bounded heap (constant score ⇒ min-id tiebreak ordering), pairs
     * generated row-local by a higher-order transform — no self-join.
+    * (CapK itself is declared beside PrIters — D17's oracle string
+    * interpolates it from above.)
     */
-  val CapK = 8
-
   private[dedup] def cappedCandidates(bands: DataFrame): DataFrame = {
     val bmin = bands.groupBy(col("band"), col("band_key"))
       .agg(min(col("doc_id")).as("m"))
@@ -898,6 +964,7 @@ object DedupQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
+    "dedup_pagerank_capped" -> (dedupPagerankCapped _),
     "dedup_keeper" -> (dedupKeeper _),
     "dedup_clusters_capped" -> (dedupClustersCapped _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -914,6 +981,7 @@ object DedupQueries {
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,
+    "dedup_pagerank_capped" -> dedupPagerankCappedSql,
     "dedup_keeper" -> dedupKeeperSql,
     "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -711,14 +711,22 @@ object PipelineQueries {
     */
   val WsK = 5
 
+  /** The A-ES ranking key: ln(u)/w quantized to integer micro-nats,
+    * u = (h28+1)/2²⁸ from the md5 family — shared by the batch gate
+    * and the R16 streaming face (the key depends only on the row, so
+    * the bounded-heap top-k over it is arrival-order-free).
+    */
+  private[graft] def aesKeyMicro(docId: org.apache.spark.sql.Column,
+      nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(log((graft.dedup.Shingling.h28(
+      concat(lit("ws-"), docId.cast("string"))) + 1) / lit(268435456.0))
+      / nChars * 1e9, 0).cast("long")
+
   def weightedSample(s: SparkSession, dir: String): DataFrame = {
     val keyed = Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"), col("n_chars"),
-        graft.dedup.Shingling.h28(
-          concat(lit("ws-"), col("doc_id").cast("string"))).as("h"))
+      .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("key_micro",
-        round(log((col("h") + 1) / lit(268435456.0)) / col("n_chars")
-          * 1e9, 0).cast("long"))
+        aesKeyMicro(col("doc_id"), col("n_chars")))
     val sampled = keyed
       .groupBy(col("source"))
       .agg(graft.functions.TopKAgg(col("key_micro").cast("double"),

@@ -711,6 +711,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.slice(r * 64, (r + 1) * 64).sum === 300L))
   }
 
+  test("R16: weighted sampling at ingest — the streamed A-ES top-k " +
+    "per source is EXACTLY the batch draw (row-intrinsic keys + " +
+    "bounded-heap merge are arrival-order-free)") {
+    val root = tmp()
+    import spark.implicits._
+    // 3 sources × 40 docs with varying lengths, shuffled across two
+    // interleaved tape files so arrival order ≠ id order
+    val docs = (1 to 120).map(i =>
+      (i.toLong, s"src-${i % 3}", 50L + (i * 37) % 400))
+    graft.vcr.TapeWriter.write(
+      docs.map { case (id, src, nc) =>
+        (s"$id|$src|$nc".getBytes, id,
+          java.sql.Timestamp.valueOf("2024-11-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 3).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("source"),
+          element_at(col("p"), 3).cast("long").as("n_chars"))
+        .withColumn("key_micro", graft.pipeline.PipelineQueries
+          .aesKeyMicro(col("doc_id"), col("n_chars")))
+    @volatile var streamed: Map[String, Seq[Long]] = Map.empty
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .transform(keyed)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg(col("key_micro").cast("double"),
+        col("doc_id"), graft.pipeline.PipelineQueries.WsK).as("top"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          b.collect().foreach { r =>
+            streamed = streamed + (r.getString(0) ->
+              r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)))
+          }
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = keyed(TapePlayer.read(spark, root, "s",
+        java.time.LocalDateTime.parse("2024-11-01T00:00:00"), None))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg(col("key_micro").cast("double"),
+        col("doc_id"), graft.pipeline.PipelineQueries.WsK).as("top"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))).toMap
+    assert(streamed === batch,
+      "streamed A-ES draw diverged from the batch twin")
+    assert(streamed.size === 3)
+    streamed.values.foreach(v =>
+      assert(v.length === graft.pipeline.PipelineQueries.WsK))
+  }
+
   test("D12: near-dup candidates at ingest — streamed LSH pairs equal " +
     "the batch band-index candidates (cross-implementation parity)") {
     val root = tmp()
