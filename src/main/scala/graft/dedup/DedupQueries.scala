@@ -430,6 +430,91 @@ object DedupQueries {
     SELECT n.node AS doc_id, n.deg::BIGINT AS degree, r[n.idx] AS rank_micro
     FROM pr17, nodes17 n WHERE t = $PrIters ORDER BY doc_id"""
 
+  /** D18: triangle counting + local clustering coefficient over the
+    * verified near-dup graph — the structure signal past degree:
+    * inside a duplicate neighborhood, triangles say whether the
+    * component is one tight clique (a true duplicate cluster) or a
+    * chain of borderline pairs (transitive drift a curator should
+    * split). Compact-forward orientation: every edge points from
+    * lower (degree, id) rank to higher, so each triangle {a,b,c} with
+    * rank a<b<c is found EXACTLY once as wedge (a→b, a→c) closed by
+    * b→c, and wedge fan-out per node is bounded by its FORWARD degree
+    * — the classic O(m^{3/2}) bound that survives hub skew (a
+    * high-degree node's wedges are generated by its low-degree
+    * neighbors, not by the hub). Rank packs as one BIGINT
+    * (deg·10¹² + id), so both engines orient identically; the
+    * coefficient divides exact integers.
+    */
+  def dedupTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOn(jaccardPairs(shingles(Tables.documents(s, dir)))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The count over any canonical (doc_a, doc_b) pair frame — shared
+    * by the gate and DedupSpec's planted clique/path structural check.
+    */
+  private[dedup] def trianglesOn(e0: DataFrame): DataFrame = {
+    val und = graft.CachedFrames.persist(
+      e0.union(e0.select(col("doc_b"), col("doc_a")))
+        .toDF("u", "v"))
+    val rk = und.groupBy(col("u"))
+      .agg(count(lit(1)).as("deg"))
+      .withColumn("rk", col("deg") * lit(1000000000000L) + col("u"))
+    val rku = rk.select(col("u"), col("rk").as("rku"))
+    val rkv = rk.select(col("u").as("v"), col("rk").as("rkv"))
+    val o = graft.CachedFrames.persist(
+      und.join(rku, Seq("u")).join(rkv, Seq("v"))
+        .filter(col("rku") < col("rkv"))
+        .select(col("u"), col("v"), col("rkv")))
+    val tri = o.select(col("u"), col("v").as("y"), col("rkv").as("rky"))
+      .join(o.select(col("u"), col("v").as("z"), col("rkv").as("rkz")),
+        Seq("u"))
+      .filter(col("rky") < col("rkz"))
+      .join(o.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
+      .select(col("u").as("x"), col("y"), col("z"))
+    val perNode = tri.select(explode(array(col("x"), col("y"), col("z")))
+        .as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    rk.join(perNode, col("u") === col("node"), "left")
+      .select(col("u").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        round(when(col("deg") >= 2,
+          lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)), 6).as("clustering"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupTrianglesSql: String = s"""
+    WITH $jaccardPairsSql,
+    e18 AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+    und18 AS (SELECT doc_a AS u, doc_b AS v FROM e18
+              UNION ALL SELECT doc_b, doc_a FROM e18),
+    rk18 AS (SELECT u, count(*) AS deg,
+                    count(*) * 1000000000000 + u AS rk
+             FROM und18 GROUP BY u),
+    o18 AS (SELECT e.u, e.v, rv.rk AS rkv
+            FROM und18 e
+            JOIN rk18 ru ON ru.u = e.u
+            JOIN rk18 rv ON rv.u = e.v
+            WHERE ru.rk < rv.rk),
+    tri18 AS (SELECT o1.u AS x, o1.v AS y, o2.v AS z
+              FROM o18 o1
+              JOIN o18 o2 ON o1.u = o2.u AND o1.rkv < o2.rkv
+              JOIN o18 o3 ON o3.u = o1.v AND o3.v = o2.v),
+    pern18 AS (SELECT node, count(*) AS n_tri FROM (
+                 SELECT x AS node FROM tri18
+                 UNION ALL SELECT y FROM tri18
+                 UNION ALL SELECT z FROM tri18)
+               GROUP BY node)
+    SELECT r.u AS doc_id, r.deg AS degree,
+           coalesce(n_tri, 0)::BIGINT AS n_triangles,
+           round(CASE WHEN r.deg >= 2
+             THEN 2.0 * coalesce(n_tri, 0) / (r.deg * (r.deg - 1))
+             ELSE 0.0 END, 6) AS clustering
+    FROM rk18 r LEFT JOIN pern18 ON pern18.node = r.u
+    ORDER BY doc_id"""
+
   /** D16: WEIGHTED PageRank — D13 with each edge carrying its VERIFIED
     * jaccard similarity as mass (w_micro = round(jaccard·1e6)), so a
     * 0.95-duplicate pulls ~10× the rank a borderline 0.5 pair does:
@@ -965,6 +1050,7 @@ object DedupQueries {
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
     "dedup_pagerank_capped" -> (dedupPagerankCapped _),
+    "dedup_triangles" -> (dedupTriangles _),
     "dedup_keeper" -> (dedupKeeper _),
     "dedup_clusters_capped" -> (dedupClustersCapped _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -982,6 +1068,7 @@ object DedupQueries {
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,
     "dedup_pagerank_capped" -> dedupPagerankCappedSql,
+    "dedup_triangles" -> dedupTrianglesSql,
     "dedup_keeper" -> dedupKeeperSql,
     "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_simhash" -> dedupSimhashSql,

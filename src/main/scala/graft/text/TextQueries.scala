@@ -290,6 +290,63 @@ object TextQueries {
            round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS heaps_ttr
     FROM sums, totals"""
 
+  /** T11: collocation extraction by pointwise mutual information —
+    * the corpus-analysis step after raw n-gram counts (T5): which
+    * adjacent word pairs co-occur far above chance. PMI over bigram
+    * positions: with N total bigrams, c₁ = count of w as the left
+    * token, c₂ as the right, c₁₂ the pair count, pmi =
+    * ln(c₁₂·N / (c₁·c₂)). The log's argument is one double division
+    * of exact BIGINT products, so both engines feed ln the identical
+    * double and the micro-quantized PMI is cross-engine exact (the
+    * T10/P6 discipline). Min-count floor kills hapax noise; top-N by
+    * (pmi, pair) via TakeOrdered — never a full sort.
+    */
+  val CollocMinCount = 5
+  val CollocTopN = 50
+
+  def textCollocations(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "struct(element_at(w, i) as w1, element_at(w, i+1) as w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2")))
+    // one bounded plan-time scalar: the corpus bigram total
+    val n = pairs.count()
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .withColumn("pmi_micro",
+        round(log((col("c12") * lit(n)).cast("double")
+          / (col("c1") * col("c2")).cast("double")) * 1e6, 0).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(CollocTopN)
+  }
+
+  val textCollocationsSql: String = s"""
+    WITH pairs AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2),
+    tot AS (SELECT count(*) AS n FROM pairs),
+    lft AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    rgt AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY w2),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+            HAVING count(*) >= $CollocMinCount)
+    SELECT w1, w2, c12, c1, c2,
+           CAST(round(ln(CAST(c12 * n AS DOUBLE)
+             / CAST(c1 * c2 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS pmi_micro
+    FROM big JOIN lft USING (w1) JOIN rgt USING (w2), tot
+    ORDER BY pmi_micro DESC, w1, w2 LIMIT $CollocTopN"""
+
   /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
     * query term set for the `text_bm25` gate entry.
     */
@@ -518,7 +575,8 @@ object TextQueries {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "text_ngram_stats" -> (textNgramStats _),
-    "text_zipf" -> (textZipf _))
+    "text_zipf" -> (textZipf _),
+    "text_collocations" -> (textCollocations _))
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
@@ -530,5 +588,6 @@ object TextQueries {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_ngram_stats" -> textNgramStatsSql,
-    "text_zipf" -> textZipfSql)
+    "text_zipf" -> textZipfSql,
+    "text_collocations" -> textCollocationsSql)
 }

