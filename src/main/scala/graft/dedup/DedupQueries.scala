@@ -58,16 +58,32 @@ object DedupQueries {
     */
   private[dedup] def jaccardPairs(
       sh: DataFrame, maxDf: Long = MaxShingleDf): DataFrame = {
-    val kept = cappedShingles(sh, maxDf)
+    // persist the capped index: three consumers (counts + both sides
+    // of the self-join), and — the sf1-probe lesson — an ACCURATE
+    // InMemoryRelation size is what stops the planner from
+    // broadcast-electing a self-join side it underestimated (the
+    // capped index is O(corpus): at sf1 the mis-estimated side
+    // measured 160 MB broadcast; at 100 TB it is the dataset)
+    val kept = graft.CachedFrames.persist(cappedShingles(sh, maxDf))
     val counts = shingleCounts(kept)
     val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    // SHUFFLE_HASH on every join whose build side scales with the
+    // corpus (the index self-join and the per-doc count attach). The
+    // static planner underestimates these cached/anti-joined subtrees
+    // and — with no shuffle boundary beneath the join — AQE never gets
+    // real sizes to re-plan, so the mis-estimate stands: the sf1 probe
+    // measured a 160 MB broadcast of the (doc, shingle) index elected
+    // this way. Both sides are O(corpus); broadcast is never the right
+    // strategy at scale, so the hint states it declaratively.
+    a.hint("shuffle_hash").join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
   }
 
@@ -135,8 +151,15 @@ object DedupQueries {
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
-    val bands = minhashBands(sh)
+    // both sides of the band-bucket self-join read it; the accurate
+    // cached size keeps the O(corpus) band index off the broadcast
+    // path (sf1 probe: the unpersisted frame mis-estimated small and
+    // broadcast 80 MB)
+    val bands = graft.CachedFrames.persist(minhashBands(sh))
+    // the band index self-join: both sides O(corpus) — SHUFFLE_HASH
+    // for the same estimate-blindness reason as jaccardPairs
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_key"))
+      .hint("shuffle_hash")
       .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -152,17 +175,23 @@ object DedupQueries {
     * and D15.
     */
   private def verifiedPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val capped = cappedShingles(sh)
+    // persisted for the same three-consumer + accurate-stats reasons
+    // as jaccardPairs (sf1 probe)
+    val capped = graft.CachedFrames.persist(cappedShingles(sh))
     val counts = shingleCounts(capped)
+    // O(corpus) build sides carry SHUFFLE_HASH — see jaccardPairs
     val common = cand
-      .join(capped.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
+      .join(capped.select(col("doc_id").as("doc_a"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -239,9 +268,12 @@ object DedupQueries {
   }
 
   def dedupPagerank(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(shingles(Tables.documents(s, dir)))
+    // persisted: self-join + accurate stats, as in dedupMinhash
+    val bands = graft.CachedFrames.persist(
+      minhashBands(shingles(Tables.documents(s, dir))))
     val cand = bands.select(col("doc_id").as("doc_a"), col("band"),
         col("band_key"))
+      .hint("shuffle_hash")
       .join(bands.select(col("doc_id").as("doc_b"), col("band"),
         col("band_key")), Seq("band", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
@@ -380,8 +412,8 @@ object DedupQueries {
     * the D15 candidate CTEs.
     */
   def dedupPagerankCapped(s: SparkSession, dir: String): DataFrame =
-    pagerankOn(cappedCandidates(
-      minhashBands(shingles(Tables.documents(s, dir)))))
+    pagerankOn(cappedCandidates(graft.CachedFrames.persist(
+      minhashBands(shingles(Tables.documents(s, dir))))))
 
   val dedupPagerankCappedSql: String = s"""
     WITH RECURSIVE shingles AS ($shinglesSql),
@@ -462,8 +494,10 @@ object DedupQueries {
       .withColumn("rk", col("deg") * lit(1000000000000L) + col("u"))
     val rku = rk.select(col("u"), col("rk").as("rku"))
     val rkv = rk.select(col("u").as("v"), col("rk").as("rkv"))
+    // the rank table is O(V): SHUFFLE_HASH on both attach joins
     val o = graft.CachedFrames.persist(
-      und.join(rku, Seq("u")).join(rkv, Seq("v"))
+      und.join(rku.hint("shuffle_hash"), Seq("u"))
+        .join(rkv.hint("shuffle_hash"), Seq("v"))
         .filter(col("rku") < col("rkv"))
         .select(col("u"), col("v"), col("rkv")))
     val tri = o.select(col("u"), col("v").as("y"), col("rkv").as("rky"))
@@ -837,7 +871,8 @@ object DedupQueries {
   private[dedup] def cappedCandidates(bands: DataFrame): DataFrame = {
     val bmin = bands.groupBy(col("band"), col("band_key"))
       .agg(min(col("doc_id")).as("m"))
-    val star = bands.join(bmin, Seq("band", "band_key"))
+    // bmin is O(buckets) ~ O(corpus): SHUFFLE_HASH, not broadcast
+    val star = bands.hint("shuffle_hash").join(bmin, Seq("band", "band_key"))
       .filter(col("doc_id") =!= col("m"))
       .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
     val kpairs = bands.groupBy(col("band"), col("band_key"))
