@@ -128,6 +128,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
   }
 
+  test("the O(corpus) index joins stay shuffled — no broadcast of the " +
+    "shingle or band index at any estimate (sf1-probe regression guard)") {
+    // the static planner underestimates the cached/anti-joined index
+    // subtrees, and with no shuffle boundary under the join AQE never
+    // corrects it: at sf1 it elected 80-160 MB broadcasts of relations
+    // that ARE the corpus at production scale. The SHUFFLE_HASH hints
+    // must keep every such join an inner ShuffledHashJoin; the only
+    // legitimate broadcast in these plans is the stop-shingle anti-join
+    // (and AQE may still broadcast genuinely small attach sides it can
+    // MEASURE — those have a shuffle beneath them).
+    Seq("dedup_jaccard" -> "shingle", "dedup_minhash" -> "band",
+      "dedup_pagerank" -> "band", "dedup_triangles" -> "shingle")
+      .foreach { case (q, key) =>
+        val p = plan(q)
+        val broadcastOnKey = p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && !l.contains("LeftAnti") &&
+            l.matches(s".*BroadcastHashJoin \\[$key.*"))
+        assert(!broadcastOnKey,
+          s"$q broadcasts its $key-index self-join:\n$p")
+        assert(p.contains("ShuffledHashJoin"),
+          s"$q lost its shuffled index join:\n$p")
+        graft.CachedFrames.releaseAll()
+      }
+  }
+
   test("approx_count_distinct (HLL++) lands within its error bound") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
