@@ -9,15 +9,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 only reads as
-    * a long (spark.sql.legacy.parquet.nanosAsLong=true — set in Verify/
-    * Bench/test sessions). Convert ns→µs with exact integer division
-    * (a double division would lose precision at 1.7e18 ns epochs).
+  /** events.ts arrives in whatever physical type the generator chose:
+    * TIMESTAMP(NANOS) parquet reads as a long under
+    * spark.sql.legacy.parquet.nanosAsLong=true (ns→µs by exact integer
+    * division — double division loses precision at 1.7e18 ns epochs);
+    * timestamp[us] without timezone reads as TIMESTAMP_NTZ, which
+    * unix_micros/window functions reject — cast to TIMESTAMP (sessions
+    * run UTC, so the instant is unchanged and DuckDB's naive reading
+    * agrees).
     */
-  private def withEventTime(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+  def withEventTime(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")

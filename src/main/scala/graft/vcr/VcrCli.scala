@@ -59,14 +59,10 @@ object VcrCli {
               s"$root/$stream ($n records on tape)")
           case (_, Some(in)) =>
             // events-shaped input: event_id ≅ sequence number, ts, props payload
-            val records = {
-              val df = spark.read.parquet(in)
-              val ts = if (df.schema("ts").dataType ==
-                org.apache.spark.sql.types.LongType)
-                timestamp_micros(expr("ts div 1000")) else col("ts")
-              df.select(col("props").cast("binary").as(Tape.DataCol),
-                col("event_id").as(Tape.SeqCol), ts.as(Tape.TsCol))
-            }
+            val records =
+              graft.Tables.withEventTime(spark.read.parquet(in))
+                .select(col("props").cast("binary").as(Tape.DataCol),
+                  col("event_id").as(Tape.SeqCol), col("ts").as(Tape.TsCol))
             val files = TapeWriter.write(records, root, stream)
             println(s"Recorded ${records.count()} records to $root/$stream in $files files")
           case (None, None) => throw new IllegalArgumentException(

@@ -35,10 +35,10 @@ class StreamingSpec extends AnyFunSuite {
   test("R1: stream-record appends micro-batches to the tape; replay sees all") {
     val src = eventsStreamDir()
     val root = tmp()
-    val records = spark.readStream.schema(eventsSchema).parquet(src)
+    val records = graft.Tables.withEventTime(
+      spark.readStream.schema(eventsSchema).parquet(src))
       .select(col("props").cast("binary").as(Tape.DataCol),
-        col("event_id").as(Tape.SeqCol),
-        timestamp_micros(expr("ts div 1000")).as(Tape.TsCol))
+        col("event_id").as(Tape.SeqCol), col("ts").as(Tape.TsCol))
     val q = StreamRecorder.record(records, root, "events", tmp(), numFiles = 2)
     q.processAllAvailable(); q.stop()
 
@@ -56,8 +56,8 @@ class StreamingSpec extends AnyFunSuite {
 
   test("R2: watermarked windowed aggregation matches the batch answer") {
     val src = eventsStreamDir()
-    val stream = spark.readStream.schema(eventsSchema).parquet(src)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.Tables.withEventTime(
+      spark.readStream.schema(eventsSchema).parquet(src))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
