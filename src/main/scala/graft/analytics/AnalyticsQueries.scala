@@ -1237,6 +1237,49 @@ object AnalyticsQueries {
       GROUP BY o_year)
     ORDER BY o_year"""
 
+  /** A47 / TPC-H Q9 style: product-line profit by supplier nation and
+    * order year — the widest join tree in the relational suite
+    * (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation, 5 tables). The
+    * schema carries no partsupp, so line cost is modeled as
+    * p_retailprice·l_quantity (the join SHAPE — fact⋈fact on the order
+    * key with three broadcast dims, a substring part filter pruning
+    * before the join — is the graded thing, per SURVEY §2.2). Profit
+    * quantizes per row to integer cents, so the sum is exact BIGINT
+    * arithmetic in both engines regardless of summation order.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(round(amount * 100.0, 0).cast("long")).as("profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           sum(round((l_extendedprice * (1.0 - l_discount)
+             - p_retailprice * l_quantity) * 100.0, 0)::BIGINT)::BIGINT
+             AS profit_cents
+    FROM part, supplier, lineitem, orders, nation
+    WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      AND p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY nation, o_year DESC"""
+
   /** A37 / TPC-H Q10 style: top customers by revenue lost to returned
     * items in one quarter — fact⋈fact on the order key, customer and
     * nation broadcast, TakeOrderedAndProject for the top 20.
@@ -1620,6 +1663,7 @@ object AnalyticsQueries {
     "q_skew_join" -> (qSkewJoin _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
+    "q9_profit" -> (q9Profit _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q12_ship_delay" -> (q12ShipDelay _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1668,6 +1712,7 @@ object AnalyticsQueries {
     "q_skew_join" -> qSkewJoinSql,
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q8_market_share" -> q8MarketShareSql,
+    "q9_profit" -> q9ProfitSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q12_ship_delay" -> q12ShipDelaySql,
     "q15_top_supplier" -> q15TopSupplierSql,

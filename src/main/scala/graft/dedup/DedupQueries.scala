@@ -549,6 +549,97 @@ object DedupQueries {
     FROM rk18 r LEFT JOIN pern18 ON pern18.node = r.u
     ORDER BY doc_id"""
 
+  /** D19 synchronous-LPA round count: fixed so the output is a
+    * deterministic function of the edge set whether or not the labels
+    * have converged (synchronous LPA can 2-cycle on bipartite
+    * structure; a fixed horizon sidesteps the stopping-rule
+    * nondeterminism that plagues async LPA).
+    */
+  val LpaIters = 4
+
+  /** D19: label-propagation communities over the verified near-dup
+    * graph — the resolution between D6's connected components (which
+    * weld two tight duplicate clusters together the moment ONE
+    * borderline pair bridges them) and per-pair verdicts: each node
+    * repeatedly adopts the most common label among its neighbors
+    * (ties → smallest label), so dense neighborhoods agree on a label
+    * while a single bridge edge is outvoted — a planted two-clique
+    * bridge splits into two communities where CC reports one
+    * (DedupSpec). Deterministic by construction: synchronous rounds
+    * (every update reads the PREVIOUS round's labels), integer
+    * argmax via max(struct(cnt, −lbl)), [[LpaIters]] fixed. The
+    * per-round plan is the 100 TB PageRank shape — edges ⋈ labels on
+    * dst, two partial-aggregating groupBys, nothing resident but the
+    * O(V) label frame — with per-round localCheckpoint per §8a. The
+    * DuckDB oracle runs the same rounds as a recursive-CTE label
+    * vector; mode-with-min-tiebreak packs (deg − cnt)·2³² + lbl and
+    * takes list_min, the D18 rank-packing idiom.
+    */
+  private[dedup] def communitiesOn(cand: DataFrame): DataFrame = {
+    val edges = graft.CachedFrames.persist(
+      cand.union(cand.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst"))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(false)
+    var t = 0
+    while (t < LpaIters) {
+      labels = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("kb"))
+        .select(col("src").as("node"), (-col("kb.neg")).as("lbl"))
+        .localCheckpoint(false)
+      t += 1
+    }
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupCommunities(s: SparkSession, dir: String): DataFrame =
+    communitiesOn(jaccardPairs(shingles(Tables.documents(s, dir)))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")))
+
+  val dedupCommunitiesSql: String = s"""
+    WITH RECURSIVE $jaccardPairsSql,
+    e19 AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= 0.5),
+    und19 AS (SELECT doc_a AS a, doc_b AS b FROM e19
+              UNION ALL SELECT doc_b, doc_a FROM e19),
+    nodes19 AS (SELECT a AS node, row_number() OVER (ORDER BY a) AS idx
+                FROM (SELECT DISTINCT a FROM und19)),
+    adj19 AS (SELECT nv.idx AS vidx, list(nu.idx ORDER BY nu.idx) AS ins
+              FROM und19 e JOIN nodes19 nu ON nu.node = e.a
+                           JOIN nodes19 nv ON nv.node = e.b
+              GROUP BY nv.idx),
+    mats19 AS (
+      SELECT (SELECT list(ins ORDER BY vidx) FROM adj19) AS al,
+             (SELECT list(node ORDER BY idx) FROM nodes19) AS ids),
+    lpa19 AS (
+      SELECT 0 AS t, ids AS l FROM mats19
+      UNION ALL
+      SELECT t + 1,
+             list_transform(range(1, CAST(len(al) AS BIGINT) + 1), v ->
+               list_min(list_transform(
+                 list_transform(al[v], u -> l[u]), x ->
+                   (CAST(len(al[v]) AS BIGINT)
+                     - CAST(len(list_filter(
+                         list_transform(al[v], u -> l[u]),
+                         y -> y = x)) AS BIGINT)) * 4294967296 + x))
+               % 4294967296)
+      FROM lpa19, mats19 WHERE t < $LpaIters),
+    labs19 AS (SELECT n.node AS doc_id, l[n.idx] AS community
+               FROM lpa19, nodes19 n WHERE t = $LpaIters),
+    sizes19 AS (SELECT community, count(*) AS community_size
+                FROM labs19 GROUP BY community)
+    SELECT doc_id, community, community_size
+    FROM labs19 JOIN sizes19 USING (community) ORDER BY doc_id"""
+
   /** D16: WEIGHTED PageRank — D13 with each edge carrying its VERIFIED
     * jaccard similarity as mass (w_micro = round(jaccard·1e6)), so a
     * 0.95-duplicate pulls ~10× the rank a borderline 0.5 pair does:
@@ -1086,6 +1177,7 @@ object DedupQueries {
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
     "dedup_pagerank_capped" -> (dedupPagerankCapped _),
     "dedup_triangles" -> (dedupTriangles _),
+    "dedup_communities" -> (dedupCommunities _),
     "dedup_keeper" -> (dedupKeeper _),
     "dedup_clusters_capped" -> (dedupClustersCapped _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -1104,6 +1196,7 @@ object DedupQueries {
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,
     "dedup_pagerank_capped" -> dedupPagerankCappedSql,
     "dedup_triangles" -> dedupTrianglesSql,
+    "dedup_communities" -> dedupCommunitiesSql,
     "dedup_keeper" -> dedupKeeperSql,
     "dedup_clusters_capped" -> dedupClustersCappedSql,
     "dedup_simhash" -> dedupSimhashSql,

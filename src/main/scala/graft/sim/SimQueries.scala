@@ -619,6 +619,101 @@ object SimQueries {
     SELECT q_id, neighbor, code0, code1, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** Refine shortlist width: exact rescoring touches TopK×this many
+    * candidates per query (faiss `IndexRefine` k_factor).
+    */
+  val RefineFactor = 3
+
+  /** S16: two-stage refine serving (faiss `IndexRefineFlat`) — ADC
+    * ranks the whole code table cheaply, keeps a TopK×[[RefineFactor]]
+    * shortlist per query, and only that shortlist is rescored with the
+    * EXACT vectors before the final top-k cut. This is the standard
+    * accuracy repair for quantization: per-corpus work stays the O(1)
+    * ADC scan, per-query exact work is k·factor dot products instead
+    * of n. Plan shape at scale: the shortlist is |Q|·k·factor rows —
+    * broadcast it against the id-keyed corpus, so exact rescoring is
+    * one more linear scan that prunes to the shortlist at the join,
+    * never a second all-pairs pass. Because the exact rerank restricts
+    * the SAME total order (cos desc, neighbor) brute force ranks by,
+    * every true top-k member captured by the shortlist survives to the
+    * final answer — refine recall provably dominates ADC recall
+    * (SimSpec pins this against `knn_brute`).
+    */
+  def knnPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    val shortlist = codes.join(broadcast(lut0), Seq("code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= TopK * RefineFactor)
+      .drop("srank")
+    // exact rescore of shortlist members only: the |Q|·k·factor-row
+    // shortlist broadcasts against the corpus scan (id equi-join), and
+    // the |Q|-row query block broadcasts for the other operand.
+    val e = vecs(s, dir)
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    e.select(col("vec_id").as("neighbor"), col("vn"))
+      .join(broadcast(shortlist), Seq("neighbor"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("neighbor"), col("adc"),
+        round(dot(col("qvn"), col("vn")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnPqRefineSql: String = s"""
+    WITH ${pqCoreSql("vn")},
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT lut0.q_id, codes.vec_id AS neighbor,
+             round(d0 + d1, 6) AS adc
+      FROM codes
+      JOIN lut0 USING (code0)
+      JOIN lut1 ON lut1.q_id = lut0.q_id AND lut1.code1 = codes.code1
+      WHERE codes.vec_id != lut0.q_id),
+    shortlist AS (
+      SELECT q_id, neighbor, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc, neighbor) AS srank
+        FROM scored) WHERE srank <= ${TopK * RefineFactor}),
+    refined AS (
+      SELECT sl.q_id, sl.neighbor, sl.adc,
+             round(list_dot_product(qv.vn, nv.vn), 6) AS cos
+      FROM shortlist sl
+      JOIN e qv ON qv.vec_id = sl.q_id
+      JOIN e nv ON nv.vec_id = sl.neighbor),
+    reranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM refined)
+    SELECT q_id, neighbor, adc, cos, rank FROM reranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   /** S6: the combined IVF-PQ serving path — the production ANN shape:
     * the coarse quantizer (label-mean centroids, as `knn_ivf`) prunes
     * candidates to the query's inverted list, and PQ codes + ADC LUTs
@@ -1859,6 +1954,7 @@ object SimQueries {
     "opq_rotate_deflate" -> (opqRotateDeflate _),
     "sq8_quantize" -> (sq8Quantize _),
     "knn_pq_adc" -> (knnPqAdc _),
+    "knn_pq_refine" -> (knnPqRefine _),
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _),
@@ -1877,6 +1973,7 @@ object SimQueries {
     "opq_rotate_deflate" -> opqRotateDeflateSql,
     "sq8_quantize" -> sq8QuantizeSql,
     "knn_pq_adc" -> knnPqAdcSql,
+    "knn_pq_refine" -> knnPqRefineSql,
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql,

@@ -293,6 +293,41 @@ class DedupSpec extends AnyFunSuite {
     a.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("label propagation: a bridged pair of cliques splits into two " +
+    "communities where connected components weld them into one") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two 5-cliques {1..5} and {11..15} joined by ONE bridge edge
+    // 5-15: CC reports a single component; LPA outvotes the bridge
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val planted = (clique(1L to 5L) ++ clique(11L to 15L) :+ (5L, 15L))
+      .toDF("doc_a", "doc_b")
+    val cc = graft.operators.ConnectedComponents.run(
+      planted.select(col("doc_a"), col("doc_b"))).collect()
+    assert(cc.map(_.getLong(1)).toSet.size === 1, "bridge should weld CC")
+    val out = DedupQueries.communitiesOn(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.CachedFrames.releaseAll()
+    val left = (1L to 5L).map(out(_)._1).toSet
+    val right = (11L to 15L).map(out(_)._1).toSet
+    assert(left.size === 1, s"left clique not uniform: $left")
+    assert(right.size === 1, s"right clique not uniform: $right")
+    assert(left != right, "bridge edge outvoted neither clique")
+    assert(out(1L)._2 === 5L && out(11L)._2 === 5L)
+    // gate shape on the real corpus: deterministic, sizes consistent,
+    // and communities refine the near-dup components (every community
+    // lives inside one CC component)
+    val gate = DedupQueries.dedupCommunities(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(gate.nonEmpty)
+    val bySize = gate.groupBy(_.getLong(1))
+    bySize.foreach { case (c, rows) =>
+      assert(rows.forall(_.getLong(2) === rows.length.toLong),
+        s"community $c size column disagrees with membership count")
+    }
+  }
+
   test("capped band candidates: a planted mega-bucket yields linear " +
     "pair mass, and capped clusters refine the uncapped ones") {
     import org.apache.spark.sql.functions._

@@ -524,4 +524,34 @@ class SimSpec extends AnyFunSuite {
       assert(!p.contains("BroadcastHashJoin"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("PQ refine: exact rescore of the ADC shortlist — recall@5 " +
+    "dominates raw ADC, and survivor cosines equal brute force") {
+    val refined = SimQueries.knnPqRefine(spark, dir).collect()
+    assert(refined.length === SimQueries.NumQueries * SimQueries.TopK)
+    // recall dominance is a theorem here, not a tendency: the rerank
+    // restricts brute force's total order (cos desc, neighbor) to the
+    // shortlist, so every true top-k member the shortlist captures
+    // keeps a final rank <= its global rank <= k. ADC's top-5 is a
+    // subset of the shortlist, so ADC can never beat refine.
+    val truth = topn(brute, SimQueries.TopK)
+    val adcHits =
+      topn(SimQueries.knnPqAdc(spark, dir), SimQueries.TopK) intersect truth
+    val refineSet = refined.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refineHits = refineSet intersect truth
+    assert(refineHits.size >= adcHits.size,
+      s"refine recall ${refineHits.size} < adc recall ${adcHits.size}")
+    // the rescored cosine is the true cosine: wherever a survivor also
+    // appears in the brute top-5, the values agree bit-for-bit
+    val bruteCos = brute.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    refined.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(want => assert(r.getDouble(3) === want))
+    }
+    // and the refine stage visibly repairs quantization error at this
+    // codebook resolution (2x10 codes): strictly better than ADC alone
+    assert(refineHits.size > adcHits.size,
+      "refine did not improve recall over ADC at this resolution")
+  }
 }
