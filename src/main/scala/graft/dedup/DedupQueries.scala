@@ -652,7 +652,7 @@ object DedupQueries {
     * (floor(r·w / (w·deg)) = floor(r/deg)) — spec'd, so the two
     * rungs provably agree where they overlap.
     */
-  private[dedup] def pagerankWeightedOn(pairs: DataFrame): DataFrame = {
+  private[graft] def pagerankWeightedOn(pairs: DataFrame): DataFrame = {
     // pairs: (doc_a, doc_b, w) with w a positive integer weight
     val edges = graft.CachedFrames.persist(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("w"))

@@ -314,7 +314,102 @@ object MediaQueries {
     HAVING count(DISTINCT media_id) >= 2
     ORDER BY chunk_hash"""
 
+  /** M8 near-dup radius: candidate pairs from band collisions keep
+    * only hamming ≤ this many of the 64 hash bits.
+    */
+  val AhashRadius = 12
+
+  /** M8: perceptual-hash near-dup over decoded media — the aHash
+    * pipeline every image-dedup stack runs (pHash/aHash family):
+    * decode to a fixed 8×8 luminance grid, hash = one bit per cell
+    * (pixel > mean), near-duplicates = small hamming distance. The
+    * stub decode derives each "pixel" from ITS OWN slice of the
+    * payload (char-sliced per the M5 lesson, md5 per slice), so
+    * locality is REAL: media sharing most content share most pixels,
+    * and the mean test makes the hash brightness-invariant the way
+    * aHash is. Serving is the D4 SimHash shape: 4×16-bit band index
+    * equi-join proposes candidates, exact hamming (one narrow
+    * zip-compare, no payload shuffle) verifies ≤ [[AhashRadius]].
+    * The mean threshold compares pixel·64 > Σpixels in exact
+    * integers — no division, no float, both engines bit-equal.
+    */
+  private[media] def ahashOn(docs: DataFrame): DataFrame = {
+    val h = graft.CachedFrames.persist(docs
+      .withColumn("seg", greatest(lit(1L),
+        expr("(length(text) + 63) div 64")))
+      .withColumn("px", expr(
+        "transform(sequence(1, 64), i -> cast(conv(substring(md5(" +
+          "substring(text, cast((i-1)*seg+1 as int), cast(seg as int))), " +
+          "1, 2), 16, 10) as long))"))
+      .withColumn("psum", expr("aggregate(px, 0L, (acc, x) -> acc + x)"))
+      .withColumn("ahash", expr(
+        "concat_ws('', transform(px, x -> " +
+          "case when x * 64 > psum then '1' else '0' end))"))
+      .select(col("media_id"), col("ahash")))
+    val bands = h.select(col("media_id"), col("ahash"),
+      explode(expr("transform(sequence(1, 4), b -> " +
+        "struct(b as band, substring(ahash, (b-1)*16+1, 16) as bk))"))
+        .as("x"))
+      .select(col("media_id"), col("ahash"),
+        col("x.band").as("band"), col("x.bk").as("bk"))
+    val cand = bands.select(col("media_id").as("media_a"),
+        col("ahash").as("ah_a"), col("band"), col("bk"))
+      .hint("shuffle_hash")
+      .join(bands.select(col("media_id").as("media_b"),
+        col("ahash").as("ah_b"), col("band"), col("bk")),
+        Seq("band", "bk"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"), col("ah_a"), col("ah_b"))
+      .distinct()
+    cand.withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), i -> " +
+          "substring(ah_a, i, 1) != substring(ah_b, i, 1)))").cast("long"))
+      .filter(col("hamming") <= AhashRadius)
+      .select(col("media_a"), col("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  def mediaAhashDedup(s: SparkSession, dir: String): DataFrame =
+    ahashOn(Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text")))
+
+  val mediaAhashDedupSql: String = s"""
+    WITH g AS (
+      SELECT doc_id AS media_id, text,
+             greatest(1, (length(text) + 63) // 64) AS seg
+      FROM documents),
+    px AS (
+      SELECT media_id,
+             list_transform(range(1, 65), i ->
+               ('0x' || substring(md5(substring(text,
+                 ((i-1)*seg+1)::INT, seg::INT)), 1, 2))::BIGINT) AS px
+      FROM g),
+    ps AS (SELECT media_id, px, list_sum(px)::BIGINT AS psum FROM px),
+    h AS (
+      SELECT media_id,
+             array_to_string(list_transform(px, x ->
+               CASE WHEN x * 64 > psum THEN '1' ELSE '0' END), '') AS ahash
+      FROM ps),
+    bands AS (
+      SELECT media_id, ahash, b AS band,
+             substring(ahash, (b-1)*16+1, 16) AS bk
+      FROM h, unnest(range(1, 5)) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+             a.ahash AS ah_a, b.ahash AS ah_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bk = b.bk
+      WHERE a.media_id < b.media_id)
+    SELECT media_a, media_b,
+           len(list_filter(range(1, 65), i ->
+             ah_a[i] != ah_b[i]))::BIGINT AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 65), i -> ah_a[i] != ah_b[i]))
+      <= $AhashRadius
+    ORDER BY media_a, media_b"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_ahash_dedup" -> (mediaAhashDedup _),
     "media_cdc_bytes" -> (mediaCdcBytes _),
     "media_cdc_dedup" -> (mediaCdcDedup _),
     "media_chunk_dedup" -> (mediaChunkDedup _),
@@ -327,6 +422,7 @@ object MediaQueries {
     * boundary gets the driver's rows-only check + MediaSpec.
     */
   def oracles: Map[String, String] = Map(
+    "media_ahash_dedup" -> mediaAhashDedupSql,
     "media_cdc_bytes" -> mediaCdcBytesSql,
     "media_cdc_dedup" -> mediaCdcDedupSql,
     "media_chunk_dedup" -> mediaChunkDedupSql,

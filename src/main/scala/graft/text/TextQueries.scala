@@ -347,6 +347,92 @@ object TextQueries {
     FROM big JOIN lft USING (w1) JOIN rgt USING (w2), tot
     ORDER BY pmi_micro DESC, w1, w2 LIMIT $CollocTopN"""
 
+  /** T12 keyword count the TextRank gate emits. */
+  val TextRankTopN = 40
+
+  /** T12: TextRank keyword extraction — PageRank over the word
+    * co-occurrence graph (the original TextRank formulation: nodes =
+    * words, undirected edges between words within a ±2 token window,
+    * edge weight = co-occurrence count), surfacing the corpus's
+    * central vocabulary rather than merely its frequent one: a word
+    * ranks high when it co-occurs with other high-ranking words, which
+    * is what separates content terms from glue. Edge generation is
+    * row-local (T7 discipline — two higher-order transforms over the
+    * split array, distance 1 and distance 2, canonicalized
+    * least/greatest; no positional self-join), then one aggregate to
+    * weights; the iteration is D16's weighted PageRank verbatim
+    * (exact integer micro units, per-round localCheckpoint), so the
+    * 100 TB story is already proven: per round one edges⋈ranks
+    * shuffle and a partial agg, nothing resident but the O(vocab)
+    * rank frame. Oracle = the D16 recursive-CTE weighted matvec over
+    * word nodes.
+    */
+  def textTextrank(s: SparkSession, dir: String): DataFrame = {
+    val arr = Tables.documents(s, dir).select(split(col("text"), " ").as("w"))
+    // size(w) > d guards sequence(1, size-d): Spark's sequence runs
+    // DESCENDING when start > stop, which would fabricate pairs
+    def dist(d: Int): DataFrame = arr.filter(size(col("w")) > d)
+      .select(explode(expr(
+        s"transform(sequence(1, size(w)-$d), i -> " +
+          s"struct(element_at(w, i) as x, element_at(w, i+$d) as y))"))
+        .as("p"))
+      .select(least(col("p.x"), col("p.y")).as("doc_a"),
+        greatest(col("p.x"), col("p.y")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val pairs = dist(1).union(dist(2))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("w"))
+    graft.dedup.DedupQueries.pagerankWeightedOn(pairs)
+      .select(col("doc_id").as("word"),
+        col("w_out_micro").as("cooc_mass"), col("rank_micro"))
+      .orderBy(col("rank_micro").desc, col("word"))
+      .limit(TextRankTopN)
+  }
+
+  val textTextrankSql: String = s"""
+    WITH RECURSIVE pairs0 AS (
+      SELECT least(w[i], w[i+1]) AS a, greatest(w[i], w[i+1]) AS b
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, len(w))) AS t(i)
+      WHERE w[i] != w[i+1]
+      UNION ALL
+      SELECT least(w[i], w[i+2]), greatest(w[i], w[i+2])
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE w[i] != w[i+2]),
+    e12 AS (SELECT a, b, count(*)::BIGINT AS w FROM pairs0 GROUP BY a, b),
+    und12 AS (SELECT a, b, w FROM e12 UNION ALL SELECT b, a, w FROM e12),
+    sw12 AS (SELECT a AS src, sum(w)::BIGINT AS sw FROM und12 GROUP BY a),
+    nodes12 AS (SELECT src AS node, sw,
+                       row_number() OVER (ORDER BY src) AS idx
+                FROM sw12),
+    adj12 AS (SELECT nv.idx AS vidx,
+                     list(nu.idx ORDER BY nu.idx) AS ins,
+                     list(e.w ORDER BY nu.idx) AS ws
+              FROM und12 e JOIN nodes12 nu ON nu.node = e.a
+                           JOIN nodes12 nv ON nv.node = e.b
+              GROUP BY nv.idx),
+    mats12 AS (
+      SELECT (SELECT list(ins ORDER BY vidx) FROM adj12) AS al,
+             (SELECT list(ws ORDER BY vidx) FROM adj12) AS wl,
+             (SELECT list(sw ORDER BY idx) FROM nodes12) AS sv,
+             (SELECT count(*) FROM nodes12) AS n),
+    pr12 AS (
+      SELECT 0 AS t,
+             list_transform(range(1, n + 1), i -> 1000000::BIGINT) AS r
+      FROM mats12
+      UNION ALL
+      SELECT t + 1,
+             list_transform(range(1, CAST(len(al) AS BIGINT) + 1), v ->
+               150000::BIGINT + (85 * CAST(list_sum(list_transform(
+                 range(1, CAST(len(al[v]) AS BIGINT) + 1),
+                 j -> (r[al[v][j]] * wl[v][j]) // sv[al[v][j]]))
+                 AS BIGINT)) // 100)
+      FROM pr12, mats12 WHERE t < ${graft.dedup.DedupQueries.PrIters})
+    SELECT n.node AS word, n.sw AS cooc_mass, r[n.idx] AS rank_micro
+    FROM pr12, nodes12 n WHERE t = ${graft.dedup.DedupQueries.PrIters}
+    ORDER BY rank_micro DESC, word LIMIT $TextRankTopN"""
+
   /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
     * query term set for the `text_bm25` gate entry.
     */
@@ -576,7 +662,8 @@ object TextQueries {
     "text_fingerprint" -> (textFingerprint _),
     "text_ngram_stats" -> (textNgramStats _),
     "text_zipf" -> (textZipf _),
-    "text_collocations" -> (textCollocations _))
+    "text_collocations" -> (textCollocations _),
+    "text_textrank" -> (textTextrank _))
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
@@ -589,5 +676,6 @@ object TextQueries {
     "text_fingerprint" -> textFingerprintSql,
     "text_ngram_stats" -> textNgramStatsSql,
     "text_zipf" -> textZipfSql,
-    "text_collocations" -> textCollocationsSql)
+    "text_collocations" -> textCollocationsSql,
+    "text_textrank" -> textTextrankSql)
 }

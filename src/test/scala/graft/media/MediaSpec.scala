@@ -82,6 +82,37 @@ class MediaSpec extends AnyFunSuite {
       s"fixed windows unexpectedly aligned: $fixedShared")
   }
 
+  test("perceptual aHash: an exact copy collides at hamming 0, a " +
+    "one-slice edit stays within the radius, unrelated media do not pair") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 640-char payloads → seg = 10 chars/pixel. Media 2 = media 1 with
+    // ONE 10-char slice rewritten (one pixel moves, mean shifts by
+    // ≤ 255/64 per cell), media 3 = exact copy of 1, media 4 unrelated.
+    val base = (0 until 64).map(i => f"slice$i%04d!!").mkString // 640 chars
+    val oneSlice = base.substring(0, 300) + "XXXXXXXXXX" + base.substring(310)
+    val other = (0 until 64).map(i => f"other$i%04d??").mkString
+    val planted = Seq((1L, base), (2L, oneSlice), (3L, base), (4L, other))
+      .toDF("media_id", "text")
+    val out = MediaQueries.ahashOn(planted).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    graft.CachedFrames.releaseAll()
+    assert(out((1L, 3L)) === 0L, "exact copy must collide at hamming 0")
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) <= MediaQueries.AhashRadius,
+      s"one-slice edit escaped the radius: $out")
+    assert(out((1L, 2L)) >= 1L, "edited slice should move at least its pixel")
+    assert(!out.keySet.exists { case (a, b) => b == 4L || a == 4L },
+      s"unrelated media paired: $out")
+    // gate shape: pairs canonical (a < b), hamming within radius
+    val gate = MediaQueries.mediaAhashDedup(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= MediaQueries.AhashRadius)
+    }
+  }
+
   test("byte-level CDC re-anchors after a single-BYTE insertion; " +
     "fixed byte windows do not") {
     import spark.implicits._

@@ -636,6 +636,59 @@ class StreamingSpec extends AnyFunSuite {
       assert(summary.contains(hh), s"heavy $hh evicted from $summary"))
   }
 
+  test("R17: hash-threshold quantile sampling at ingest — the streamed " +
+    "sample IS the batch sample (row-intrinsic filter, no RNG state), " +
+    "so downstream percentiles agree exactly") {
+    val root = tmp()
+    import spark.implicits._
+    // 200 rows "id|price" over 4 tape files: arrival packing must not
+    // matter because membership is a pure function of the row id
+    val rows = (1 to 200).map(i => (i.toLong, 100.0 + (i * 131) % 900))
+    graft.vcr.TapeWriter.write(
+      rows.map { case (id, p) =>
+        (s"$id|$p".getBytes, id,
+          java.sql.Timestamp.valueOf("2024-11-02 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "qs", numFiles = 4)
+    def sampled(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("id"),
+          element_at(col("p"), 2).cast("double").as("price"))
+        // the A46 sketch filter: md5-prefix threshold keeps ~1/4 here
+        .filter(graft.dedup.Shingling.h28(
+          concat(lit("rqs-"), col("id").cast("string"))) <
+          lit(268435456L / 4))
+    @volatile var streamed = Set.empty[Long]
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/qs")
+      .transform(sampled)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          streamed = streamed ++ b.collect().map(_.getLong(0))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batchDf = sampled(TapePlayer.read(spark, root, "qs",
+      java.time.LocalDateTime.parse("2024-11-02T00:00:00"), None))
+    val batch = batchDf.collect().map(_.getLong(0)).toSet
+    assert(streamed === batch, "streamed sample diverged from batch twin")
+    assert(streamed.nonEmpty && streamed.size < 200,
+      s"threshold filter inert: ${streamed.size} of 200 kept")
+    // and the serving quantile over the accumulated sample is the
+    // batch estimate exactly — same rows in, same percentile out
+    val ids = streamed.toSeq.sorted
+    val est = batchDf.agg(expr("percentile(price, 0.5)")).head.getDouble(0)
+    val local = rows.filter(r => ids.contains(r._1)).map(_._2).sorted
+    val mid = (local.length - 1) / 2.0
+    val want =
+      if (local.length % 2 == 1) local(local.length / 2)
+      else (local(mid.toInt) + local(mid.toInt + 1)) / 2.0
+    assert(math.abs(est - want) < 1e-9)
+  }
+
   test("R13b: the KMV sketch runs over the stream — the min-k buffer " +
     "is EXACTLY the batch sketch (bottom-k merge is order-free)") {
     val root = tmp()

@@ -66,6 +66,26 @@ class TextSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(2)).max > 0.5)
   }
 
+  test("textrank keywords: deterministic, damped floor holds, and " +
+    "centrality is not a frequency re-sort") {
+    val a = TextQueries.textTextrank(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val b = TextQueries.textTextrank(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty && a.length <= TextQueries.TextRankTopN)
+    // every node keeps at least the damping floor 0.15e6
+    assert(a.forall(_.getLong(2) >= 150000L))
+    // emitted in rank order, word-tiebroken
+    val keys = a.map(r => (-r.getLong(2), r.getString(0))).toSeq
+    assert(keys === keys.sorted)
+    // the ranking must disagree with raw co-occurrence mass somewhere
+    // (otherwise the iteration added nothing over counting)
+    val byMass = a.sortBy(r => (-r.getLong(1), r.getString(0))).map(_.getString(0))
+    assert(byMass.toSeq !== a.map(_.getString(0)).toSeq,
+      "textrank order identical to frequency order — iteration inert?")
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
