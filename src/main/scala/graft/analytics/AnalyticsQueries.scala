@@ -1280,6 +1280,83 @@ object AnalyticsQueries {
     GROUP BY n_name, o_year
     ORDER BY nation, o_year DESC"""
 
+  /** A48 / TPC-H Q16 style: how many distinct suppliers offer each
+    * part configuration, excluding a supplier blacklist. The schema
+    * has no partsupp, so the offering relation derives as DISTINCT
+    * (l_partkey, l_suppkey) FROM lineitem — itself the Q16-relevant
+    * shape (a distinct-pair projection of the fact table that shuffles
+    * two keys, never payloads). Then: anti join against the blacklist
+    * (negative-balance suppliers — NOT IN with no NULL hazard since
+    * s_suppkey is a key), broadcast part dim filtered before the join,
+    * count(DISTINCT) per group. The count-distinct is Spark's
+    * two-phase expand — partial per partition, exact global.
+    */
+  def q16PartSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") =!= "PROMO")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q16PartSuppliersSql: String = """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type != 'PROMO'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size"""
+
+  /** A49 / TPC-H Q11 style: which parts carry an outsized share of one
+    * nation's shipped value — group + HAVING against a scalar
+    * subquery over the SAME aggregate. Value quantizes per line to
+    * integer cents (exact BIGINT sums), the global total is the sum
+    * of the per-part frame (computed once, cross-joined as a 1-row
+    * broadcast — no second corpus pass), and the threshold compares
+    * value_cents · 10000 > total · FRACTION_BP in pure integers so no
+    * engine ever divides.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val su = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = graft.CachedFrames.persist(Tables.lineitem(s, dir)
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(disc * 100.0, 0).cast("long")).as("value_cents")))
+    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents") * 10000L > col("total_cents") * lit(20L))
+      .select(col("l_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("l_partkey"))
+  }
+
+  val q11ImportantPartsSql: String = """
+    WITH pp AS (
+      SELECT l_partkey,
+             sum(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+               0)::BIGINT)::BIGINT AS value_cents
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_1'
+      GROUP BY l_partkey)
+    SELECT l_partkey, value_cents
+    FROM pp
+    WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM pp) * 20
+    ORDER BY value_cents DESC, l_partkey"""
+
   /** A37 / TPC-H Q10 style: top customers by revenue lost to returned
     * items in one quarter — fact⋈fact on the order key, customer and
     * nation broadcast, TakeOrderedAndProject for the top 20.
@@ -1664,6 +1741,8 @@ object AnalyticsQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_profit" -> (q9Profit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_part_suppliers" -> (q16PartSuppliers _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "q12_ship_delay" -> (q12ShipDelay _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -1713,6 +1792,8 @@ object AnalyticsQueries {
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_profit" -> q9ProfitSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q16_part_suppliers" -> q16PartSuppliersSql,
     "q10_returned_items" -> q10ReturnedItemsSql,
     "q12_ship_delay" -> q12ShipDelaySql,
     "q15_top_supplier" -> q15TopSupplierSql,

@@ -792,6 +792,107 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S17: the full production cascade — IVF coarse prune, ADC scoring
+    * of the inverted list, exact refine of the shortlist (S6 composed
+    * with S16; faiss `IndexIVFPQ` wrapped in `IndexRefineFlat`, the
+    * deployed configuration for billion-scale serving). Each stage
+    * cuts the candidate count multiplicatively (n → n/k_clusters →
+    * TopK×factor) while the per-candidate cost rises (O(1) lookup →
+    * exact d-dim dot), so total work is dominated by the cheapest
+    * stage — the compute-allocation argument the whole ANN ladder
+    * exists for. Same recall-dominance theorem as S16, now relative
+    * to the IVF-PQ candidate set.
+    */
+  def knnIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    val db = e.select(col("vec_id"),
+        bestClusterCol(cents).as("cluster"))
+      .join(codes, Seq("vec_id"))
+    val q = db.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cluster"))
+    val lut0 = pqLut(sub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(sub, "s1", cb1, "code1", "d1")
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    val shortlist = q.join(db, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut0), Seq("q_id", "code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("srank", row_number().over(wAdc))
+      .filter(col("srank") <= TopK * RefineFactor)
+      .drop("srank")
+    val qv = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    e.select(col("vec_id").as("neighbor"), col("vn"))
+      .join(broadcast(shortlist), Seq("neighbor"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("neighbor"), col("cluster"), col("adc"),
+        round(dot(col("qvn"), col("vn")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfPqRefineSql: String = s"""
+    WITH ${pqCoreSql("vn")},
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    db AS (SELECT assigned.vec_id, cluster, code0, code1
+           FROM assigned JOIN codes USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    qc AS (SELECT q_id, cluster FROM assigned JOIN q ON q.q_id = assigned.vec_id),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT qc.q_id, db.vec_id AS neighbor, db.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM qc JOIN db USING (cluster)
+      JOIN lut0 ON lut0.q_id = qc.q_id AND lut0.code0 = db.code0
+      JOIN lut1 ON lut1.q_id = qc.q_id AND lut1.code1 = db.code1
+      WHERE db.vec_id != qc.q_id),
+    shortlist AS (
+      SELECT q_id, neighbor, cluster, adc FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY adc, neighbor) AS srank
+        FROM scored) WHERE srank <= ${TopK * RefineFactor}),
+    refined AS (
+      SELECT sl.q_id, sl.neighbor, sl.cluster, sl.adc,
+             round(list_dot_product(qv.vn, nv.vn), 6) AS cos
+      FROM shortlist sl
+      JOIN e qv ON qv.vec_id = sl.q_id
+      JOIN e nv ON nv.vec_id = sl.neighbor),
+    reranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM refined)
+    SELECT q_id, neighbor, cluster, adc, cos, rank FROM reranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   /** S7: residual-encoded IVF-PQ (faiss `by_residual=true`) — PQ
     * codebooks quantize the RESIDUAL vn − centroid(cluster) instead of
     * the raw vector. Residuals are centered near zero, so the same
@@ -1956,6 +2057,7 @@ object SimQueries {
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_pq_refine" -> (knnPqRefine _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_ivfpq_refine" -> (knnIvfPqRefine _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _),
     "knn_ivfpq_res_probe" ->
@@ -1975,6 +2077,7 @@ object SimQueries {
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_pq_refine" -> knnPqRefineSql,
     "knn_ivfpq" -> knnIvfPqSql,
+    "knn_ivfpq_refine" -> knnIvfPqRefineSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql,
     "knn_ivfpq_res_probe" -> knnIvfPqResidualProbeSql)

@@ -433,6 +433,83 @@ object TextQueries {
     FROM pr12, nodes12 n WHERE t = ${graft.dedup.DedupQueries.PrIters}
     ORDER BY rank_micro DESC, word LIMIT $TextRankTopN"""
 
+  /** T13: held-out perplexity scoring — the CCNet/Gopher quality
+    * signal P9 only gestures at: P9 scores docs under an LM trained on
+    * ALL docs (a resubstitution estimate); real perplexity filtering
+    * scores NEW data against a REFERENCE model, which forces the two
+    * things resubstitution never exercises — a train/score split and
+    * OOV mass. Here the 4/5 train split fits Laplace-smoothed bigram
+    * counts, the 1/5 held-out split is scored: p(cur|prev) =
+    * (cb+1)/(cn+V), V = train unigram vocabulary + 1 OOV bucket, so
+    * unseen bigrams (cb=0) and unseen contexts (cn=0) get exactly the
+    * smoothed floor instead of crashing the join. Per-pair NLL
+    * quantizes to integer micro-nats from ONE double division of
+    * exact BIGINTs ((cn+V)/(cb+1) — ln sees the identical double in
+    * both engines, the T11 discipline), so per-doc sums are order-free
+    * BIGINT arithmetic. At 100 TB: the reference counts are a
+    * shuffle-joined vocabulary exactly like T9's — never broadcast —
+    * and scoring is one pass over the held-out corpus. V is a bounded
+    * plan-time scalar (one count, the T11 `n` idiom).
+    */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val tr = docs.filter(col("doc_id") % 5 =!= 0)
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "struct(element_at(w, i) as prev, element_at(w, i+1) as cur))"))
+        .as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"),
+          col("p.cur").as("cur"))
+    val trp = graft.CachedFrames.persist(bigrams(tr))
+    val v = tr.select(explode(col("w")).as("word"))
+      .agg(countDistinct(col("word"))).head.getLong(0) + 1
+    val ctx = trp.groupBy(col("prev")).agg(count(lit(1)).as("cn"))
+    val big = trp.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    bigrams(docs.filter(col("doc_id") % 5 === 0))
+      .join(big, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .withColumn("unseen",
+        when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("lp_micro", round(log(
+        (coalesce(col("cn"), lit(0L)) + lit(v)).cast("double") /
+          (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double")) * 1e6,
+        0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unseen")).as("n_unseen"),
+        expr("sum(lp_micro) div count(1)").as("nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPerplexitySql: String = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    tr AS (SELECT doc_id, w FROM d WHERE doc_id % 5 != 0),
+    trp AS (SELECT w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+    hop AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                  FROM d WHERE doc_id % 5 = 0)),
+    voc AS (SELECT count(DISTINCT word) + 1 AS v
+            FROM (SELECT unnest(w) AS word FROM tr)),
+    ctx AS (SELECT prev, count(*) AS cn FROM trp GROUP BY prev),
+    big AS (SELECT prev, cur, count(*) AS cb FROM trp GROUP BY prev, cur),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS unseen,
+             round(ln(CAST(coalesce(cn, 0) + v AS DOUBLE)
+               / CAST(coalesce(cb, 0) + 1 AS DOUBLE)) * 1e6, 0)::BIGINT
+               AS lp_micro
+      FROM hop LEFT JOIN big USING (prev, cur)
+               LEFT JOIN ctx USING (prev), voc)
+    SELECT doc_id, count(*) AS n_bigrams, sum(unseen)::BIGINT AS n_unseen,
+           (sum(lp_micro)::BIGINT // count(*)) AS nll_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
     * query term set for the `text_bm25` gate entry.
     */
@@ -663,7 +740,8 @@ object TextQueries {
     "text_ngram_stats" -> (textNgramStats _),
     "text_zipf" -> (textZipf _),
     "text_collocations" -> (textCollocations _),
-    "text_textrank" -> (textTextrank _))
+    "text_textrank" -> (textTextrank _),
+    "text_perplexity" -> (textPerplexity _))
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
@@ -677,5 +755,6 @@ object TextQueries {
     "text_ngram_stats" -> textNgramStatsSql,
     "text_zipf" -> textZipfSql,
     "text_collocations" -> textCollocationsSql,
-    "text_textrank" -> textTextrankSql)
+    "text_textrank" -> textTextrankSql,
+    "text_perplexity" -> textPerplexitySql)
 }

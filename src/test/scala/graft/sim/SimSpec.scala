@@ -525,6 +525,34 @@ class SimSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("IVF-PQ refine cascade: candidates stay in the query's list, " +
+    "exact cosines agree with brute, recall never drops below raw IVF-PQ") {
+    val refined = SimQueries.knnIvfPqRefine(spark, dir).collect()
+    assert(refined.length === SimQueries.NumQueries * SimQueries.TopK)
+    // coarse prune is inherited unchanged: one inverted list per query
+    val qCluster = SimQueries.knnIvf(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    refined.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).toSet === Set(qCluster(q)),
+        s"q=$q refine candidates left the query's inverted list")
+    }
+    // the refine stage rescoring is the true cosine
+    val bruteCos = brute.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    refined.foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(1)))
+        .foreach(want => assert(r.getDouble(4) === want))
+    }
+    // same dominance argument as the flat refine, vs the IVF-PQ stage
+    val truth = topn(brute, SimQueries.TopK)
+    val ivfpqHits =
+      topn(SimQueries.knnIvfPq(spark, dir), SimQueries.TopK) intersect truth
+    val refineHits =
+      refined.map(r => (r.getLong(0), r.getLong(1))).toSet intersect truth
+    assert(refineHits.size >= ivfpqHits.size,
+      s"cascade recall ${refineHits.size} < ivfpq recall ${ivfpqHits.size}")
+  }
+
   test("PQ refine: exact rescore of the ADC shortlist — recall@5 " +
     "dominates raw ADC, and survivor cosines equal brute force") {
     val refined = SimQueries.knnPqRefine(spark, dir).collect()
