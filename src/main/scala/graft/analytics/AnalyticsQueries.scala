@@ -1318,13 +1318,14 @@ object AnalyticsQueries {
     ORDER BY supplier_cnt DESC, p_brand, p_size"""
 
   /** A49 / TPC-H Q11 style: which parts carry an outsized share of one
-    * nation's shipped value — group + HAVING against a scalar
-    * subquery over the SAME aggregate. Value quantizes per line to
-    * integer cents (exact BIGINT sums), the global total is the sum
-    * of the per-part frame (computed once, cross-joined as a 1-row
-    * broadcast — no second corpus pass), and the threshold compares
-    * value_cents · 10000 > total · FRACTION_BP in pure integers so no
-    * engine ever divides.
+    * nation's shipped value — group + HAVING against a scalar computed
+    * over the SAME aggregate. Value quantizes per line to integer
+    * cents (exact BIGINT sums); the per-part frame persists, its sum
+    * collects as ONE bounded plan-time scalar (the T11 `n` idiom — a
+    * cross join with the 1-row total would plan the BNLJ the no-BNLJ
+    * guard exists to forbid), and the threshold compares
+    * value_cents · 10⁴ > total · 20 in pure integers so no engine
+    * ever divides.
     */
   def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
     val su = Tables.supplier(s, dir)
@@ -1336,9 +1337,12 @@ object AnalyticsQueries {
       .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"))
       .agg(sum(round(disc * 100.0, 0).cast("long")).as("value_cents")))
-    val total = perPart.agg(sum(col("value_cents")).as("total_cents"))
-    perPart.crossJoin(broadcast(total))
-      .filter(col("value_cents") * 10000L > col("total_cents") * lit(20L))
+    // coalesce: an SF/nation combination with zero matching lines sums
+    // to NULL; the empty frame then filters to empty whatever the total
+    val total = perPart.agg(coalesce(sum(col("value_cents")), lit(0L)))
+      .head.getLong(0)
+    perPart
+      .filter(col("value_cents") * 10000L > lit(total) * lit(20L))
       .select(col("l_partkey"), col("value_cents"))
       .orderBy(col("value_cents").desc, col("l_partkey"))
   }

@@ -153,6 +153,18 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("media_ahash_dedup: the band self-join stays shuffled (same " +
+    "sf1 regression class as the shingle/band index joins)") {
+    // both sides of the candidate join are the O(corpus) hash frame;
+    // the SHUFFLE_HASH hint must hold whatever the static estimate
+    val p = plan("media_ahash_dedup")
+    val broadcastOnBand = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.matches(".*\\[band.*"))
+    assert(!broadcastOnBand, s"ahash band self-join broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("approx_count_distinct (HLL++) lands within its error bound") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")

@@ -689,6 +689,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(est - want) < 1e-9)
   }
 
+  test("R18: streaming CAS chunk dedup — stored fires exactly once " +
+    "per distinct chunk, keeper is the batch min, ledger equals the " +
+    "batch rollup, state is bounded by distinct chunks") {
+    val root = tmp()
+    import spark.implicits._
+    def block(c: Char) = c.toString * StreamCas.ChunkChars
+    val (a, b, cc, d) = (block('a'), block('b'), block('c'), block('d'))
+    // four media built from four shared 100-char blocks: every block
+    // appears in exactly two media → 4 distinct chunks, 8 references
+    val medias = Seq((1L, a + b), (2L, b + cc), (3L, a + d), (4L, cc + d))
+    graft.vcr.TapeWriter.write(
+      medias.map { case (id, text) =>
+        (s"$id|$text".getBytes, id,
+          java.sql.Timestamp.valueOf("2024-11-03 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "cas", numFiles = 4)
+    def mediaOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("media_id"),
+          element_at(col("p"), 2).as("text"))
+    @volatile var got = Vector.empty[(String, Long, Boolean)]
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/cas")
+      .transform(df => StreamCas.annotate(StreamCas.chunks(mediaOf(df))).toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          got = got ++ batch.collect().map(r =>
+            (r.getString(0), r.getLong(1), r.getBoolean(3)))
+          ()
+      }.start()
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal)
+    q.stop()
+    val batchChunks = StreamCas.chunks(mediaOf(
+      TapePlayer.read(spark, root, "cas",
+        java.time.LocalDateTime.parse("2024-11-03T00:00:00"), None))).collect()
+    assert(got.size === batchChunks.length && got.size === 8)
+    // write-once: each distinct chunk stored exactly once, 4 total
+    assert(got.count(_._3) === 4)
+    got.groupBy(_._1).foreach { case (h, vs) =>
+      assert(vs.count(_._3) === 1, s"chunk $h stored ${vs.count(_._3)} times")
+    }
+    // keeper attribution = the batch twin's min(media_id): the tape
+    // replays in media order, and groups sort by media within a batch
+    val minMedia = batchChunks.groupBy(_.h).map { case (h, cs) =>
+      h -> cs.map(_.media_id).min }
+    got.filter(_._3).foreach { case (h, m, _) =>
+      assert(m === minMedia(h), s"chunk $h stored at $m != min ${minMedia(h)}")
+    }
+    // ledger parity: refs per chunk and distinct media per chunk
+    val streamedLedger = got.groupBy(_._1).map { case (h, vs) =>
+      h -> ((vs.size, vs.map(_._2).toSet.size)) }
+    val batchLedger = batchChunks.groupBy(_.h).map { case (h, cs) =>
+      h -> ((cs.length, cs.map(_.media_id).toSet.size)) }
+    assert(streamedLedger === batchLedger)
+    // state = distinct chunk hashes, not arrivals
+    assert(stateRows.nonEmpty && stateRows.max === 4L,
+      s"state rows ${stateRows.toSeq} != distinct chunk count 4")
+  }
+
   test("R13b: the KMV sketch runs over the stream — the min-k buffer " +
     "is EXACTLY the batch sketch (bottom-k merge is order-free)") {
     val root = tmp()
