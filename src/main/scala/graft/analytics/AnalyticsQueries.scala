@@ -1361,6 +1361,126 @@ object AnalyticsQueries {
     WHERE value_cents * 10000 > (SELECT sum(value_cents) FROM pp) * 20
     ORDER BY value_cents DESC, l_partkey"""
 
+  /** A50 / TPC-H Q2 style: the min-cost supplier per part within a
+    * region — the classic correlated-MIN decorrelation. The schema has
+    * no partsupp, so the offering relation derives from the fact
+    * table: per (l_partkey, l_suppkey), supply cost = the best unit
+    * price ever transacted, quantized to integer cents BEFORE the
+    * integer division so both engines compare identical BIGINTs. The
+    * plan is the Q2 shape Spark should pick: one fact shuffle to build
+    * the offering, region-filtered suppliers broadcast (a dim at any
+    * scale), the per-part MIN as a partial agg over the offering
+    * (≪ fact rows), and the "achieves the min" join-back as an
+    * equi-join on (partkey, cost) — never a correlated per-row
+    * subquery.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val elig = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val offering = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100.0, 0) as bigint) " +
+          "div cast(l_quantity as bigint)").as("uc"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("uc")).as("cost_cents"))
+      .join(broadcast(elig), col("l_suppkey") === col("s_suppkey"))
+    val minCost = offering.groupBy(col("l_partkey"))
+      .agg(min(col("cost_cents")).as("min_cost"))
+    val p = Tables.part(s, dir)
+      .filter(col("p_size") % 10 === 5 && col("p_type") === "LARGE")
+      .select(col("p_partkey"), col("p_brand"))
+    offering.join(minCost, Seq("l_partkey"))
+      .filter(col("cost_cents") === col("min_cost"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"), col("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSupplierSql: String = """
+    WITH elig AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'),
+    offering AS (
+      SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+             min(round(l_extendedprice * 100.0, 0)::BIGINT
+               // l_quantity::BIGINT) AS cost_cents
+      FROM lineitem JOIN elig ON l_suppkey = s_suppkey
+      GROUP BY 1, 2, 3, 4, 5),
+    mc AS (
+      SELECT l_partkey, min(cost_cents) AS min_cost
+      FROM offering GROUP BY 1)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost_cents
+    FROM offering
+    JOIN mc USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE cost_cents = min_cost
+      AND p_size % 10 = 5 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100"""
+
+  /** A51 / TPC-H Q20 style: which of one nation's suppliers hold
+    * excess stock of a part family — stock that didn't move. With no
+    * partsupp, availability models as the all-time quantity a
+    * (part, supplier) pair ever transacted, and "moved" as the slice
+    * shipped in 1996; excess = avail > 2 × moved. Both sums come out
+    * of ONE conditional aggregation over the fact table (a single
+    * shuffle on the pair key — never two scans), the part-family
+    * filter is a broadcast semi-join BEFORE the aggregation so
+    * non-family lines never shuffle, and the supplier/nation dims
+    * broadcast. Output is the per-supplier excess ledger.
+    */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val fam = Tables.part(s, dir).filter(col("p_name").endsWith("bolt"))
+      .select(col("p_partkey"))
+    val su = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_2")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(fam), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("avail_qty"),
+        coalesce(sum(when(year(col("l_shipdate")) === 1996,
+          col("l_quantity").cast("long"))), lit(0L)).as("moved_qty"))
+      .filter(col("avail_qty") > col("moved_qty") * 2L)
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_excess_parts"),
+        sum(col("avail_qty") - col("moved_qty") * 2L).as("excess_qty"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20ExcessSuppliersSql: String = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity::BIGINT)::BIGINT AS avail_qty,
+             coalesce(sum(CASE WHEN year(l_shipdate) = 1996
+               THEN l_quantity::BIGINT END), 0)::BIGINT AS moved_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE '%bolt')
+      GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, count(*) AS n_excess_parts,
+           sum(avail_qty - moved_qty * 2)::BIGINT AS excess_qty
+    FROM ps, supplier, nation
+    WHERE avail_qty > moved_qty * 2 AND l_suppkey = s_suppkey
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    GROUP BY 1, 2
+    ORDER BY s_name"""
+
   /** A37 / TPC-H Q10 style: top customers by revenue lost to returned
     * items in one quarter — fact⋈fact on the order key, customer and
     * nation broadcast, TakeOrderedAndProject for the top 20.
@@ -1745,6 +1865,8 @@ object AnalyticsQueries {
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q9_profit" -> (q9Profit _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q16_part_suppliers" -> (q16PartSuppliers _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -1796,6 +1918,8 @@ object AnalyticsQueries {
     "q7_volume_shipping" -> q7VolumeShippingSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_profit" -> q9ProfitSql,
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q20_excess_suppliers" -> q20ExcessSuppliersSql,
     "q11_important_parts" -> q11ImportantPartsSql,
     "q16_part_suppliers" -> q16PartSuppliersSql,
     "q10_returned_items" -> q10ReturnedItemsSql,

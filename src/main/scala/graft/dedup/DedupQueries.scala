@@ -1168,7 +1168,60 @@ object DedupQueries {
       GROUP BY p.day)
     ORDER BY day"""
 
+  /** D20 pruning threshold: within-cluster pairs at cosine ≥ τ are
+    * semantic duplicates (matches D5's exact-verify threshold, so the
+    * two rungs are comparable on the same corpus).
+    */
+  val SemThreshold = 0.4
+
+  /** D20: semantic dedup — SemDeDup (Abbas et al. 2023): where D5
+    * finds pairs the LSH bands happen to propose, SemDeDup makes the
+    * candidate generation EXHAUSTIVE within a semantic region: cluster
+    * the embedding space first (the S2 label-mean assignment, k-row
+    * codebook broadcast), then compare ALL pairs within a cluster and
+    * prune every vector that has a smaller-id neighbor at cosine ≥ τ —
+    * the keep-one-representative rule, deterministically (keeper = the
+    * smallest qualifying neighbor id). Cross-cluster near-dups are the
+    * documented trade (the paper's too — recall is bounded by the
+    * clustering); the win is that pair mass drops from C(n,2) to
+    * Σ C(n_c,2), and at 100 TB k grows with the corpus so n_c stays
+    * bounded (plus D15's occupancy caps for pathological clusters).
+    * Both sides of the within-cluster self-join are O(corpus) — it
+    * carries the round-5 SHUFFLE_HASH discipline (a broadcast election
+    * from a static under-estimate would ship the corpus).
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val assigned = graft.CachedFrames.persist(
+      graft.sim.SimQueries.assignedVecs(s, dir))
+    assigned.select(col("cluster"), col("vec_id").as("keep_cand"),
+        col("vn").as("va"))
+      .hint("shuffle_hash")
+      .join(assigned.select(col("cluster"), col("vec_id"),
+        col("vn").as("vb")), Seq("cluster"))
+      .filter(col("keep_cand") < col("vec_id"))
+      .withColumn("cos", round(VectorFunctions.dot(col("va"), col("vb")), 6))
+      .filter(col("cos") >= SemThreshold)
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(col("keep_cand")).as("keeper"), max(col("cos")).as("max_cos"))
+      .select(col("vec_id").as("removed"), col("cluster"), col("keeper"),
+        col("max_cos"))
+      .orderBy(col("removed"))
+  }
+
+  val dedupSemanticSql: String = s"""
+    ${graft.sim.SimQueries.assignedSqlPrefix},
+    pairs AS (
+      SELECT b.vec_id, b.cluster, a.vec_id AS keep_cand,
+             round(list_dot_product(a.vn, b.vn), 6) AS cos
+      FROM assigned a JOIN assigned b ON a.cluster = b.cluster
+      WHERE a.vec_id < b.vec_id)
+    SELECT vec_id AS removed, cluster, min(keep_cand) AS keeper,
+           max(cos) AS max_cos
+    FROM pairs WHERE cos >= $SemThreshold
+    GROUP BY vec_id, cluster ORDER BY removed"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> (dedupSemantic _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
@@ -1188,6 +1241,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_semantic" -> dedupSemanticSql,
     "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

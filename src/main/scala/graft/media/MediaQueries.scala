@@ -408,7 +408,135 @@ object MediaQueries {
       <= $AhashRadius
     ORDER BY media_a, media_b"""
 
+  /** M9 scene cut: a frame starts a new scene when its 16-bit
+    * signature sits more than this many bits from the previous frame's.
+    */
+  val SceneCutBits = 6
+
+  /** M9: shot/scene-boundary detection — the video-curation step after
+    * M3's frame sampling: segment each media's frame sequence into
+    * scenes wherever consecutive frames stop resembling each other
+    * (PySceneDetect's content-detector shape). Frames here are SLIDING
+    * windows over the payload (step `seg`, width 4·seg — 75% overlap),
+    * so consecutive frames genuinely share content; each frame hashes
+    * to 16 bits the M8 way (one md5 per cell over the frame's OWN
+    * char-slice, bit = cell·16 > Σcells), making inter-frame hamming a
+    * real similarity signal rather than an avalanche. A cut fires where
+    * hamming > [[SceneCutBits]]; scene ids are the running cut count
+    * (one per-media window — frames per media are bounded, so the
+    * partition-local sort is O(frames) however large the corpus, and
+    * media are embarrassingly parallel). Output is the scene ledger a
+    * clip-extraction pipeline consumes: per scene, its frame range and
+    * the hamming that opened it. DuckDB reproduces hash, lag, and
+    * running sum exactly — the gate checks the whole segmentation.
+    */
+  private[media] def scenesOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = docs
+      .select(col("media_id"), col("text"),
+        length(col("text")).as("len"))
+      .withColumn("n_frames", (col("len") % 9 + 4).cast("int"))
+      .withColumn("seg", greatest(lit(1L), expr("len div (n_frames + 3)")))
+      .select(col("media_id"), col("text"), col("seg"),
+        explode(expr("sequence(1, n_frames)")).as("frame_idx"))
+      .withColumn("fwin", expr(
+        "substring(text, cast((frame_idx-1)*seg+1 as int), " +
+          "cast(4*seg as int))"))
+      .withColumn("cs", greatest(lit(1L),
+        expr("cast((length(fwin) + 15) div 16 as bigint)")))
+      .withColumn("px", expr(
+        "transform(sequence(1, 16), i -> cast(conv(substring(md5(" +
+          "substring(fwin, cast((i-1)*cs+1 as int), cast(cs as int))), " +
+          "1, 2), 16, 10) as long))"))
+      .withColumn("psum", expr("aggregate(px, 0L, (acc, x) -> acc + x)"))
+      .withColumn("fhash", expr(
+        "concat_ws('', transform(px, x -> " +
+          "case when x * 16 > psum then '1' else '0' end))"))
+      .select(col("media_id"), col("frame_idx"), col("fhash"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("prev", lag(col("fhash"), 1).over(w))
+      .withColumn("hamming", when(col("prev").isNull, lit(null))
+        .otherwise(expr("cast(size(filter(sequence(1, 16), i -> " +
+          "substring(fhash, i, 1) != substring(prev, i, 1))) as bigint)")))
+      .withColumn("cut",
+        when(col("prev").isNull.or(col("hamming") > SceneCutBits), 1L)
+          .otherwise(0L))
+      .withColumn("scene_id", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).cast("long").as("start_frame"),
+        max(col("frame_idx")).cast("long").as("end_frame"),
+        count(lit(1)).as("n_scene_frames"),
+        max(when(col("cut") === 1L, coalesce(col("hamming"), lit(0L))))
+          .as("cut_hamming"))
+      .orderBy(col("media_id"), col("scene_id"))
+  }
+
+  def mediaScenes(s: SparkSession, dir: String): DataFrame =
+    scenesOn(Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text")))
+
+  val mediaScenesSql: String = s"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS len,
+             (length(text) % 9 + 4)::INT AS n_frames
+      FROM documents),
+    fr AS (
+      SELECT media_id, text,
+             greatest(1, len // (n_frames + 3)) AS seg,
+             unnest(range(1, n_frames + 1)) AS frame_idx
+      FROM m),
+    fw AS (
+      SELECT media_id, frame_idx,
+             substring(text, ((frame_idx-1)*seg+1)::INT, (4*seg)::INT)
+               AS fwin
+      FROM fr),
+    px AS (
+      SELECT media_id, frame_idx,
+             list_transform(range(1, 17), i ->
+               ('0x' || substring(md5(substring(fwin,
+                 ((i-1)*cs+1)::INT, cs::INT)), 1, 2))::BIGINT) AS px
+      FROM (SELECT media_id, frame_idx, fwin,
+                   greatest(1, (length(fwin) + 15) // 16) AS cs
+            FROM fw)),
+    h AS (
+      SELECT media_id, frame_idx,
+             array_to_string(list_transform(px, x ->
+               CASE WHEN x * 16 > psum THEN '1' ELSE '0' END), '') AS fhash
+      FROM (SELECT media_id, frame_idx, px,
+                   list_sum(px)::BIGINT AS psum FROM px)),
+    lagged AS (
+      SELECT media_id, frame_idx, fhash,
+             lag(fhash) OVER (PARTITION BY media_id ORDER BY frame_idx)
+               AS prev
+      FROM h),
+    cuts AS (
+      SELECT media_id, frame_idx,
+             CASE WHEN prev IS NULL THEN NULL
+                  ELSE len(list_filter(range(1, 17), i ->
+                    fhash[i] != prev[i]))::BIGINT END AS hamming,
+             CASE WHEN prev IS NULL OR
+                    len(list_filter(range(1, 17), i -> fhash[i] != prev[i]))
+                      > $SceneCutBits
+                  THEN 1 ELSE 0 END AS cut
+      FROM lagged),
+    scenes AS (
+      SELECT media_id, frame_idx, hamming, cut,
+             sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS scene_id
+      FROM cuts)
+    SELECT media_id, scene_id,
+           min(frame_idx)::BIGINT AS start_frame,
+           max(frame_idx)::BIGINT AS end_frame,
+           count(*) AS n_scene_frames,
+           max(CASE WHEN cut = 1 THEN coalesce(hamming, 0) END)::BIGINT
+             AS cut_hamming
+    FROM scenes GROUP BY media_id, scene_id
+    ORDER BY media_id, scene_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_scenes" -> (mediaScenes _),
     "media_ahash_dedup" -> (mediaAhashDedup _),
     "media_cdc_bytes" -> (mediaCdcBytes _),
     "media_cdc_dedup" -> (mediaCdcDedup _),
@@ -422,6 +550,7 @@ object MediaQueries {
     * boundary gets the driver's rows-only check + MediaSpec.
     */
   def oracles: Map[String, String] = Map(
+    "media_scenes" -> mediaScenesSql,
     "media_ahash_dedup" -> mediaAhashDedupSql,
     "media_cdc_bytes" -> mediaCdcBytesSql,
     "media_cdc_dedup" -> mediaCdcDedupSql,

@@ -39,6 +39,31 @@ object SimQueries {
                                    embedding::DOUBLE[]))) AS vn,
        label FROM embeddings"""
 
+  /** (vec_id, vn, cluster) for every vector under its nearest
+    * label-mean centroid — the S2 assignment step, exposed for the
+    * SemDeDup composition (D20) which clusters FIRST and compares
+    * only within a cluster.
+    */
+  private[graft] def assignedVecs(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    e.select(col("vec_id"), col("vn"), bestClusterCol(cents).as("cluster"))
+  }
+
+  /** The matching oracle prefix: `WITH e, cent, assigned` — the same
+    * assignment text every IVF-family oracle opens with.
+    */
+  private[graft] lazy val assignedSqlPrefix: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1)"""
+
   /** S1: exact cosine top-k for each query vector.
     *
     * The 100 TB brute-force shape: the (small, bounded) query block is

@@ -365,4 +365,38 @@ class DedupSpec extends AnyFunSuite {
         s"capped cluster $canon spans uncapped clusters $parents")
     }
   }
+
+  test("semantic dedup equals an independent local within-cluster " +
+    "recompute; keeper precedes removed; no cross-cluster pruning") {
+    import org.apache.spark.sql.functions._
+    val assigned = graft.sim.SimQueries.assignedVecs(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getInt(2)))
+    val out = DedupQueries.dedupSemantic(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(out.nonEmpty)
+    // independent recompute over the collected (500 x 64) corpus
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byCluster = assigned.groupBy(_._3)
+    val expected = byCluster.values.flatMap { vs =>
+      val sorted = vs.sortBy(_._1)
+      sorted.flatMap { case (id, v, c) =>
+        val smaller = sorted.filter(_._1 < id)
+          .map { case (oid, ov, _) => (oid, cos(ov, v)) }
+          .filter(_._2 >= DedupQueries.SemThreshold)
+        if (smaller.isEmpty) None
+        else Some((id, c, smaller.map(_._1).min, smaller.map(_._2).max))
+      }
+    }.toSet
+    val got = out.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    out.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), "keeper must precede removed")
+    }
+  }
 }

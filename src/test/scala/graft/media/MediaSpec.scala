@@ -142,4 +142,40 @@ class MediaSpec extends AnyFunSuite {
     assert(fixedShared === 0L,
       s"fixed windows unexpectedly aligned: $fixedShared")
   }
+
+  test("scene detection: uniform media is one scene, a planted texture " +
+    "change cuts, scenes partition the frame range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // uniform texture → every sliding window hashes identically → one
+    // scene (a flat image aHashes to all-zeros; so does every other
+    // flat image — the cut signal is TEXTURE change, which is exactly
+    // what the two-phase doc plants: xy-texture then qz-texture)
+    val docs = Seq(
+      (1L, "a" * 300),
+      (2L, "xy" * 100 + "qz" * 100)).toDF("media_id", "text")
+    val scenes = MediaQueries.scenesOn(docs).collect()
+    val uni = scenes.filter(_.getLong(0) == 1L)
+    assert(uni.length === 1, s"uniform media split: ${uni.toSeq}")
+    val two = scenes.filter(_.getLong(0) == 2L)
+    assert(two.length === 2, s"texture change missed: ${two.toSeq}")
+    assert(two.forall(r => r.isNullAt(5) || r.getLong(5) >
+      MediaQueries.SceneCutBits || r.getLong(1) == 1L))
+    // on the real corpus: per media, scene ids are 1..K and scenes
+    // tile the frame range contiguously (start of k+1 = end of k + 1)
+    val real = MediaQueries.mediaScenes(spark, dir).collect()
+    real.groupBy(_.getLong(0)).values.foreach { ss =>
+      val sorted = ss.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) === 1L)
+      assert(sorted.head.getLong(2) === 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) === a.getLong(1) + 1)
+          assert(b.getLong(2) === a.getLong(3) + 1)
+        case _ =>
+      }
+      sorted.foreach(s =>
+        assert(s.getLong(3) - s.getLong(2) + 1 === s.getLong(4)))
+    }
+  }
 }
