@@ -806,7 +806,95 @@ object PipelineQueries {
     FROM pairs JOIN vocab USING (prev, cur)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** P17 feature-space size and selection size. */
+  val DsirBuckets = 1024
+  val DsirTopK = 100
+
+  /** P17: data selection by importance resampling — the DSIR recipe
+    * (Xie et al. 2023): pick from a raw corpus the documents that look
+    * most like a TARGET distribution, scored under two bag-of-hashed-
+    * n-gram unigram models. Features are hashed bigrams (md5 → one of
+    * [[DsirBuckets]] buckets — the paper's hashing trick, which bounds
+    * the model at B counters however large the corpus vocabulary);
+    * both models are Laplace-smoothed bucket frequencies; a document's
+    * importance weight is Σ over its features of
+    * ln(p_target(b)/p_raw(b)). Everything is exact until one double
+    * division: per bucket, the log's argument is
+    * ((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B)) — a ratio of exact BIGINT
+    * products, so both engines feed ln the identical double and the
+    * micro-quantized weight matches bit-for-bit (the T11 discipline).
+    * Per-doc scores are then order-free BIGINT sums; selection is the
+    * deterministic top-[[DsirTopK]] by (score, doc_id). Scale shape:
+    * feature hashing is a narrow map, the model is two B-bounded
+    * aggregates collected once (≤ B rows — a codebook-sized literal),
+    * scoring is a broadcast join of that B-row table, and only the
+    * k-row selection sorts (TakeOrdered, not a full sort).
+    */
+  private[pipeline] def dsirOn(docs: DataFrame, target: String): DataFrame = {
+    val feats = graft.CachedFrames.persist(docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "concat(element_at(w, i), ' ', element_at(w, i+1)))")).as("bg"))
+      .withColumn("bucket", expr(
+        s"cast(conv(substring(md5(bg), 1, 7), 16, 10) as bigint) " +
+          s"% $DsirBuckets")))
+    val model = graft.CachedFrames.persist(
+      feats.groupBy(col("bucket")).agg(
+        count(lit(1)).as("cr"),
+        coalesce(sum(when(col("source") === target, 1L)), lit(0L))
+          .as("ct")))
+    val tot = model.agg(
+      coalesce(sum(col("cr")), lit(0L)),
+      coalesce(sum(col("ct")), lit(0L))).head()
+    val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+    val lam = model.withColumn("lam_micro",
+      round(log(((col("ct") + 1L) * lit(nr + DsirBuckets)).cast("double") /
+        ((col("cr") + 1L) * lit(nt + DsirBuckets)).cast("double")) * 1e6, 0)
+        .cast("long"))
+      .select(col("bucket"), col("lam_micro"))
+    feats.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("lam_micro")).as("score_micro"),
+        count(lit(1)).as("n_feats"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirOn(Tables.documents(s, dir), "src0")
+
+  val dsirSelectSql: String = s"""
+    WITH f AS (
+      SELECT doc_id, source,
+             ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 7))::BIGINT
+               % $DsirBuckets AS bucket
+      FROM (SELECT doc_id, source, w, unnest(range(1, len(w))) AS i
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 2)),
+    model AS (
+      SELECT bucket, count(*) AS cr,
+             coalesce(sum(CASE WHEN source = 'src0' THEN 1 END), 0) AS ct
+      FROM f GROUP BY 1),
+    tot AS (
+      SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM model),
+    lam AS (
+      SELECT bucket,
+             CAST(round(ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)
+               / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) * 1e6, 0)
+               AS BIGINT) AS lam_micro
+      FROM model, tot)
+    SELECT doc_id, source, sum(lam_micro)::BIGINT AS score_micro,
+           count(*) AS n_feats
+    FROM f JOIN lam USING (bucket)
+    GROUP BY 1, 2
+    ORDER BY score_micro DESC, doc_id
+    LIMIT $DsirTopK"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_select" -> (dsirSelect _),
     "pii_scrub" -> (piiScrub _),
     "text_bigram_lm" -> (textBigramLm _),
     "stratified_sample" -> (stratifiedSample _),
@@ -824,6 +912,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "dsir_select" -> dsirSelectSql,
     "data_alpha_mix" -> dataAlphaMixSql,
     "source_overlap" -> sourceOverlapSql,
     "sketch_kmv" -> sketchKmvSql,

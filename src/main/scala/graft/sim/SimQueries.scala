@@ -2066,7 +2066,74 @@ object SimQueries {
     rankTopK(seen)
   }
 
+  /** S18: ANN recall-evaluation harness — the operator a serving team
+    * runs before choosing an index: every SQL-expressible ANN method
+    * in the suite scored against the brute-force truth in ONE query.
+    * Per method: pairs emitted, pairs agreeing with the exact top-k
+    * (a broadcast semi-probe of the |Q|·k truth set — 50 rows however
+    * large the corpus), and recall in integer micro units (hits·10⁶
+    * div truth — no engine divides a float). The methods re-run their
+    * own serving pipelines unchanged, so this measures the REAL
+    * operators, and the DuckDB oracle restates all seven pipelines as
+    * nested CTE blocks — the recall numbers themselves hash-match.
+    * (Graph ANN is recall-spec'd in SimSpec instead: its traversal has
+    * no SQL face.) The harness is also the honest scoreboard for the
+    * refine story: at this deliberately coarse codebook resolution the
+    * raw ADC rankings score near zero on exact-top-5 agreement while
+    * the S16/S17 refine cascades repair them — measured, not argued.
+    */
+  def knnRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val brute = knnBrute(s, dir).select(col("q_id"), col("neighbor"))
+      .withColumn("istrue", lit(1L))
+    val methods = Seq(
+      ("ivf", knnIvf(s, dir)),
+      ("lsh", knnLsh(s, dir)),
+      ("pq_adc", knnPqAdc(s, dir)),
+      ("ivfpq", knnIvfPq(s, dir)),
+      ("pq_refine", knnPqRefine(s, dir)),
+      ("ivfpq_refine", knnIvfPqRefine(s, dir)))
+    val union = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("q_id"), col("neighbor"))
+    }.reduce(_ unionByName _)
+    val nTruth = NumQueries.toLong * TopK
+    union.join(broadcast(brute), Seq("q_id", "neighbor"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("istrue")), lit(0L)).as("hits"))
+      .withColumn("n_truth", lit(nTruth))
+      .withColumn("recall_micro", expr("hits * 1000000L div n_truth"))
+      .orderBy(col("method"))
+  }
+
+  val knnRecallEvalSql: String = s"""
+    WITH brute AS (SELECT q_id, neighbor FROM ($knnBruteSql)),
+    m_ivf AS (SELECT q_id, neighbor FROM ($knnIvfSql)),
+    m_lsh AS (SELECT q_id, neighbor FROM ($knnLshSql)),
+    m_adc AS (SELECT q_id, neighbor FROM ($knnPqAdcSql)),
+    m_ivfpq AS (SELECT q_id, neighbor FROM ($knnIvfPqSql)),
+    m_pqref AS (SELECT q_id, neighbor FROM ($knnPqRefineSql)),
+    m_ivfpqref AS (SELECT q_id, neighbor FROM ($knnIvfPqRefineSql)),
+    u AS (
+      SELECT 'ivf' AS method, q_id, neighbor FROM m_ivf
+      UNION ALL SELECT 'lsh', q_id, neighbor FROM m_lsh
+      UNION ALL SELECT 'pq_adc', q_id, neighbor FROM m_adc
+      UNION ALL SELECT 'ivfpq', q_id, neighbor FROM m_ivfpq
+      UNION ALL SELECT 'pq_refine', q_id, neighbor FROM m_pqref
+      UNION ALL SELECT 'ivfpq_refine', q_id, neighbor FROM m_ivfpqref)
+    SELECT u.method, count(*) AS n_pairs,
+           coalesce(sum(CASE WHEN b.neighbor IS NOT NULL THEN 1 END),
+             0)::BIGINT AS hits,
+           ${NumQueries.toLong * TopK} AS n_truth,
+           (coalesce(sum(CASE WHEN b.neighbor IS NOT NULL THEN 1 END),
+             0) * 1000000 // ${NumQueries.toLong * TopK})::BIGINT
+             AS recall_micro
+    FROM u LEFT JOIN brute b
+      ON u.q_id = b.q_id AND u.neighbor = b.neighbor
+    GROUP BY u.method
+    ORDER BY u.method"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_recall_eval" -> (knnRecallEval _),
     "knn_graph" -> (knnGraph _),
     "knn_graph_hnsw" -> (knnGraphHnsw _),
     "knn_brute" -> (knnBrute _),
@@ -2089,6 +2156,7 @@ object SimQueries {
       ((s: SparkSession, d: String) => knnIvfPqResidualProbe(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "knn_recall_eval" -> knnRecallEvalSql,
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,

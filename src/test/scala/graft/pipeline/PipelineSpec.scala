@@ -189,4 +189,34 @@ class PipelineSpec extends AnyFunSuite {
       s"sketch detected only $detected of ${big.length} overlapping pairs")
     graft.CachedFrames.releaseAll()
   }
+
+  test("DSIR selection ranks target-distribution lookalikes above " +
+    "disjoint-vocabulary decoys, deterministically") {
+    import spark.implicits._
+    // target docs define a bigram vocabulary; lookalikes reuse it with
+    // different word order (different bigrams, SAME hashed buckets for
+    // the shared pairs); decoys use a disjoint vocabulary entirely
+    val tgt = (1 to 5).map(i =>
+      (100L + i, "alpha beta gamma delta alpha beta gamma", "t"))
+    val like = (1 to 8).map(i =>
+      (200L + i, "beta gamma delta alpha beta gamma delta", "raw"))
+    val decoy = (1 to 8).map(i =>
+      (300L + i, "zig zag quux corge zig zag quux", "raw"))
+    val docs = (tgt ++ like ++ decoy).toDF("doc_id", "text", "source")
+    val out = PipelineQueries.dsirOn(docs, "t").collect()
+    graft.CachedFrames.releaseAll()
+    assert(out.length === 21)
+    val score = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val likeMin = (101L to 105L).map(score).min min
+      (201L to 208L).map(score).min
+    val decoyMax = (301L to 308L).map(score).max
+    assert(likeMin > decoyMax,
+      s"lookalike floor $likeMin did not beat decoy ceiling $decoyMax")
+    // n_feats = bigram occurrences = words - 1
+    out.foreach(r => assert(r.getLong(3) === 6L))
+    // deterministic: a second run reproduces the selection exactly
+    val again = PipelineQueries.dsirOn(docs, "t").collect()
+    graft.CachedFrames.releaseAll()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }

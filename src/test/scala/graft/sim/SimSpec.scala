@@ -582,4 +582,39 @@ class SimSpec extends AnyFunSuite {
     assert(refineHits.size > adcHits.size,
       "refine did not improve recall over ADC at this resolution")
   }
+
+  test("recall eval harness agrees with an independent per-method " +
+    "recomputation and reports all methods") {
+    val eval = SimQueries.knnRecallEval(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(eval.map(_.getString(0)).sorted.toSeq ===
+      Seq("ivf", "ivfpq", "ivfpq_refine", "lsh", "pq_adc", "pq_refine"))
+    val truth = topn(SimQueries.knnBrute(spark, dir), SimQueries.TopK)
+    val byName = Map(
+      "ivf" -> SimQueries.knnIvf(spark, dir),
+      "lsh" -> SimQueries.knnLsh(spark, dir),
+      "pq_adc" -> SimQueries.knnPqAdc(spark, dir),
+      "ivfpq" -> SimQueries.knnIvfPq(spark, dir),
+      "pq_refine" -> SimQueries.knnPqRefine(spark, dir),
+      "ivfpq_refine" -> SimQueries.knnIvfPqRefine(spark, dir))
+    val recall = eval.map(r => r.getString(0) -> r.getLong(2)).toMap
+    eval.foreach { r =>
+      val m = r.getString(0)
+      val pairs = topn(byName(m), SimQueries.TopK)
+      assert(r.getLong(1) === pairs.size.toLong, s"$m n_pairs")
+      assert(r.getLong(2) === (pairs intersect truth).size.toLong,
+        s"$m hits")
+      assert(r.getLong(3) === truth.size.toLong)
+      assert(r.getLong(4) ===
+        r.getLong(2) * 1000000L / truth.size, s"$m recall_micro")
+      assert(r.getLong(4) <= 1000000L)
+    }
+    // the bucket methods recall; the refine cascades repair their raw
+    // ADC counterparts (the S16/S17 claim, here as measured numbers)
+    assert(recall("ivf") > 0L && recall("lsh") > 0L)
+    assert(recall("pq_refine") > recall("pq_adc"))
+    assert(recall("ivfpq_refine") >= recall("ivfpq"))
+    assert(recall("pq_refine") > 0L && recall("ivfpq_refine") > 0L)
+    graft.CachedFrames.releaseAll()
+  }
 }
