@@ -893,7 +893,61 @@ object PipelineQueries {
     ORDER BY score_micro DESC, doc_id
     LIMIT $DsirTopK"""
 
+  /** P18: leakage-free eval split — the composition every benchmark
+    * postmortem wishes had run: P1's hash split assigns docs
+    * INDEPENDENTLY, so two near-duplicates can land in train and test
+    * and leak the answer across the boundary. The fix is to split by
+    * the duplicate CLUSTER, not the doc: every member of a D6
+    * component inherits its canonical's split, so a near-dup pair can
+    * never straddle (they share a canonical by construction — the
+    * property the spec asserts over every verified near-dup edge).
+    * Singleton docs keep their own hash split unchanged, so this
+    * composes with P1 at zero cost outside the dup graph (≪ corpus);
+    * the one extra join is against the D6 label frame, sized to the
+    * dup set. Output = the reassignment ledger: each clustered doc,
+    * its canonical, the split it would have gotten alone, the split it
+    * inherits, and whether it moved.
+    */
+  def splitLeakageFree(s: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val b = conv(substring(md5(c.cast("string")), 1, 7), 16, 10)
+        .cast("long") % 100
+      when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+    }
+    graft.dedup.DedupQueries.dedupClusters(s, dir)
+      .select(col("doc_id"), col("canonical"),
+        splitOf(col("doc_id")).as("own_split"),
+        splitOf(col("canonical")).as("split"))
+      .withColumn("moved",
+        when(col("own_split") =!= col("split"), 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  val splitLeakageFreeSql: String = s"""
+    WITH cl AS (${graft.dedup.DedupQueries.dedupClustersSql}),
+    sp AS (
+      SELECT doc_id, canonical,
+             ('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+               % 100 AS bo,
+             ('0x' || substring(md5(canonical::VARCHAR), 1, 7))::BIGINT
+               % 100 AS bc
+      FROM cl)
+    SELECT doc_id, canonical,
+           CASE WHEN bo < 80 THEN 'train' WHEN bo < 90 THEN 'validation'
+                ELSE 'test' END AS own_split,
+           CASE WHEN bc < 80 THEN 'train' WHEN bc < 90 THEN 'validation'
+                ELSE 'test' END AS split,
+           CASE WHEN (CASE WHEN bo < 80 THEN 'train'
+                           WHEN bo < 90 THEN 'validation'
+                           ELSE 'test' END) !=
+                     (CASE WHEN bc < 80 THEN 'train'
+                           WHEN bc < 90 THEN 'validation'
+                           ELSE 'test' END)
+                THEN 1 ELSE 0 END::BIGINT AS moved
+    FROM sp ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "split_leakage_free" -> (splitLeakageFree _),
     "dsir_select" -> (dsirSelect _),
     "pii_scrub" -> (piiScrub _),
     "text_bigram_lm" -> (textBigramLm _),
@@ -912,6 +966,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "split_leakage_free" -> splitLeakageFreeSql,
     "dsir_select" -> dsirSelectSql,
     "data_alpha_mix" -> dataAlphaMixSql,
     "source_overlap" -> sourceOverlapSql,

@@ -213,7 +213,18 @@ object SimQueries {
       bestClusterCol(cents).as("cluster"))
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
-    val scored = q.join(assign, Seq("cluster"))
+    serveAgainst(q, assign).orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The IVF serving core, shared by the batch gate and the R19
+    * streaming face: score a query block (q_id, qvn, cluster) against
+    * the static assigned corpus — probe-list equi-join, exact cosine,
+    * per-query top-k. Pure frame→frame, so it runs unchanged inside a
+    * foreachBatch micro-batch (stream-static join) or a batch plan.
+    */
+  private[graft] def serveAgainst(q: DataFrame, assigned: DataFrame)
+  : DataFrame = {
+    val scored = q.join(assigned, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))
@@ -222,7 +233,21 @@ object SimQueries {
       .filter(col("rank") <= TopK)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
         col("cos"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** R19 support: a reusable closure assigning arbitrary query vectors
+    * (q_id, v) to their probe cluster with the SAME literal codebook
+    * the corpus assignment used. The codebook collects ONCE (offline,
+    * like the index build); the returned function is a narrow
+    * stream-safe projection applied per micro-batch.
+    */
+  private[graft] def queryAssigner(s: SparkSession, dir: String)
+  : DataFrame => DataFrame = {
+    val cents = collectCents(vecs(s, dir))
+    (q: DataFrame) =>
+      q.withColumn("vn", normalize(col("v")))
+        .withColumn("cluster", bestClusterCol(cents))
+        .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
   }
 
   /** S2b: IVF over the TRAINED k-means codebook (E12) — one Lloyd

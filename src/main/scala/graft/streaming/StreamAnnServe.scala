@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** R19: streaming ANN serving — the query-side streaming face of the
+  * IVF stack (S2). The batch gates stream the CORPUS past static
+  * queries; production vector search is the transpose: the index is
+  * static (built offline), QUERIES arrive continuously, and each must
+  * be answered from the live index without a batch job.
+  *
+  * Topology: the k-row codebook collects once at start-up (part of the
+  * offline index build, the knnIvf shape); each micro-batch assigns
+  * its queries to probe clusters in one narrow projection (a literal-
+  * codebook argmax — no join, no shuffle, safe on a streaming frame)
+  * and then pays exactly one stream-static equi-join against the
+  * assigned corpus, scored by the SAME serving core the batch gate
+  * runs ([[graft.sim.SimQueries.serveAgainst]]). Because assignment
+  * and scoring are deterministic functions of (query, static index),
+  * the streamed answer set is BIT-IDENTICAL to the batch serving for
+  * the same queries under ANY trigger packing — the spec's claim.
+  *
+  * State: none. Serving is stateless per batch — the index is the
+  * state, and it lives outside the stream (at 100 TB: a bucketed
+  * cluster-keyed table, so each trigger's join touches only the probe
+  * lists its queries hash to). Per-trigger cost is proportional to the
+  * batch's probe-list volume, independent of stream history.
+  */
+object StreamAnnServe {
+
+  /** Start serving `queries` (a streaming frame of (q_id BIGINT,
+    * v ARRAY<DOUBLE>)) against the static IVF index over `dir`'s
+    * embeddings. Each micro-batch's top-k frame is handed to `sink`
+    * (the serving store / response channel).
+    */
+  def serve(s: SparkSession, dir: String, queries: DataFrame,
+      checkpoint: String)(sink: DataFrame => Unit): StreamingQuery = {
+    val assigned = graft.CachedFrames.persist(
+      graft.sim.SimQueries.assignedVecs(s, dir))
+    val assign = graft.sim.SimQueries.queryAssigner(s, dir)
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          sink(graft.sim.SimQueries.serveAgainst(assign(b.toDF()), assigned))
+          ()
+      }.start()
+  }
+}

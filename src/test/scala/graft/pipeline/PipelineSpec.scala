@@ -219,4 +219,30 @@ class PipelineSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("leakage-free split: no verified near-dup pair straddles a " +
+    "split boundary, and the naive per-doc split would have") {
+    val out = PipelineQueries.splitLeakageFree(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val split = out.map(r => r.getLong(0) -> r.getString(3)).toMap
+    val edges = graft.dedup.DedupQueries.dedupJaccard(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(edges.nonEmpty)
+    edges.foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      (split.get(a), split.get(b)) match {
+        case (Some(sa), Some(sb)) =>
+          assert(sa === sb, s"near-dup pair ($a,$b) straddles $sa/$sb")
+        case other =>
+          fail(s"near-dup pair ($a,$b) missing from the ledger: $other")
+      }
+    }
+    // the ledger proves the fix was needed: some doc's naive split
+    // differed from its cluster split
+    assert(out.exists(_.getLong(4) == 1L),
+      "no doc moved — the leakage scenario never arose in this corpus")
+    // canonicals keep their own split (canonical splits by its own id)
+    out.filter(r => r.getLong(0) == r.getLong(1))
+      .foreach(r => assert(r.getString(2) === r.getString(3)))
+  }
 }

@@ -1003,4 +1003,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.map(_(5)).distinct.size >= 3,
       "corpus slice too uniform: verdict variety not exercised")
   }
+
+  test("R19: streamed ANN serving is bit-identical to the batch IVF " +
+    "serving for the same queries, under any trigger packing") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    // the batch gate's own query block, split across three arrival
+    // waves (file stream, one file per trigger)
+    val qRows = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < graft.sim.SimQueries.NumQueries)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val qdir = tmp()
+    qRows.grouped(4).zipWithIndex.foreach { case (wave, i) =>
+      val stage = tmp()
+      wave.toSeq.toDF("q_id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(qdir, f"wave$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(qdir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(qdir)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    val sq = StreamAnnServe.serve(spark, dir0, stream, tmp()) { out =>
+      out.collect().foreach(r => results.add(r.toSeq))
+      ()
+    }
+    sq.processAllAvailable(); sq.stop()
+    graft.CachedFrames.releaseAll()
+    val batch = graft.sim.SimQueries.knnIvf(spark, dir0).collect()
+      .map(_.toSeq)
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.toSet === batch.toSet,
+      "streamed serving diverged from the batch IVF gate")
+    assert(results.size === batch.length, "duplicate or dropped answers")
+  }
 }
