@@ -165,6 +165,27 @@ class PlanSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("dedup_semantic: the within-cluster self-join stays shuffled " +
+    "(both sides are the O(corpus) assigned-vector frame)") {
+    val p = plan("dedup_semantic")
+    val broadcastOnCluster = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.matches(".*\\[cluster.*"))
+    assert(!broadcastOnCluster, s"semantic cluster self-join broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("dsir_select: the B-row weight table broadcasts; the corpus " +
+    "feature stream never does") {
+    val p = plan("dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"dsir weight join lost its broadcast:\n$p")
+    // the scoring join's build side must be the bucket weight table
+    // (≤ B rows), never the exploded corpus feature stream
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("approx_count_distinct (HLL++) lands within its error bound") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
