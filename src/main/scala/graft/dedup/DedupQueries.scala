@@ -98,7 +98,7 @@ object DedupQueries {
       FROM kept a JOIN kept b ON a.shingle = b.shingle
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
     jp AS (
-      SELECT doc_a, doc_b, c,
+      SELECT doc_a, doc_b, c, na.n AS na, nb.n AS nb,
              round(c / (na.n + nb.n - c), 6) AS jaccard
       FROM pairs JOIN counts na ON na.doc_id = doc_a
                  JOIN counts nb ON nb.doc_id = doc_b)"""
@@ -1168,6 +1168,53 @@ object DedupQueries {
       GROUP BY p.day)
     ORDER BY day"""
 
+  /** D21 threshold: the smaller doc must have ≥ 80% of its shingles
+    * inside the bigger one.
+    */
+  val ContainmentMicro = 800000L
+
+  /** D21: containment detection — the asymmetric near-dup Jaccard
+    * structurally misses: a short document quoted wholesale inside a
+    * long one has jaccard ≈ |A|/|B| (tiny) but containment
+    * |A∩B|/|A| ≈ 1. That is the quotation/boilerplate-inclusion case a
+    * curation pipeline must catch separately (the MinHash paper's
+    * original motivation distinguished resemblance from containment).
+    * Candidates come from the SAME df-capped inverted-index join as D2
+    * — a pair sharing ≥80% of the small side's shingles certainly
+    * shares one — so the edge build is shared work, and containment is
+    * pure integer arithmetic over the pair's (c, na, nb):
+    * cont_micro = c·10⁶ div min(na,nb), no division an engine can
+    * round differently. Output orients each pair small→big and keeps
+    * jaccard beside containment so the asymmetric cases (high cont,
+    * low jac) are visible — the rows D2 at 0.5 would have dropped.
+    */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(Tables.documents(s, dir)))
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("n_big", greatest(col("na"), col("nb")))
+      .withColumn("cont_micro", expr("c * 1000000 div n_small"))
+      .filter(col("cont_micro") >= ContainmentMicro)
+      .withColumn("doc_small",
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("doc_big",
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a")))
+      .select(col("doc_small"), col("doc_big"), col("c").as("shared"),
+        col("n_small"), col("n_big"), col("cont_micro"), col("jaccard"))
+      .orderBy(col("doc_small"), col("doc_big"))
+
+  val dedupContainmentSql: String = s"""
+    WITH $jaccardPairsSql
+    SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_small,
+           CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_big,
+           c AS shared,
+           least(na, nb) AS n_small,
+           greatest(na, nb) AS n_big,
+           (c * 1000000 // least(na, nb))::BIGINT AS cont_micro,
+           jaccard
+    FROM jp
+    WHERE c * 1000000 // least(na, nb) >= $ContainmentMicro
+    ORDER BY doc_small, doc_big"""
+
   /** D20 pruning threshold: within-cluster pairs at cosine ≥ τ are
     * semantic duplicates (matches D5's exact-verify threshold, so the
     * two rungs are comparable on the same corpus).
@@ -1221,6 +1268,7 @@ object DedupQueries {
     GROUP BY vec_id, cluster ORDER BY removed"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_containment" -> (dedupContainment _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
@@ -1241,6 +1289,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,

@@ -430,9 +430,11 @@ object MediaQueries {
     * the hamming that opened it. DuckDB reproduces hash, lag, and
     * running sum exactly — the gate checks the whole segmentation.
     */
-  private[media] def scenesOn(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val frames = docs
+  /** M9 stage 1: the per-frame 16-bit locality-real hash stream —
+    * also the input contract of the R20 streaming face.
+    */
+  private[graft] def frameHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("media_id"), col("text"),
         length(col("text")).as("len"))
       .withColumn("n_frames", (col("len") % 9 + 4).cast("int"))
@@ -453,6 +455,12 @@ object MediaQueries {
         "concat_ws('', transform(px, x -> " +
           "case when x * 16 > psum then '1' else '0' end))"))
       .select(col("media_id"), col("frame_idx"), col("fhash"))
+
+  /** M9 stage 2: segment a (media_id, frame_idx, fhash) stream into
+    * scenes — the batch twin of the R20 stateful face.
+    */
+  private[graft] def scenesFromHashes(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
     frames
       .withColumn("prev", lag(col("fhash"), 1).over(w))
@@ -472,6 +480,9 @@ object MediaQueries {
           .as("cut_hamming"))
       .orderBy(col("media_id"), col("scene_id"))
   }
+
+  private[media] def scenesOn(docs: DataFrame): DataFrame =
+    scenesFromHashes(frameHashes(docs))
 
   def mediaScenes(s: SparkSession, dir: String): DataFrame =
     scenesOn(Tables.documents(s, dir)

@@ -946,7 +946,68 @@ object PipelineQueries {
                 THEN 1 ELSE 0 END::BIGINT AS moved
     FROM sp ORDER BY doc_id"""
 
+  /** P19: quality-weighted corpus selection — the soft version of P2's
+    * hard filter chain, and the shape recent curation pipelines
+    * actually run: instead of dropping low-quality documents outright,
+    * keep them at a reduced sampling rate (high keeps everything, mid
+    * half, low a residual 10% — low-quality text still teaches
+    * robustness, just not at full corpus weight). The T2 composite
+    * score (reused verbatim — one signal, two consumers) bands each
+    * doc at its 6dp-rounded value, so band edges compare identical
+    * doubles in both engines; the keep decision is P5's salted-md5
+    * bucket rule — a pure narrow map, re-shard-stable, no RNG state.
+    * The whole operator is one codegen projection plus a
+    * (bands × sources)-bounded aggregate: nothing about quality-aware
+    * selection needs a shuffle of the corpus.
+    */
+  def qualityMix(s: SparkSession, dir: String): DataFrame =
+    graft.text.TextQueries.withQuality(Tables.documents(s, dir))
+      .withColumn("band",
+        when(col("quality") >= 0.5, "high")
+          .when(col("quality") >= 0.3, "mid").otherwise("low"))
+      .withColumn("rate",
+        when(col("band") === "high", 100L)
+          .when(col("band") === "mid", 50L).otherwise(10L))
+      .withColumn("b",
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":qual"))), 1, 7), 16, 10).cast("long") % 100)
+      .withColumn("kept",
+        when(col("b") < col("rate"), 1L).otherwise(0L))
+      .groupBy(col("band"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        coalesce(sum(when(col("kept") === 1L,
+          col("n_chars").cast("long"))), lit(0L)).as("kept_chars"))
+      .orderBy(col("band"), col("source"))
+
+  val qualityMixSql: String = """
+    WITH q AS (
+      SELECT doc_id, source, length(text) AS n_chars,
+             round(least(1.0, len(string_split(text, ' ')) / 100.0) *
+               (0.5 + 0.5 * least(1.0,
+                 round(len(list_filter(string_split(text, ' '),
+                   x -> x = 'the' OR x = 'a'))
+                   / len(string_split(text, ' ')), 6) * 5)), 6) AS quality
+      FROM documents),
+    banded AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN quality >= 0.5 THEN 'high'
+                  WHEN quality >= 0.3 THEN 'mid' ELSE 'low' END AS band,
+             CASE WHEN quality >= 0.5 THEN 100
+                  WHEN quality >= 0.3 THEN 50 ELSE 10 END AS rate,
+             ('0x' || substring(md5(doc_id::VARCHAR || ':qual'), 1, 7))
+               ::BIGINT % 100 AS b
+      FROM q)
+    SELECT band, source, count(*) AS n_docs,
+           coalesce(sum(CASE WHEN b < rate THEN 1 END), 0)::BIGINT
+             AS n_kept,
+           coalesce(sum(CASE WHEN b < rate THEN n_chars END), 0)::BIGINT
+             AS kept_chars
+    FROM banded GROUP BY band, source
+    ORDER BY band, source"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_mix" -> (qualityMix _),
     "split_leakage_free" -> (splitLeakageFree _),
     "dsir_select" -> (dsirSelect _),
     "pii_scrub" -> (piiScrub _),
@@ -966,6 +1027,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "quality_mix" -> qualityMixSql,
     "split_leakage_free" -> splitLeakageFreeSql,
     "dsir_select" -> dsirSelectSql,
     "data_alpha_mix" -> dataAlphaMixSql,

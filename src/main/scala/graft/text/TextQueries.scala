@@ -94,10 +94,12 @@ object TextQueries {
     GROUP BY lang, predicted ORDER BY lang, predicted"""
 
   /** T2: quality scoring — length, token stats, stopword ratio, and a
-    * composite score, all closed-form.
+    * composite score, all closed-form. The column derivation is
+    * factored so P19 can reuse the SAME score for quality-weighted
+    * selection.
     */
-  def textQuality(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private[graft] def withQuality(docs: DataFrame): DataFrame =
+    docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(col("w")))
@@ -109,6 +111,9 @@ object TextQueries {
       .withColumn("quality", round(
         least(lit(1.0), col("n_tokens") / 100.0) *
           (lit(0.5) + lit(0.5) * least(lit(1.0), col("stop_ratio") * 5)), 6))
+
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    withQuality(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("avg_token_len"), col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))

@@ -366,6 +366,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment catches a planted wholesale quotation that " +
+    "jaccard misses, in pure integer arithmetic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: a 20-word passage; doc 2: that passage quoted inside 180
+    // unrelated words → jaccard ~0.1 (below D2's 0.5) but containment
+    // of the small side ≈ 1.0
+    val passage = (1 to 20).map(i => s"quote$i").mkString(" ")
+    val filler1 = (1 to 90).map(i => s"pad$i").mkString(" ")
+    val filler2 = (91 to 180).map(i => s"pad$i").mkString(" ")
+    val unrelated = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage),
+      (2L, s"$filler1 $passage $filler2"),
+      (3L, unrelated)).toDF("doc_id", "text")
+    val tdir = java.nio.file.Files.createTempDirectory("graft-cont").toString
+    docs.select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val cont = DedupQueries.dedupContainment(spark, tdir).collect()
+    graft.CachedFrames.releaseAll()
+    val jac = pairs(DedupQueries.dedupJaccard(spark, tdir))
+    graft.CachedFrames.releaseAll()
+    // jaccard at 0.5 does NOT pair them; containment does, oriented
+    // small → big, with the small side ~fully contained
+    assert(!jac.contains((1L, 2L)), "jaccard unexpectedly paired them")
+    val hit = cont.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(hit.isDefined, s"containment missed the quotation: ${cont.toSeq}")
+    val r = hit.get
+    assert(r.getLong(5) >= DedupQueries.ContainmentMicro)
+    // exact integer check: cont_micro = shared*1e6 div n_small
+    assert(r.getLong(5) === r.getLong(2) * 1000000L / r.getLong(3))
+    assert(r.getLong(3) < r.getLong(4), "orientation small->big broken")
+    // the unrelated doc never pairs
+    assert(cont.forall(x => x.getLong(0) != 3L && x.getLong(1) != 3L))
+  }
+
   test("semantic dedup equals an independent local within-cluster " +
     "recompute; keeper precedes removed; no cross-cluster pruning") {
     import org.apache.spark.sql.functions._

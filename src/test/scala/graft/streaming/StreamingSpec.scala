@@ -1046,4 +1046,60 @@ class StreamingSpec extends AnyFunSuite {
       "streamed serving diverged from the batch IVF gate")
     assert(results.size === batch.length, "duplicate or dropped answers")
   }
+
+  test("R20: streamed scene detection equals the batch M9 ledger " +
+    "scene-for-scene when frames arrive split across triggers") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val frames = graft.media.MediaQueries.frameHashes(docs)
+      .selectExpr("media_id", "cast(frame_idx as int) as frame_idx",
+        "fhash")
+    val fdir = tmp()
+    def writeWave(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val stage = tmp()
+      frames.filter(cond).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(fdir, name))
+    }
+    val schema = frames.schema
+    val assigns =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        StreamScenes.SceneAssign]()
+    // wave 1 only, then start, so trigger order == frame order
+    writeWave(col("frame_idx") <= 3, "wave0.parquet")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fdir)
+      .as[StreamScenes.Frame]
+    val sq = StreamScenes.assign(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamScenes.SceneAssign],
+         _: Long) =>
+          b.collect().foreach(assigns.add)
+          ()
+      }.start()
+    sq.processAllAvailable()
+    writeWave(col("frame_idx") > 3, "wave1.parquet")
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    // roll the streamed per-frame assignment into the scene ledger
+    val streamedScenes = assigns.asScala.toSeq
+      .groupBy(a => (a.media_id, a.scene_id))
+      .map { case ((m, sid), fs) =>
+        (m, sid, fs.map(_.frame_idx).min.toLong,
+          fs.map(_.frame_idx).max.toLong, fs.size.toLong,
+          fs.filter(_.cut == 1L).map(_.hamming).max)
+      }.toSet
+    val batchScenes = StreamScenes.batchTwin(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamedScenes === batchScenes,
+      "streamed scene ledger diverged from the batch M9 twin")
+  }
 }
