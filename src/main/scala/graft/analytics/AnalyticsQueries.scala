@@ -1481,6 +1481,45 @@ object AnalyticsQueries {
     GROUP BY 1, 2
     ORDER BY s_name"""
 
+  /** A52: distribution window functions — ntile / percent_rank /
+    * cume_dist, the rank-normalization family the window suite didn't
+    * yet cover (A6/A41-A43 cover rank, frames, lag, first_value).
+    * Where they earn their keep in a curation pipeline: score
+    * normalization — "which decile of its priority class is this
+    * order's value in" is the same shape as "which quality decile of
+    * its source is this document in". One window per partition key,
+    * partitions independent (the parallelism axis); the ORDER BY
+    * carries the unique key as tiebreak so every rank statistic is
+    * deterministic and engine-identical. percent_rank/cume_dist are
+    * exact rationals of ranks — 6dp rounding is cosmetic, not a
+    * summation-order hazard.
+    */
+  def qDistributionWindows(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
+  val qDistributionWindowsSql: String = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_orderkey"""
+
   /** A37 / TPC-H Q10 style: top customers by revenue lost to returned
     * items in one quarter — fact⋈fact on the order key, customer and
     * nation broadcast, TakeOrderedAndProject for the top 20.
@@ -1867,6 +1906,7 @@ object AnalyticsQueries {
     "q9_profit" -> (q9Profit _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q20_excess_suppliers" -> (q20ExcessSuppliers _),
+    "q_distribution_windows" -> (qDistributionWindows _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q16_part_suppliers" -> (q16PartSuppliers _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -1920,6 +1960,7 @@ object AnalyticsQueries {
     "q9_profit" -> q9ProfitSql,
     "q2_min_cost_supplier" -> q2MinCostSupplierSql,
     "q20_excess_suppliers" -> q20ExcessSuppliersSql,
+    "q_distribution_windows" -> qDistributionWindowsSql,
     "q11_important_parts" -> q11ImportantPartsSql,
     "q16_part_suppliers" -> q16PartSuppliersSql,
     "q10_returned_items" -> q10ReturnedItemsSql,

@@ -547,6 +547,85 @@ object SimQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** S19: PQ codebook TRAINING — the Lloyd refinement faiss runs when
+    * it trains a ProductQuantizer, applied per subspace: the S4 seed
+    * codebooks (label means) assign every subvector a code, each
+    * code's members re-average into a trained codeword (6dp-rounded,
+    * the E12 discipline), and the corpus re-encodes against the
+    * trained books. One alternation = assignment THEN update THEN
+    * re-assignment, each step provably non-increasing in quantization
+    * error up to the 6dp rounding — the spec asserts the aggregate
+    * drop. Emitting err_seed beside err_trained makes the training WIN
+    * a hash-verified number, not a claim. Scale shape: training
+    * reads the (persisted) subvector sample, codebooks stay k-row
+    * literals, and the encode pass is the same narrow argmin map as
+    * S4 — nothing new shuffles.
+    */
+  def pqTrain(s: SparkSession, dir: String): DataFrame = {
+    val (sub, cb0, cb1) = pqCore(s, dir)
+    val seeded = graft.CachedFrames.persist(
+      sub.withColumn("a0", pqAssignment("s0", cb0))
+        .withColumn("a1", pqAssignment("s1", cb1))
+        .select(col("vec_id"), col("s0"), col("s1"),
+          col("a0.code").as("c0"), col("a1.code").as("c1"),
+          round(col("a0.d2") + col("a1.d2"), 6).as("err_seed")))
+    def retrain(cCol: String, sCol: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        seeded.select(col(cCol), col(sCol).as("v")), cCol))
+    val t0 = retrain("c0", "s0")
+    val t1 = retrain("c1", "s1")
+    seeded.withColumn("b0", pqAssignment("s0", t0))
+      .withColumn("b1", pqAssignment("s1", t1))
+      .select(col("vec_id"),
+        col("b0.code").as("code0"), col("b1.code").as("code1"),
+        col("err_seed"),
+        round(col("b0.d2") + col("b1.d2"), 6).as("err_trained"))
+      .orderBy(col("vec_id"))
+  }
+
+  val pqTrainSql: String = s"""
+    WITH ${pqCoreSql()},
+    seeded AS (
+      SELECT sub.vec_id, s0, s1, a0.code0 AS c0, a1.code1 AS c1,
+             round(a0.d20 + a1.d21, 6) AS err_seed
+      FROM sub JOIN a0 ON a0.vec_id = sub.vec_id
+               JOIN a1 ON a1.vec_id = sub.vec_id),
+    t0 AS (SELECT c0 AS code, list(av ORDER BY i) AS cv
+           FROM (SELECT c0, i, round(avg(s0[i]), 6) AS av
+                 FROM (SELECT c0, s0, unnest(range(1, 33)) AS i
+                       FROM seeded)
+                 GROUP BY c0, i)
+           GROUP BY c0),
+    t1 AS (SELECT c1 AS code, list(av ORDER BY i) AS cv
+           FROM (SELECT c1, i, round(avg(s1[i]), 6) AS av
+                 FROM (SELECT c1, s1, unnest(range(1, 33)) AS i
+                       FROM seeded)
+                 GROUP BY c1, i)
+           GROUP BY c1),
+    b0 AS (SELECT vec_id, code AS code0, d2 AS d0 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT seeded.vec_id, t0.code,
+                         round(list_dot_product(s0, s0)
+                           - 2 * list_dot_product(s0, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM seeded, t0)) WHERE rn = 1),
+    b1 AS (SELECT vec_id, code AS code1, d2 AS d1 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT seeded.vec_id, t1.code,
+                         round(list_dot_product(s1, s1)
+                           - 2 * list_dot_product(s1, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM seeded, t1)) WHERE rn = 1)
+    SELECT seeded.vec_id, code0, code1, err_seed,
+           round(d0 + d1, 6) AS err_trained
+    FROM seeded JOIN b0 ON b0.vec_id = seeded.vec_id
+                JOIN b1 ON b1.vec_id = seeded.vec_id
+    ORDER BY seeded.vec_id"""
+
   /** S5: ADC serving over PQ codes — the lookup-table scan that makes
     * IVF-PQ fast: per query, distances to each subspace codeword are
     * computed ONCE (a |Q|×k LUT, built in-engine with the same
@@ -2159,6 +2238,7 @@ object SimQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_recall_eval" -> (knnRecallEval _),
+    "pq_train" -> (pqTrain _),
     "knn_graph" -> (knnGraph _),
     "knn_graph_hnsw" -> (knnGraphHnsw _),
     "knn_brute" -> (knnBrute _),
@@ -2182,6 +2262,7 @@ object SimQueries {
 
   def oracles: Map[String, String] = Map(
     "knn_recall_eval" -> knnRecallEvalSql,
+    "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,

@@ -583,6 +583,26 @@ class SimSpec extends AnyFunSuite {
       "refine did not improve recall over ADC at this resolution")
   }
 
+  test("PQ training: one Lloyd alternation per subspace never raises " +
+    "aggregate quantization error, and visibly lowers it here") {
+    val out = SimQueries.pqTrain(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(out.length === 500)
+    val seed = out.map(_.getDouble(3)).sum
+    val trained = out.map(_.getDouble(4)).sum
+    // assignment→update→re-assignment is non-increasing in exact
+    // arithmetic; 6dp rounding adds at most 1e-6 per term
+    assert(trained <= seed + 500 * 4e-6,
+      s"Lloyd raised error: $seed -> $trained")
+    assert(trained < seed * 0.999,
+      s"training produced no measurable win: $seed -> $trained")
+    // codes stay within the seeded code space
+    val codes0 = out.map(_.getLong(1)).distinct
+    val codes1 = out.map(_.getLong(2)).distinct
+    assert(codes0.forall(c => c >= 0 && c < 10) && codes0.length > 1)
+    assert(codes1.forall(c => c >= 0 && c < 10) && codes1.length > 1)
+  }
+
   test("recall eval harness agrees with an independent per-method " +
     "recomputation and reports all methods") {
     val eval = SimQueries.knnRecallEval(spark, dir).collect()
