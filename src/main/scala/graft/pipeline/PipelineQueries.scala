@@ -830,8 +830,9 @@ object PipelineQueries {
     * scoring is a broadcast join of that B-row table, and only the
     * k-row selection sorts (TakeOrdered, not a full sort).
     */
-  private[pipeline] def dsirOn(docs: DataFrame, target: String): DataFrame = {
-    val feats = graft.CachedFrames.persist(docs
+  /** P17 feature stream: (doc_id, source, bucket) per bigram occurrence. */
+  private def dsirFeats(docs: DataFrame): DataFrame =
+    graft.CachedFrames.persist(docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("source"), explode(expr(
@@ -840,6 +841,10 @@ object PipelineQueries {
       .withColumn("bucket", expr(
         s"cast(conv(substring(md5(bg), 1, 7), 16, 10) as bigint) " +
           s"% $DsirBuckets")))
+
+  /** P17 model: the per-bucket weight frame plus the two corpus totals. */
+  private def dsirModel(feats: DataFrame, target: String)
+  : (DataFrame, Long, Long) = {
     val model = graft.CachedFrames.persist(
       feats.groupBy(col("bucket")).agg(
         count(lit(1)).as("cr"),
@@ -854,6 +859,32 @@ object PipelineQueries {
         ((col("cr") + 1L) * lit(nt + DsirBuckets)).cast("double")) * 1e6, 0)
         .cast("long"))
       .select(col("bucket"), col("lam_micro"))
+    (lam, nr, nt)
+  }
+
+  /** R21 support: the trained weight table as a DENSE literal array
+    * (index = bucket + 1), so streamed scoring is one narrow
+    * higher-order expression — no join at all. Buckets unseen in the
+    * training corpus carry the Laplace prior ln((Nr+B)/(Nt+B)): the
+    * weight the smoothed model assigns any feature it never saw
+    * (irrelevant when scoring the training corpus itself — the parity
+    * spec's case — but the production-correct answer for novel text).
+    * Bounded collect: ≤ B rows, a codebook.
+    */
+  private[graft] def dsirWeightArray(docs: DataFrame, target: String)
+  : Array[Long] = {
+    val (lam, nr, nt) = dsirModel(dsirFeats(docs), target)
+    val seen = lam.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val default = BigDecimal(
+      math.log((nr + DsirBuckets).toDouble / (nt + DsirBuckets).toDouble)
+        * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    Array.tabulate(DsirBuckets)(b => seen.getOrElse(b.toLong, default))
+  }
+
+  private[graft] def dsirOn(docs: DataFrame, target: String): DataFrame = {
+    val feats = dsirFeats(docs)
+    val (lam, _, _) = dsirModel(feats, target)
     feats.join(broadcast(lam), Seq("bucket"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("lam_micro")).as("score_micro"),

@@ -1102,4 +1102,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedScenes === batchScenes,
       "streamed scene ledger diverged from the batch M9 twin")
   }
+
+  test("R21: DSIR selection at ingest — literal-array scoring equals " +
+    "the batch join route, and the streamed top-k is the batch draw " +
+    "under any trigger packing") {
+    val root = tmp()
+    import spark.implicits._
+    // a corpus with two vocabularies: target-ish docs (src-t) and
+    // background docs, interleaved across tape files
+    def text(i: Int): String =
+      if (i % 3 == 0) (1 to 12).map(j => s"good${(i + j) % 7}").mkString(" ")
+      else (1 to 12).map(j => s"noise${(i * 5 + j) % 50}").mkString(" ")
+    val docs = (1 to 90).map(i =>
+      (i.toLong, if (i % 9 == 0) "t" else s"src-${i % 3}", text(i)))
+    graft.vcr.TapeWriter.write(
+      docs.map { case (id, src, t) =>
+        (s"$id|$src|$t".getBytes, id,
+          java.sql.Timestamp.valueOf("2024-12-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "d", numFiles = 3)
+    val batchDocs = docs.toDF("doc_id", "source", "text")
+    val weights = graft.pipeline.PipelineQueries
+      .dsirWeightArray(batchDocs, "t")
+    graft.CachedFrames.releaseAll()
+    // score parity: the literal-array route == the broadcast-join route
+    val viaLiteral = StreamDsir.score(weights)(batchDocs)
+      .select("doc_id", "score_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = graft.pipeline.PipelineQueries.dsirOn(batchDocs, "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CachedFrames.releaseAll()
+    viaJoin.foreach { case (id, s) =>
+      assert(viaLiteral(id) === s, s"doc $id literal/join score mismatch")
+    }
+    // streamed running selection == the batch draw
+    val k = 20
+    def parse(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 3).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("source"),
+          element_at(col("p"), 3).as("text"))
+    @volatile var streamedTop: Seq[(Double, Long)] = Seq.empty
+    val q = StreamDsir.selection(
+      StreamDsir.score(weights)(
+        parse(spark.readStream.format("tape")
+          .option("maxFilesPerTrigger", 1).load(s"$root/d"))), k)
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          b.collect().foreach { r =>
+            streamedTop = r.getSeq[org.apache.spark.sql.Row](0)
+              .map(x => (x.getDouble(0), x.getLong(1)))
+          }
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val batchTop = StreamDsir.selection(
+        StreamDsir.score(weights)(batchDocs), k)
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(streamedTop === batchTop,
+      "streamed DSIR top-k diverged from the batch draw")
+    assert(streamedTop.length === k)
+  }
 }
