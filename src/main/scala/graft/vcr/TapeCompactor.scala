@@ -125,4 +125,49 @@ object TapeCompactor {
     }
     Result(groups.size, filesBefore, filesAfter)
   }
+
+  final case class ExpireResult(daysDeleted: Int, filesDeleted: Long,
+                                bytesDeleted: Long)
+
+  /** V11: tape retention — delete whole day partitions strictly OLDER
+    * than `keepFrom`. The reference leans on S3 lifecycle rules for
+    * this; an engine that owns the tape layout should own its
+    * retention too, and because the layout IS day-partitioned the job
+    * is metadata-only: list `dt=` directories, compare the partition
+    * value (never a file's content or mtime), delete whole days. No
+    * task ever reads a byte of payload, so expiring a year of tape
+    * costs the same as expiring a day — the Estimator/Compactor
+    * metadata-pass discipline. Day granularity is the deliberate
+    * contract: a partial day keeps its directory until it fully ages
+    * out, so a replay that starts mid-retention never sees a
+    * half-deleted partition. `dryRun` reports what would go (the ops
+    * loop every destructive job needs).
+    */
+  def expire(spark: SparkSession, root: String, stream: String,
+             keepFrom: java.time.LocalDate,
+             dryRun: Boolean = false): ExpireResult = {
+    val dir = new Path(s"$root/$stream")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = FileSystem.get(dir.toUri, conf)
+    if (!fs.exists(dir)) return ExpireResult(0, 0L, 0L)
+    val prefix = s"${Tape.DtCol}="
+    val old = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .flatMap { st =>
+        val v = st.getPath.getName.stripPrefix(prefix)
+        try {
+          val day = java.time.LocalDate.parse(v)
+          if (day.isBefore(keepFrom)) Some(st.getPath) else None
+        } catch { case _: java.time.format.DateTimeParseException => None }
+      }
+    var files = 0L
+    var bytes = 0L
+    old.foreach { p =>
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile) { files += 1; bytes += st.getLen }
+      }
+      if (!dryRun) fs.delete(p, true)
+    }
+    ExpireResult(old.size, files, bytes)
+  }
 }

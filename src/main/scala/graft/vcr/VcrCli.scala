@@ -123,9 +123,28 @@ object VcrCli {
             s"the replay itself would take around ${dec.human}")
         }
 
+      case Some("expire") =>
+        // tape retention (V11): `expire 2024-03-01` deletes day
+        // partitions strictly before the cutoff; `--dry-run` first is
+        // the intended ops loop. Metadata-only — see
+        // [[TapeCompactor.expire]].
+        val stream = config.sourceStream.getOrElse(
+          throw new IllegalArgumentException("VCR_SOURCE_STREAM_NAME must be set"))
+        val rest = args.drop(1)
+        val dryRun = rest.contains("--dry-run")
+        val dateArg = rest.filterNot(_ == "--dry-run").headOption.getOrElse(
+          throw new IllegalArgumentException(
+            "expire needs a keep-from date: e.g., `expire 2024-03-01`"))
+        val keepFrom = TimeArg.parseOrThrow(dateArg, "keep-from").toLocalDate
+        val res = TapeCompactor.expire(spark, root, stream, keepFrom, dryRun)
+        val verb = if (dryRun) "Would delete" else "Deleted"
+        println(s"$verb ${res.daysDeleted} day partitions " +
+          s"(${res.filesDeleted} files, ${res.bytesDeleted} bytes) " +
+          s"before $keepFrom from $root/$stream")
+
       case other =>
         throw new IllegalArgumentException(
-          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate")
+          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate|expire")
     }
   }
 }

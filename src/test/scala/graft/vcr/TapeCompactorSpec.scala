@@ -96,4 +96,40 @@ class TapeCompactorSpec extends AnyFunSuite {
     assert(filesIn("2024-01-03") === day3Before) // untouched
     assert(filesIn("2024-01-01") === 1)
   }
+
+  test("retention expires whole days before the cutoff, metadata-only; " +
+    "dry run deletes nothing; replay sees exactly the survivors") {
+    val root = Files.createTempDirectory("graft-retain").toString
+    import spark.implicits._
+    val records = (1 to 300).map { i =>
+      (s"p-$i".getBytes(UTF_8), i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${1 + (i - 1) / 100}%d 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(records, root, "s", numFiles = 4)
+    def dayExists(dt: String) = new java.io.File(s"$root/s/dt=$dt").exists()
+    // dry run: full report, no deletion
+    val dry = TapeCompactor.expire(spark, root, "s",
+      java.time.LocalDate.parse("2024-01-03"), dryRun = true)
+    assert(dry.daysDeleted === 2 && dry.filesDeleted > 0
+      && dry.bytesDeleted > 0)
+    assert(dayExists("2024-01-01") && dayExists("2024-01-02"))
+    // real run: days 1-2 go, day 3 stays
+    val res = TapeCompactor.expire(spark, root, "s",
+      java.time.LocalDate.parse("2024-01-03"))
+    assert(res.daysDeleted === 2)
+    assert(res.filesDeleted === dry.filesDeleted
+      && res.bytesDeleted === dry.bytesDeleted)
+    assert(!dayExists("2024-01-01") && !dayExists("2024-01-02"))
+    assert(dayExists("2024-01-03"))
+    val left = TapePlayer.read(spark, root, "s",
+        LocalDateTime.parse("2024-01-01T00:00:00"),
+        Some(LocalDateTime.parse("2024-01-04T00:00:00")))
+      .selectExpr(s"decode(${Tape.PayloadCol}, 'UTF-8') AS p")
+      .collect().map(_.getString(0))
+    assert(left.length === 100 && left.forall(_.stripPrefix("p-").toInt > 200))
+    // idempotent: a second run finds nothing to do
+    val again = TapeCompactor.expire(spark, root, "s",
+      java.time.LocalDate.parse("2024-01-03"))
+    assert(again === TapeCompactor.ExpireResult(0, 0L, 0L))
+  }
 }

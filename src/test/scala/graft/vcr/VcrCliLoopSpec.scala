@@ -88,6 +88,17 @@ class VcrCliLoopSpec extends AnyFunSuite {
     val noTarget = cfg.copy(targetStream = None)
     val e = intercept[IllegalArgumentException](noTarget.validateForPlayback())
     assert(e.getMessage.contains("target stream"))
+
+    // expire (V11): dry-run reports without deleting; a cutoff after
+    // the recorded day deletes it, after which play finds nothing
+    val dryOut = captured(VcrCli.run(spark, cfg,
+      Array("expire", "2024-03-06", "--dry-run")))
+    assert(dryOut.contains("Would delete 1 day partitions"), dryOut)
+    assert(new java.io.File(s"$root/cli-src/dt=2024-03-05").exists())
+    val expOut = captured(VcrCli.run(spark, cfg,
+      Array("expire", "2024-03-06")))
+    assert(expOut.contains("Deleted 1 day partitions"), expOut)
+    assert(!new java.io.File(s"$root/cli-src/dt=2024-03-05").exists())
     FakeKinesisRegistry.remove(epName)
   }
 }
