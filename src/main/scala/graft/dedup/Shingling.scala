@@ -57,15 +57,18 @@ object Shingling {
     */
   val MaxShingleDf = 100L
 
-  /** The df-capped shingle index. Stop-shingles (df > maxDf) are by
-    * construction FEW — each one needs > maxDf documents — so the cap
-    * is a broadcast ANTI-join against the tiny stop set: the df
-    * aggregate ships map-side-combined counts (one row per distinct
-    * shingle per task), the stop list is kilobytes however large the
-    * corpus, and the full (doc, shingle) stream is never sorted or
-    * re-shuffled just to be filtered. (A window count over `shingle`
-    * does the same job with a full shuffle + sort of the index — the
-    * shape this replaced.)
+  /** The df-capped shingle index. The cap is an ANTI-join against the
+    * stop set (df > maxDf), SHUFFLED on the index key: the stop set
+    * has up to N/maxDf members — this round's sf1 probe measured
+    * 17 MB of stop shingles on a vocabulary-dense corpus, and at
+    * 100 TB it is gigabytes — so broadcasting it is the scale hazard,
+    * not the economy it looks like at small SF. Keying the anti-join
+    * on `shingle` rides the exact partitioning the df aggregate and
+    * every downstream self-join need anyway, so the cap adds no new
+    * exchange SHAPE; the df aggregate still ships map-side-combined
+    * counts (one row per distinct shingle per task). (A window count
+    * over `shingle` does the same job with a full sort of the index —
+    * the shape this replaced in round 3.)
     */
   def cappedShingles(sh: DataFrame,
                      maxDf: Long = MaxShingleDf): DataFrame = {
@@ -79,10 +82,21 @@ object Shingling {
     // entry (the "already cached" warning) — storage holds one copy
     // per distinct corpus, LRU-evicted, not one per call.
     val indexed = graft.CachedFrames.persist(sh)
+    // the cap as a SHUFFLED anti-join, not a broadcast: the stop set
+    // has up to N/maxDf distinct members — this round's sf1 probe
+    // measured 17 MB on a vocabulary-dense corpus, and at 100 TB with
+    // cap=100 it is N/100 strings, gigabytes (the round-3 "kilobytes
+    // however large the corpus" claim only holds for natural-language
+    // Zipf heads). The index must shuffle on `shingle` anyway for the
+    // df aggregate AND for every downstream self-join, so keying the
+    // anti-join on the same column costs no NEW exchange shape — and
+    // the hint keeps the static planner from broadcast-electing either
+    // side it underestimated (the §8a sf1 lesson, same class).
     val stop = indexed.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("shingle"))
-    indexed.join(broadcast(stop), Seq("shingle"), "left_anti")
+    indexed.hint("shuffle_hash")
+      .join(stop.hint("shuffle_hash"), Seq("shingle"), "left_anti")
   }
 
   /** `doc_id, shingle` — word 3-grams per document (distinct per doc

@@ -818,11 +818,13 @@ object PipelineQueries {
     * the model at B counters however large the corpus vocabulary);
     * both models are Laplace-smoothed bucket frequencies; a document's
     * importance weight is Σ over its features of
-    * ln(p_target(b)/p_raw(b)). Everything is exact until one double
-    * division: per bucket, the log's argument is
-    * ((ct+1)·(Nr+B)) / ((cr+1)·(Nt+B)) — a ratio of exact BIGINT
-    * products, so both engines feed ln the identical double and the
-    * micro-quantized weight matches bit-for-bit (the T11 discipline).
+    * ln(p_target(b)/p_raw(b)). Everything is exact until the double
+    * step: per bucket, the log's argument is the product of two DOUBLE
+    * ratios, ((ct+1)/(cr+1)) · ((Nr+B)/(Nt+B)) — counts are exact as
+    * doubles to 2⁵³ and IEEE divide/multiply are deterministic, so
+    * both engines feed ln the identical double and the micro-quantized
+    * weight matches bit-for-bit (the T11 discipline, overflow-safe at
+    * any corpus the counts themselves fit).
     * Per-doc scores are then order-free BIGINT sums; selection is the
     * deterministic top-[[DsirTopK]] by (score, doc_id). Scale shape:
     * feature hashing is a narrow map, the model is two B-bounded
@@ -854,10 +856,19 @@ object PipelineQueries {
       coalesce(sum(col("cr")), lit(0L)),
       coalesce(sum(col("ct")), lit(0L))).head()
     val (nr, nt) = (tot.getLong(0), tot.getLong(1))
+    // lam = ln(p_t(b)/p_r(b)) = ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)),
+    // computed as ln of a product of two DOUBLE ratios — never a
+    // BIGINT product: (ct+1)·(Nr+B) overflows Long once corpus bigram
+    // counts pass ~3·10⁹ (Spark would wrap silently, DuckDB would
+    // error — divergence exactly at scale). Counts cast to double are
+    // exact to 2⁵³ (~9·10¹⁵ bigrams ≈ petabytes of text), and IEEE
+    // divide/multiply are deterministic, so both engines still feed
+    // ln the identical double.
     val lam = model.withColumn("lam_micro",
-      round(log(((col("ct") + 1L) * lit(nr + DsirBuckets)).cast("double") /
-        ((col("cr") + 1L) * lit(nt + DsirBuckets)).cast("double")) * 1e6, 0)
-        .cast("long"))
+      round(log(
+        ((col("ct") + 1L).cast("double") / (col("cr") + 1L).cast("double")) *
+          lit((nr + DsirBuckets).toDouble / (nt + DsirBuckets).toDouble))
+        * 1e6, 0).cast("long"))
       .select(col("bucket"), col("lam_micro"))
     (lam, nr, nt)
   }
@@ -913,8 +924,10 @@ object PipelineQueries {
       SELECT sum(cr)::BIGINT AS nr, sum(ct)::BIGINT AS nt FROM model),
     lam AS (
       SELECT bucket,
-             CAST(round(ln(CAST((ct + 1) * (nr + $DsirBuckets) AS DOUBLE)
-               / CAST((cr + 1) * (nt + $DsirBuckets) AS DOUBLE)) * 1e6, 0)
+             CAST(round(ln(
+               (CAST(ct + 1 AS DOUBLE) / CAST(cr + 1 AS DOUBLE)) *
+               (CAST(nr + $DsirBuckets AS DOUBLE)
+                 / CAST(nt + $DsirBuckets AS DOUBLE))) * 1e6, 0)
                AS BIGINT) AS lam_micro
       FROM model, tot)
     SELECT doc_id, source, sum(lam_micro)::BIGINT AS score_micro,
@@ -1011,14 +1024,10 @@ object PipelineQueries {
           col("n_chars").cast("long"))), lit(0L)).as("kept_chars"))
       .orderBy(col("band"), col("source"))
 
-  val qualityMixSql: String = """
+  val qualityMixSql: String = s"""
     WITH q AS (
       SELECT doc_id, source, length(text) AS n_chars,
-             round(least(1.0, len(string_split(text, ' ')) / 100.0) *
-               (0.5 + 0.5 * least(1.0,
-                 round(len(list_filter(string_split(text, ' '),
-                   x -> x = 'the' OR x = 'a'))
-                   / len(string_split(text, ' ')), 6) * 5)), 6) AS quality
+             ${graft.text.TextQueries.qualitySqlExpr("text")} AS quality
       FROM documents),
     banded AS (
       SELECT doc_id, source, n_chars,

@@ -213,7 +213,8 @@ object SimQueries {
       bestClusterCol(cents).as("cluster"))
     val q = assign.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
-    serveAgainst(q, assign).orderBy(col("q_id"), col("rank"))
+    serveAgainst(q, assign, excludeSelf = true)
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** The IVF serving core, shared by the batch gate and the R19
@@ -221,12 +222,21 @@ object SimQueries {
     * the static assigned corpus — probe-list equi-join, exact cosine,
     * per-query top-k. Pure frame→frame, so it runs unchanged inside a
     * foreachBatch micro-batch (stream-static join) or a batch plan.
+    *
+    * `excludeSelf` drops the corpus vector whose id equals the query's
+    * id — correct ONLY when queries ARE corpus vectors (the batch
+    * gates' contract). Production queries carry an unrelated id
+    * namespace: a q_id that happens to collide with a corpus id must
+    * NOT lose that candidate, so the streaming face serves with it
+    * off.
     */
-  private[graft] def serveAgainst(q: DataFrame, assigned: DataFrame)
-  : DataFrame = {
-    val scored = q.join(assigned, Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+  private[graft] def serveAgainst(q: DataFrame, assigned: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    val joined = q.join(assigned, Seq("cluster"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
+       else joined)
+        .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -32,9 +32,16 @@ object StreamAnnServe {
     * v ARRAY<DOUBLE>)) against the static IVF index over `dir`'s
     * embeddings. Each micro-batch's top-k frame is handed to `sink`
     * (the serving store / response channel).
+    *
+    * `excludeSelf` defaults OFF: production query ids live in their
+    * own namespace, and a q_id that happens to equal a corpus vec_id
+    * must not lose that candidate. Turn it on only when the query
+    * stream IS corpus vectors (the batch-gate-twin configuration the
+    * parity spec runs).
     */
   def serve(s: SparkSession, dir: String, queries: DataFrame,
-      checkpoint: String)(sink: DataFrame => Unit): StreamingQuery = {
+      checkpoint: String, excludeSelf: Boolean = false)
+      (sink: DataFrame => Unit): StreamingQuery = {
     val assigned = graft.CachedFrames.persist(
       graft.sim.SimQueries.assignedVecs(s, dir))
     val assign = graft.sim.SimQueries.queryAssigner(s, dir)
@@ -43,7 +50,8 @@ object StreamAnnServe {
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          _: Long) =>
-          sink(graft.sim.SimQueries.serveAgainst(assign(b.toDF()), assigned))
+          sink(graft.sim.SimQueries.serveAgainst(assign(b.toDF()), assigned,
+            excludeSelf))
           ()
       }.start()
   }

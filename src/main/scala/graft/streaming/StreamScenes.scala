@@ -15,12 +15,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Ordering: Spark guarantees only the grouping key, not within-key
   * order, so each micro-batch's group sorts by frame_idx before state
-  * threads through it (the R9 lesson); ACROSS triggers the source is
-  * assumed to deliver a media's frames in non-decreasing frame order —
-  * tape order, the same contract every resumable decoder gives. Under
-  * that contract the streamed assignment is BIT-IDENTICAL to the batch
-  * M9 ledger for any trigger packing — the spec feeds the same frames
-  * split 1/3 vs whole and compares scene-for-scene.
+  * threads through it (the R9 lesson); ACROSS triggers the source must
+  * deliver a media's frames in increasing frame order — tape order,
+  * the same contract every resumable decoder gives. The contract is
+  * ENFORCED, not assumed: the kept state carries the last frame index,
+  * and a frame at or below it (out-of-order delivery, redelivery)
+  * fails the query loudly instead of silently corrupting scene ids.
+  * Under the contract the streamed assignment is BIT-IDENTICAL to the
+  * batch M9 ledger for any trigger packing — the spec feeds the same
+  * frames split 1/3 vs whole and compares scene-for-scene.
   */
 object StreamScenes {
 
@@ -50,6 +53,11 @@ object StreamScenes {
         (media: Long, it: Iterator[Frame], state: GroupState[SceneState]) =>
           var st = state.getOption.getOrElse(SceneState(0, null, 0L))
           val out = it.toList.sortBy(_.frame_idx).map { f =>
+            if (st.lastHash != null && f.frame_idx <= st.lastIdx)
+              throw new IllegalStateException(
+                s"media $media frame ${f.frame_idx} arrived at/behind " +
+                  s"the last processed frame ${st.lastIdx}: the source " +
+                  "violated the increasing-frame-order contract")
             val h = if (st.lastHash == null) -1L
               else hamming(st.lastHash, f.fhash).toLong
             val isCut = h < 0L || h > CutBits

@@ -118,15 +118,26 @@ object TextQueries {
         col("avg_token_len"), col("stop_ratio"), col("quality"))
       .orderBy(col("doc_id"))
 
-  val textQualitySql: String = """
+  /** The T2 composite score as a DuckDB expression over a raw text
+    * column — the single SQL source of truth, mirrored by
+    * [[withQuality]] on the Scala side; every oracle that consumes
+    * quality (T2's own, P19's) interpolates THIS, so the formula can
+    * never fork between consumers.
+    */
+  private[graft] def qualitySqlExpr(textCol: String): String =
+    s"round(least(1.0, len(string_split($textCol, ' ')) / 100.0) * " +
+      "(0.5 + 0.5 * least(1.0, " +
+      s"round(len(list_filter(string_split($textCol, ' '), " +
+      "x -> x = 'the' OR x = 'a')) " +
+      s"/ len(string_split($textCol, ' ')), 6) * 5)), 6)"
+
+  val textQualitySql: String = s"""
     SELECT doc_id, n_chars, n_tokens,
            round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS avg_token_len,
            round(stop_hits / n_tokens, 6) AS stop_ratio,
-           round(least(1.0, n_tokens / 100.0) *
-                 (0.5 + 0.5 * least(1.0,
-                   round(stop_hits / n_tokens, 6) * 5)), 6) AS quality
+           ${qualitySqlExpr("text")} AS quality
     FROM (
-      SELECT doc_id, len(text) AS n_chars, len(w) AS n_tokens,
+      SELECT doc_id, text, len(text) AS n_chars, len(w) AS n_tokens,
              len(list_filter(w, x -> x = 'the' OR x = 'a')) AS stop_hits
       FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents))
     ORDER BY doc_id"""

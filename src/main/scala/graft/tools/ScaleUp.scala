@@ -54,12 +54,22 @@ object ScaleUp {
     embReps.reduce(_ union _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // ts arrives as TIMESTAMP(NANOS)→long (nanosAsLong, set in main),
-    // so the r-second shift is integer nanos and the written long
-    // round-trips through Tables.withEventTime like the original
+    // ts arrives in whichever physical type the generator chose (the
+    // Tables.withEventTime story): TIMESTAMP(NANOS)→long under
+    // nanosAsLong, where the r-second shift is integer nanos, or
+    // timestamp[us]→TIMESTAMP_NTZ, where it is an interval add. Either
+    // way the written column round-trips through Tables.withEventTime
+    // like the original.
+    val tsShift: Int => org.apache.spark.sql.Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          r => col("ts") + lit(r * 1000000000L)
+        case _ =>
+          r => col("ts") + expr(s"make_interval(0, 0, 0, 0, 0, 0, $r)")
+      }
     val evReps = (0 until factor).map { r =>
       ev.select((col("event_id") + lit(r * nEv)).as("event_id"),
-        (col("ts") + lit(r * 1000000000L)).as("ts"),
+        tsShift(r).as("ts"),
         (col("user_id") + lit(r * 100000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }

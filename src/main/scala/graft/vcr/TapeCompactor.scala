@@ -160,14 +160,25 @@ object TapeCompactor {
           if (day.isBefore(keepFrom)) Some(st.getPath) else None
         } catch { case _: java.time.format.DateTimeParseException => None }
       }
+    var days = 0
     var files = 0L
     var bytes = 0L
     old.foreach { p =>
+      var dayFiles = 0L
+      var dayBytes = 0L
       fs.listStatus(p).foreach { st =>
-        if (st.isFile) { files += 1; bytes += st.getLen }
+        if (st.isFile) { dayFiles += 1; dayBytes += st.getLen }
       }
-      if (!dryRun) fs.delete(p, true)
+      // the ledger must never claim a deletion that didn't happen —
+      // a false "Deleted N partitions" is a compliance lie. HDFS
+      // delete() signals failure by returning false, not throwing
+      // (compact() checks its rename() for the same reason); fail
+      // LOUDLY and count nothing for this day.
+      if (!dryRun && !fs.delete(p, true))
+        throw new java.io.IOException(
+          s"retention failed to delete $p — partition still on disk")
+      days += 1; files += dayFiles; bytes += dayBytes
     }
-    ExpireResult(old.size, files, bytes)
+    ExpireResult(days, files, bytes)
   }
 }

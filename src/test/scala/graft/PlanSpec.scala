@@ -120,12 +120,19 @@ class PlanSpec extends AnyFunSuite {
     assert(salts > 1, s"hot key landed on $salts salt(s)")
   }
 
-  test("hot-shingle cap is a broadcast anti-join, not an index-wide window") {
-    // the stop set (df > maxDf) is tiny by construction, so the cap
-    // must broadcast it — a window count would shuffle AND sort the
-    // whole inverted index just to filter it
+  test("hot-shingle cap is a SHUFFLED anti-join on the index key — " +
+    "no window, no stop-set broadcast") {
+    // round-5 sf1 probe: the stop set is N/maxDf members — 17 MB on a
+    // vocabulary-dense corpus, gigabytes at 100 TB — so it must NOT
+    // broadcast; and a window count would sort the whole index. The
+    // anti-join keys on `shingle`, the same partitioning the df
+    // aggregate and every downstream self-join already need.
     val p = plan("dedup_jaccard")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(p.contains("LeftAnti"), p)
+    val broadcastAnti = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(!broadcastAnti, s"stop-shingle set broadcast:\n$p")
+    assert(!p.contains("Window"), p)
   }
 
   test("the O(corpus) index joins stay shuffled — no broadcast of the " +
@@ -134,9 +141,9 @@ class PlanSpec extends AnyFunSuite {
     // subtrees, and with no shuffle boundary under the join AQE never
     // corrects it: at sf1 it elected 80-160 MB broadcasts of relations
     // that ARE the corpus at production scale. The SHUFFLE_HASH hints
-    // must keep every such join an inner ShuffledHashJoin; the only
-    // legitimate broadcast in these plans is the stop-shingle anti-join
-    // (and AQE may still broadcast genuinely small attach sides it can
+    // must keep every such join an inner ShuffledHashJoin (the
+    // stop-shingle anti-join is now shuffled too — round-5 probe; AQE
+    // may still broadcast genuinely small attach sides it can
     // MEASURE — those have a shuffle beneath them).
     Seq("dedup_jaccard" -> "shingle", "dedup_minhash" -> "band",
       "dedup_pagerank" -> "band", "dedup_triangles" -> "shingle")

@@ -1033,7 +1033,10 @@ class StreamingSpec extends AnyFunSuite {
       .option("maxFilesPerTrigger", 1).parquet(qdir)
     val results =
       new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
-    val sq = StreamAnnServe.serve(spark, dir0, stream, tmp()) { out =>
+    // gate-twin configuration: queries ARE corpus vectors, so
+    // excludeSelf mirrors the batch gate's contract
+    val sq = StreamAnnServe.serve(spark, dir0, stream, tmp(),
+      excludeSelf = true) { out =>
       out.collect().foreach(r => results.add(r.toSeq))
       ()
     }
@@ -1045,6 +1048,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.asScala.toSet === batch.toSet,
       "streamed serving diverged from the batch IVF gate")
     assert(results.size === batch.length, "duplicate or dropped answers")
+    // production default: a query whose id collides with a corpus id
+    // must NOT lose that candidate — the exact match comes back
+    import org.apache.spark.sql.functions.{col => c}
+    val assigned = graft.sim.SimQueries.assignedVecs(spark, dir0)
+    val assignFn = graft.sim.SimQueries.queryAssigner(spark, dir0)
+    val qSelf = qRows.take(1).toSeq.toDF("q_id", "v")
+    val served = graft.sim.SimQueries
+      .serveAgainst(assignFn(qSelf), assigned, excludeSelf = false)
+      .orderBy(c("rank")).collect()
+    graft.CachedFrames.releaseAll()
+    assert(served.head.getLong(1) === qRows.head._1,
+      "self candidate missing under the production default")
+    assert(served.head.getDouble(3) === 1.0)
   }
 
   test("R20: streamed scene detection equals the batch M9 ledger " +
