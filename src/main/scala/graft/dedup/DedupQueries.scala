@@ -1215,6 +1215,97 @@ object DedupQueries {
     WHERE c * 1000000 // least(na, nb) >= $ContainmentMicro
     ORDER BY doc_small, doc_big"""
 
+  /** D22: every (bands, rows-per-band) factorization of the 32-hash
+    * MinHash signature — the LSH design space.
+    */
+  private[dedup] val LshConfigs: Seq[(Int, Int)] =
+    Seq((1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1))
+
+  /** D22: LSH band-configuration tuning from the corpus's OWN
+    * similarity histogram — the datasketch-style optimal-parameter
+    * search as an operator, grounded in data instead of a prior. For
+    * each (b, r) factorization of the 32-hash signature, the S-curve
+    * P(candidate | j) = 1 − (1 − jʳ)ᵇ is evaluated against the
+    * measured pair-similarity histogram (the shared df-capped edge
+    * build, binned at 0.05): expected false candidates = Σ_{j<τ} P·mass
+    * (pairs LSH would surface that exact verification then discards —
+    * wasted work), expected misses = Σ_{j≥τ} (1−P)·mass (true near-dups
+    * the banding never proposes — lost recall). The output is the
+    * config ledger ordered by total expected error: the row a pipeline
+    * reads to SET its banding before the big run.
+    *
+    * Cross-engine exactness without trusting `pow`: jʳ and (1−jʳ)ᵇ
+    * expand to literal multiplication chains (r, b ≤ 32) — IEEE
+    * multiply is deterministic where pow's libm is not — over bin
+    * midpoints that are identical doubles by construction; each bin's
+    * contribution micro-quantizes BEFORE the sum, so the totals are
+    * order-free BIGINTs. Scale: the histogram is ≤20 rows collected
+    * from the edge build the dedup family already shares; the sweep is
+    * arithmetic over 6×20 rows — free at any corpus size.
+    */
+  def lshTune(s: SparkSession, dir: String): DataFrame = {
+    val jp = jaccardPairs(shingles(Tables.documents(s, dir)))
+    val binned = graft.CachedFrames.persist(jp
+      .withColumn("bucket",
+        expr("cast(round(jaccard * 100, 0) as int) div 5"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("mass"))
+      .withColumn("j_mid",
+        (col("bucket").cast("double") * 5.0 + 2.5) / 100.0))
+    val perConfig = LshConfigs.map { case (b, r) =>
+      val jr = (1 to r).map(_ => col("j_mid")).reduce(_ * _)
+      val q = lit(1.0) - jr
+      val qb = (1 to b).map(_ => q).reduce(_ * _)
+      binned.withColumn("bands", lit(b))
+        .withColumn("rows_per_band", lit(r))
+        .withColumn("p_micro",
+          round((lit(1.0) - qb) * 1e6, 0).cast("long"))
+    }.reduce(_ unionByName _)
+    perConfig
+      .groupBy(col("bands"), col("rows_per_band"))
+      .agg(
+        coalesce(sum(when(col("j_mid") < 0.5,
+          col("p_micro") * col("mass"))), lit(0L)).as("exp_fp_micro"),
+        coalesce(sum(when(col("j_mid") >= 0.5,
+          (lit(1000000L) - col("p_micro")) * col("mass"))), lit(0L))
+          .as("exp_fn_micro"))
+      .withColumn("err_micro", col("exp_fp_micro") + col("exp_fn_micro"))
+      .orderBy(col("err_micro"), col("bands"))
+  }
+
+  private def lshTuneCfgSql(b: Int, r: Int): String = {
+    val jr = Seq.fill(r)("j_mid").mkString(" * ")
+    val q = s"(1.0 - ($jr))"
+    val qb = Seq.fill(b)(q).mkString(" * ")
+    s"""SELECT $b AS bands, $r AS rows_per_band, mass, j_mid,
+             CAST(round((1.0 - ($qb)) * 1e6, 0) AS BIGINT) AS p_micro
+      FROM binned"""
+  }
+
+  val lshTuneSql: String = s"""
+    WITH $jaccardPairsSql,
+    binned AS (
+      SELECT bucket, count(*) AS mass,
+             (CAST(bucket AS DOUBLE) * 5.0 + 2.5) / 100.0 AS j_mid
+      FROM (SELECT CAST(round(jaccard * 100, 0) AS INT) // 5 AS bucket
+            FROM jp)
+      GROUP BY bucket),
+    cfg AS (
+      ${LshConfigs.map { case (b, r) => lshTuneCfgSql(b, r) }
+        .mkString("\n      UNION ALL\n      ")})
+    SELECT bands, rows_per_band,
+           coalesce(sum(CASE WHEN j_mid < 0.5
+             THEN p_micro * mass END), 0)::BIGINT AS exp_fp_micro,
+           coalesce(sum(CASE WHEN j_mid >= 0.5
+             THEN (1000000 - p_micro) * mass END), 0)::BIGINT
+             AS exp_fn_micro,
+           (coalesce(sum(CASE WHEN j_mid < 0.5
+              THEN p_micro * mass END), 0)
+            + coalesce(sum(CASE WHEN j_mid >= 0.5
+              THEN (1000000 - p_micro) * mass END), 0))::BIGINT
+             AS err_micro
+    FROM cfg GROUP BY bands, rows_per_band
+    ORDER BY err_micro, bands"""
+
   /** D20 pruning threshold: within-cluster pairs at cosine ≥ τ are
     * semantic duplicates (matches D5's exact-verify threshold, so the
     * two rungs are comparable on the same corpus).
@@ -1268,6 +1359,7 @@ object DedupQueries {
     GROUP BY vec_id, cluster ORDER BY removed"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lsh_tune" -> (lshTune _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_semantic" -> (dedupSemantic _),
     "dedup_bloom" -> (dedupBloom _),
@@ -1289,6 +1381,7 @@ object DedupQueries {
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
+    "lsh_tune" -> lshTuneSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_bloom" -> dedupBloomSql,

@@ -366,6 +366,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH tuning: ledger equals an independent local recomputation " +
+    "from the raw pair similarities, and the curve trade-offs hold") {
+    val out = DedupQueries.lshTune(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(out.length === 6)
+    // independent recompute: same binning, same multiplication chains
+    val js = DedupQueries.jaccardPairs(
+      graft.dedup.Shingling.shingles(
+        graft.Tables.documents(spark, dir)))
+      .select("jaccard").collect().map(_.getDouble(0))
+    graft.CachedFrames.releaseAll()
+    val hist = js.groupBy(j => math.round(j * 100).toInt / 5)
+      .view.mapValues(_.length.toLong).toMap
+    def pMicro(jMid: Double, b: Int, r: Int): Long = {
+      val jr = (1 to r).map(_ => jMid).reduce(_ * _)
+      val q = 1.0 - jr
+      val qb = (1 to b).map(_ => q).reduce(_ * _)
+      BigDecimal((1.0 - qb) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = DedupQueries.LshConfigs.map { case (b, r) =>
+      var fp = 0L; var fn = 0L
+      hist.foreach { case (bucket, mass) =>
+        val jMid = (bucket.toDouble * 5.0 + 2.5) / 100.0
+        val p = pMicro(jMid, b, r)
+        if (jMid < 0.5) fp += p * mass else fn += (1000000L - p) * mass
+      }
+      (b, r) -> ((fp, fn))
+    }.toMap
+    out.foreach { row =>
+      val key = (row.getInt(0), row.getInt(1))
+      assert((row.getLong(2), row.getLong(3)) === expected(key),
+        s"config $key ledger mismatch")
+      assert(row.getLong(4) === row.getLong(2) + row.getLong(3))
+    }
+    // the S-curve trade: ultra-strict (1 band of 32 rows) misses true
+    // near-dups; ultra-loose (32 bands of 1 row) floods with false
+    // candidates — both relative to a balanced middle config
+    val byCfg = out.map(r =>
+      (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(byCfg((1, 32))._2 > byCfg((8, 4))._2,
+      "strict banding should miss more true pairs")
+    assert(byCfg((32, 1))._1 > byCfg((8, 4))._1,
+      "loose banding should propose more false candidates")
+    // the ledger is sorted by total expected error
+    assert(out.map(_.getLong(4)).toSeq === out.map(_.getLong(4)).sorted)
+  }
+
   test("containment catches a planted wholesale quotation that " +
     "jaccard misses, in pure integer arithmetic") {
     import spark.implicits._
