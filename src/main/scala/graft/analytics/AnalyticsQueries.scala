@@ -1520,6 +1520,52 @@ object AnalyticsQueries {
                  ORDER BY o_totalprice, o_orderkey)
     ORDER BY o_orderpriority, o_orderkey"""
 
+  /** A53: behavioral transition matrix — P(next event type | current)
+    * over per-user event sequences, the first-order Markov summary
+    * every clickstream/product analysis starts from (and the event
+    * analog of T11's pair statistics). One lag window per user
+    * (partition-parallel, the A42 shape, unique (ts, event_id)
+    * tiebreak), then two bounded aggregates: pair counts and per-row
+    * totals over ≤ |types|² cells. Probabilities are exact integer
+    * micro units (cnt·10⁶ div row_total) — no engine divides a float.
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("cnt")).as("row_total"))
+    pairs.join(totals, Seq("prev_type"))
+      .withColumn("p_micro", expr("cnt * 1000000 div row_total"))
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("cnt"), col("row_total"), col("p_micro"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val qTransitionsSql: String = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type),
+    totals AS (
+      SELECT prev_type, sum(cnt)::BIGINT AS row_total
+      FROM pairs GROUP BY prev_type)
+    SELECT prev_type, next_type, cnt, row_total,
+           (cnt * 1000000 // row_total)::BIGINT AS p_micro
+    FROM pairs JOIN totals USING (prev_type)
+    ORDER BY prev_type, next_type"""
+
   /** A37 / TPC-H Q10 style: top customers by revenue lost to returned
     * items in one quarter — fact⋈fact on the order key, customer and
     * nation broadcast, TakeOrderedAndProject for the top 20.
@@ -1907,6 +1953,7 @@ object AnalyticsQueries {
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "q_distribution_windows" -> (qDistributionWindows _),
+    "q_transitions" -> (qTransitions _),
     "q11_important_parts" -> (q11ImportantParts _),
     "q16_part_suppliers" -> (q16PartSuppliers _),
     "q10_returned_items" -> (q10ReturnedItems _),
@@ -1961,6 +2008,7 @@ object AnalyticsQueries {
     "q2_min_cost_supplier" -> q2MinCostSupplierSql,
     "q20_excess_suppliers" -> q20ExcessSuppliersSql,
     "q_distribution_windows" -> qDistributionWindowsSql,
+    "q_transitions" -> qTransitionsSql,
     "q11_important_parts" -> q11ImportantPartsSql,
     "q16_part_suppliers" -> q16PartSuppliersSql,
     "q10_returned_items" -> q10ReturnedItemsSql,

@@ -1046,7 +1046,85 @@ object PipelineQueries {
     FROM banded GROUP BY band, source
     ORDER BY band, source"""
 
+  /** P20: α-temperature mixing over the DEDUPED corpus — the
+    * composition order P10 alone gets wrong: run before dedup, a
+    * source's duplicate copies inflate its token mass (and its √n
+    * weight) AND duplicate copies can all be co-selected, so the
+    * mixture over-serves exactly the sources that needed down-
+    * weighting most. Here the D1 keeper election runs FIRST (one
+    * 16-byte-hash shuffle, the P13 shape), weights derive from
+    * tokens_unique, and only keeper docs enter the md5-bucket draw —
+    * a duplicate copy can never be selected. Same exact-integer rate
+    * discipline as P10 (√tokens quantized once per source, thresholds
+    * in 2²⁸ hash units); output is the per-source mixture ledger with
+    * both the dedup stats and the draw.
+    */
+  def dataAlphaMixDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val uniq = graft.CachedFrames.persist(docs.join(keep, Seq("h"))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("source"), col("doc_id"), col("n_tok")))
+    val counts = uniq.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_unique_docs"),
+        sum(col("n_tok")).as("tokens_unique"))
+      .withColumn("w_micro",
+        round(sqrt(col("tokens_unique")) * 1e6, 0).cast("long"))
+    val wTotal = counts.agg(coalesce(sum(col("w_micro")), lit(0L)))
+      .head().getLong(0)
+    val rates = counts.withColumn("threshold",
+      round(least(lit(1.0),
+        lit(MixAlphaTarget.toDouble) * col("w_micro") /
+          (lit(wTotal.toDouble) * col("n_unique_docs"))) * 268435456.0, 0)
+        .cast("long"))
+    uniq.withColumn("hsel", conv(substring(
+        md5(concat(lit("dmix-"), col("doc_id").cast("string"))), 1, 7),
+        16, 10).cast("long"))
+      .join(rates, Seq("source"))
+      .groupBy(col("source"), col("n_unique_docs"), col("tokens_unique"),
+        col("w_micro"), col("threshold"))
+      .agg(sum(when(col("hsel") < col("threshold"), 1L).otherwise(0L))
+        .as("n_selected"))
+      .orderBy(col("source"))
+  }
+
+  val dataAlphaMixDedupSql: String = s"""
+    WITH docs AS (
+      SELECT source, doc_id, md5(text) AS h,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM documents),
+    keep AS (SELECT h, min(doc_id) AS keeper FROM docs GROUP BY h),
+    uniq AS (
+      SELECT source, doc_id, n_tok
+      FROM docs JOIN keep USING (h)
+      WHERE doc_id = keeper),
+    counts AS (
+      SELECT source, count(*) AS n_unique_docs,
+             sum(n_tok)::BIGINT AS tokens_unique,
+             CAST(round(sqrt(sum(n_tok)::BIGINT) * 1e6, 0) AS BIGINT)
+               AS w_micro
+      FROM uniq GROUP BY source),
+    tot AS (SELECT sum(w_micro)::BIGINT AS w_total FROM counts),
+    rates AS (
+      SELECT source, n_unique_docs, tokens_unique, w_micro,
+             CAST(round(least(1.0,
+               $MixAlphaTarget * w_micro /
+                 (CAST(w_total AS DOUBLE) * n_unique_docs))
+               * 268435456.0, 0) AS BIGINT) AS threshold
+      FROM counts, tot)
+    SELECT source, n_unique_docs, tokens_unique, w_micro, threshold,
+           coalesce(sum(CASE WHEN
+             ('0x' || substring(md5('dmix-' || doc_id::VARCHAR), 1, 7))
+               ::BIGINT < threshold THEN 1 END), 0)::BIGINT AS n_selected
+    FROM uniq JOIN rates USING (source)
+    GROUP BY source, n_unique_docs, tokens_unique, w_micro, threshold
+    ORDER BY source"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_alpha_mix_dedup" -> (dataAlphaMixDedup _),
     "quality_mix" -> (qualityMix _),
     "split_leakage_free" -> (splitLeakageFree _),
     "dsir_select" -> (dsirSelect _),
@@ -1067,6 +1145,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "data_alpha_mix_dedup" -> dataAlphaMixDedupSql,
     "quality_mix" -> qualityMixSql,
     "split_leakage_free" -> splitLeakageFreeSql,
     "dsir_select" -> dsirSelectSql,
