@@ -526,6 +526,106 @@ object TextQueries {
            (sum(lp_micro)::BIGINT // count(*)) AS nll_micro
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** T15 interpolation weight (and its explicit complement — written
+    * out so Scala and SQL interpolate the SAME double literal, never a
+    * computed 1−λ whose floating representation could differ from the
+    * parsed constant).
+    */
+  val JmLambda = 0.7
+  val JmLambdaC = 0.3
+
+  /** T15: Jelinek-Mercer interpolated bigram scoring — the smoothing
+    * that actually wins on held-out text (Chen & Goodman): T13's
+    * add-one bigram over-penalizes every unseen pair by spreading one
+    * count across the whole vocabulary, while JM backs off smoothly,
+    * p = λ·p_ML(cur|prev) + (1−λ)·p_uni(cur) — an unseen bigram of a
+    * COMMON word costs little, of a rare word a lot, which is the
+    * right shape for quality filtering. Same 4/5 train / 1/5 held-out
+    * protocol as T13 so the two smoothers are directly comparable on
+    * identical pairs (the spec asserts JM's aggregate NLL is lower).
+    * Cross-engine exactness: p_ML and the Laplace-floored unigram are
+    * each ONE double division of exact BIGINTs, the interpolation is
+    * two IEEE multiplies and an add of the same literals, and the NLL
+    * micro-quantizes per pair before order-free BIGINT doc sums.
+    * Same scale shape as T13: reference counts shuffle-join, totals
+    * are two bounded plan-time scalars.
+    */
+  def textPerplexityJm(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val tr = docs.filter(col("doc_id") % 5 =!= 0)
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "struct(element_at(w, i) as prev, element_at(w, i+1) as cur))"))
+        .as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"),
+          col("p.cur").as("cur"))
+    val trp = graft.CachedFrames.persist(bigrams(tr))
+    val uni = graft.CachedFrames.persist(
+      tr.select(explode(col("w")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cu")))
+    val tot = uni.agg(coalesce(sum(col("cu")), lit(0L)), count(lit(1)))
+      .head()
+    val nt = tot.getLong(0)
+    val v = tot.getLong(1) + 1
+    val ctx = trp.groupBy(col("prev")).agg(count(lit(1)).as("cn"))
+    val big = trp.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    bigrams(docs.filter(col("doc_id") % 5 === 0))
+      .join(big, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(uni.withColumnRenamed("word", "cur"), Seq("cur"), "left")
+      .withColumn("unseen",
+        when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("p_ml",
+        when(col("cb").isNull, lit(0.0))
+          .otherwise(col("cb").cast("double") / col("cn").cast("double")))
+      .withColumn("p_uni",
+        (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
+          lit((nt + v).toDouble))
+      .withColumn("nll_pair_micro", round(
+        -log(lit(JmLambda) * col("p_ml") + lit(JmLambdaC) * col("p_uni"))
+          * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        expr("sum(nll_pair_micro) div count(1)").as("nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPerplexityJmSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    tr AS (SELECT doc_id, w FROM d WHERE doc_id % 5 != 0),
+    trp AS (SELECT w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+    hop AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                  FROM d WHERE doc_id % 5 = 0)),
+    uni AS (SELECT word, count(*) AS cu
+            FROM (SELECT unnest(w) AS word FROM tr) GROUP BY word),
+    tot AS (SELECT sum(cu)::BIGINT AS nt, count(*) + 1 AS v FROM uni),
+    ctx AS (SELECT prev, count(*) AS cn FROM trp GROUP BY prev),
+    big AS (SELECT prev, cur, count(*) AS cb FROM trp GROUP BY prev, cur),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS unseen,
+             CAST(round(-ln(
+               $JmLambda * (CASE WHEN cb IS NULL THEN 0.0
+                 ELSE CAST(cb AS DOUBLE) / CAST(cn AS DOUBLE) END)
+               + $JmLambdaC * (CAST(coalesce(cu, 0) + 1 AS DOUBLE)
+                 / CAST(nt + v AS DOUBLE))) * 1e6, 0) AS BIGINT)
+               AS nll_pair_micro
+      FROM hop LEFT JOIN big USING (prev, cur)
+               LEFT JOIN ctx USING (prev)
+               LEFT JOIN uni ON uni.word = hop.cur, tot)
+    SELECT doc_id, count(*) AS n_bigrams, sum(unseen)::BIGINT AS n_unseen,
+           (sum(nll_pair_micro)::BIGINT // count(*)) AS nll_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
     * query term set for the `text_bm25` gate entry.
     */
@@ -757,7 +857,8 @@ object TextQueries {
     "text_zipf" -> (textZipf _),
     "text_collocations" -> (textCollocations _),
     "text_textrank" -> (textTextrank _),
-    "text_perplexity" -> (textPerplexity _))
+    "text_perplexity" -> (textPerplexity _),
+    "text_perplexity_jm" -> (textPerplexityJm _))
 
   def oracles: Map[String, String] = Map(
     "text_bm25" -> textBm25Sql,
@@ -772,5 +873,6 @@ object TextQueries {
     "text_zipf" -> textZipfSql,
     "text_collocations" -> textCollocationsSql,
     "text_textrank" -> textTextrankSql,
-    "text_perplexity" -> textPerplexitySql)
+    "text_perplexity" -> textPerplexitySql,
+    "text_perplexity_jm" -> textPerplexityJmSql)
 }

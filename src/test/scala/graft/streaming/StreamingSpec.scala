@@ -1182,4 +1182,57 @@ class StreamingSpec extends AnyFunSuite {
       "streamed DSIR top-k diverged from the batch draw")
     assert(streamedTop.length === k)
   }
+
+  test("R22: streamed transition pairs equal the batch lag exactly " +
+    "when events arrive time-split across triggers") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_micro"),
+        col("event_id"), col("event_type"))
+    val cut = evs.agg(expr("percentile_approx(ts_micro, 0.5)"))
+      .head().getLong(0)
+    val fdir = tmp()
+    def wave(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val stage = tmp()
+      evs.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(fdir, name))
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamTransitions.Trans]()
+    wave(col("ts_micro") <= cut, "wave0.parquet")
+    val sq = StreamTransitions.pairs(
+        spark.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(fdir)
+          .as[StreamTransitions.Ev])
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamTransitions.Trans],
+         _: Long) =>
+          b.collect().foreach(got.add)
+          ()
+      }.start()
+    sq.processAllAvailable()
+    wave(col("ts_micro") > cut, "wave1.parquet")
+    sq.processAllAvailable(); sq.stop()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_micro"), col("event_id"))
+    val batch = evs
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("prev_type"),
+        col("event_type"))
+      .collect()
+      .map(r => StreamTransitions.Trans(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === batch,
+      "streamed transitions diverged from the batch lag")
+    assert(got.size === batch.size, "duplicate transitions emitted")
+  }
 }

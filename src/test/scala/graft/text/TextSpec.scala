@@ -86,6 +86,28 @@ class TextSpec extends AnyFunSuite {
       "textrank order identical to frequency order — iteration inert?")
   }
 
+  test("Jelinek-Mercer interpolation beats add-one bigram smoothing " +
+    "on held-out NLL, over identical pairs") {
+    val jm = TextQueries.textPerplexityJm(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val laplace = TextQueries.textPerplexity(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    // identical held-out docs and pair counts (same split, same bigrams)
+    val jmByDoc = jm.map(r => r.getLong(0) -> r).toMap
+    assert(jm.length === laplace.length)
+    laplace.foreach { l =>
+      val j = jmByDoc(l.getLong(0))
+      assert(j.getLong(1) === l.getLong(1), "pair counts diverged")
+      assert(j.getLong(2) === l.getLong(2), "unseen counts diverged")
+    }
+    // the smoothing claim, in aggregate: total held-out NLL mass is
+    // strictly lower under JM (per-doc means weighted by pair counts)
+    def mass(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(r => r.getLong(3) * r.getLong(1)).sum
+    assert(mass(jm) < mass(laplace),
+      s"JM ${mass(jm)} did not beat Laplace ${mass(laplace)}")
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
