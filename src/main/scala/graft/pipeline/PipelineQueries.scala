@@ -1123,7 +1123,69 @@ object PipelineQueries {
     GROUP BY source, n_unique_docs, tokens_unique, w_micro, threshold
     ORDER BY source"""
 
+  /** P21: the per-document curation scorecard — the one table a
+    * curator actually reads: every quality signal the suite computes,
+    * joined per doc with a prioritized verdict. Signals are REUSED
+    * from their owning operators (T2 quality, T7 repetition, P6
+    * unigram NLL, T1 predicted language, D2's verified near-dup pairs
+    * under the keep-min rule), so the scorecard can never drift from
+    * the gates that verify each signal; the verdict is a first-match
+    * rule chain (near-dup → low-quality → repetitive → keep), the P2
+    * attribution idiom over composed signals. One equi-join per
+    * signal on doc_id — at 100 TB this is the wide table you'd
+    * materialize once per curation run.
+    */
+  def docScorecard(s: SparkSession, dir: String): DataFrame = {
+    val q = graft.text.TextQueries.textQuality(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val rep = graft.text.TextQueries.textRepetition(s, dir)
+      .select(col("doc_id"), col("dup_word_frac"))
+    val lm = textUnigramLm(s, dir).select(col("doc_id"), col("nll_micro"))
+    val lang = graft.text.TextQueries.textLangId(s, dir)
+      .select(col("doc_id"), col("predicted").as("pred_lang"))
+    val nd = graft.dedup.DedupQueries.dedupJaccard(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(1L))
+    q.join(rep, Seq("doc_id"))
+      .join(lm, Seq("doc_id"))
+      .join(lang, Seq("doc_id"))
+      .join(nd, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("near_dup"))
+      .withColumn("verdict",
+        when(col("near_dup") === 1L, "near_dup")
+          .when(col("quality") < 0.3, "low_quality")
+          .when(col("dup_word_frac") > 0.65, "repetitive")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("quality"), col("dup_word_frac"),
+        col("nll_micro"), col("pred_lang"), col("near_dup"),
+        col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docScorecardSql: String = s"""
+    WITH sc AS (SELECT doc_id, quality
+                FROM (${graft.text.TextQueries.textQualitySql})),
+    rep AS (SELECT doc_id, dup_word_frac
+            FROM (${graft.text.TextQueries.textRepetitionSql})),
+    lm AS (SELECT doc_id, nll_micro FROM ($textUnigramLmSql)),
+    lang AS (SELECT doc_id, predicted AS pred_lang
+             FROM (${graft.text.TextQueries.textLangIdSql})),
+    nd AS (SELECT DISTINCT doc_b AS doc_id, 1 AS near_dup
+           FROM (${graft.dedup.DedupQueries.dedupJaccardSql}))
+    SELECT doc_id, quality, dup_word_frac, nll_micro, pred_lang,
+           coalesce(near_dup, 0)::BIGINT AS near_dup,
+           CASE WHEN coalesce(near_dup, 0) = 1 THEN 'near_dup'
+                WHEN quality < 0.3 THEN 'low_quality'
+                WHEN dup_word_frac > 0.65 THEN 'repetitive'
+                ELSE 'keep' END AS verdict
+    FROM sc JOIN rep USING (doc_id)
+            JOIN lm USING (doc_id)
+            JOIN lang USING (doc_id)
+            LEFT JOIN nd USING (doc_id)
+    ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_scorecard" -> (docScorecard _),
     "data_alpha_mix_dedup" -> (dataAlphaMixDedup _),
     "quality_mix" -> (qualityMix _),
     "split_leakage_free" -> (splitLeakageFree _),
@@ -1145,6 +1207,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "doc_scorecard" -> docScorecardSql,
     "data_alpha_mix_dedup" -> dataAlphaMixDedupSql,
     "quality_mix" -> qualityMixSql,
     "split_leakage_free" -> splitLeakageFreeSql,
