@@ -132,4 +132,44 @@ class TapeCompactorSpec extends AnyFunSuite {
       java.time.LocalDate.parse("2024-01-03"))
     assert(again === TapeCompactor.ExpireResult(0, 0L, 0L))
   }
+
+  test("fsck: a clean tape is all ok; corrupt content, a lying name " +
+    "and an inverted range are flagged with the right verdicts") {
+    val root = Files.createTempDirectory("graft-fsck").toString
+    import spark.implicits._
+    val records = (1 to 120).map { i =>
+      (s"p-$i".getBytes(UTF_8), i.toLong,
+        java.sql.Timestamp.valueOf("2024-02-01 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(records, root, "s", numFiles = 3)
+    val clean = TapeFsck.fsck(spark, root, "s").collect()
+    assert(clean.nonEmpty)
+    assert(clean.forall(_.getString(2) == "ok"), clean.mkString("\n"))
+    assert(clean.map(_.getLong(3)).sum === 120L)
+    // corrupt one file's content with a non-base64 line
+    val day = new java.io.File(s"$root/s/dt=2024-02-01")
+    val victims = day.listFiles().filter(f => f.isFile &&
+      f.getName.endsWith(".txt")).sortBy(_.getName)
+    Files.writeString(victims(0).toPath,
+      "!!!not base64!!!\n", java.nio.file.StandardOpenOption.APPEND)
+    // give another file an INVERTED declared range
+    val inverted = new java.io.File(day, "900-100.txt")
+    assert(victims(1).renameTo(inverted))
+    // and make a third claim a range narrower than its content
+    val lying = new java.io.File(day, "5-6.txt")
+    assert(victims(2).renameTo(lying))
+    // the first read's file listing (sizes + names) is cached on the
+    // session; the corruption above changed both. And Hadoop's local
+    // FS wrote .crc sidecars at write time — the hand-corruption
+    // invalidates them, which is checksum corruption, not the tape
+    // corruption under test: drop the sidecars so fsck sees the bytes
+    day.listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(f => Files.delete(f.toPath))
+    spark.catalog.refreshByPath(s"$root/s")
+    val report = TapeFsck.fsck(spark, root, "s").collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(report(victims(0).getName) === "bad_lines")
+    assert(report("900-100.txt") === "bad_name")
+    assert(report("5-6.txt") === "overfull")
+  }
 }
