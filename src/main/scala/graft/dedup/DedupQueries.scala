@@ -299,7 +299,7 @@ object DedupQueries {
             FROM edges e JOIN nodes nu ON nu.node = e.src
                          JOIN nodes nv ON nv.node = e.dst
             GROUP BY nv.idx),
-    mats AS (
+    mats AS MATERIALIZED (
       SELECT (SELECT list(ins ORDER BY vidx) FROM adj) AS al,
              (SELECT list(deg ORDER BY idx) FROM nodes) AS dv,
              (SELECT count(*) FROM nodes) AS n),
@@ -373,7 +373,7 @@ object DedupQueries {
               FROM und14 e JOIN nodes14 nu ON nu.node = e.a
                            JOIN nodes14 nv ON nv.node = e.b
               GROUP BY nv.idx),
-    mats14 AS (
+    mats14 AS MATERIALIZED (
       SELECT (SELECT list(ins ORDER BY vidx) FROM adj14) AS al,
              (SELECT list(deg ORDER BY idx) FROM nodes14) AS dv,
              (SELECT count(*) FROM nodes14) AS n),
@@ -445,7 +445,7 @@ object DedupQueries {
               FROM edges17 e JOIN nodes17 nu ON nu.node = e.src
                              JOIN nodes17 nv ON nv.node = e.dst
               GROUP BY nv.idx),
-    mats17 AS (
+    mats17 AS MATERIALIZED (
       SELECT (SELECT list(ins ORDER BY vidx) FROM adj17) AS al,
              (SELECT list(deg ORDER BY idx) FROM nodes17) AS dv,
              (SELECT count(*) FROM nodes17) AS n),
@@ -617,7 +617,7 @@ object DedupQueries {
               FROM und19 e JOIN nodes19 nu ON nu.node = e.a
                            JOIN nodes19 nv ON nv.node = e.b
               GROUP BY nv.idx),
-    mats19 AS (
+    mats19 AS MATERIALIZED (
       SELECT (SELECT list(ins ORDER BY vidx) FROM adj19) AS al,
              (SELECT list(node ORDER BY idx) FROM nodes19) AS ids),
     lpa19 AS (
@@ -702,7 +702,7 @@ object DedupQueries {
               FROM und16 e JOIN nodes16 nu ON nu.node = e.a
                            JOIN nodes16 nv ON nv.node = e.b
               GROUP BY nv.idx),
-    mats16 AS (
+    mats16 AS MATERIALIZED (
       SELECT (SELECT list(ins ORDER BY vidx) FROM adj16) AS al,
              (SELECT list(ws ORDER BY vidx) FROM adj16) AS wl,
              (SELECT list(sw ORDER BY idx) FROM nodes16) AS sv,

@@ -1184,7 +1184,59 @@ object PipelineQueries {
             LEFT JOIN nd USING (doc_id)
     ORDER BY doc_id"""
 
+  // ---- P22: perplexity-gated quality filter ----
+
+  /** P22: perplexity BAND filtering — the CCNet selection rule run on
+    * T15's reference-model scores: drop documents whose held-out NLL
+    * is implausibly LOW (boilerplate/repetition the reference model
+    * predicts too well) or implausibly HIGH (garbage it cannot predict
+    * at all), keep the middle. The band is data-derived but
+    * sort-free: bounds are integer fractions of the corpus-mean NLL
+    * ([½×, 1½×], i.e. keep iff mean ≤ 2·nll ≤ 3·mean — all BIGINT
+    * arithmetic, so both engines agree exactly), and the mean is ONE
+    * bounded plan-time scalar (the T11 `n` idiom — a cross join with
+    * the 1-row aggregate would plan the BNLJ the no-BNLJ guard
+    * forbids). Scale shape:
+    * scoring is T15's pass (reference counts shuffle-join, never
+    * broadcast), the band is a map — no window, no global sort, no
+    * second corpus pass; contrast P8, which needed the E18 heap to
+    * avoid exactly the rank-based cut this operator also refuses.
+    */
+  /** The band rule over any (doc_id, nll_micro) frame — exposed for
+    * PipelineSpec, which plants a bimodal score distribution to see
+    * all three verdicts fire.
+    */
+  private[graft] def pplBand(scored0: DataFrame): DataFrame = {
+    val scored = graft.CachedFrames.persist(scored0)
+    val mean = scored.agg(
+      coalesce(expr("sum(nll_micro) div count(1)"), lit(0L)))
+      .head().getLong(0)
+    scored
+      .select(col("doc_id"), col("nll_micro"),
+        when(col("nll_micro") * 2 < lit(mean), lit("drop_low"))
+          .when(col("nll_micro") * 2 > lit(mean) * 3, lit("drop_high"))
+          .otherwise(lit("keep")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def pplFilter(s: SparkSession, dir: String): DataFrame =
+    pplBand(graft.text.TextQueries.textPerplexityJm(s, dir)
+      .select(col("doc_id"), col("nll_micro")))
+
+  val pplFilterSql: String = s"""
+    WITH scored AS (
+      SELECT doc_id, nll_micro
+      FROM (${graft.text.TextQueries.textPerplexityJmSql})),
+    m AS (SELECT sum(nll_micro)::BIGINT // count(*) AS mean_nll
+          FROM scored)
+    SELECT doc_id, nll_micro,
+           CASE WHEN nll_micro * 2 < mean_nll THEN 'drop_low'
+                WHEN nll_micro * 2 > mean_nll * 3 THEN 'drop_high'
+                ELSE 'keep' END AS verdict
+    FROM scored, m ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ppl_filter" -> (pplFilter _),
     "doc_scorecard" -> (docScorecard _),
     "data_alpha_mix_dedup" -> (dataAlphaMixDedup _),
     "quality_mix" -> (qualityMix _),
@@ -1207,6 +1259,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "ppl_filter" -> pplFilterSql,
     "doc_scorecard" -> docScorecardSql,
     "data_alpha_mix_dedup" -> dataAlphaMixDedupSql,
     "quality_mix" -> qualityMixSql,

@@ -428,7 +428,7 @@ object TextQueries {
               FROM und12 e JOIN nodes12 nu ON nu.node = e.a
                            JOIN nodes12 nv ON nv.node = e.b
               GROUP BY nv.idx),
-    mats12 AS (
+    mats12 AS MATERIALIZED (
       SELECT (SELECT list(ins ORDER BY vidx) FROM adj12) AS al,
              (SELECT list(ws ORDER BY vidx) FROM adj12) AS wl,
              (SELECT list(sw ORDER BY idx) FROM nodes12) AS sv,
@@ -550,33 +550,55 @@ object TextQueries {
     * Same scale shape as T13: reference counts shuffle-join, totals
     * are two bounded plan-time scalars.
     */
-  def textPerplexityJm(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
+  /** (doc_id, text) → the ≥2-token docs with their word arrays. */
+  private def wordDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-    val tr = docs.filter(col("doc_id") % 5 =!= 0)
-    def bigrams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w)-1), i -> " +
-          "struct(element_at(w, i) as prev, element_at(w, i+1) as cur))"))
-        .as("p"))
-        .select(col("doc_id"), col("p.prev").as("prev"),
-          col("p.cur").as("cur"))
-    val trp = graft.CachedFrames.persist(bigrams(tr))
+
+  private def jmBigrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(w)-1), i -> " +
+        "struct(element_at(w, i) as prev, element_at(w, i+1) as cur))"))
+      .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"),
+        col("p.cur").as("cur"))
+
+  /** The trained JM reference model: bigram/context/unigram count
+    * frames plus the two exact plan-time scalars. Trained ONCE offline
+    * — this is what ships to the R23 streaming face, where the count
+    * frames join stream-static.
+    */
+  private[graft] case class JmModel(big: DataFrame, ctx: DataFrame,
+                                    uni: DataFrame, nt: Long, v: Long)
+
+  /** Fit JM bigram counts on a (doc_id, text) training corpus. */
+  private[graft] def jmTrain(trDocs: DataFrame): JmModel = {
+    val tr = wordDocs(trDocs)
+    val trp = graft.CachedFrames.persist(jmBigrams(tr))
     val uni = graft.CachedFrames.persist(
       tr.select(explode(col("w")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cu")))
     val tot = uni.agg(coalesce(sum(col("cu")), lit(0L)), count(lit(1)))
       .head()
-    val nt = tot.getLong(0)
-    val v = tot.getLong(1) + 1
-    val ctx = trp.groupBy(col("prev")).agg(count(lit(1)).as("cn"))
-    val big = trp.groupBy(col("prev"), col("cur"))
-      .agg(count(lit(1)).as("cb"))
-    bigrams(docs.filter(col("doc_id") % 5 === 0))
-      .join(big, Seq("prev", "cur"), "left")
-      .join(ctx, Seq("prev"), "left")
-      .join(uni.withColumnRenamed("word", "cur"), Seq("cur"), "left")
+    JmModel(
+      big = trp.groupBy(col("prev"), col("cur"))
+        .agg(count(lit(1)).as("cb")),
+      ctx = trp.groupBy(col("prev")).agg(count(lit(1)).as("cn")),
+      uni = uni,
+      nt = tot.getLong(0),
+      v = tot.getLong(1) + 1)
+  }
+
+  /** Score a (doc_id, text) frame against a trained model — per-doc
+    * (n_bigrams, n_unseen, nll_micro), unordered (streaming-safe: on
+    * a stream the three reference joins are stream-static and the
+    * per-doc aggregate completes within the arrival trigger).
+    */
+  private[graft] def jmScore(m: JmModel)(docs: DataFrame): DataFrame =
+    jmBigrams(wordDocs(docs))
+      .join(m.big, Seq("prev", "cur"), "left")
+      .join(m.ctx, Seq("prev"), "left")
+      .join(m.uni.withColumnRenamed("word", "cur"), Seq("cur"), "left")
       .withColumn("unseen",
         when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
       .withColumn("p_ml",
@@ -584,7 +606,7 @@ object TextQueries {
           .otherwise(col("cb").cast("double") / col("cn").cast("double")))
       .withColumn("p_uni",
         (coalesce(col("cu"), lit(0L)) + lit(1L)).cast("double") /
-          lit((nt + v).toDouble))
+          lit((m.nt + m.v).toDouble))
       .withColumn("nll_pair_micro", round(
         -log(lit(JmLambda) * col("p_ml") + lit(JmLambdaC) * col("p_uni"))
           * 1e6, 0).cast("long"))
@@ -592,6 +614,11 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("unseen")).as("n_unseen"),
         expr("sum(nll_pair_micro) div count(1)").as("nll_micro"))
+
+  def textPerplexityJm(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val m = jmTrain(d.filter(col("doc_id") % 5 =!= 0))
+    jmScore(m)(d.filter(col("doc_id") % 5 === 0))
       .orderBy(col("doc_id"))
   }
 
@@ -844,7 +871,220 @@ object TextQueries {
     FROM perdoc JOIN topbg USING (doc_id)
     ORDER BY doc_id"""
 
+  // ---- T16: BPE merge learning (tokenizer training) ----
+
+  /** Merge-table depth for the gate entry: enough rounds that merges
+    * chain (later rounds merge symbols earlier rounds created), small
+    * enough that the oracle's generated CTE blocks stay readable.
+    */
+  val BpeRounds = 8
+
+  /** Symbol separator / end-of-word marker for the delimited symbol
+    * string. Control characters that cannot occur in whitespace-split
+    * corpus words, so the separator anchors symbol boundaries exactly
+    * (`ends_with(acc, SEP || l)` ⟺ the last symbol is literally `l`).
+    */
+  val BpeSep = "\u001f"
+  val BpeMark = "\u0004"
+
+  /** Greedy left-to-right non-overlapping merge of pair (l, r) applied
+    * to a `wstr` delimited symbol string, as ONE string fold shared
+    * bit-for-bit with the oracle's `list_reduce`: walk the symbols,
+    * and when the accumulator's last symbol is exactly `l` and the
+    * next is `r`, append just `r`'s text (a merged symbol IS the
+    * concatenation l||r, so no delimiter is added and the merged
+    * symbol can't re-match `l` — which is precisely the
+    * non-overlapping rule: "a a a" under (a,a) → "aa a").
+    */
+  private def bpeMergeCol(l: String, r: String) = {
+    val syms = filter(split(col("wstr"), BpeSep),
+      s0 => length(s0) > lit(0))
+    aggregate(
+      transform(syms, s0 => concat(lit(BpeSep), s0)),
+      lit(""),
+      (acc, e) => when(acc.endsWith(lit(BpeSep + l)) &&
+          e === lit(BpeSep + r), concat(acc, lit(r)))
+        .otherwise(concat(acc, e)))
+  }
+
+  /** The BPE trainer over an explicit (word, wc) vocabulary: the
+    * learned merge table plus the POST-MERGE vocabulary (word, wc,
+    * wstr) — the trained tokenizer as data, which T17 joins against
+    * the corpus to encode it. Exposed for TextSpec, which checks the
+    * whole merge sequence against an independent in-memory reference
+    * implementation on planted vocabularies.
+    */
+  private[text] def bpeTrain(vocab0: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = vocab0.withColumn("wstr", concat(lit(BpeSep),
+        array_join(expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          BpeSep),
+        lit(BpeSep + BpeMark)))
+      .select(col("word"), col("wc"), col("wstr"))
+      .localCheckpoint(false)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val best = vocab
+        .select(col("wc"), filter(split(col("wstr"), BpeSep),
+          s0 => length(s0) > lit(0)).as("syms"))
+        // a fully-merged word (one symbol left) contributes no pairs;
+        // without this guard sequence(1, 0) DESCENDS and element_at
+        // walks off the array (DuckDB's range(1, 1) is just empty)
+        .filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) as l, element_at(syms, i+1) as r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((k, l, r, cnt))
+        // localCheckpoint per round: §8a — the fold expression nests
+        // otherwise and the logical plan grows per round
+        vocab = vocab.withColumn("wstr", bpeMergeCol(l, r))
+          .localCheckpoint(false)
+        k += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  private[text] def bpeMerges(vocab0: DataFrame,
+                              rounds: Int): Seq[(Int, String, String, Long)] =
+    bpeTrain(vocab0, rounds)._1
+
+  /** T16: byte-pair-encoding MERGE LEARNING — tokenizer training as a
+    * first-class corpus operator (Sennrich et al.'s reference
+    * algorithm, re-expressed on the word-frequency table the way every
+    * production BPE trainer runs it). Each round: (1) weighted counts
+    * of adjacent symbol pairs across the vocabulary — a groupBy over
+    * exploded pairs, exact BIGINT weights; (2) the argmax pair with a
+    * deterministic (count DESC, left, right) tiebreak — a 1-row
+    * plan-time collect, the codebook idiom; (3) the greedy
+    * left-to-right non-overlapping merge applied vocabulary-wide as
+    * one narrow string fold ([[bpeMergeCol]]). The gate emits the
+    * learned merge table — (merge_round, left_sym, right_sym,
+    * pair_cnt) — and the DuckDB oracle restates all `BpeRounds` rounds
+    * as generated CTE blocks whose `list_reduce` fold is
+    * character-identical to the Spark `aggregate`, so the hash checks
+    * the whole training trajectory: one divergent merge anywhere
+    * cascades into every later round. Scale shape: training state is
+    * the VOCABULARY (distinct words + counts), never the corpus — at
+    * 100 TB the one corpus-sized pass is the initial word count; each
+    * round is a narrow map + a pair-count shuffle on the vocab frame,
+    * localCheckpointed per round (§8a), with a 1-row collect between
+    * rounds exactly like the k-means trainer.
+    */
+  def textBpe(s: SparkSession, dir: String): DataFrame = {
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val merges = bpeMerges(vocab0, BpeRounds)
+    import s.implicits._
+    merges.toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
+      .orderBy(col("merge_round"))
+  }
+
+  /** One oracle round: pair counts over v{k−1}, the deterministic
+    * argmax, and the fold-merged vocabulary v{k}.
+    */
+  private def bpeRoundSql(k: Int): String = s"""
+    p$k AS (
+      SELECT syms[i] AS l, syms[i+1] AS r, sum(wc)::BIGINT AS cnt
+      FROM (SELECT list_filter(string_split(wstr, chr(31)),
+                     s -> len(s) > 0) AS syms, wc
+            FROM v${k - 1}),
+           unnest(range(1, len(syms))) AS u(i)
+      GROUP BY l, r),
+    b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+    v$k AS (
+      SELECT word, wc,
+             list_reduce(
+               list_transform(list_filter(string_split(wstr, chr(31)),
+                 s -> len(s) > 0), s -> chr(31) || s),
+               (acc, e) -> CASE WHEN ends_with(acc, chr(31) || l)
+                   AND e = chr(31) || r
+                 THEN acc || r ELSE acc || e END) AS wstr
+      FROM v${k - 1}, b$k)"""
+
+  /** The shared oracle chain: v0 (char-split vocabulary) through
+    * v{BpeRounds} (post-merge vocabulary), with b1..bR the per-round
+    * argmax pairs.
+    */
+  private val bpeChainSql: String = s"""
+    v0 AS (
+      SELECT word, count(*)::BIGINT AS wc,
+             chr(31) || array_to_string(
+               list_transform(range(1, len(word) + 1), i -> word[i]),
+               chr(31)) || chr(31) || chr(4) AS wstr
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE len(word) > 0
+      GROUP BY word),
+    ${(1 to BpeRounds).map(bpeRoundSql).mkString(",")}"""
+
+  val textBpeSql: String = s"""
+    WITH $bpeChainSql
+    SELECT * FROM (
+      ${(1 to BpeRounds).map(k =>
+        s"SELECT CAST($k AS INTEGER) AS merge_round, l AS left_sym, " +
+          s"r AS right_sym, cnt AS pair_cnt FROM b$k")
+        .mkString(" UNION ALL ")})
+    ORDER BY merge_round"""
+
+  /** T17: BPE ENCODING — the application face of T16: join the corpus
+    * against the trained post-merge vocabulary and account each
+    * document's exact subword-token cost under the learned merges.
+    * This replaces T3's ceil(len/4) `bpe_est` heuristic with the real
+    * number a trained tokenizer produces, which is what a token
+    * budget (P13's accounting, P4's packing) actually spends. Scale
+    * shape: encoding is ONE shuffle join of the corpus word stream
+    * against the vocabulary (word → token count — the trained
+    * tokenizer as a dimension table, exactly how production pipelines
+    * apply a frozen tokenizer), then a per-doc aggregate; training
+    * cost is T16's and amortizes across every corpus it encodes.
+    */
+  def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docsWords = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab0 = docsWords.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val (_, vocabR) = bpeTrain(vocab0, BpeRounds)
+    val toks = vocabR.select(col("word"),
+      size(filter(split(col("wstr"), BpeSep),
+        s0 => length(s0) > lit(0))).cast("long").as("n_toks"))
+    docsWords.join(toks, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textBpeEncodeSql: String = s"""
+    WITH $bpeChainSql,
+    encoded AS (
+      SELECT word, len(list_filter(string_split(wstr, chr(31)),
+               s -> len(s) > 0))::BIGINT AS n_toks
+      FROM v$BpeRounds),
+    dw AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE len(word) > 0)
+    SELECT doc_id, count(*) AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens
+    FROM dw JOIN encoded USING (word)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe" -> (textBpe _),
+    "text_bpe_encode" -> (textBpeEncode _),
     "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
     "text_repetition" -> (textRepetition _),
@@ -861,6 +1101,8 @@ object TextQueries {
     "text_perplexity_jm" -> (textPerplexityJm _))
 
   def oracles: Map[String, String] = Map(
+    "text_bpe" -> textBpeSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,

@@ -245,4 +245,46 @@ class PipelineSpec extends AnyFunSuite {
     out.filter(r => r.getLong(0) == r.getLong(1))
       .foreach(r => assert(r.getString(2) === r.getString(3)))
   }
+
+  test("P22: perplexity band filter — verdicts partition the held-out " +
+    "docs around the corpus-mean NLL, exactly") {
+    val rows = PipelineQueries.pplFilter(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    // one verdict per held-out scored doc (T15's grain)
+    val t15 = graft.text.TextQueries.textPerplexityJm(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.length === t15.length,
+      "filter grain diverged from the T15 scorer")
+    // recompute the band from the emitted scores: integer mean, then
+    // every verdict must match the [mean/2, 3*mean/2] rule bit-for-bit
+    val mean = rows.map(_.getLong(1)).sum / rows.length
+    rows.foreach { r =>
+      val nll = r.getLong(1)
+      val want =
+        if (nll * 2 < mean) "drop_low"
+        else if (nll * 2 > mean * 3) "drop_high"
+        else "keep"
+      assert(r.getString(2) === want, s"doc ${r.getLong(0)}: verdict " +
+        s"${r.getString(2)} != $want (nll $nll, mean $mean)")
+    }
+    // this homogeneous synthetic corpus sits inside the band — every
+    // verdict is a keep (separation is planted below, where the
+    // distribution is actually bimodal)
+    assert(rows.forall(_.getString(2) === "keep"))
+  }
+
+  test("P22: the band separates a planted bimodal score distribution " +
+    "into all three verdicts") {
+    import spark.implicits._
+    // 10 boilerplate docs (nll 1), 80 normal (10), 10 garbage (40):
+    // integer mean = 1210 div 100 = 12 → keep iff 6 ≤ nll ≤ 18
+    val planted = ((1 to 10).map(i => (i.toLong, 1L)) ++
+      (11 to 90).map(i => (i.toLong, 10L)) ++
+      (91 to 100).map(i => (i.toLong, 40L))).toDF("doc_id", "nll_micro")
+    val out = PipelineQueries.pplBand(planted).collect()
+    graft.CachedFrames.releaseAll()
+    val byV = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byV === Map("drop_low" -> 10, "keep" -> 80, "drop_high" -> 10),
+      s"band verdicts $byV did not separate the planted modes")
+  }
 }

@@ -418,6 +418,49 @@ class SimSpec extends AnyFunSuite {
       s"second deflation round did not pay: $err2 vs $err1")
   }
 
+  test("coupled OPQ: gate emits the full candidate ladder, chosen is " +
+    "the (err, depth) argmin, and the decision is deterministic") {
+    val a = SimQueries.opqRotateCoupled(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val b = SimQueries.opqRotateCoupled(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "coupled ladder not run-to-run deterministic")
+    assert(a.map(_.getInt(0)).toSeq === (0 to SimQueries.DeflateRounds),
+      "ladder must cover every deflation prefix exactly once")
+    val chosen = a.filter(_.getBoolean(2))
+    assert(chosen.length === 1, "exactly one candidate must be chosen")
+    val best = a.minBy(r => (r.getLong(1), r.getInt(0)))
+    assert(chosen.head.getInt(0) === best.getInt(0),
+      s"chosen depth ${chosen.head.getInt(0)} is not the argmin " +
+        s"${best.getInt(0)}")
+  }
+
+  test("coupled OPQ: on planted off-axis anisotropy the coupling picks " +
+    "a rotation — trained assignment error, not variance, decides") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    // the S14 spec corpus: a label-independent 4-modal coefficient on
+    // the all-ones diagonal — per-dim variances rise uniformly, so a
+    // variance-only criterion is blind; only the trained error of the
+    // rotated-space codebooks can tell the candidates apart
+    val planted = e.withColumn("v", expr(
+      "transform(v, x -> x + cast((vec_id * 2654435761) % 4 as double)" +
+        " - 1.5)"))
+    val ladder = SimQueries.coupledLadder(planted, SimQueries.DeflateRounds)
+    graft.CachedFrames.releaseAll()
+    val t = ladder.toMap
+    assert(t(1) < t(0),
+      s"depth-1 trained error ${t(1)} not below identity ${t(0)} on the " +
+        "planted mode — the rotation isn't paying under trained books")
+    val winner = ladder.minBy { case (d, v) => (v.toLong, d) }._1
+    assert(winner >= 1,
+      s"coupling chose the identity (depth $winner) despite a planted " +
+        "off-axis mode")
+  }
+
   test("SQ8: codes are 8-bit, reconstruction error beats PQ by orders") {
     val rows = SimQueries.sq8Quantize(spark, dir).collect()
     assert(rows.length === 500)

@@ -1235,4 +1235,49 @@ class StreamingSpec extends AnyFunSuite {
       "streamed transitions diverged from the batch lag")
     assert(got.size === batch.size, "duplicate transitions emitted")
   }
+
+  test("R23: perplexity scoring at ingest — stream-static reference " +
+    "joins reproduce the batch held-out scorer under any trigger " +
+    "packing") {
+    import spark.implicits._
+    val d = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // model trained OFFLINE on the 4/5 train split (T15's protocol)
+    val m = graft.text.TextQueries.jmTrain(d.filter(col("doc_id") % 5 =!= 0))
+    val held = d.filter(col("doc_id") % 5 === 0)
+    val want = graft.text.TextQueries.jmScore(m)(held).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // the held-out docs arrive as a 3-file tape stream, 1 file/trigger
+    val root = tmp()
+    val records = held.collect().toSeq.map { r =>
+      (s"${r.getLong(0)}|${r.getString(1)}".getBytes,
+        r.getLong(0), java.sql.Timestamp.valueOf("2024-12-01 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(records, root, "d", numFiles = 3)
+    def parse(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("text"))
+    val got = new java.util.concurrent.ConcurrentHashMap[Long,
+      (Long, Long, Long)]()
+    val q = StreamPerplexity.score(m)(
+        parse(spark.readStream.format("tape")
+          .option("maxFilesPerTrigger", 1).load(s"$root/d")))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          b.collect().foreach { r =>
+            got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+          }
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toMap === want,
+      "streamed perplexity rows diverged from the batch scorer")
+    graft.CachedFrames.releaseAll()
+  }
 }

@@ -108,6 +108,107 @@ class TextSpec extends AnyFunSuite {
       s"JM ${mass(jm)} did not beat Laplace ${mass(laplace)}")
   }
 
+  /** Independent in-memory reference BPE (Sennrich-style greedy merge
+    * on a word-frequency list) — the semantics T16's distributed
+    * string-fold must reproduce merge-for-merge.
+    */
+  private def refBpe(words: Seq[(String, Long)],
+                     rounds: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ TextQueries.BpeMark, c)
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    while (k <= rounds) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), cnt) =
+          counts.toSeq.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        out += ((k, l, r, cnt))
+        vocab = vocab.map { case (syms, c) => (refMerge(syms, l, r), c) }
+      }
+      k += 1
+    }
+    out.result()
+  }
+
+  /** greedy left-to-right non-overlapping single-pair merge */
+  private def refMerge(syms: Vector[String], l: String,
+                       r: String): Vector[String] = {
+    val nb = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        nb += (l + r); i += 2
+      } else { nb += syms(i); i += 1 }
+    }
+    nb.result()
+  }
+
+  /** encode one word by applying the learned merges in order */
+  private def refEncode(w: String,
+                        merges: Seq[(Int, String, String, Long)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector :+ TextQueries.BpeMark) {
+      case (syms, (_, l, r, _)) => refMerge(syms, l, r)
+    }
+
+  test("BPE: the distributed string-fold trainer reproduces a reference " +
+    "implementation merge-for-merge on planted vocabularies") {
+    import spark.implicits._
+    // planted: shared subword structure ("an"/"ana"), a run of repeats
+    // ("aaaa" exercises the non-overlapping rule), count-weighted ties
+    val planted = Seq(
+      ("banana", 5L), ("bandana", 3L), ("ana", 7L), ("nab", 2L),
+      ("aaaa", 4L), ("abab", 6L), ("b", 9L))
+    val vocab0 = planted.toDF("word", "wc")
+    val got = TextQueries.bpeMerges(vocab0, 6)
+    val want = refBpe(planted, 6)
+    assert(got === want,
+      s"distributed merges $got diverged from reference $want")
+    // the merge table must chain: some round merges a multi-char symbol
+    assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 },
+      "no merge consumed an earlier round's symbol — chaining broken")
+  }
+
+  test("BPE encode: post-merge vocabulary token counts equal the " +
+    "reference encoder applying the merge table in order") {
+    import spark.implicits._
+    val planted = Seq(
+      ("banana", 5L), ("bandana", 3L), ("ana", 7L), ("nab", 2L),
+      ("aaaa", 4L), ("abab", 6L), ("b", 9L))
+    val (merges, vfinal) = TextQueries.bpeTrain(planted.toDF("word", "wc"), 6)
+    val got = vfinal.select(col("word"),
+        size(org.apache.spark.sql.functions.filter(
+          split(col("wstr"), TextQueries.BpeSep),
+          s0 => length(s0) > lit(0))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    planted.foreach { case (w, _) =>
+      val ref = refEncode(w, merges)
+      assert(got(w) === ref.length,
+        s"'$w': distributed token count ${got(w)} != reference " +
+          s"${ref.length} (${ref.mkString("|")})")
+      // merging only ever shrinks: cost ≤ chars + end marker
+      assert(got(w) <= w.length + 1)
+    }
+    // the trained tokenizer compresses the planted subword structure
+    assert(got("banana") < "banana".length + 1,
+      "no merge applied to 'banana' — training not compressing")
+  }
+
+  test("BPE gate: full round table, deterministic across runs") {
+    val a = TextQueries.textBpe(spark, dir).collect()
+    val b = TextQueries.textBpe(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.map(_.getInt(0)).toSeq === (1 to TextQueries.BpeRounds))
+    // every learned pair was actually frequent: counts are positive
+    assert(a.forall(_.getLong(3) > 0))
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
