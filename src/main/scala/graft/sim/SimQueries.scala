@@ -405,6 +405,85 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Tenants for the filtered-search gate: a metadata attribute
+    * deliberately ORTHOGONAL to the cluster geometry (id mod 3), so
+    * the filter genuinely thins every probed list instead of aligning
+    * with it.
+    */
+  val FilterTenants = 3
+
+  /** S21: FILTERED ANN — metadata-constrained vector search, the
+    * production feature every vector store grew (faiss IDSelector,
+    * per-tenant search): each query retrieves top-k only among corpus
+    * vectors satisfying a predicate (here: same tenant = id mod
+    * `FilterTenants`). The scale design point: the predicate pushes
+    * INTO the candidate join — probed inverted lists are filtered
+    * BEFORE scoring, so no excluded vector is ever dotted — and the
+    * search over-probes (NProbe lists) because filtering thins each
+    * list by ~1/tenants; this is exactly why filtered deployments
+    * raise nprobe. Plan unchanged from S8: probe explode → cluster
+    * equi-join (+ the tenant conjunct) → exact cosine → per-query
+    * top-k. Spec: every result matches its query's tenant, recall ≥
+    * the probe-1 filtered baseline, and the filtered ranking provably
+    * differs from the unfiltered one.
+    */
+  def knnFiltered(s: SparkSession, dir: String,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val assign = e.select(col("vec_id"), col("vn"),
+      bestClusterCol(cents).as("cluster"),
+      (col("vec_id") % FilterTenants).as("tenant"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
+        (col("vec_id") % FilterTenants).as("q_tenant"),
+        explode(topProbesCol(cents, nprobe)).as("p"))
+      .select(col("q_id"), col("qvn"), col("q_tenant"),
+        col("p.label").as("cluster"))
+    val scored = q.join(assign, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(col("tenant") === col("q_tenant"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("tenant"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnFilteredSql: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, vn, cluster, vec_id % $FilterTenants AS tenant
+      FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn,
+             vec_id % $FilterTenants AS q_tenant, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe),
+    scored AS (
+      SELECT q.q_id, a.vec_id AS neighbor, a.tenant,
+             round(list_dot_product(q.qvn, a.vn), 6) AS cos
+      FROM qprobe q JOIN assigned a USING (cluster)
+      WHERE a.vec_id != q.q_id AND a.tenant = q.q_tenant),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, tenant, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   val knnIvfProbeSql: String = s"""
     WITH e AS ($vecsSql),
     $centroidsSql,
@@ -2468,6 +2547,7 @@ object SimQueries {
     "knn_brute" -> (knnBrute _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
+    "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
@@ -2491,6 +2571,7 @@ object SimQueries {
     "knn_brute" -> knnBruteSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,
+    "knn_filtered" -> knnFilteredSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,

@@ -914,7 +914,7 @@ object TextQueries {
     * whole merge sequence against an independent in-memory reference
     * implementation on planted vocabularies.
     */
-  private[text] def bpeTrain(vocab0: DataFrame, rounds: Int)
+  private[graft] def bpeTrain(vocab0: DataFrame, rounds: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = vocab0.withColumn("wstr", concat(lit(BpeSep),
         array_join(expr(
@@ -1082,9 +1082,75 @@ object TextQueries {
     FROM dw JOIN encoded USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- T18: hybrid retrieval (BM25 ⊕ vector, RRF fusion) ----
+
+  /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60). */
+  val RrfK = 60
+
+  /** T18: HYBRID retrieval — the fusion step every modern retrieval
+    * stack runs: a lexical ranking (T6's BM25 over the fixed query
+    * terms) and a dense ranking (S1's exact cosine list for query
+    * vector 0 — swap any ANN face at scale; ids are shared between
+    * `documents` and `embeddings`) merge by reciprocal rank fusion,
+    * rrf = Σ 1/(k + rank) over the sources that returned the doc.
+    * RRF is rank-only — no score normalization across incomparable
+    * scales, the reason it became the default — and here each
+    * reciprocal quantizes as 1000000 div (k + rank), pure integer
+    * division, so fused scores are exact BIGINTs in both engines.
+    * Scale shape: both input rankings are top-N frames (KBs), the
+    * fusion is a full-outer join of two tiny lists + one sort of ≤
+    * N₁+N₂ rows — cost lives in the component retrievals, which keep
+    * their own scale designs (T6 postings pushdown, S-family ANN).
+    */
+  def hybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val wt = Window.orderBy(col("score_micro").desc, col("doc_id"))
+    val bm = textBm25(s, dir)
+      .withColumn("text_rank", row_number().over(wt))
+      .select(col("doc_id"), col("text_rank"))
+    val vec = graft.sim.SimQueries.knnBrute(s, dir)
+      .filter(col("q_id") === 0)
+      .select(col("neighbor").cast("long").as("doc_id"),
+        col("rank").as("vec_rank"))
+    bm.join(vec, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($RrfK + text_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + vec_rank)"), lit(0L)))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_micro").desc,
+          col("doc_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("doc_id"), col("text_rank"), col("vec_rank"),
+        col("rrf_micro"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
+  val hybridSearchSql: String = s"""
+    WITH bm AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id)
+               AS text_rank
+      FROM ($textBm25Sql)),
+    vec AS (
+      SELECT neighbor AS doc_id, rank AS vec_rank
+      FROM (${graft.sim.SimQueries.knnBruteSql})
+      WHERE q_id = 0),
+    fused AS (
+      SELECT coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+             text_rank, vec_rank,
+             coalesce(1000000 // ($RrfK + text_rank), 0)::BIGINT +
+               coalesce(1000000 // ($RrfK + vec_rank), 0)::BIGINT
+               AS rrf_micro
+      FROM bm FULL OUTER JOIN vec ON bm.doc_id = vec.doc_id)
+    SELECT doc_id, text_rank, vec_rank, rrf_micro,
+           row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rank
+    FROM fused
+    QUALIFY rank <= 10
+    ORDER BY rank"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (textBpe _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "hybrid_search" -> (hybridSearch _),
     "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
     "text_repetition" -> (textRepetition _),
@@ -1103,6 +1169,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "hybrid_search" -> hybridSearchSql,
     "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,

@@ -418,6 +418,52 @@ class SimSpec extends AnyFunSuite {
       s"second deflation round did not pay: $err2 vs $err1")
   }
 
+  test("filtered ANN: tenant predicate holds on every result, recall " +
+    "tracks the filtered-brute truth, and the filter provably bites") {
+    import org.apache.spark.sql.functions._
+    val rows = SimQueries.knnFiltered(spark, dir).collect()
+    // the predicate is a hard constraint, never best-effort
+    rows.foreach { r =>
+      assert(r.getLong(1) % SimQueries.FilterTenants ===
+        r.getLong(0) % SimQueries.FilterTenants,
+        s"q ${r.getLong(0)} returned cross-tenant neighbor ${r.getLong(1)}")
+      assert(r.getLong(1) % SimQueries.FilterTenants === r.getLong(2))
+    }
+    // filtered-brute truth: exact within-tenant top-k
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", expr(
+        "transform(v, x -> x / sqrt(aggregate(zip_with(v, v, " +
+          "(a, b) -> a * b), 0D, (acc, y) -> acc + y)))"))
+    val q = e.filter(col("vec_id") < SimQueries.NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+    val truth = q.join(e, col("vec_id") =!= col("q_id") &&
+        col("vec_id") % SimQueries.FilterTenants ===
+          col("q_id") % SimQueries.FilterTenants)
+      .withColumn("cos", round(expr(
+        "aggregate(zip_with(qvn, vn, (a, b) -> a * b), 0D, " +
+          "(acc, x) -> acc + x)"), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= SimQueries.TopK)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.5,
+      s"filtered multi-probe recall $recall below the S-family floor")
+    // the filter bites: some query's filtered top-1 differs from the
+    // unfiltered IVF top-1 (otherwise the predicate was vacuous here)
+    val unf = SimQueries.knnIvfProbe(spark, dir).collect()
+      .filter(_.getInt(4) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fil = rows.filter(_.getInt(4) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fil.exists { case (q2, n) => unf.get(q2).exists(_ != n) },
+      "every filtered top-1 equals the unfiltered one — predicate vacuous")
+  }
+
   test("coupled OPQ: gate emits the full candidate ladder, chosen is " +
     "the (err, depth) argmin, and the decision is deterministic") {
     val a = SimQueries.opqRotateCoupled(spark, dir).collect()

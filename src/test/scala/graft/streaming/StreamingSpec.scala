@@ -1280,4 +1280,63 @@ class StreamingSpec extends AnyFunSuite {
       "streamed perplexity rows diverged from the batch scorer")
     graft.CachedFrames.releaseAll()
   }
+
+  test("R24: BPE token accounting at ingest — the frozen-tokenizer " +
+    "stream-static join equals the batch encoder, and OOV words fall " +
+    "back to char cost") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val vocab0 = d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val (_, vocabR) = graft.text.TextQueries.bpeTrain(
+      vocab0, graft.text.TextQueries.BpeRounds)
+    val toks = StreamBpeTokens.tokenTable(vocabR)
+      .localCheckpoint(false) // frozen tokenizer: compute once
+    // batch twin on the training corpus itself (no OOV possible)
+    val want = graft.text.TextQueries.textBpeEncode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), 0L))).toMap
+    // stream the same docs PLUS one doc with a word training never saw
+    val novelId = 999999L
+    val novelText = "the zzqxv" // "the" is in-vocab; "zzqxv" is not
+    val root = tmp()
+    val records = (d.collect().toSeq.map(r =>
+      (r.getLong(0), r.getString(1))) :+ ((novelId, novelText)))
+      .map { case (id, t) =>
+        (s"$id|$t".getBytes, id,
+          java.sql.Timestamp.valueOf("2024-12-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    graft.vcr.TapeWriter.write(records, root, "d", numFiles = 3)
+    def parse(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("doc_id"),
+          element_at(col("p"), 2).as("text"))
+    val got = new java.util.concurrent.ConcurrentHashMap[Long,
+      (Long, Long, Long)]()
+    val q = StreamBpeTokens.encode(toks)(
+        parse(spark.readStream.format("tape")
+          .option("maxFilesPerTrigger", 1).load(s"$root/d")))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          b.collect().foreach { r =>
+            got.put(r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))
+          }
+          ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val gotMap = got.asScala.toMap
+    // the novel doc: "the" at its trained cost, "zzqxv" at chars+1 = 6
+    val theCost = toks.filter(col("word") === "the")
+      .head().getLong(1)
+    assert(gotMap(novelId) === ((2L, theCost + 6L, 1L)),
+      s"novel doc accounting ${gotMap(novelId)} != (2, ${theCost + 6}, 1)")
+    assert(gotMap - novelId === want,
+      "streamed token accounting diverged from the batch encoder")
+    graft.CachedFrames.releaseAll()
+  }
 }

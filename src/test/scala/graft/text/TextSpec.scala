@@ -209,6 +209,40 @@ class TextSpec extends AnyFunSuite {
     assert(a.forall(_.getLong(3) > 0))
   }
 
+  test("hybrid RRF fusion: fused table recomputes by hand from the two " +
+    "component rankings, and both modalities contribute") {
+    val bm = TextQueries.textBm25(spark, dir).collect()
+      .sortBy(r => (-r.getLong(1), r.getLong(0)))
+      .map(_.getLong(0)).zipWithIndex
+      .map { case (d, i) => d -> (i + 1) }.toMap
+    val vec = graft.sim.SimQueries.knnBrute(spark, dir).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => r.getLong(1) -> r.getInt(3)).toMap
+    graft.CachedFrames.releaseAll()
+    val fused = TextQueries.hybridSearch(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    // hand-recompute rrf for the union of both lists
+    val want = (bm.keySet ++ vec.keySet).map { d =>
+      d -> (bm.get(d).map(r => 1000000L / (TextQueries.RrfK + r))
+        .getOrElse(0L) +
+        vec.get(d).map(r => 1000000L / (TextQueries.RrfK + r))
+          .getOrElse(0L))
+    }.toMap
+    fused.foreach { r =>
+      assert(r.getLong(3) === want(r.getLong(0)),
+        s"doc ${r.getLong(0)}: rrf ${r.getLong(3)} != ${want(r.getLong(0))}")
+    }
+    // ranking is rrf-descending with id tiebreak, and dense 1..n
+    assert(fused.map(_.getInt(4)).toSeq === (1 to fused.length))
+    val scores = fused.map(r => (r.getLong(3), r.getLong(0)))
+    assert(scores.zip(scores.tail).forall { case ((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+    // fusion genuinely merged: at least one fused doc came from each side
+    val fd = fused.map(_.getLong(0)).toSet
+    assert(fd.exists(bm.contains), "no BM25 doc survived fusion")
+    assert(fd.exists(vec.contains), "no vector doc survived fusion")
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
