@@ -1235,8 +1235,81 @@ object PipelineQueries {
                 ELSE 'keep' END AS verdict
     FROM scored, m ORDER BY doc_id"""
 
+  // ---- P23: per-source dataset card ----
+
+  /** P23: the SOURCE-grain report every dataset ships with (the
+    * datasheet/data-card rollup, P21's doc-grain scorecard aggregated
+    * to the grain a mixing decision is made at): per source — volume
+    * (docs, whitespace tokens), exact-duplicate exposure (D1's
+    * global-keeper rule, so cross-source copies bill to the copy, not
+    * the keeper — P13's attribution), language mix (dominant language
+    * + distinct count), and mean T2 quality in exact micro units
+    * (per-doc quality micro-quantizes before an order-free BIGINT
+    * sum; the quality formula is the SHARED [[graft.text.TextQueries
+    * .qualitySqlExpr]] source of truth, so this report can never fork
+    * from the T2/P19 gates). Scale shape: one corpus pass computes
+    * every per-doc signal in a single codegen stage; the only
+    * corpus-width shuffle carries 16-byte text hashes for the keeper
+    * rule; everything after is (sources × langs)-bounded.
+    */
+  def sourceReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.CachedFrames.persist(
+      graft.text.TextQueries.withQuality(Tables.documents(s, dir))
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("n_tokens").cast("long").as("n_toks"), col("quality"),
+          md5(col("text")).as("h")))
+    val keeper = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val f = d.join(keeper, Seq("h"))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper")).cast("long"))
+    val lt = graft.CachedFrames.persist(
+      f.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n")))
+    val top = lt.withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val nl = lt.groupBy(col("source")).agg(count(lit(1)).as("n_langs"))
+    f.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("n_toks")).as("tok_total"),
+        expr("sum(cast(round(quality * 1000000, 0) as bigint)) div count(1)")
+          .as("mean_quality_micro"))
+      .join(top, Seq("source"))
+      .join(nl, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("tok_total"), col("top_lang"), col("n_langs"),
+        col("mean_quality_micro"))
+      .orderBy(col("source"))
+  }
+
+  val sourceReportSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             len(string_split(text, ' '))::BIGINT AS n_toks,
+             ${graft.text.TextQueries.qualitySqlExpr("text")} AS q,
+             md5(text) AS h
+      FROM documents),
+    k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
+    f AS (SELECT d.*, CASE WHEN doc_id != keeper THEN 1 ELSE 0 END AS is_dup
+          FROM d JOIN k USING (h)),
+    lt AS (SELECT source, lang, count(*) AS n FROM f GROUP BY source, lang),
+    top AS (SELECT source, lang AS top_lang FROM (
+             SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY n DESC, lang) AS rn FROM lt) WHERE rn = 1),
+    nl AS (SELECT source, count(*) AS n_langs FROM lt GROUP BY source)
+    SELECT f.source, count(*) AS n_docs, sum(is_dup)::BIGINT AS n_dup_docs,
+           sum(n_toks)::BIGINT AS tok_total, top_lang, n_langs,
+           (sum(CAST(round(q * 1000000, 0) AS BIGINT))::BIGINT // count(*))
+             AS mean_quality_micro
+    FROM f JOIN top USING (source) JOIN nl USING (source)
+    GROUP BY f.source, top_lang, n_langs
+    ORDER BY f.source"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ppl_filter" -> (pplFilter _),
+    "source_report" -> (sourceReport _),
     "doc_scorecard" -> (docScorecard _),
     "data_alpha_mix_dedup" -> (dataAlphaMixDedup _),
     "quality_mix" -> (qualityMix _),
@@ -1260,6 +1333,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "ppl_filter" -> pplFilterSql,
+    "source_report" -> sourceReportSql,
     "doc_scorecard" -> docScorecardSql,
     "data_alpha_mix_dedup" -> dataAlphaMixDedupSql,
     "quality_mix" -> qualityMixSql,

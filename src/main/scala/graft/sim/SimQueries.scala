@@ -405,6 +405,100 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The nprobe ladder S22 sweeps. */
+  val TuneProbes: Seq[Int] = Seq(1, 2, 3, 5)
+
+  /** S22: IVF nprobe TUNING CURVE — the knob-selection operator (D22's
+    * LSH tuner, for the IVF family): serve the corpus at each nprobe
+    * in the ladder, score recall@k against the brute-force truth, and
+    * CHOOSE the smallest nprobe reaching ≥90% of the ladder's best
+    * recall — the standard latency/recall elbow rule, in pure integer
+    * arithmetic (recall_micro = hits·10⁶ div |truth|, the decision
+    * compares recall·10 ≥ max·9). The gate emits the whole curve plus
+    * the hash-verified choice, S20's ladder discipline: if the two
+    * engines served any probe depth differently anywhere, a hits
+    * count moves and the hash catches it. Scale: the truth set is
+    * |Q|·k rows (a broadcast probe however large the corpus); each
+    * rung re-runs the S8 serving plan — the tuner costs |ladder|
+    * servings ONCE, to set the knob every production query then uses.
+    */
+  def ivfTune(s: SparkSession, dir: String): DataFrame = {
+    val truth = graft.CachedFrames.persist(
+      knnBrute(s, dir).select(col("q_id"), col("neighbor")))
+    val nTruth = NumQueries.toLong * TopK
+    val rows = TuneProbes.map { p =>
+      val pairs = knnIvfProbe(s, dir, p).select(col("q_id"), col("neighbor"))
+      val n = pairs.count()
+      val hits = pairs.join(truth, Seq("q_id", "neighbor")).count()
+      (p, n, hits, nTruth, hits * 1000000L / nTruth)
+    }
+    val maxR = rows.map(_._5).max
+    val chosen = rows.filter(_._5 * 10 >= maxR * 9).map(_._1).min
+    import s.implicits._
+    rows.toDF("nprobe", "n_pairs", "hits", "n_truth", "recall_micro")
+      .withColumn("chosen", col("nprobe") === lit(chosen))
+      .orderBy(col("nprobe"))
+  }
+
+  private def ivfTuneRungSql(p: Int): String = s"""
+    qp_$p AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent WHERE e.vec_id < $NumQueries) WHERE rn <= $p),
+    mk_$p AS (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor) AS rank
+        FROM (SELECT q.q_id, a.vec_id AS neighbor,
+                     round(list_dot_product(q.qvn, a.vn), 6) AS cos
+              FROM qp_$p q JOIN tassigned a USING (cluster)
+              WHERE a.vec_id != q.q_id)) WHERE rank <= $TopK),
+    t_$p AS (
+      SELECT CAST($p AS INTEGER) AS nprobe, count(*)::BIGINT AS n_pairs,
+             coalesce(sum(CASE WHEN b.neighbor IS NOT NULL THEN 1 END),
+               0)::BIGINT AS hits
+      FROM mk_$p m LEFT JOIN btruth b
+        ON m.q_id = b.q_id AND m.neighbor = b.neighbor)"""
+
+  val ivfTuneSql: String = {
+    val nTruth = NumQueries.toLong * TopK
+    s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    tassigned AS MATERIALIZED (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    btruth AS MATERIALIZED (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor) AS rank
+        FROM (SELECT q.vec_id AS q_id, e2.vec_id AS neighbor,
+                     round(list_dot_product(q.vn, e2.vn), 6) AS cos
+              FROM e q JOIN e e2 ON e2.vec_id != q.vec_id
+              WHERE q.vec_id < $NumQueries)) WHERE rank <= $TopK),
+    ${TuneProbes.map(ivfTuneRungSql).mkString(",")},
+    tt AS (
+      SELECT nprobe, n_pairs, hits, CAST($nTruth AS BIGINT) AS n_truth,
+             (hits * 1000000 // $nTruth)::BIGINT AS recall_micro
+      FROM (${TuneProbes.map(p => s"SELECT * FROM t_$p")
+        .mkString(" UNION ALL ")})),
+    mx AS (SELECT max(recall_micro) AS m FROM tt),
+    ch AS (SELECT min(nprobe) AS cn FROM tt, mx
+           WHERE recall_micro * 10 >= m * 9)
+    SELECT nprobe, n_pairs, hits, n_truth, recall_micro,
+           nprobe = cn AS chosen
+    FROM tt, ch ORDER BY nprobe"""
+  }
+
   /** Tenants for the filtered-search gate: a metadata attribute
     * deliberately ORTHOGONAL to the cluster geometry (id mod 3), so
     * the filter genuinely thins every probed list instead of aligning
@@ -2548,6 +2642,7 @@ object SimQueries {
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
+    "ivf_tune" -> (ivfTune _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "pq_quantize" -> (pqQuantize _),
@@ -2572,6 +2667,7 @@ object SimQueries {
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_filtered" -> knnFilteredSql,
+    "ivf_tune" -> ivfTuneSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "pq_quantize" -> pqQuantizeSql,

@@ -273,6 +273,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.forall(_.getString(2) === "keep"))
   }
 
+  test("P23: source report recomputes from the raw table — volumes, " +
+    "keeper-rule dup counts, and language mix all agree") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQueries.sourceReport(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val raw = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    assert(rows.map(_.getLong(1)).sum === raw.length,
+      "per-source doc counts don't cover the corpus")
+    // independent keeper rule: global min doc_id per exact text
+    val keeper = raw.groupBy(_._4).map { case (_, ds) =>
+      ds.map(_._1).min -> ds.map(_._1).toSet }.toMap
+    val dupIds = keeper.values.flatMap(ids => ids - ids.min).toSet
+    val bySource = raw.groupBy(_._2)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ds = bySource(src)
+      assert(r.getLong(1) === ds.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) === ds.count(d => dupIds.contains(d._1)).toLong,
+        s"$src n_dup_docs")
+      assert(r.getLong(3) ===
+        ds.map(_._4.split(" ", -1).length.toLong).sum, s"$src tok_total")
+      val langCounts = ds.groupBy(_._3).view.mapValues(_.length).toMap
+      val wantTop = langCounts.toSeq.minBy { case (l, n) => (-n, l) }._1
+      assert(r.getString(4) === wantTop, s"$src top_lang")
+      assert(r.getLong(5) === langCounts.size.toLong, s"$src n_langs")
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L,
+        s"$src mean quality out of range")
+    }
+  }
+
   test("P22: the band separates a planted bimodal score distribution " +
     "into all three verdicts") {
     import spark.implicits._

@@ -418,6 +418,30 @@ class SimSpec extends AnyFunSuite {
       s"second deflation round did not pay: $err2 vs $err1")
   }
 
+  test("IVF tuning curve: recall is monotone in nprobe, the ladder is " +
+    "complete, and chosen is the 90%-of-best elbow") {
+    val rows = SimQueries.ivfTune(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.map(_.getInt(0)).toSeq === SimQueries.TuneProbes)
+    // a larger probe set is a candidate superset: any truth member
+    // displaced from the top-k is displaced by a closer vector, which
+    // is itself truth — so recall can only rise with nprobe
+    val recalls = rows.map(_.getLong(4))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nprobe: ${recalls.toSeq}")
+    val chosen = rows.filter(_.getBoolean(5))
+    assert(chosen.length === 1)
+    val maxR = recalls.max
+    val wantChosen = rows.filter(_.getLong(4) * 10 >= maxR * 9)
+      .map(_.getInt(0)).min
+    assert(chosen.head.getInt(0) === wantChosen)
+    // hits never exceed truth, pairs = |Q|·k per rung
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(1) === SimQueries.NumQueries.toLong * SimQueries.TopK)
+    }
+  }
+
   test("filtered ANN: tenant predicate holds on every result, recall " +
     "tracks the filtered-brute truth, and the filter provably bites") {
     import org.apache.spark.sql.functions._
