@@ -175,6 +175,7 @@ object DedupQueries {
     * and D15.
     */
   private def verifiedPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val minJaccard = 0.5
     // persisted for the same three-consumer + accurate-stats reasons
     // as jaccardPairs (sf1 probe)
     val capped = graft.CachedFrames.persist(cappedShingles(sh))
@@ -193,7 +194,7 @@ object DedupQueries {
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
         .hint("shuffle_hash"), Seq("doc_b"))
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -208,6 +209,128 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard
     FROM cand JOIN jp USING (doc_a, doc_b)
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** D23: MinHash Jaccard ESTIMATION with in-gate verified error —
+    * the textbook use of the signature D3 only banded: est(J) =
+    * matching components / k, an unbiased estimator whose whole point
+    * is never touching the shingle sets at comparison time. Emitted
+    * per band-candidate pair: the integer-micro estimate from the
+    * signatures alone, the exact capped-set Jaccard, and |est−exact|
+    * — so the estimator's quality is a hash-verified number per pair
+    * (the P14 n_exact discipline: a sketch that ships with its own
+    * measured error).
+    *
+    * TWO honesty points this gate surfaced:
+    *  - The signatures here are a fresh MD5 family (mh_i = min over
+    *    shingles of md5(i|shingle)), NOT D3's affine family
+    *    (a_i·h+b_i mod P over a shared 28-bit base hash). Building
+    *    this gate MEASURED the affine family as badly non-min-wise
+    *    independent on small dense shingle sets — pairs with true
+    *    J=0.016 matched 29/32 components (a doc's min base-h shingle
+    *    tends to minimize EVERY near-monotone affine map, so minima
+    *    collide without set overlap). D3 stays sound because banding
+    *    only PROPOSES and the exact verify disposes; an estimator has
+    *    no verify to hide behind, so it needs the independent family.
+    *    Cost: k md5s per (doc, shingle) in a k-row explode — what
+    *    MinHashAgg's one-pass avoided; production folds this family
+    *    into the same agg shape.
+    *  - The exact side is the TRUE distinct-shingle Jaccard, not D3's
+    *    capped verify (signatures hash the full set; the capped value
+    *    is a different target and would book the cap's bias as
+    *    estimator error). Uncapped is scale-safe HERE because the
+    *    join keys on (doc, shingle) of band-bounded candidate pairs —
+    *    never on the shingle alone, so no hot bucket exists to cap.
+    * Zero-overlap hash-collision candidates carry no exact value and
+    * are dropped by the same inner join in both engines.
+    */
+  def dedupMinhashEst(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir))
+    val bands = graft.CachedFrames.persist(minhashBands(sh))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key"))
+      .hint("shuffle_hash")
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val shd = graft.CachedFrames.persist(
+      sh.select(col("doc_id"), col("shingle")).distinct())
+    val sigs = graft.CachedFrames.persist(
+      shd.select(col("doc_id"), col("shingle"),
+          explode(expr(s"sequence(0, ${NumHashes - 1})")).as("i"))
+        .withColumn("hi", expr("cast(conv(substring(md5(concat(" +
+          "cast(i as string), '|', shingle)), 1, 7), 16, 10) as bigint)"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(min(col("hi")).as("mh")))
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("i"),
+        col("mh").as("ma")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("i"),
+        col("mh").as("mb")).hint("shuffle_hash"), Seq("doc_b", "i"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("m"))
+      .withColumn("est_micro",
+        expr(s"cast(m * 1000000 div $NumHashes as bigint)"))
+      .select(col("doc_a"), col("doc_b"), col("est_micro"))
+    val counts = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exact = cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("jaccard_micro", expr(
+        "cast(round(c * 1000000.0 / (na + nb - c), 0) as bigint)"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_micro"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .withColumn("err_micro", abs(col("est_micro") - col("jaccard_micro")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashEstSql: String = s"""
+    WITH shingles AS ($shinglesSql),
+    $minhashBandsSql,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+    sig23 AS (
+      SELECT doc_id, i,
+             min(('0x' || substring(md5(i::VARCHAR || '|' || shingle),
+               1, 7))::BIGINT) AS mh
+      FROM shd, (SELECT unnest(range(0, $NumHashes)) AS i)
+      GROUP BY doc_id, i),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             (sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) * 1000000
+               // $NumHashes)::BIGINT AS est_micro
+      FROM cand c JOIN sig23 sa ON sa.doc_id = c.doc_a
+                  JOIN sig23 sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+      GROUP BY c.doc_a, c.doc_b),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    ex AS (
+      SELECT doc_a, doc_b,
+             CAST(round(c * 1000000.0 / (na + nb - c), 0) AS BIGINT)
+               AS jaccard_micro
+      FROM (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+                    JOIN shd b ON b.doc_id = c.doc_b
+                             AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b) j
+      JOIN (SELECT doc_id, n AS na FROM cnt) ca ON ca.doc_id = j.doc_a
+      JOIN (SELECT doc_id, n AS nb FROM cnt) cb ON cb.doc_id = j.doc_b)
+    SELECT doc_a, doc_b, est_micro, jaccard_micro,
+           abs(est_micro - jaccard_micro) AS err_micro
+    FROM est JOIN ex USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b"""
 
   /** D13: PageRank centrality over the near-dup candidate graph — the
     * canonical-document signal: inside a duplicate neighborhood, the
@@ -1366,6 +1489,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
     "dedup_pagerank_capped" -> (dedupPagerankCapped _),
@@ -1388,6 +1512,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,
     "dedup_pagerank_capped" -> dedupPagerankCappedSql,

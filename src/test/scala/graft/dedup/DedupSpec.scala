@@ -34,6 +34,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got === truth) // 8x4 banding at j>=0.9: recall 1 here
   }
 
+  test("minhash estimation: planted near-identical pairs estimate high, " +
+    "and the per-pair measured error stays inside the k=32 envelope") {
+    val rows = DedupQueries.dedupMinhashEst(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact, err) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(est >= 0L && est <= 1000000L)
+      assert(err === math.abs(est - exact), "err column inconsistent")
+      // est is a multiple of 1e6/32 by construction
+      assert(est % (1000000L / graft.dedup.Shingling.NumHashes) === 0L)
+    }
+    // every planted jaccard>=0.9 pair is present and estimates high
+    val byPair = rows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    truth.foreach { p =>
+      val (est, exact) = byPair(p)
+      assert(exact >= 900000L, s"$p exact $exact below planted 0.9")
+      assert(est >= 700000L,
+        s"$p signature estimate $est implausibly low for a 0.9 pair")
+    }
+    // the estimator is USEFUL: mean measured error well inside the
+    // k=32 sampling envelope (sigma <= 0.088, mean|err| ~ 0.7 sigma)
+    val meanErr = rows.map(_.getLong(4)).sum / rows.length
+    assert(meanErr < 100000L, s"mean |est-exact| $meanErr >= 0.1")
+  }
+
   test("simhash finds exactly the planted pairs (guaranteed radius)") {
     // planted pairs sit at hamming 1..9; background pairs start ~18 —
     // with 10 chunks, recall at radius 9 is pigeonhole-guaranteed
