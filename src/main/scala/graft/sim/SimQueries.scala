@@ -426,8 +426,20 @@ object SimQueries {
     val truth = graft.CachedFrames.persist(
       knnBrute(s, dir).select(col("q_id"), col("neighbor")))
     val nTruth = NumQueries.toLong * TopK
+    // the corpus assignment is rung-independent — compute and persist
+    // it ONCE; each rung only re-derives its probe list and re-serves
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val assign = graft.CachedFrames.persist(
+      e.select(col("vec_id"), col("vn"),
+        bestClusterCol(cents).as("cluster")))
     val rows = TuneProbes.map { p =>
-      val pairs = knnIvfProbe(s, dir, p).select(col("q_id"), col("neighbor"))
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
+          explode(topProbesCol(cents, p)).as("pp"))
+        .select(col("q_id"), col("qvn"), col("pp.label").as("cluster"))
+      val pairs = serveAgainst(q, assign, excludeSelf = true)
+        .select(col("q_id"), col("neighbor"))
       val n = pairs.count()
       val hits = pairs.join(truth, Seq("q_id", "neighbor")).count()
       (p, n, hits, nTruth, hits * 1000000L / nTruth)

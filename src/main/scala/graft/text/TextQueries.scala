@@ -1053,9 +1053,11 @@ object TextQueries {
     * cost is T16's and amortizes across every corpus it encodes.
     */
   def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
-    val docsWords = Tables.documents(s, dir)
+    // the word stream feeds the vocabulary build AND the final encode
+    // join — persist or the corpus tokenizes twice (E24 discipline)
+    val docsWords = graft.CachedFrames.persist(Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
+      .filter(length(col("word")) > 0))
     val vocab0 = docsWords.groupBy(col("word")).agg(count(lit(1)).as("wc"))
     val (_, vocabR) = bpeTrain(vocab0, BpeRounds)
     val toks = vocabR.select(col("word"),
