@@ -1084,6 +1084,66 @@ object TextQueries {
     FROM dw JOIN encoded USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  // ---- T19: cross-doc repeated-span coverage ----
+
+  /** T19: per-document REPEATED-TEXT coverage — the removal signal
+    * substring-level dedup actually acts on (Lee et al.'s "deduplicate
+    * before training": what FRACTION of this document is text that
+    * also appears elsewhere?). D7 found the cross-doc spans; this
+    * operator turns them into the per-doc number a filter thresholds.
+    * Tiles are D7's exact definition — disjoint 10-word windows — so
+    * coverage needs no interval union: repeated_frac = repeated tiles
+    * / tiles, exact integer micro. A tile counts as repeated only if
+    * its hash occurs in ≥2 DISTINCT docs (within-doc repetition is
+    * T7's signal, deliberately not double-counted here). Scale shape:
+    * the span index shuffles 16-byte hashes, the cross-doc flag is
+    * one aggregate over it, the flag joins back hash-to-hash
+    * (both sides O(corpus) ⇒ SHUFFLE_HASH, the §8a rule), and the
+    * per-doc rollup shuffles doc ids — text never shuffles.
+    */
+  def textRepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val spans = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_words"),
+        explode(expr(
+          "transform(sequence(1, size(w) div 10), " +
+            "k -> concat_ws(' ', slice(w, (k-1)*10+1, 10)))")).as("span"))
+      .withColumn("h", md5(col("span"))).drop("span"))
+    val rep = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1L).as("is_rep"))
+    spans.join(rep.hint("shuffle_hash"), Seq("h"), "left")
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(coalesce(col("is_rep"), lit(0L))).as("n_repeated_tiles"))
+      .withColumn("repeated_frac_micro",
+        expr("n_repeated_tiles * 1000000 div n_tiles"))
+      .select(col("doc_id"), col("n_words"), col("n_tiles"),
+        col("n_repeated_tiles"), col("repeated_frac_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepeatedSpansSql: String = """
+    WITH sp AS (
+      SELECT doc_id, len(w)::BIGINT AS n_words,
+             md5(array_to_string(
+               list_slice(w, (k-1)*10+1, (k-1)*10+10), ' ')) AS h
+      FROM (SELECT doc_id, w, unnest(range(1, 1 + len(w)//10)) AS k
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 10)),
+    rep AS (SELECT h FROM sp GROUP BY h
+            HAVING count(DISTINCT doc_id) >= 2)
+    SELECT doc_id, n_words, count(*) AS n_tiles,
+           sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_repeated_tiles,
+           (sum(CASE WHEN rep.h IS NOT NULL THEN 1 ELSE 0 END)
+             * 1000000 // count(*))::BIGINT AS repeated_frac_micro
+    FROM sp LEFT JOIN rep ON sp.h = rep.h
+    GROUP BY doc_id, n_words ORDER BY doc_id"""
+
   // ---- T18: hybrid retrieval (BM25 ⊕ vector, RRF fusion) ----
 
   /** Reciprocal-rank-fusion constant (Cormack et al.'s k=60). */
@@ -1153,6 +1213,7 @@ object TextQueries {
     "text_bpe" -> (textBpe _),
     "text_bpe_encode" -> (textBpeEncode _),
     "hybrid_search" -> (hybridSearch _),
+    "text_repeated_spans" -> (textRepeatedSpans _),
     "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
     "text_repetition" -> (textRepetition _),
@@ -1172,6 +1233,7 @@ object TextQueries {
     "text_bpe" -> textBpeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "hybrid_search" -> hybridSearchSql,
+    "text_repeated_spans" -> textRepeatedSpansSql,
     "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
     "text_repetition" -> textRepetitionSql,

@@ -209,6 +209,32 @@ class TextSpec extends AnyFunSuite {
     assert(a.forall(_.getLong(3) > 0))
   }
 
+  test("repeated-span coverage: fractions recompute from the emitted " +
+    "counts, planted near-dups carry high coverage, unique docs zero") {
+    val rows = TextQueries.textRepeatedSpans(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nr, f) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nr >= 0 && nr <= nt)
+      assert(f === nr * 1000000L / nt, "frac inconsistent with counts")
+    }
+    val frac = rows.map(r => r.getLong(0) -> r.getLong(4)).toMap
+    // the D2-planted near-dup pairs differ in only a few words out of
+    // ~50: most of their 10-word tiles are identical cross-doc, so
+    // both members must show majority repeated coverage
+    val planted = graft.dedup.DedupQueries.dedupJaccard(spark, dir)
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.releaseAll()
+    planted.foreach { d =>
+      frac.get(d).foreach { f =>
+        assert(f >= 500000L, s"planted near-dup doc $d coverage $f < 0.5")
+      }
+    }
+    // and the corpus isn't all duplicated: most docs show zero
+    assert(rows.count(_.getLong(4) === 0L) > rows.length / 2)
+  }
+
   test("hybrid RRF fusion: fused table recomputes by hand from the two " +
     "component rankings, and both modalities contribute") {
     val bm = TextQueries.textBm25(spark, dir).collect()
