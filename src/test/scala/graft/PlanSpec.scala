@@ -146,7 +146,8 @@ class PlanSpec extends AnyFunSuite {
     // may still broadcast genuinely small attach sides it can
     // MEASURE — those have a shuffle beneath them).
     Seq("dedup_jaccard" -> "shingle", "dedup_minhash" -> "band",
-      "dedup_pagerank" -> "band", "dedup_triangles" -> "shingle")
+      "dedup_pagerank" -> "band", "dedup_triangles" -> "shingle",
+      "dedup_minhash_est" -> "band")
       .foreach { case (q, key) =>
         val p = plan(q)
         val broadcastOnKey = p.linesIterator.exists(l =>
@@ -169,6 +170,24 @@ class PlanSpec extends AnyFunSuite {
       l.contains("BroadcastHashJoin") && l.matches(".*\\[band.*"))
     assert(!broadcastOnBand, s"ahash band self-join broadcast:\n$p")
     assert(p.contains("ShuffledHashJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("text_repeated_spans: the cross-doc flag joins back on the hash " +
+    "SHUFFLED (the flag frame is O(corpus) at production scale)") {
+    val p = plan("text_repeated_spans")
+    val broadcastOnHash = p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.matches(".*\\[h#.*"))
+    assert(!broadcastOnHash, s"repeated-span flag broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("text_bpe_encode: the corpus word stream tokenizes once — the " +
+    "vocabulary build and the encode join both read the persisted frame") {
+    val p = plan("text_bpe_encode")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"bpe encode re-tokenizes the corpus per consumer:\n$p")
     graft.CachedFrames.releaseAll()
   }
 
