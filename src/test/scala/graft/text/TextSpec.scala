@@ -175,6 +175,30 @@ class TextSpec extends AnyFunSuite {
       "no merge consumed an earlier round's symbol — chaining broken")
   }
 
+  test("BPE fuzz: seeded random vocabularies over {a,b,c} — maximal " +
+    "merge collisions and repeat runs — reproduce the reference merge " +
+    "sequences exactly") {
+    import spark.implicits._
+    // a 3-letter alphabet forces the adversarial cases: long repeat
+    // runs (the non-overlap rule), count-weighted ties (the (cnt,l,r)
+    // tiebreak), and merged symbols immediately re-merging
+    val rnd = new scala.util.Random(42)
+    (1 to 6).foreach { t =>
+      val raw = (1 to 3 + rnd.nextInt(6)).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        ((1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(9))
+      }
+      val planted = raw.groupBy(_._1).map { case (w, xs) =>
+        (w, xs.map(_._2).sum)
+      }.toSeq
+      val got = TextQueries.bpeMerges(planted.toDF("word", "wc"), 5)
+      val want = refBpe(planted, 5)
+      assert(got === want,
+        s"trial $t vocab $planted: distributed $got != reference $want")
+    }
+  }
+
   test("BPE encode: post-merge vocabulary token counts equal the " +
     "reference encoder applying the merge table in order") {
     import spark.implicits._
