@@ -1307,9 +1307,125 @@ object PipelineQueries {
     GROUP BY f.source, top_lang, n_langs
     ORDER BY f.source"""
 
+  // ---- P24: loss-driven domain reweighting ----
+
+  /** P24: DOMAIN REWEIGHTING from reference-model loss — the DoReMi
+    * family's core signal, in its oracle-exact linear form: domains
+    * the reference model predicts POORLY (high held-out NLL) carry
+    * information the model hasn't absorbed and get upweighted;
+    * domains it already predicts well get down-weighted toward zero.
+    * This derives mixing weights from MODEL LOSS, the signal P5/P10/
+    * P19/P20 (size, temperature, quality, dedup) do not see. Per
+    * source over T15's held-out scores: mean NLL (integer div of
+    * exact sums), excess over the corpus-wide held-out mean
+    * (greatest(0, ·) — at-or-below-baseline domains get weight 0),
+    * and weight_ppm = excess·10⁶ div Σexcess. DoReMi proper
+    * exponentiates the excess inside a proxy-training loop; the
+    * linear normalization keeps every step exact BIGINT arithmetic
+    * (no cross-engine exp) while preserving the ordering and the
+    * zero-floor, and the emitted excess column lets any consumer
+    * apply its own temperature. The held-out split is P1's md5-bucket
+    * rule, NOT T13/T15's doc_id mod 5 — on this corpus source =
+    * doc_id mod 20, so a modular split ALIASES with the domain
+    * structure and holds out only 4 of 20 sources; the hash split is
+    * alias-free by construction against any id-derived attribute
+    * (exactly why P1 splits by hash). Scale shape: T15's scoring pass
+    * plus a (sources)-bounded aggregate; the two corpus-wide scalars
+    * are bounded plan-time collects (T11 idiom).
+    */
+  def domainReweight(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("__held",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 100 >= 80)
+    val m = graft.text.TextQueries.jmTrain(
+      d.filter(!col("__held")).select(col("doc_id"), col("text")))
+    val scored = graft.CachedFrames.persist(
+      graft.text.TextQueries.jmScore(m)(
+        d.filter(col("__held")).select(col("doc_id"), col("text")))
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id")))
+    val base = scored.agg(
+      coalesce(expr("sum(nll_micro) div count(1)"), lit(0L)))
+      .head().getLong(0)
+    val per = graft.CachedFrames.persist(scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(nll_micro) div count(1)").as("mean_nll_micro"))
+      .withColumn("excess_micro",
+        greatest(lit(0L), col("mean_nll_micro") - lit(base))))
+    val tot = per.agg(coalesce(sum(col("excess_micro")), lit(0L)))
+      .head().getLong(0)
+    per.withColumn("weight_ppm",
+        if (tot == 0L) lit(0L)
+        else expr(s"excess_micro * 1000000 div $tot"))
+      .select(col("source"), col("n_docs"), col("mean_nll_micro"),
+        col("excess_micro"), col("weight_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** The T15 scoring chain with P1's hash-bucket held-out rule in
+    * place of the mod-5 split (see the aliasing note above).
+    */
+  private val jmHashSplitSql: String = """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             (('0x' || substring(md5(doc_id::VARCHAR), 1, 7))::BIGINT
+               % 100 >= 80) AS held
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    tr AS (SELECT doc_id, w FROM d WHERE NOT held),
+    trp AS (SELECT w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+    hop AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                  FROM d WHERE held)),
+    uni AS (SELECT word, count(*) AS cu
+            FROM (SELECT unnest(w) AS word FROM tr) GROUP BY word),
+    tot AS (SELECT sum(cu)::BIGINT AS nt, count(*) + 1 AS v FROM uni),
+    ctx AS (SELECT prev, count(*) AS cn FROM trp GROUP BY prev),
+    big AS (SELECT prev, cur, count(*) AS cb FROM trp GROUP BY prev, cur),
+    pairsc AS (
+      SELECT doc_id,
+             CAST(round(-ln(
+               """ + graft.text.TextQueries.JmLambda + """ *
+                 (CASE WHEN cb IS NULL THEN 0.0
+                  ELSE CAST(cb AS DOUBLE) / CAST(cn AS DOUBLE) END)
+               + """ + graft.text.TextQueries.JmLambdaC + """ *
+                 (CAST(coalesce(cu, 0) + 1 AS DOUBLE)
+                 / CAST(nt + v AS DOUBLE))) * 1000000.0, 0) AS BIGINT)
+               AS nll_pair_micro
+      FROM hop LEFT JOIN big USING (prev, cur)
+               LEFT JOIN ctx USING (prev)
+               LEFT JOIN uni ON uni.word = hop.cur, tot),
+    docsc AS (
+      SELECT doc_id,
+             (sum(nll_pair_micro)::BIGINT // count(*)) AS nll_micro
+      FROM pairsc GROUP BY doc_id)"""
+
+  val domainReweightSql: String = s"""
+    $jmHashSplitSql,
+    scored AS (
+      SELECT sc.doc_id, sc.nll_micro, d2.source
+      FROM docsc sc
+      JOIN documents d2 ON d2.doc_id = sc.doc_id),
+    alls AS (SELECT sum(nll_micro)::BIGINT // count(*) AS m FROM scored),
+    per AS (SELECT source, count(*) AS n_docs,
+                   sum(nll_micro)::BIGINT // count(*) AS mean_nll_micro
+            FROM scored GROUP BY source),
+    ex AS (SELECT source, n_docs, mean_nll_micro,
+                  greatest(0, mean_nll_micro - m)::BIGINT AS excess_micro
+           FROM per, alls),
+    extot AS (SELECT sum(excess_micro)::BIGINT AS te FROM ex)
+    SELECT source, n_docs, mean_nll_micro, excess_micro,
+           (CASE WHEN te = 0 THEN 0
+                 ELSE excess_micro * 1000000 // te END)::BIGINT
+             AS weight_ppm
+    FROM ex, extot ORDER BY source"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ppl_filter" -> (pplFilter _),
     "source_report" -> (sourceReport _),
+    "domain_reweight" -> (domainReweight _),
     "doc_scorecard" -> (docScorecard _),
     "data_alpha_mix_dedup" -> (dataAlphaMixDedup _),
     "quality_mix" -> (qualityMix _),
@@ -1334,6 +1450,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "ppl_filter" -> pplFilterSql,
     "source_report" -> sourceReportSql,
+    "domain_reweight" -> domainReweightSql,
     "doc_scorecard" -> docScorecardSql,
     "data_alpha_mix_dedup" -> dataAlphaMixDedupSql,
     "quality_mix" -> qualityMixSql,

@@ -307,6 +307,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("P24: domain reweighting — weights recompute from the emitted " +
+    "excess column, at-or-below-baseline domains get zero, and the " +
+    "upweighted set is nonempty") {
+    val rows = PipelineQueries.domainReweight(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    val totalExcess = rows.map(_.getLong(3)).sum
+    assert(totalExcess > 0L,
+      "no domain above the corpus mean — reweighting vacuous here")
+    rows.foreach { r =>
+      val (excess, w) = (r.getLong(3), r.getLong(4))
+      assert(w === excess * 1000000L / totalExcess,
+        s"${r.getString(0)}: weight $w inconsistent with excess")
+      if (excess == 0L) assert(w === 0L)
+    }
+    // the floor genuinely splits the sources: some zeroed, some not
+    assert(rows.exists(_.getLong(4) > 0L))
+    assert(rows.exists(_.getLong(4) === 0L),
+      "every domain above baseline — mean floor not separating")
+    // weights sum to ~1e6 (truncation leaves at most n_sources ulps)
+    val ws = rows.map(_.getLong(4)).sum
+    assert(ws > 1000000L - rows.length && ws <= 1000000L)
+  }
+
   test("P22: the band separates a planted bimodal score distribution " +
     "into all three verdicts") {
     import spark.implicits._
