@@ -1933,6 +1933,161 @@ object AnalyticsQueries {
     SELECT user_id, true_cnt, est_cnt, est_cnt - true_cnt AS overshoot
     FROM est ORDER BY true_cnt DESC, user_id"""
 
+  /** A54: sweep-line peak concurrency — the classic interval-overlap
+    * question ("how many orders were in flight at once?") answered
+    * without an interval self-join. An order is OPEN from its order
+    * date until the last shipment of its lines; a naive overlap count
+    * is a range self-join (O(n²) pairs at 100 TB). The sweep-line
+    * re-expression is two narrow passes: every interval becomes a
+    * (+1 at open, −1 at close+1) delta, deltas aggregate to the DAY
+    * grain — after which the axis is bounded by the CALENDAR, not the
+    * data (seven years ≈ 2.6k rows whether the input is 60k orders or
+    * 60 billion) — and one running sum over that bounded axis is the
+    * concurrency timeline. The single-partition ordered window is
+    * deliberate and safe for exactly that reason (the A32/P4 trap is a
+    * global window over DATA-sized input; this one is calendar-sized).
+    * Reported at the month grain: peak open orders + the first day the
+    * peak is reached. Cross-engine: pure integer counts end to end.
+    */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val closes = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("close_d"))
+    val iv = Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("open_d"))
+      .join(closes, Seq("o_orderkey"))
+    val deltas = iv.select(explode(array(
+        struct(col("open_d").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("close_d"), 1).as("d"), lit(-1L).as("delta"))))
+        .as("e"))
+      .groupBy(col("e.d").as("d"))
+      .agg(sum(col("e.delta")).as("delta"))
+    val timeline = deltas
+      .withColumn("open_cnt",
+        sum(col("delta")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    timeline
+      .groupBy(date_format(col("d"), "yyyy-MM").as("ym"))
+      .agg(max(col("open_cnt")).as("peak_open"),
+        min_by(col("d"), struct(col("open_cnt") * -1, col("d")))
+          .as("peak_day"))
+      .orderBy(col("ym"))
+  }
+
+  val qConcurrencySql: String = """
+    WITH closes AS (
+      SELECT l_orderkey AS o_orderkey, max(l_shipdate::DATE) AS close_d
+      FROM lineitem GROUP BY 1),
+    iv AS (
+      SELECT o_orderdate::DATE AS open_d, close_d
+      FROM orders JOIN closes USING (o_orderkey)),
+    deltas AS (
+      SELECT d, sum(delta)::BIGINT AS delta FROM (
+        SELECT open_d AS d, 1 AS delta FROM iv
+        UNION ALL
+        SELECT close_d + 1, -1 FROM iv)
+      GROUP BY d),
+    timeline AS (
+      SELECT d, sum(delta) OVER (ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_cnt
+      FROM deltas),
+    monthly AS (
+      SELECT strftime(d, '%Y-%m') AS ym, d, open_cnt,
+             max(open_cnt) OVER (PARTITION BY strftime(d, '%Y-%m'))
+               AS peak_open
+      FROM timeline)
+    SELECT ym, peak_open::BIGINT AS peak_open, min(d) AS peak_day
+    FROM monthly WHERE open_cnt = peak_open
+    GROUP BY ym, peak_open ORDER BY ym"""
+
+  /** A55: revenue-concentration curve — per-nation top-decile share
+    * and trapezoid Gini over the customer revenue distribution (the
+    * "how skewed is this market" operator; its answer also prices the
+    * A34 salting decision). Shape: one fact aggregate to customer
+    * grain, dims broadcast, then ntile(10) windows partitioned BY
+    * NATION — parallel across nations, never a global sort. The Gini
+    * integrates the Lorenz curve over the TEN decile aggregates, so
+    * the final arithmetic touches 10 bounded values per nation.
+    * Cross-engine exactness: revenue quantizes to integer cents once
+    * per line; decile sums/cumulative sums are exact BIGINTs; the two
+    * reported ratios are single integer floor-divisions of positive
+    * BIGINTs (Spark `div` = DuckDB `//` on positives; no negative
+    * floor-vs-truncate hazard). Overflow bound: lorenz_sum·1e5 ≤
+    * 2·10·total_cents·1e5 — total revenue per nation must stay under
+    * ~4.6e12 dollars, comfortably true at 100 TB grain; past that the
+    * one scalar multiply moves to DECIMAL(38,0).
+    */
+  def qLorenz(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(disc * 100.0, 0).cast("long")).as("rev_cents"))
+    val byNation = rev
+      .join(broadcast(Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("rev_cents"), col("c_custkey"))
+    val deciles = byNation
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("n_name"), col("decile"))
+      .agg(sum(col("rev_cents")).as("dec_cents"),
+        count(lit(1)).as("dec_n"))
+    val wd = Window.partitionBy(col("n_name")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_cents", sum(col("dec_cents")).over(wd))
+      .groupBy(col("n_name"))
+      .agg(sum(col("dec_n")).as("n_cust"),
+        max(col("cum_cents")).as("revenue_cents"),
+        // top decile = total − cumulative through decile 9
+        (max(col("cum_cents")) -
+          max(when(col("decile") === 9, col("cum_cents")))).as("top_cents"),
+        // trapezoid ∫Lorenz: Σ_d (cum_{d-1} + cum_d) with cum_0 = 0
+        (sum(col("cum_cents")) * 2 - max(col("cum_cents")))
+          .as("lorenz_sum"))
+      .select(col("n_name"), col("n_cust"), col("revenue_cents"),
+        expr("top_cents * 1000000 div revenue_cents")
+          .as("top_decile_share_micro"),
+        expr("1000000 - (lorenz_sum * 100000 div revenue_cents)")
+          .as("gini_micro"))
+      .orderBy(col("n_name"))
+  }
+
+  val qLorenzSql: String = """
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+               0)::BIGINT)::BIGINT AS rev_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_custkey),
+    tagged AS (
+      SELECT n_name, c_custkey, rev_cents,
+             ntile(10) OVER (PARTITION BY n_name
+               ORDER BY rev_cents, c_custkey) AS decile
+      FROM rev JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey),
+    deciles AS (
+      SELECT n_name, decile, sum(rev_cents)::BIGINT AS dec_cents,
+             count(*) AS dec_n
+      FROM tagged GROUP BY n_name, decile),
+    cum AS (
+      SELECT n_name, decile, dec_n, dec_cents,
+             sum(dec_cents) OVER (PARTITION BY n_name ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS cum_cents
+      FROM deciles)
+    SELECT n_name, sum(dec_n)::BIGINT AS n_cust,
+           max(cum_cents)::BIGINT AS revenue_cents,
+           ((max(cum_cents) - max(CASE WHEN decile = 9 THEN cum_cents END))
+             * 1000000 // max(cum_cents))::BIGINT AS top_decile_share_micro,
+           (1000000 - ((sum(cum_cents) * 2 - max(cum_cents))
+             * 100000 // max(cum_cents)))::BIGINT AS gini_micro
+    FROM cum GROUP BY n_name ORDER BY n_name"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -1986,7 +2141,9 @@ object AnalyticsQueries {
     "q_full_outer" -> (qFullOuter _),
     "q_gapfill" -> (qGapfill _),
     "q_locf" -> (qLocf _),
-    "q_grouping_sets" -> (qGroupingSets _))
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_concurrency" -> (qConcurrency _),
+    "q_lorenz" -> (qLorenz _))
 
   def oracles: Map[String, String] = Map(
     "q_heavy_hitters" -> qHeavyHittersSql,
@@ -2041,5 +2198,7 @@ object AnalyticsQueries {
     "q_full_outer" -> qFullOuterSql,
     "q_gapfill" -> qGapfillSql,
     "q_locf" -> qLocfSql,
-    "q_grouping_sets" -> qGroupingSetsSql)
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_concurrency" -> qConcurrencySql,
+    "q_lorenz" -> qLorenzSql)
 }
