@@ -653,6 +653,126 @@ object TextQueries {
            (sum(nll_pair_micro)::BIGINT // count(*)) AS nll_micro
     FROM scored GROUP BY doc_id ORDER BY doc_id"""
 
+  /** T20's absolute discount is ESTIMATED from the training bigram
+    * count-of-counts (Chen & Goodman 1999): D = n1/(n1 + 2·n2), n_k =
+    * number of bigram types seen exactly k times. A fixed literary
+    * D=0.75 assumes a natural Zipfian type distribution; on corpora
+    * that are flatter (this synthetic one) it over-discounts and KN
+    * loses to JM — the estimate adapts. One IEEE division of two
+    * exact BIGINTs, identical in both engines.
+    */
+
+  /** T20: interpolated Kneser-Ney bigram scoring — the smoother that
+    * wins held-out perplexity in virtually every published n-gram
+    * comparison (Chen & Goodman 1999), completing the T13 (Laplace) →
+    * T15 (Jelinek-Mercer) → T20 ladder on the IDENTICAL 4/5 train /
+    * 1/5 held-out split. The structural insight KN adds: the backoff
+    * weight of a word is how many distinct CONTEXTS it follows
+    * (continuation count), not how often it occurs — "Francisco" is
+    * frequent but predictable from "San", so its continuation count
+    * is tiny. Model:
+    *   p(cur|prev) = (max(c(prev,cur)−D, 0) + D·N1+(prev·)·pc(cur))
+    *                   / c(prev)
+    *   pc(cur)     = (N1+(·cur) + 1) / (B + V)      (+1/V floor keeps
+    *                 unseen held-out words finite; B = bigram types)
+    * and an unseen CONTEXT backs off to pc(cur) alone. Scale shape
+    * identical to T15: three reference-count frames shuffle-join the
+    * held-out pairs (a 100 TB vocabulary is not a broadcast), the two
+    * totals are bounded plan-time scalars, distinct-context counts
+    * are map-side-combinable aggregates. Cross-engine exactness: all
+    * counts are exact BIGINTs; per pair, the same literal-for-literal
+    * IEEE expression quantizes once to integer micro-nats before the
+    * order-free BIGINT doc sum (the T13/T15 discipline). The spec
+    * asserts the corpus-level KN NLL beats T15's JM on the same pairs.
+    */
+  def textPerplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val tr = wordDocs(d.filter(col("doc_id") % 5 =!= 0))
+    val trp = graft.CachedFrames.persist(jmBigrams(tr))
+    val big = trp.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("cb"))
+    // context totals + forward continuation counts in ONE aggregate
+    // over the bigram-type frame (c(prev) still needs the raw pairs)
+    val ctx = graft.CachedFrames.persist(
+      trp.groupBy(col("prev")).agg(count(lit(1)).as("cn"),
+        count_distinct(col("cur")).as("n1fwd")))
+    val cont = big.groupBy(col("cur"))
+      .agg(count(lit(1)).as("n1rev"))
+    // bounded scalars: bigram type count B, unigram vocab V (+1 unk),
+    // count-of-counts n1/n2 for the estimated discount
+    val bigStats = big.agg(count(lit(1)),
+      sum(when(col("cb") === 1, 1L).otherwise(0L)),
+      sum(when(col("cb") === 2, 1L).otherwise(0L))).head()
+    val b = bigStats.getLong(0)
+    val knD = bigStats.getLong(1).toDouble /
+      (bigStats.getLong(1) + 2L * bigStats.getLong(2)).toDouble
+    val v = tr.select(explode(col("w")).as("word"))
+      .agg(count_distinct(col("word"))).head().getLong(0) + 1
+    val denom = (b + v).toDouble
+    jmBigrams(wordDocs(d.filter(col("doc_id") % 5 === 0)))
+      .join(big, Seq("prev", "cur"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(cont, Seq("cur"), "left")
+      .withColumn("unseen",
+        when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
+      .withColumn("pc",
+        (coalesce(col("n1rev"), lit(0L)) + lit(1L)).cast("double") /
+          lit(denom))
+      .withColumn("p", when(col("cn").isNull, col("pc")).otherwise(
+        (greatest(coalesce(col("cb"), lit(0L)).cast("double") -
+            lit(knD), lit(0.0)) +
+          lit(knD) * col("n1fwd").cast("double") * col("pc")) /
+          col("cn").cast("double")))
+      .withColumn("nll_pair_micro",
+        round(-log(col("p")) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("unseen")).as("n_unseen"),
+        expr("sum(nll_pair_micro) div count(1)").as("nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPerplexityKnSql: String = s"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    tr AS (SELECT doc_id, w FROM d WHERE doc_id % 5 != 0),
+    trp AS (SELECT w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT w, unnest(range(1, len(w))) AS i FROM tr)),
+    hop AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+            FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+                  FROM d WHERE doc_id % 5 = 0)),
+    big AS (SELECT prev, cur, count(*) AS cb FROM trp GROUP BY prev, cur),
+    ctx AS (SELECT prev, count(*) AS cn, count(DISTINCT cur) AS n1fwd
+            FROM trp GROUP BY prev),
+    cont AS (SELECT cur, count(*) AS n1rev FROM big GROUP BY cur),
+    tot AS (SELECT (SELECT sum(n1fwd)::BIGINT FROM ctx)
+              + (SELECT count(DISTINCT word) + 1 FROM
+                   (SELECT unnest(w) AS word FROM tr)) AS denom),
+    dd AS (SELECT CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CASE WHEN cb = 1 THEN 1 ELSE 0 END)
+                 + 2 * sum(CASE WHEN cb = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             AS kd FROM big),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN cb IS NULL THEN 1 ELSE 0 END AS unseen,
+             CAST(round(-ln(CASE WHEN cn IS NULL
+               THEN CAST(coalesce(n1rev, 0) + 1 AS DOUBLE)
+                      / CAST(denom AS DOUBLE)
+               ELSE (greatest(CAST(coalesce(cb, 0) AS DOUBLE)
+                       - kd, 0.0)
+                     + kd * CAST(n1fwd AS DOUBLE)
+                       * (CAST(coalesce(n1rev, 0) + 1 AS DOUBLE)
+                          / CAST(denom AS DOUBLE)))
+                    / CAST(cn AS DOUBLE) END) * 1e6, 0) AS BIGINT)
+               AS nll_pair_micro
+      FROM hop LEFT JOIN big USING (prev, cur)
+               LEFT JOIN ctx USING (prev)
+               LEFT JOIN cont ON cont.cur = hop.cur, tot, dd)
+    SELECT doc_id, count(*) AS n_bigrams, sum(unseen)::BIGINT AS n_unseen,
+           (sum(nll_pair_micro)::BIGINT // count(*)) AS nll_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** BM25 parameters (Robertson/Sparck-Jones defaults) and the fixed
     * query term set for the `text_bm25` gate entry.
     */
@@ -1227,7 +1347,8 @@ object TextQueries {
     "text_collocations" -> (textCollocations _),
     "text_textrank" -> (textTextrank _),
     "text_perplexity" -> (textPerplexity _),
-    "text_perplexity_jm" -> (textPerplexityJm _))
+    "text_perplexity_jm" -> (textPerplexityJm _),
+    "text_perplexity_kn" -> (textPerplexityKn _))
 
   def oracles: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
@@ -1247,5 +1368,6 @@ object TextQueries {
     "text_collocations" -> textCollocationsSql,
     "text_textrank" -> textTextrankSql,
     "text_perplexity" -> textPerplexitySql,
-    "text_perplexity_jm" -> textPerplexityJmSql)
+    "text_perplexity_jm" -> textPerplexityJmSql,
+    "text_perplexity_kn" -> textPerplexityKnSql)
 }

@@ -108,6 +108,82 @@ class TextSpec extends AnyFunSuite {
       s"JM ${mass(jm)} did not beat Laplace ${mass(laplace)}")
   }
 
+  test("Kneser-Ney tracks JM and add-one within 1% on this flat " +
+    "corpus, over identical pairs") {
+    val kn = TextQueries.textPerplexityKn(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val jm = TextQueries.textPerplexityJm(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val laplace = TextQueries.textPerplexity(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val knByDoc = kn.map(r => r.getLong(0) -> r).toMap
+    assert(kn.length === jm.length)
+    jm.foreach { j =>
+      val k = knByDoc(j.getLong(0))
+      assert(k.getLong(1) === j.getLong(1), "pair counts diverged")
+      assert(k.getLong(2) === j.getLong(2), "unseen counts diverged")
+    }
+    def mass(rows: Array[org.apache.spark.sql.Row]): Long =
+      rows.map(r => r.getLong(3) * r.getLong(1)).sum
+    // On NATURAL Zipfian corpora KN wins outright (Chen & Goodman);
+    // this synthetic corpus draws from one near-flat vocabulary where
+    // continuation counts carry no extra signal — all three smoothers
+    // land within 0.25% of each other (KN +0.23% vs JM, +0.01% vs
+    // add-one). Assert the comparative shape that IS stable: KN stays
+    // within 1% of both (a broken backoff would be off by far more).
+    assert(mass(kn) < (mass(jm) * 101L) / 100L,
+      s"KN ${mass(kn)} more than 1% above JM ${mass(jm)}")
+    assert(mass(kn) < (mass(laplace) * 101L) / 100L,
+      s"KN ${mass(kn)} more than 1% above Laplace ${mass(laplace)}")
+  }
+
+  test("Kneser-Ney matches an exact in-memory reference, " +
+    "doc for doc") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.length >= 2)
+    val tr = docs.filter(_._1 % 5 != 0)
+    val ho = docs.filter(_._1 % 5 == 0)
+    val trPairs = tr.flatMap { case (_, w) => w.sliding(2).map(p => (p(0), p(1))) }
+    val big = trPairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cn = trPairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n1fwd = big.keys.toSeq.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n1rev = big.keys.toSeq.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val bTypes = big.size.toLong
+    val n1 = big.values.count(_ == 1L).toLong
+    val n2 = big.values.count(_ == 2L).toLong
+    val kd = n1.toDouble / (n1 + 2L * n2).toDouble
+    val vocab = tr.flatMap(_._2).distinct.length.toLong + 1
+    val denom = (bTypes + vocab).toDouble
+    def refDoc(w: Seq[String]): (Long, Long, Long) = {
+      val pairs = w.sliding(2).map(p => (p(0), p(1))).toSeq
+      val nlls = pairs.map { case (prev, cur) =>
+        val pc = (n1rev.getOrElse(cur, 0L) + 1L).toDouble / denom
+        val p = cn.get(prev) match {
+          case None => pc
+          case Some(c) =>
+            (math.max(big.getOrElse((prev, cur), 0L).toDouble - kd, 0.0) +
+              kd * n1fwd(prev).toDouble * pc) / c.toDouble
+        }
+        BigDecimal(-math.log(p) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      (pairs.length.toLong,
+        pairs.count { case pr => !big.contains(pr) }.toLong,
+        nlls.sum / pairs.length)
+    }
+    val got = TextQueries.textPerplexityKn(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.CachedFrames.releaseAll()
+    assert(got.size === ho.length)
+    ho.foreach { case (id, w) =>
+      assert(got(id) === refDoc(w), s"doc $id diverged from reference")
+    }
+  }
+
   /** Independent in-memory reference BPE (Sennrich-style greedy merge
     * on a word-frequency list) — the semantics T16's distributed
     * string-fold must reproduce merge-for-merge.
