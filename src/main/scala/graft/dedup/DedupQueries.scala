@@ -174,8 +174,8 @@ object DedupQueries {
     * shingle set, the verify totals use the capped one. Shared by D3
     * and D15.
     */
-  private def verifiedPairs(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val minJaccard = 0.5
+  private def verifiedPairs(cand: DataFrame, sh: DataFrame,
+                            minJaccard: Double = 0.5): DataFrame = {
     // persisted for the same three-consumer + accurate-stats reasons
     // as jaccardPairs (sf1 probe)
     val capped = graft.CachedFrames.persist(cappedShingles(sh))
@@ -209,6 +209,51 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard
     FROM cand JOIN jp USING (doc_a, doc_b)
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** P25 (lives here for the shared LSH machinery): FUZZY benchmark
+    * decontamination — P3 flags training docs by exact n-gram overlap
+    * with the eval set; a PARAPHRASED eval item (reworded question,
+    * shuffled clauses) slips past exact shingle membership. This gate
+    * runs the D3 MinHash-LSH machinery CROSS-SIDED: training band keys
+    * join EVAL band keys, so a training doc surfaces when any band of
+    * its signature collides with an eval doc's — robust to partial
+    * rewording the way signatures are — then the exact capped-set
+    * Jaccard verifies candidates at a LOWER threshold (0.4) than
+    * near-dup dedup uses, because "contaminated" is a looser relation
+    * than "duplicate". The scale shape is the decontamination
+    * asymmetry P3 exploits: the eval-side band index is KBs–MBs
+    * however large the corpus, so the candidate join BROADCASTS it —
+    * no self-join over the corpus-sized band index (D3's shuffle
+    * pays that only because both its sides are the corpus).
+    */
+  def decontamFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sh = shingles(docs)
+    val bands = graft.CachedFrames.persist(minhashBands(sh))
+    val evB = bands.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("eval_id"), col("band"), col("band_key"))
+    val cand = bands.filter(col("doc_id") % 20 =!= 0)
+      .join(broadcast(evB), Seq("band", "band_key"))
+      .select(col("doc_id").as("doc_a"), col("eval_id").as("doc_b"))
+      .distinct()
+    verifiedPairs(cand, sh, minJaccard = 0.4)
+      .select(col("doc_a").as("train_id"), col("doc_b").as("eval_id"),
+        col("jaccard"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val decontamFuzzySql: String = s"""
+    WITH $jaccardPairsSql,
+    $minhashBandsSql,
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM bands t JOIN bands e
+        ON t.band = e.band AND t.band_key = e.band_key
+      WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0)
+    SELECT train_id, eval_id, jaccard
+    FROM cand JOIN jp ON jp.doc_a = least(train_id, eval_id)
+                     AND jp.doc_b = greatest(train_id, eval_id)
+    WHERE jaccard >= 0.4 ORDER BY train_id, eval_id"""
 
   /** D23: MinHash Jaccard ESTIMATION with in-gate verified error —
     * the textbook use of the signature D3 only banded: est(J) =
@@ -1489,6 +1534,7 @@ object DedupQueries {
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
+    "decontam_fuzzy" -> (decontamFuzzy _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
@@ -1512,6 +1558,7 @@ object DedupQueries {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "decontam_fuzzy" -> decontamFuzzySql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,

@@ -212,6 +212,18 @@ class PlanSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("decontam_fuzzy: the eval-side band index broadcasts; no " +
+    "corpus-sized band self-join") {
+    val p = plan("decontam_fuzzy")
+    // the candidate join's build side is the eval band index (5% of
+    // docs × 8 bands — KBs however large the corpus)
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval band index lost its broadcast:\n$p")
+    // the verify joins keep the shuffle discipline of jaccardPairs
+    assert(p.contains("ShuffledHashJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("approx_count_distinct (HLL++) lands within its error bound") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
