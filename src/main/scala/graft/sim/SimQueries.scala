@@ -2645,7 +2645,112 @@ object SimQueries {
     GROUP BY u.method
     ORDER BY u.method"""
 
+  /** S23 k-means|| parameters: rounds, oversampling factor l, final k. */
+  val KppRounds = 3
+  val KppOversample = 4L
+  val KppK = 8
+
+  /** S23: k-means|| initialization (Bahmani et al., VLDB 2012) — the
+    * SCALABLE seeding the label-seeded trainer (E12) skips. Sequential
+    * kmeans++ is inherently k round trips over the corpus (each seed
+    * depends on the previous); k-means|| collapses that to R=3 rounds
+    * that each OVERSAMPLE l candidates in parallel — every point
+    * draws independently with probability l·cost(x)/φ — then the
+    * bounded candidate set (≈ 1+R·l) is reweighted by how many points
+    * each would capture, and the top-k by weight become the seeds
+    * (the paper reclusters the weighted candidates; the rank-by-weight
+    * form keeps the reduction oracle-expressible and preserves the
+    * guarantee's shape: heavy candidates dominate φ coverage). Per
+    * round: one broadcast of ≤13 centers (codegen'd max-cos array, no
+    * join — the E12 assign shape), one exact BIGINT cost total, one
+    * filter. Determinism discipline: the "uniform" draws are md5
+    * thresholds — u20(r,x)·φ < l·cost_micro(x)·2²⁰ in exact BIGINT
+    * arithmetic (overflow bound: 2²⁰·φ_micro < 2⁶³ ⇒ corpus cost may
+    * reach 8.8e12 micro-units ≈ 8.8M points at worst-case cost 1.0 —
+    * per-stratum init past that, or widen to DECIMAL), the seed is
+    * the md5-argmin vector, costs quantize to integer micro before
+    * ANY cross-engine comparison (1e6 − round(cos·1e6)), so both
+    * engines run the identical draw sequence.
+    */
+  def kmeansParInit(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.CachedFrames.persist(
+      vecs(s, dir).select(col("vec_id"), col("vn")))
+    val seed = e.withColumn("m", md5(col("vec_id").cast("string")))
+      .orderBy(col("m"), col("vec_id")).limit(1)
+      .select(col("vec_id"), col("vn")).collect().head
+    var centers: Seq[(Long, Seq[Double])] =
+      Seq((seed.getLong(0), seed.getSeq[Double](1).toVector))
+    def cosMicro(cv: Seq[Double]): Column =
+      round(dot(col("vn"), typedLit(cv)) * 1e6, 0).cast("long")
+    for (r <- 1 to KppRounds) {
+      val maxCos = centers.map { case (_, cv) => cosMicro(cv) } match {
+        case Seq(one) => one
+        case many     => greatest(many: _*)
+      }
+      val withCost = e.withColumn("cost", lit(1000000L) - maxCos)
+      val total = withCost.agg(coalesce(sum(col("cost")), lit(0L)))
+        .head().getLong(0)
+      val u20 = conv(substring(md5(concat(lit(s"$r-"),
+        col("vec_id").cast("string"))), 1, 5), 16, 10).cast("long")
+      val picked = withCost
+        .filter(u20 * lit(total) <
+          lit(KppOversample) * col("cost") * lit(1048576L))
+        .select(col("vec_id"), col("vn")).collect()
+        .map(p => (p.getLong(0), p.getSeq[Double](1).toVector: Seq[Double]))
+        .sortBy(_._1)
+      // picks are disjoint from existing centers (their cost is 0)
+      centers = centers ++ picked
+    }
+    val best = array_max(array(centers.map { case (id, cv) =>
+      struct(cosMicro(cv).as("cm"), lit(-id).as("neg_id"))
+    }: _*))
+    e.withColumn("b", best)
+      .groupBy((col("b.neg_id") * lit(-1L)).as("vec_id"))
+      .agg(count(lit(1)).as("weight"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("vec_id"))))
+      .filter(col("rank") <= KppK)
+      .select(col("rank"), col("vec_id"), col("weight"))
+      .orderBy(col("rank"))
+  }
+
+  val kmeansParInitSql: String = {
+    def round_(r: Int, prev: String): String = s"""
+    cost$r AS (
+      SELECT e.vec_id,
+             1000000 - max(round(list_dot_product(e.vn, c.vn) * 1e6,
+               0)::BIGINT) AS cost
+      FROM e, $prev c GROUP BY e.vec_id),
+    tot$r AS (SELECT sum(cost)::BIGINT AS t FROM cost$r),
+    pick$r AS (
+      SELECT vec_id FROM cost$r, tot$r
+      WHERE ('0x' || substring(md5('$r-' || vec_id::VARCHAR), 1, 5))::BIGINT
+              * t < $KppOversample * cost * 1048576),
+    c$r AS (SELECT * FROM $prev UNION ALL
+            SELECT e.vec_id, e.vn FROM e JOIN pick$r USING (vec_id))"""
+    s"""
+    WITH e AS ($vecsSql),
+    c0 AS (SELECT vec_id, vn FROM e
+           ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
+    ${(1 to KppRounds).map(r => round_(r, s"c${r - 1}")).mkString(",")},
+    assigned AS (
+      SELECT vec_id, cand FROM (
+        SELECT e.vec_id, c.vec_id AS cand,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, c.vn) * 1e6, 0)::BIGINT DESC,
+                 c.vec_id) AS rn
+        FROM e, c$KppRounds c) WHERE rn = 1),
+    w AS (SELECT cand AS vec_id, count(*) AS weight
+          FROM assigned GROUP BY cand)
+    SELECT row_number() OVER (ORDER BY weight DESC, vec_id) AS rank,
+           vec_id, weight
+    FROM w
+    QUALIFY rank <= $KppK
+    ORDER BY rank"""
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans_par_init" -> (kmeansParInit _),
     "knn_recall_eval" -> (knnRecallEval _),
     "pq_train" -> (pqTrain _),
     "knn_graph" -> (knnGraph _),
@@ -2673,6 +2778,7 @@ object SimQueries {
       ((s: SparkSession, d: String) => knnIvfPqResidualProbe(s, d)))
 
   def oracles: Map[String, String] = Map(
+    "kmeans_par_init" -> kmeansParInitSql,
     "knn_recall_eval" -> knnRecallEvalSql,
     "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,

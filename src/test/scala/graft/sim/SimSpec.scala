@@ -32,6 +32,46 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("k-means|| init: deterministic, dense ranks, and its seeds " +
+    "cover the corpus better than md5-uniform seeds") {
+    val a = SimQueries.kmeansParInit(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val b = SimQueries.kmeansParInit(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.length === SimQueries.KppK)
+    assert(a.map(_.getInt(0)).toSeq === (1 to SimQueries.KppK))
+    val weights = a.map(_.getLong(2))
+    assert(weights.zip(weights.tail).forall { case (x, y) => x >= y })
+    // in-memory φ(C) = Σ_x min-cost over C, the objective k-means||
+    // seeding exists to shrink (Bahmani et al. Thm 1 bounds it vs
+    // OPT; uniform seeding has no such bound)
+    val all = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        r.getLong(0) -> v.map(_ / n)
+      }.toMap
+    def phi(centerIds: Seq[Long]): Long = {
+      val cs = centerIds.map(all)
+      all.values.map { vn =>
+        1000000L - cs.map { c =>
+          val cos = vn.zip(c).map { case (x, y) => x * y }.sum
+          BigDecimal(cos * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.max
+      }.sum
+    }
+    val kppSeeds = a.map(_.getLong(1)).toSeq
+    val uniformSeeds = all.keys.toSeq
+      .sortBy(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString)
+      .take(SimQueries.KppK)
+    assert(phi(kppSeeds) < phi(uniformSeeds),
+      s"k-means|| phi ${phi(kppSeeds)} not below uniform ${phi(uniformSeeds)}")
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match
