@@ -142,9 +142,30 @@ object VcrCli {
           s"(${res.filesDeleted} files, ${res.bytesDeleted} bytes) " +
           s"before $keepFrom from $root/$stream")
 
+      case Some("index") =>
+        // tape seek index (V13): build/refresh the zone-map manifest;
+        // `index --seek <from> <to>` replays a seq window through it
+        // (file-grain pruning — see [[TapeManifest]]).
+        val stream = config.sourceStream.getOrElse(
+          throw new IllegalArgumentException("VCR_SOURCE_STREAM_NAME must be set"))
+        args.drop(1) match {
+          case Array("--seek", from, to) =>
+            val n = TapeManifest.readSeqRange(spark, root, stream,
+              from.toLong, to.toLong).count()
+            println(s"Seek [$from,$to] on $root/$stream: $n records " +
+              "from zone-map-pruned files")
+          case _ =>
+            TapeManifest.write(spark, root, stream)
+            val m = TapeManifest.load(spark, root, stream)
+              .agg(count(lit(1)), coalesce(sum(col("n_lines")), lit(0L)))
+              .head()
+            println(s"Indexed $root/$stream: ${m.getLong(0)} files, " +
+              s"${m.getLong(1)} records in the manifest")
+        }
+
       case other =>
         throw new IllegalArgumentException(
-          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate|expire")
+          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate|expire|index")
     }
   }
 }

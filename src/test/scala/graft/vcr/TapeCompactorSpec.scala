@@ -172,4 +172,57 @@ class TapeCompactorSpec extends AnyFunSuite {
     assert(report("900-100.txt") === "bad_name")
     assert(report("5-6.txt") === "overfull")
   }
+
+  test("manifest: per-file zone maps agree with names and contents; " +
+    "seq-range seek reads ONLY overlapping files; bad names excluded") {
+    val root = Files.createTempDirectory("graft-manifest").toString
+    import spark.implicits._
+    val records = (1 to 240).map { i =>
+      (s"p-$i".getBytes(UTF_8), i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-03-0${1 + (i - 1) / 120}%d 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(records, root, "s", numFiles = 4)
+    TapeManifest.write(spark, root, "s")
+    val man = TapeManifest.load(spark, root, "s").collect()
+    // one entry per tape file; counts and ranges match the layout
+    val dayFiles = Seq("2024-03-01", "2024-03-02").flatMap { dt =>
+      new java.io.File(s"$root/s/dt=$dt").listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".txt"))
+    }
+    assert(man.length === dayFiles.length)
+    assert(man.map(_.getLong(4)).sum === 240L)
+    man.foreach { r =>
+      val (first, last, n) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(first <= last)
+      assert(n === last - first + 1, s"zone map lies: $r")
+    }
+    // seek [100, 130]: crosses the day boundary; only the files whose
+    // declared range overlaps may be touched
+    val hit = TapeManifest.readSeqRange(spark, root, "s", 100L, 130L)
+    val srcs = hit.select("src").distinct().collect()
+      .map(_.getString(0).replaceAll("^file:", "")).toSet
+    val expected = man.filter(r => r.getLong(2) <= 130L && r.getLong(3) >= 100L)
+    assert(srcs.size === expected.length, s"pruning read ${srcs.size} files")
+    assert(srcs.size < dayFiles.length, "seek read the whole tape")
+    // zone-map superset semantics: every requested seq's payload is
+    // present (whole overlapping files come back)
+    val payloads = hit.selectExpr(s"decode(${Tape.PayloadCol}, 'UTF-8') AS p")
+      .collect().map(_.getString(0)).toSet
+    (100 to 130).foreach(i => assert(payloads.contains(s"p-$i")))
+    // an empty window prunes to zero files and zero rows
+    assert(TapeManifest.readSeqRange(spark, root, "s", 5000L, 6000L)
+      .count() === 0L)
+    // a file with an unaddressable name is fsck's problem, not the
+    // index's: it must drop out of the manifest on rebuild
+    val day = new java.io.File(s"$root/s/dt=2024-03-01")
+    val f = day.listFiles().filter(f => f.isFile &&
+      f.getName.endsWith(".txt")).sortBy(_.getName).head
+    assert(f.renameTo(new java.io.File(day, "999-1.txt")))
+    day.listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(x => Files.delete(x.toPath))
+    spark.catalog.refreshByPath(s"$root/s")
+    val rebuilt = TapeManifest.build(spark, root, "s").collect()
+    assert(rebuilt.length === dayFiles.length - 1)
+    assert(!rebuilt.exists(_.getString(1) == "999-1.txt"))
+  }
 }
