@@ -1236,6 +1236,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === batch.size, "duplicate transitions emitted")
   }
 
+  test("R25: streamed funnel advances equal the batch stage frames " +
+    "exactly when events arrive time-split across triggers") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_micro"),
+        col("event_id"), col("event_type"))
+    val cut = evs.agg(expr("percentile_approx(ts_micro, 0.5)"))
+      .head().getLong(0)
+    val fdir = tmp()
+    def wave(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      val stage = tmp()
+      evs.filter(cond).coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(fdir, name))
+    }
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamFunnel.Advance]()
+    wave(col("ts_micro") <= cut, "wave0.parquet")
+    val sq = StreamFunnel.advances(
+        spark.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(fdir)
+          .as[StreamFunnel.Ev])
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamFunnel.Advance], _: Long) =>
+          b.collect().foreach(got.add)
+          ()
+      }.start()
+    sq.processAllAvailable()
+    wave(col("ts_micro") > cut, "wave1.parquet")
+    sq.processAllAvailable(); sq.stop()
+    // batch twin: the A26 stage frames on the same slice
+    val v = evs.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_micro")).as("t_view"))
+    val c = evs.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_micro") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_micro")).as("t_click"))
+    val p = evs.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_micro") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_micro")).as("t_purchase"))
+    val expected =
+      v.collect().map(r => StreamFunnel.Advance(r.getLong(0), "viewed",
+        r.getLong(1))) ++
+      c.collect().map(r => StreamFunnel.Advance(r.getLong(0), "clicked",
+        r.getLong(1))) ++
+      p.collect().map(r => StreamFunnel.Advance(r.getLong(0), "purchased",
+        r.getLong(1)))
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === expected.toSet,
+      "streamed funnel advances diverged from the batch stage frames")
+    assert(got.size === expected.length, "duplicate advances emitted")
+  }
+
   test("R23: perplexity scoring at ingest — stream-static reference " +
     "joins reproduce the batch held-out scorer under any trigger " +
     "packing") {
