@@ -2,7 +2,7 @@ package graft.text
 
 import graft.Tables
 import graft.dedup.Shingling
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -362,6 +362,82 @@ object TextQueries {
              / CAST(c1 * c2 AS DOUBLE)) * 1e6, 0) AS BIGINT) AS pmi_micro
     FROM big JOIN lft USING (w1) JOIN rgt USING (w2), tot
     ORDER BY pmi_micro DESC, w1, w2 LIMIT $CollocTopN"""
+
+  /** T21: collocations by Dunning log-likelihood ratio (G², "Accurate
+    * Methods for the Statistics of Surprise and Coincidence", 1993) —
+    * the estimator that FIXES T11's known failure mode: PMI is maximal
+    * for hapax pairs (two words seen once, together), so its top list
+    * is rare noise; G² weighs the full 2×2 contingency table (pair,
+    * left-only, right-only, neither), growing with EVIDENCE, so
+    * frequent genuinely-associated pairs outrank one-off
+    * coincidences — the ranking NLTK/Mahout default to for exactly
+    * this reason. Identical plan shape to T11 (three aggregates over
+    * the shared pair stream + one bounded scalar); per pair the four
+    * k·ln(k·n/(row·col)) terms are evaluated in fixed literal order
+    * on doubles derived from exact BIGINT counts and quantized once
+    * to integer micro (overflow: row·col ≤ n² needs n < 3e9 bigrams
+    * per G² computation — per-source sharding covers the rest).
+    * The spec asserts the two estimators DISAGREE on this corpus
+    * (else the gate adds nothing) and that G² is non-negative.
+    */
+  def textCollocationsLlr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w)-1), i -> " +
+          "struct(element_at(w, i) as w1, element_at(w, i+1) as w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val n = pairs.count()
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k > 0, k.cast("double") *
+        log((k * lit(n)).cast("double") / (r * c).cast("double")))
+        .otherwise(lit(0.0))
+    pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .withColumn("llr_micro", round(
+        (term(col("c12"), col("c1"), col("c2")) +
+          term(col("c1") - col("c12"), col("c1"), lit(n) - col("c2")) +
+          term(col("c2") - col("c12"), lit(n) - col("c1"), col("c2")) +
+          term(lit(n) - col("c1") - col("c2") + col("c12"),
+            lit(n) - col("c1"), lit(n) - col("c2"))) * lit(2000000.0), 0)
+        .cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("llr_micro"))
+      .orderBy(col("llr_micro").desc, col("w1"), col("w2"))
+      .limit(CollocTopN)
+  }
+
+  val textCollocationsLlrSql: String = {
+    def term(k: String, r: String, c: String): String =
+      s"(CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+        s"ln(CAST(($k) * n AS DOUBLE) / CAST(($r) * ($c) AS DOUBLE)) " +
+        "ELSE 0.0 END)"
+    s"""
+    WITH pairs AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM (SELECT string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2),
+    tot AS (SELECT count(*) AS n FROM pairs),
+    lft AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1),
+    rgt AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY w2),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+            HAVING count(*) >= $CollocMinCount)
+    SELECT w1, w2, c12, c1, c2,
+           CAST(round((${term("c12", "c1", "c2")}
+             + ${term("c1 - c12", "c1", "n - c2")}
+             + ${term("c2 - c12", "n - c1", "c2")}
+             + ${term("n - c1 - c2 + c12", "n - c1", "n - c2")})
+             * 2000000.0, 0) AS BIGINT) AS llr_micro
+    FROM big JOIN lft USING (w1) JOIN rgt USING (w2), tot
+    ORDER BY llr_micro DESC, w1, w2 LIMIT $CollocTopN"""
+  }
 
   /** T12 keyword count the TextRank gate emits. */
   val TextRankTopN = 40
@@ -1345,6 +1421,7 @@ object TextQueries {
     "text_ngram_stats" -> (textNgramStats _),
     "text_zipf" -> (textZipf _),
     "text_collocations" -> (textCollocations _),
+    "text_collocations_llr" -> (textCollocationsLlr _),
     "text_textrank" -> (textTextrank _),
     "text_perplexity" -> (textPerplexity _),
     "text_perplexity_jm" -> (textPerplexityJm _),
@@ -1366,6 +1443,7 @@ object TextQueries {
     "text_ngram_stats" -> textNgramStatsSql,
     "text_zipf" -> textZipfSql,
     "text_collocations" -> textCollocationsSql,
+    "text_collocations_llr" -> textCollocationsLlrSql,
     "text_textrank" -> textTextrankSql,
     "text_perplexity" -> textPerplexitySql,
     "text_perplexity_jm" -> textPerplexityJmSql,

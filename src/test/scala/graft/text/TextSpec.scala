@@ -137,6 +137,26 @@ class TextSpec extends AnyFunSuite {
       s"KN ${mass(kn)} more than 1% above Laplace ${mass(laplace)}")
   }
 
+  test("LLR collocations: non-negative G2, deterministic, and the " +
+    "ranking disagrees with PMI's (evidence vs rarity)") {
+    val llr = TextQueries.textCollocationsLlr(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val llr2 = TextQueries.textCollocationsLlr(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(llr.map(_.toSeq).toSeq === llr2.map(_.toSeq).toSeq)
+    assert(llr.nonEmpty && llr.length <= TextQueries.CollocTopN)
+    // G2 is 2x a KL divergence — >= 0 up to one micro of float noise
+    assert(llr.forall(_.getLong(5) >= -1L))
+    // emitted in rank order
+    val keys = llr.map(r => (-r.getLong(5), r.getString(0), r.getString(1)))
+    assert(keys.toSeq === keys.sorted.toSeq)
+    val pmi = TextQueries.textCollocations(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val lp = llr.map(r => (r.getString(0), r.getString(1))).toSeq
+    val pp = pmi.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(lp !== pp, "LLR top list identical to PMI's — G2 added nothing")
+  }
+
   test("Kneser-Ney matches an exact in-memory reference, " +
     "doc for doc") {
     val d = "/root/testdata/sf0.001"
