@@ -2088,7 +2088,52 @@ object AnalyticsQueries {
              * 100000 // max(cum_cents)))::BIGINT AS gini_micro
     FROM cum GROUP BY n_name ORDER BY n_name"""
 
+  /** A56: calendar-aligned year-over-year comparison — the BI staple
+    * row-lag windows get WRONG: lag(12) over observed months silently
+    * misaligns the moment any month is missing from the data, so the
+    * correct form is a self-join on the shifted CALENDAR key (month =
+    * month, year = year−1), which also parallelizes as a plain
+    * shuffle join instead of an ordered window. Both sides are the
+    * same tiny month-grain aggregate (bounded by the calendar — the
+    * A54 axis argument), revenue quantizes to integer cents once per
+    * line, and the emitted comparison is delta (exact subtraction)
+    * plus a POSITIVE-only ratio in basis points — `rev·10⁴ div prev`
+    * — because a signed growth division would hit the Spark
+    * truncate-vs-DuckDB-floor divide divergence on negatives.
+    */
+  def qYoy(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(s, dir)
+      .groupBy(year(col("l_shipdate")).as("y"),
+        month(col("l_shipdate")).as("m"))
+      .agg(sum(round(disc * 100.0, 0).cast("long")).as("revenue_cents"))
+    val prev = monthly.select((col("y") + 1).as("y"), col("m"),
+      col("revenue_cents").as("prev_year_cents"))
+    monthly.join(prev, Seq("y", "m"))
+      .select(
+        format_string("%04d-%02d", col("y"), col("m")).as("ym"),
+        col("revenue_cents"), col("prev_year_cents"),
+        (col("revenue_cents") - col("prev_year_cents")).as("delta_cents"),
+        expr("revenue_cents * 10000 div prev_year_cents")
+          .as("yoy_ratio_bps"))
+      .orderBy(col("ym"))
+  }
+
+  val qYoySql: String = """
+    WITH monthly AS (
+      SELECT year(l_shipdate) AS y, month(l_shipdate) AS m,
+             sum(round(l_extendedprice * (1.0 - l_discount) * 100.0,
+               0)::BIGINT)::BIGINT AS revenue_cents
+      FROM lineitem GROUP BY y, m)
+    SELECT printf('%04d-%02d', a.y, a.m) AS ym,
+           a.revenue_cents, b.revenue_cents AS prev_year_cents,
+           a.revenue_cents - b.revenue_cents AS delta_cents,
+           (a.revenue_cents * 10000 // b.revenue_cents)::BIGINT
+             AS yoy_ratio_bps
+    FROM monthly a JOIN monthly b ON a.y = b.y + 1 AND a.m = b.m
+    ORDER BY ym"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -2146,6 +2191,7 @@ object AnalyticsQueries {
     "q_lorenz" -> (qLorenz _))
 
   def oracles: Map[String, String] = Map(
+    "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,
     "sketch_quantiles" -> qSketchQuantilesSql,

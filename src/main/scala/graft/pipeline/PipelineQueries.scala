@@ -1422,7 +1422,80 @@ object PipelineQueries {
              AS weight_ppm
     FROM ex, extot ORDER BY source"""
 
+  /** P26: token-budget greedy selection — "spend a fixed token budget
+    * on the best documents": rank the corpus by the T2 quality score,
+    * admit documents in score order until the cumulative token
+    * estimate reaches budget = corpus_tokens/4 (the last admitted doc
+    * may overshoot — standard greedy knapsack semantics). This is
+    * P4's distributed two-phase prefix sum RE-KEYED BY SCORE: the
+    * coarse bucket is a quantized score BAND (q_micro div 10⁴ — 100
+    * bands over [0,1]), band totals prefix-scan descending and
+    * broadcast back, the within-band window partitions by band — so
+    * the corpus-sized cumulative sum never funnels through one task
+    * even though the order is a ranking, not an id. Exactness: the
+    * score quantizes to integer micro once (both engines round the
+    * same 6dp double), tokens and all cumulative sums are exact
+    * BIGINTs, the budget is one integer floor-division scalar.
+    */
+  def dataBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextQueries.withQuality(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"),
+        expr("cast(aggregate(transform(w, x -> cast(ceil(length(x) / 4.0) " +
+          "as bigint)), cast(0 as bigint), (acc, x) -> acc + x) as bigint)")
+          .as("tokens"),
+        round(col("quality") * 1e6, 0).cast("long").as("q_micro"))
+      .withColumn("band", expr("q_micro div 10000"))
+    val budget = toks.agg(coalesce(sum(col("tokens")), lit(0L)))
+      .head().getLong(0) / 4L
+    val bandTotals = toks.groupBy(col("band"))
+      .agg(sum(col("tokens")).as("bt"))
+    val offsets = bandTotals.withColumn("offset",
+      coalesce(sum(col("bt")).over(Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("band"), col("offset"))
+    val within = Window.partitionBy(col("band"))
+      .orderBy(col("q_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offsets), Seq("band"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("tokens")).over(within), lit(0L)))
+      .withColumn("kept", (col("cum_before") < budget).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_selected"),
+        sum(col("tokens")).as("tokens_total"),
+        sum(col("tokens") * col("kept")).as("tokens_selected"))
+      .orderBy(col("source"))
+  }
+
+  val dataBudgetSelectSql: String = {
+    val q = graft.text.TextQueries.qualitySqlExpr("text")
+    s"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_sum(list_transform(string_split(text, ' '),
+               x -> ceil(len(x) / 4.0)))::BIGINT AS tokens,
+             round(($q) * 1e6, 0)::BIGINT AS q_micro
+      FROM documents),
+    budget AS (SELECT sum(tokens)::BIGINT // 4 AS b FROM toks),
+    ranked AS (
+      SELECT source, tokens,
+             coalesce(sum(tokens) OVER (ORDER BY q_micro DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cum_before
+      FROM toks)
+    SELECT source, count(*) AS n_docs,
+           sum(CASE WHEN cum_before < b THEN 1 ELSE 0 END)::BIGINT
+             AS n_selected,
+           sum(tokens)::BIGINT AS tokens_total,
+           sum(CASE WHEN cum_before < b THEN tokens ELSE 0 END)::BIGINT
+             AS tokens_selected
+    FROM ranked, budget GROUP BY source ORDER BY source"""
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_budget_select" -> (dataBudgetSelect _),
     "ppl_filter" -> (pplFilter _),
     "source_report" -> (sourceReport _),
     "domain_reweight" -> (domainReweight _),
@@ -1448,6 +1521,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "data_budget_select" -> dataBudgetSelectSql,
     "ppl_filter" -> pplFilterSql,
     "source_report" -> sourceReportSql,
     "domain_reweight" -> domainReweightSql,

@@ -827,6 +827,51 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.slice(r * 64, (r + 1) * 64).sum === 300L))
   }
 
+  test("R13d: the bounded top-k heap runs over the stream — the live " +
+    "leaderboard is EXACTLY the batch window form (k-list merge is " +
+    "order-free)") {
+    val root = tmp()
+    import spark.implicits._
+    // scores deliberately interleaved so no single trigger sees the
+    // final top-k prefix
+    val payloads = (1 to 200).map(i => s"lb-${(i * 73) % 200}")
+    graft.vcr.TapeWriter.write(
+      payloads.zipWithIndex.map { case (p, i) =>
+        (p.getBytes, i.toLong,
+          java.sql.Timestamp.valueOf("2024-10-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    val h = graft.dedup.Shingling.h28(col("payload").cast("string"))
+    @volatile var streamed: Seq[(Double, Long)] = Seq.empty
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .select(h.cast("double").as("score"), h.as("id"))
+      .agg(graft.functions.TopKAgg(col("score"), col("id"), 5).as("top"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().headOption.foreach(r => streamed =
+            r.getSeq[org.apache.spark.sql.Row](0)
+              .map(x => (x.getDouble(0), x.getLong(1))))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    // independent in-memory leaderboard over the same payloads (all
+    // distinct by construction: 73 is coprime to 200)
+    val expected = payloads
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes).map("%02x".format(_)).mkString
+        val hv = java.lang.Long.parseLong(md.take(7), 16)
+        (hv.toDouble, hv)
+      }
+      .sortBy { case (s, id) => (-s, id) }.take(5)
+    assert(streamed === expected,
+      "streamed top-k diverged from the in-memory leaderboard")
+    assert(streamed.length === 5)
+  }
+
   test("R16: weighted sampling at ingest — the streamed A-ES top-k " +
     "per source is EXACTLY the batch draw (row-intrinsic keys + " +
     "bounded-heap merge are arrival-order-free)") {
