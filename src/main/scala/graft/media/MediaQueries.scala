@@ -333,39 +333,54 @@ object MediaQueries {
     * The mean threshold compares pixel·64 > Σpixels in exact
     * integers — no division, no float, both engines bit-equal.
     */
-  private[media] def ahashOn(docs: DataFrame): DataFrame = {
-    val h = graft.CachedFrames.persist(docs
-      .withColumn("seg", greatest(lit(1L),
-        expr("(length(text) + 63) div 64")))
-      .withColumn("px", expr(
-        "transform(sequence(1, 64), i -> cast(conv(substring(md5(" +
-          "substring(text, cast((i-1)*seg+1 as int), cast(seg as int))), " +
-          "1, 2), 16, 10) as long))"))
-      .withColumn("psum", expr("aggregate(px, 0L, (acc, x) -> acc + x)"))
-      .withColumn("ahash", expr(
-        "concat_ws('', transform(px, x -> " +
-          "case when x * 64 > psum then '1' else '0' end))"))
-      .select(col("media_id"), col("ahash")))
-    val bands = h.select(col("media_id"), col("ahash"),
+  /** The 64-slice stub "luminance" frame both perceptual hashes read:
+    * (media_id, px[64], psum). Char-sliced per the M5 lesson, one md5
+    * per slice — computed ONCE however many hash families consume it.
+    */
+  private def pxFrame(docs: DataFrame): DataFrame = docs
+    .withColumn("seg", greatest(lit(1L),
+      expr("(length(text) + 63) div 64")))
+    .withColumn("px", expr(
+      "transform(sequence(1, 64), i -> cast(conv(substring(md5(" +
+        "substring(text, cast((i-1)*seg+1 as int), cast(seg as int))), " +
+        "1, 2), 16, 10) as long))"))
+    .withColumn("psum", expr("aggregate(px, 0L, (acc, x) -> acc + x)"))
+    .select(col("media_id"), col("px"), col("psum"))
+
+  /** D4-shaped serving over any 64-bit hash string column `h`: 4×16
+    * band equi-join proposes, exact hamming ≤ radius verifies. Output
+    * (media_a, media_b, hamming), unordered.
+    */
+  private def bandVerify(hashed: DataFrame, radius: Long): DataFrame = {
+    val bands = hashed.select(col("media_id"), col("h"),
       explode(expr("transform(sequence(1, 4), b -> " +
-        "struct(b as band, substring(ahash, (b-1)*16+1, 16) as bk))"))
+        "struct(b as band, substring(h, (b-1)*16+1, 16) as bk))"))
         .as("x"))
-      .select(col("media_id"), col("ahash"),
+      .select(col("media_id"), col("h"),
         col("x.band").as("band"), col("x.bk").as("bk"))
     val cand = bands.select(col("media_id").as("media_a"),
-        col("ahash").as("ah_a"), col("band"), col("bk"))
+        col("h").as("h_a"), col("band"), col("bk"))
       .hint("shuffle_hash")
       .join(bands.select(col("media_id").as("media_b"),
-        col("ahash").as("ah_b"), col("band"), col("bk")),
+        col("h").as("h_b"), col("band"), col("bk")),
         Seq("band", "bk"))
       .filter(col("media_a") < col("media_b"))
-      .select(col("media_a"), col("media_b"), col("ah_a"), col("ah_b"))
+      .select(col("media_a"), col("media_b"), col("h_a"), col("h_b"))
       .distinct()
     cand.withColumn("hamming", expr(
         "size(filter(sequence(1, 64), i -> " +
-          "substring(ah_a, i, 1) != substring(ah_b, i, 1)))").cast("long"))
-      .filter(col("hamming") <= AhashRadius)
+          "substring(h_a, i, 1) != substring(h_b, i, 1)))").cast("long"))
+      .filter(col("hamming") <= radius)
       .select(col("media_a"), col("media_b"), col("hamming"))
+  }
+
+  private[media] def ahashOn(docs: DataFrame): DataFrame = {
+    val h = graft.CachedFrames.persist(pxFrame(docs)
+      .withColumn("h", expr(
+        "concat_ws('', transform(px, x -> " +
+          "case when x * 64 > psum then '1' else '0' end))"))
+      .select(col("media_id"), col("h")))
+    bandVerify(h, AhashRadius)
       .orderBy(col("media_a"), col("media_b"))
   }
 
@@ -407,6 +422,105 @@ object MediaQueries {
     WHERE len(list_filter(range(1, 65), i -> ah_a[i] != ah_b[i]))
       <= $AhashRadius
     ORDER BY media_a, media_b"""
+
+  /** M10: perceptual-hash FAMILY AGREEMENT — aHash (mean threshold)
+    * vs dHash (adjacent gradient, the imagehash library's other
+    * default) over the SAME decoded pixel frame, full-outer-joined
+    * pair for pair. The operational question this audits: a mean-
+    * threshold hash is brightness-invariant but blind to uniform
+    * gradients; a difference hash keys on local structure — pairs
+    * flagged by one family only are exactly where a dedup pipeline's
+    * precision depends on the detector choice, and 'both' pairs are
+    * the high-confidence kill list. The pixel frame computes ONCE
+    * (shared persisted px — the 64-md5 stub cost is not paid twice);
+    * each family serves through the same 4×16 band index + exact
+    * hamming ≤ 12 (bandVerify), and the final reconciliation is the
+    * A30 FULL OUTER shape on the pair key. dHash here is circular
+    * (bit i: px[i] < px[i%64+1]) to keep 64 bits from 64 slices;
+    * strict < makes equal-pixel runs stable zeros in both engines.
+    */
+  def mediaHashAgreement(s: SparkSession, dir: String): DataFrame = {
+    val px = graft.CachedFrames.persist(pxFrame(
+      Tables.documents(s, dir)
+        .select(col("doc_id").as("media_id"), col("text"))))
+    val ah = px.withColumn("h", expr(
+        "concat_ws('', transform(px, x -> " +
+          "case when x * 64 > psum then '1' else '0' end))"))
+      .select(col("media_id"), col("h"))
+    val dh = px.withColumn("h", expr(
+        "concat_ws('', transform(sequence(1, 64), i -> " +
+          "case when element_at(px, cast(i as int)) < " +
+          "element_at(px, cast(i % 64 + 1 as int)) " +
+          "then '1' else '0' end))"))
+      .select(col("media_id"), col("h"))
+    val ap = bandVerify(ah, AhashRadius)
+      .withColumnRenamed("hamming", "ah_hamming")
+    val dp = bandVerify(dh, AhashRadius)
+      .withColumnRenamed("hamming", "dh_hamming")
+    ap.join(dp, Seq("media_a", "media_b"), "full_outer")
+      .withColumn("verdict",
+        when(col("ah_hamming").isNotNull && col("dh_hamming").isNotNull,
+          "both")
+          .when(col("ah_hamming").isNotNull, "ahash_only")
+          .otherwise("dhash_only"))
+      .select(col("media_a"), col("media_b"),
+        col("ah_hamming"), col("dh_hamming"), col("verdict"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  val mediaHashAgreementSql: String = {
+    def serve(hcte: String, out: String): String = s"""
+    ${out}_bands AS (
+      SELECT media_id, h, b AS band,
+             substring(h, (b-1)*16+1, 16) AS bk
+      FROM $hcte, unnest(range(1, 5)) AS t(b)),
+    ${out}_pairs AS (
+      SELECT media_a, media_b,
+             len(list_filter(range(1, 65), i -> h_a[i] != h_b[i]))::BIGINT
+               AS hamming
+      FROM (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                   a.h AS h_a, b.h AS h_b
+            FROM ${out}_bands a JOIN ${out}_bands b
+              ON a.band = b.band AND a.bk = b.bk
+            WHERE a.media_id < b.media_id)
+      WHERE len(list_filter(range(1, 65), i -> h_a[i] != h_b[i]))
+        <= $AhashRadius)"""
+    s"""
+    WITH g AS (
+      SELECT doc_id AS media_id, text,
+             greatest(1, (length(text) + 63) // 64) AS seg
+      FROM documents),
+    px AS (
+      SELECT media_id,
+             list_transform(range(1, 65), i ->
+               ('0x' || substring(md5(substring(text,
+                 ((i-1)*seg+1)::INT, seg::INT)), 1, 2))::BIGINT) AS px
+      FROM g),
+    ps AS (SELECT media_id, px, list_sum(px)::BIGINT AS psum FROM px),
+    ah AS (
+      SELECT media_id,
+             array_to_string(list_transform(px, x ->
+               CASE WHEN x * 64 > psum THEN '1' ELSE '0' END), '') AS h
+      FROM ps),
+    dh AS (
+      SELECT media_id,
+             array_to_string(list_transform(range(1, 65), i ->
+               CASE WHEN px[i] < px[i % 64 + 1] THEN '1' ELSE '0' END),
+               '') AS h
+      FROM ps),
+    ${serve("ah", "ah")},
+    ${serve("dh", "dh")}
+    SELECT coalesce(a.media_a, d.media_a) AS media_a,
+           coalesce(a.media_b, d.media_b) AS media_b,
+           a.hamming AS ah_hamming, d.hamming AS dh_hamming,
+           CASE WHEN a.hamming IS NOT NULL AND d.hamming IS NOT NULL
+                  THEN 'both'
+                WHEN a.hamming IS NOT NULL THEN 'ahash_only'
+                ELSE 'dhash_only' END AS verdict
+    FROM ah_pairs a FULL OUTER JOIN dh_pairs d
+      ON a.media_a = d.media_a AND a.media_b = d.media_b
+    ORDER BY media_a, media_b"""
+  }
 
   /** M9 scene cut: a frame starts a new scene when its 16-bit
     * signature sits more than this many bits from the previous frame's.
@@ -549,6 +663,7 @@ object MediaQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_scenes" -> (mediaScenes _),
     "media_ahash_dedup" -> (mediaAhashDedup _),
+    "media_hash_agreement" -> (mediaHashAgreement _),
     "media_cdc_bytes" -> (mediaCdcBytes _),
     "media_cdc_dedup" -> (mediaCdcDedup _),
     "media_chunk_dedup" -> (mediaChunkDedup _),
@@ -563,6 +678,7 @@ object MediaQueries {
   def oracles: Map[String, String] = Map(
     "media_scenes" -> mediaScenesSql,
     "media_ahash_dedup" -> mediaAhashDedupSql,
+    "media_hash_agreement" -> mediaHashAgreementSql,
     "media_cdc_bytes" -> mediaCdcBytesSql,
     "media_cdc_dedup" -> mediaCdcDedupSql,
     "media_chunk_dedup" -> mediaChunkDedupSql,

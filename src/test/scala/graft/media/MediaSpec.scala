@@ -113,6 +113,27 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-family agreement: exact copies land 'both' at hamming 0, " +
+    "and the families genuinely disagree somewhere on the corpus") {
+    val rows = MediaQueries.mediaHashAgreement(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      val verdict = r.getString(4)
+      assert(Set("both", "ahash_only", "dhash_only")(verdict))
+      // identical px frames hash identically under BOTH families: an
+      // ah_hamming of 0 can never be one-sided
+      if (!r.isNullAt(2) && r.getLong(2) == 0L)
+        assert(verdict == "both" && r.getLong(3) == 0L,
+          s"exact-copy pair one-sided: $r")
+    }
+    val verdicts = rows.map(_.getString(4)).toSet
+    assert(verdicts.contains("both"), s"no high-confidence pairs: $verdicts")
+    assert(verdicts.size >= 2,
+      "families fully agree on this corpus — the audit surfaced nothing")
+  }
+
   test("byte-level CDC re-anchors after a single-BYTE insertion; " +
     "fixed byte windows do not") {
     import spark.implicits._
