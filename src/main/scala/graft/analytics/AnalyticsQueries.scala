@@ -2132,7 +2132,54 @@ object AnalyticsQueries {
     FROM monthly a JOIN monthly b ON a.y = b.y + 1 AND a.m = b.m
     ORDER BY ym"""
 
+  /** A57: cumulative distinct users per day — "total unique users to
+    * date", the growth-curve staple. The naive statement (COUNT
+    * DISTINCT over an expanding window) re-scans every prior day per
+    * day — O(days²) state and quadratic work, the reason most engines
+    * refuse it. The re-expression: cumulative-distinct ≡ running sum
+    * of FIRST APPEARANCES — one per-user min() aggregate (map-side
+    * combinable, shuffles user ids once), a day-grain count, and a
+    * prefix sum over the calendar-bounded axis (the A54 argument:
+    * ~2.6k rows whether the stream is 60k or 60B events). Every day
+    * in the span is emitted — a day with no new users still advances
+    * the curve — via the A31 gap-fill axis.
+    */
+  def qCumulativeUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val firsts = e.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_new"))
+    val bounds = e.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1")).head()
+    val axis =
+      if (bounds.isNullAt(0))
+        s.range(0).select(lit(null).cast("date").as("d"))
+      else s.range(1).select(explode(sequence(
+        lit(bounds.getDate(0)), lit(bounds.getDate(1)))).as("d"))
+    axis.join(firsts, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users",
+        sum(col("n_new")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("d"))
+  }
+
+  val qCumulativeUsersSql: String = """
+    WITH firsts AS (
+      SELECT d, count(*) AS n_new FROM (
+        SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY user_id)
+      GROUP BY d),
+    bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+    axis AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE
+               AS d FROM bounds)
+    SELECT d, coalesce(n_new, 0)::BIGINT AS n_new,
+           sum(coalesce(n_new, 0)) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             AS cum_users
+    FROM axis LEFT JOIN firsts USING (d) ORDER BY d"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cumulative_users" -> (qCumulativeUsers _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2191,6 +2238,7 @@ object AnalyticsQueries {
     "q_lorenz" -> (qLorenz _))
 
   def oracles: Map[String, String] = Map(
+    "q_cumulative_users" -> qCumulativeUsersSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,

@@ -210,6 +210,52 @@ object DedupQueries {
     FROM cand JOIN jp USING (doc_a, doc_b)
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
+  /** D26: dedup threshold sweep — D22 tunes the LSH BAND config for a
+    * fixed target threshold; this tunes the THRESHOLD itself: for each
+    * rung of a τ ladder, how many verified pairs survive and how many
+    * documents they touch — the pairs-vs-coverage elbow a curator
+    * reads before committing a dedup pass (τ too low merges the
+    * corpus, too high keeps near-identical boilerplate). One shared
+    * edge build (the persisted D2 inverted-index jaccard — no
+    * per-rung recompute), one ladder explode over the PAIR set (tiny:
+    * candidates, not corpus), two aggregates per rung. Monotonicity
+    * is structural — each rung's pairs are a superset of the next —
+    * and the spec asserts it.
+    */
+  val SweepTaus: Seq[Int] = Seq(30, 40, 50, 60, 70, 80)
+
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val jp = jaccardPairs(shingles(Tables.documents(s, dir)))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val ladder = explode(typedLit(SweepTaus)).as("tau_pct")
+    val tagged = jp.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        ladder)
+      .filter(col("jaccard") >= col("tau_pct") / lit(100.0))
+    val pairsPerRung = tagged.groupBy(col("tau_pct"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsPerRung = tagged
+      .select(col("tau_pct"), explode(array(col("doc_a"), col("doc_b")))
+        .as("doc_id"))
+      .groupBy(col("tau_pct"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    pairsPerRung.join(docsPerRung, Seq("tau_pct"))
+      .orderBy(col("tau_pct"))
+  }
+
+  val dedupThresholdSweepSql: String = s"""
+    WITH $jaccardPairsSql,
+    ladder AS (SELECT unnest([${SweepTaus.mkString(", ")}]) AS tau_pct),
+    tagged AS (
+      SELECT tau_pct, doc_a, doc_b FROM jp, ladder
+      WHERE jaccard >= tau_pct / 100.0),
+    pp AS (SELECT tau_pct, count(*) AS n_pairs FROM tagged GROUP BY tau_pct),
+    dd AS (SELECT tau_pct, count(DISTINCT doc_id) AS n_docs
+           FROM (SELECT tau_pct, unnest([doc_a, doc_b]) AS doc_id
+                 FROM tagged)
+           GROUP BY tau_pct)
+    SELECT tau_pct, n_pairs, n_docs
+    FROM pp JOIN dd USING (tau_pct) ORDER BY tau_pct"""
+
   /** P25 (lives here for the shared LSH machinery): FUZZY benchmark
     * decontamination — P3 flags training docs by exact n-gram overlap
     * with the eval set; a PARAPHRASED eval item (reworded question,
@@ -1535,6 +1581,7 @@ object DedupQueries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_minhash" -> (dedupMinhash _),
     "decontam_fuzzy" -> (decontamFuzzy _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
@@ -1559,6 +1606,7 @@ object DedupQueries {
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_minhash" -> dedupMinhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,

@@ -511,4 +511,23 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getLong(2) < r.getLong(0), "keeper must precede removed")
     }
   }
+
+  test("threshold sweep: pairs and coverage fall monotonically as tau " +
+    "rises, and the rungs agree with the direct jaccard gate") {
+    val rows = DedupQueries.dedupThresholdSweep(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.map(_.getInt(0)).toSeq === DedupQueries.SweepTaus)
+    val pairs = rows.map(_.getLong(1))
+    val docs = rows.map(_.getLong(2))
+    pairs.zip(pairs.tail).foreach { case (a, b) =>
+      assert(a >= b, "pair count rose with tau") }
+    docs.zip(docs.tail).foreach { case (a, b) =>
+      assert(a >= b, "doc coverage rose with tau") }
+    // the 0.5 rung must equal dedup_jaccard's pair count exactly
+    val direct = DedupQueries.dedupJaccard(spark, dir).count()
+    graft.CachedFrames.releaseAll()
+    val rung50 = rows.find(_.getInt(0) == 50).get.getLong(1)
+    assert(rung50 === direct,
+      s"sweep rung 50 ($rung50) != dedup_jaccard ($direct)")
+  }
 }
