@@ -367,9 +367,10 @@ object MediaQueries {
       .filter(col("media_a") < col("media_b"))
       .select(col("media_a"), col("media_b"), col("h_a"), col("h_b"))
       .distinct()
-    cand.withColumn("hamming", expr(
-        "size(filter(sequence(1, 64), i -> " +
-          "substring(h_a, i, 1) != substring(h_b, i, 1)))").cast("long"))
+    // E27: the verify kernel is the codegen'd byte-walk, not the
+    // sequence+filter composition (3·n allocations per candidate pair)
+    cand.withColumn("hamming",
+        graft.functions.HammingDistance(col("h_a"), col("h_b")))
       .filter(col("hamming") <= radius)
       .select(col("media_a"), col("media_b"), col("hamming"))
   }
@@ -579,8 +580,8 @@ object MediaQueries {
     frames
       .withColumn("prev", lag(col("fhash"), 1).over(w))
       .withColumn("hamming", when(col("prev").isNull, lit(null))
-        .otherwise(expr("cast(size(filter(sequence(1, 16), i -> " +
-          "substring(fhash, i, 1) != substring(prev, i, 1))) as bigint)")))
+        .otherwise(
+          graft.functions.HammingDistance(col("fhash"), col("prev"))))
       .withColumn("cut",
         when(col("prev").isNull.or(col("hamming") > SceneCutBits), 1L)
           .otherwise(0L))

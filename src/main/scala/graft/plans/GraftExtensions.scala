@@ -24,6 +24,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     e.injectFunction((
+      new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[graft.functions.HammingDistance].getName,
+        "graft_hamming"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HammingDistance(exprs(0), exprs(1))))
+    e.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash"),
       (exprs: Seq[Expression]) =>

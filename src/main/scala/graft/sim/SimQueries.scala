@@ -2645,6 +2645,94 @@ object SimQueries {
     GROUP BY u.method
     ORDER BY u.method"""
 
+  /** S24 coarse-stage dimensionality (prefix of the 64-dim vectors)
+    * and its shortlist oversampling. The factor is 16 where S16 uses
+    * 3: these synthetic embeddings carry NO front-loaded importance
+    * (every dimension equal variance), so a 16/64 prefix correlates
+    * only ~√(16/64)=0.5 with the full cosine and the shortlist must
+    * oversample accordingly — measured recall@5: 0.24 at ×3, 0.46 at
+    * ×8, 0.64 at ×16 (the spec floor is 0.5). MRL-trained or
+    * S14-rotated vectors concentrate variance in the prefix and would
+    * serve at ×3; the knob is exactly what ivf_tune-style selection
+    * prices per embedding family.
+    */
+  val PrefixDims = 16
+  val PrefixRefineFactor = 16
+
+  /** S24: prefix-dimension progressive refine — the Matryoshka/MRL
+    * serving trick (truncate the embedding, not the candidate set):
+    * stage 1 scores the WHOLE corpus on only the first 16 of 64
+    * dimensions — a 4× cheaper linear scan with the same join-free
+    * broadcast-literal shape as S1 — keeps TopK·RefineFactor per
+    * query, and stage 2 rescores that shortlist exactly on all 64.
+    * Differs from S16 structurally: PQ-ADC approximates via trained
+    * codebooks (needs an offline trainer); the prefix score needs NO
+    * training, just an embedding family front-loaded by importance —
+    * which is exactly what MRL-trained embeddings promise, and what
+    * eigen-rotated vectors (S14) give for free (dimensions arrive
+    * variance-ranked). Prefix dots are NOT renormalized: the
+    * shortlist ranks by unnormalized partial cosine, a deliberate
+    * fidelity/cost trade the recall spec prices. Cross-engine: prefix
+    * slice + same fold dot, 6dp quantization before every rank.
+    */
+  def knnPrefixRefine(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.CachedFrames.persist(vecs(s, dir)
+      .select(col("vec_id"), col("vn"))
+      .withColumn("vp", expr(s"slice(vn, 1, $PrefixDims)")))
+    val qSeq: Seq[(Long, Seq[Double], Seq[Double])] =
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("vn"), col("vp")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toVector: Seq[Double],
+          r.getSeq[Double](2).toVector: Seq[Double]))
+        .sortBy(_._1)
+    val coarse = e
+      .select(col("vec_id").as("neighbor"), col("vn"), col("vp"),
+        explode(typedLit(qSeq)).as("q"))
+      .filter(col("q._1") =!= col("neighbor"))
+      .select(col("q._1").as("q_id"), col("neighbor"), col("vn"),
+        round(dot(col("q._3"), col("vp")), 6).as("cos16"))
+    val wCoarse = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos16").desc, col("neighbor"))
+    val shortlist = coarse
+      .withColumn("srank", row_number().over(wCoarse))
+      .filter(col("srank") <= TopK * PrefixRefineFactor)
+    val qFull = typedLit(qSeq.map { case (id, vn, _) => (id, vn) })
+    val wExact = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    shortlist
+      .withColumn("qvn", element_at(
+        map_from_entries(qFull), col("q_id").cast("long")))
+      .select(col("q_id"), col("neighbor"), col("cos16"),
+        round(dot(col("qvn"), col("vn")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnPrefixRefineSql: String = s"""
+    WITH e AS ($vecsSql),
+    q AS (SELECT vec_id AS q_id, vn AS qvn, vn[1:$PrefixDims] AS qvp
+          FROM e WHERE vec_id < $NumQueries),
+    coarse AS (
+      SELECT q_id, e.vec_id AS neighbor, e.vn,
+             round(list_dot_product(qvp, e.vn[1:$PrefixDims]), 6) AS cos16
+      FROM q, e WHERE e.vec_id != q_id),
+    short AS (
+      SELECT q_id, neighbor, vn, cos16 FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY cos16 DESC, neighbor) AS srank
+        FROM coarse)
+      WHERE srank <= ${TopK * PrefixRefineFactor}),
+    exact AS (
+      SELECT s.q_id, s.neighbor, s.cos16,
+             round(list_dot_product(q.qvn, s.vn), 6) AS cos
+      FROM short s JOIN q ON q.q_id = s.q_id)
+    SELECT q_id, neighbor, cos16, cos, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor) AS rank
+      FROM exact)
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   /** S23 k-means|| parameters: rounds, oversampling factor l, final k. */
   val KppRounds = 3
   val KppOversample = 4L
@@ -2751,6 +2839,7 @@ object SimQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_par_init" -> (kmeansParInit _),
+    "knn_prefix_refine" -> (knnPrefixRefine _),
     "knn_recall_eval" -> (knnRecallEval _),
     "pq_train" -> (pqTrain _),
     "knn_graph" -> (knnGraph _),
@@ -2779,6 +2868,7 @@ object SimQueries {
 
   def oracles: Map[String, String] = Map(
     "kmeans_par_init" -> kmeansParInitSql,
+    "knn_prefix_refine" -> knnPrefixRefineSql,
     "knn_recall_eval" -> knnRecallEvalSql,
     "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,

@@ -324,4 +324,31 @@ class PlanSpec extends AnyFunSuite {
       .filter(col("d") =!= 0.0).count()
     assert(diff === 0L)
   }
+
+  test("custom hamming distance equals the sequence+filter " +
+    "composition on every doc-pair hash; NULL on width mismatch") {
+    import org.apache.spark.sql.functions._
+    // real 64-char hashes from the corpus, crossed 200×200
+    val h = Tables.documents(spark, dir).limit(200)
+      .select(md5(col("text")).as("x"))
+      .select(concat(col("x"), md5(col("x"))).substr(1, 64).as("h"))
+    val pairs = h.select(col("h").as("a"))
+      .crossJoin(h.select(col("h").as("b")))
+    val diff = pairs.select(
+      (graft.functions.HammingDistance(col("a"), col("b")) -
+        expr("cast(size(filter(sequence(1, 64), i -> " +
+          "substring(a, i, 1) != substring(b, i, 1))) as bigint)"))
+        .as("d"))
+      .filter(col("d") =!= 0L).count()
+    assert(diff === 0L)
+    val mismatch = spark.sql(
+      "SELECT 1").select(graft.functions.HammingDistance(
+        lit("abc"), lit("abcd")).as("hd")).head()
+    assert(mismatch.isNullAt(0), "width mismatch must be NULL")
+    // and the kernel runs inside whole-stage codegen on the gate path
+    val p = plan("media_hash_agreement")
+    assert(p.contains("hammingdistance") || p.contains("HammingDistance"),
+      s"gate no longer uses the native kernel:\n$p")
+    graft.CachedFrames.releaseAll()
+  }
 }

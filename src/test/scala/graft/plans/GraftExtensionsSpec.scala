@@ -27,6 +27,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got === 32.0)
   }
 
+  test("graft_hamming is callable from SQL: counts differing " +
+    "positions, NULL on width mismatch") {
+    val r = spark.sql("""
+      SELECT graft_hamming('10110', '10011') AS d,
+             graft_hamming('abc', 'abcd') AS mismatch,
+             graft_hamming('', '') AS empty
+    """).collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.isNullAt(1))
+    assert(r.getLong(2) === 0L)
+  }
+
   test("graft_minhash / graft_simhash aggregate from SQL") {
     spark.range(100).selectExpr(
       "cast(conv(substring(md5(cast(id as string)), 1, 7), 16, 10) as bigint) AS h")

@@ -72,6 +72,28 @@ class SimSpec extends AnyFunSuite {
       s"k-means|| phi ${phi(kppSeeds)} not below uniform ${phi(uniformSeeds)}")
   }
 
+  test("prefix refine: results come from the coarse shortlist, exact " +
+    "scores agree with brute, recall@5 prices the 16-dim truncation") {
+    val got = SimQueries.knnPrefixRefine(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(got.length === SimQueries.NumQueries * SimQueries.TopK)
+    // exact-stage cosines must agree with brute's for shared pairs
+    val bruteCos = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c === r.getDouble(3),
+        s"exact rescore diverged from brute at $key"))
+    }
+    // recall@5 against brute truth: the 4x-cheaper coarse scan keeps
+    // most of the true neighborhood (measured; floor pinned below)
+    val truth = topn(brute, SimQueries.TopK)
+    val mine = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mine.intersect(truth).size.toDouble / truth.size
+    info(s"prefix-refine recall@5 = $recall")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match
