@@ -1763,6 +1763,61 @@ object AnalyticsQueries {
                  ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
     ORDER BY event_type, day"""
 
+  /** A58: RANGE-frame trailing window — the time-window aggregate A41
+    * CANNOT express: a ROWS frame counts 7 neighboring OBSERVATIONS,
+    * silently stretching over gaps (a series missing three days
+    * averages a 10-day span and calls it 7) — the classic
+    * moving-average bug. A RANGE frame bounds the frame by the
+    * ORDERING VALUE: trailing 7 CALENDAR days, exactly, however many
+    * rows exist inside. Ordering is an integer day number (epoch
+    * days), so the frame arithmetic is exact integers in both engines
+    * (a timestamp-interval range frame would drag in engine-specific
+    * interval semantics); per-series partitioning keeps the window
+    * parallel across keys. `frame_n` ≤ 7 by construction where the
+    * A41 gate's `frame_n` is always 7 — the spec-visible difference
+    * between the two frame types. Sum is exact integer micro-value
+    * units; the mean divides two exact BIGINTs once per row.
+    */
+  def qRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_no"))
+      .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("v_micro"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day_no"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("sum7d_micro", sum(col("v_micro")).over(w))
+      .withColumn("n7d", sum(col("n")).over(w))
+      .withColumn("frame_n", count(lit(1)).over(w))
+      .select(col("event_type"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("day_no").cast("int")), "yyyy-MM-dd").as("day"),
+        col("v_micro"), col("sum7d_micro"),
+        expr("sum7d_micro div n7d").as("mean7d_micro"), col("frame_n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val qRangeFrameSql: String = """
+    WITH daily AS (
+      SELECT event_type, datediff('day', DATE '1970-01-01', ts::DATE) AS day_no,
+             sum(round(value * 1e6, 0)::BIGINT)::BIGINT AS v_micro,
+             count(*) AS n
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1, 2)
+    SELECT event_type,
+           strftime(DATE '1970-01-01' + day_no::INT, '%Y-%m-%d') AS day,
+           v_micro,
+           sum(v_micro) OVER w::BIGINT AS sum7d_micro,
+           (sum(v_micro) OVER w // sum(n) OVER w)::BIGINT AS mean7d_micro,
+           count(*) OVER w AS frame_n
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY event_type, day"""
+
   /** A42: lead/lag deltas — per-user inter-event gaps, then the gap
     * distribution per event type. The lag window partitions by user
     * (parallel across keys); the distribution agg is a second small
@@ -2180,6 +2235,7 @@ object AnalyticsQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cumulative_users" -> (qCumulativeUsers _),
+    "q_range_frame" -> (qRangeFrame _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2239,6 +2295,7 @@ object AnalyticsQueries {
 
   def oracles: Map[String, String] = Map(
     "q_cumulative_users" -> qCumulativeUsersSql,
+    "q_range_frame" -> qRangeFrameSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,

@@ -49,6 +49,28 @@ object StreamCorrelate {
       .drop(r(key))
   }
 
+  /** R26: stream-stream LEFT SEMI interval join — "impressions that
+    * DID convert", as a stream, without carrying the right side's
+    * columns: each left row is emitted AT MOST ONCE, on the first
+    * arriving match inside its interval, and never again (the state
+    * store remembers emitted left rows until the watermark passes
+    * them). The inner form re-emits a left row per match — the semi
+    * form is what feeds a downstream that must count converters, not
+    * conversions. Same two state-boundedness ingredients as R5: both
+    * watermarks + a two-sided event-time bound.
+    */
+  def intervalSemiJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, within: String,
+      watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"),
+      "left_semi")
+  }
+
   /** Watermark-bounded exact dedup on `keys`. */
   def dedupWithinWatermark(df: DataFrame, tsCol: String,
       watermark: String, keys: Seq[String]): DataFrame =

@@ -201,6 +201,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("R26: stream-stream LEFT SEMI interval join emits each " +
+    "converter once — even with multiple matches inside the interval") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+    val imps = Seq((1L, ts(10)), (2L, ts(20)), (3L, ts(90)))
+    val clicks = Seq(
+      (1L, ts(12)),  // match 1 for imp@10
+      (1L, ts(15)),  // match 2 for the SAME impression
+      (2L, ts(25)),  // match
+      (4L, ts(22)))  // no impression
+    val (impDir, clkDir) = (tmp(), tmp())
+    imps.toDF("user_id", "imp_ts").write.parquet(s"$impDir/b0")
+    clicks.toDF("user_id", "click_ts").write.parquet(s"$clkDir/b0")
+    val impStream = spark.readStream
+      .schema("user_id LONG, imp_ts TIMESTAMP").parquet(s"$impDir/b0")
+    val clkStream = spark.readStream
+      .schema("user_id LONG, click_ts TIMESTAMP").parquet(s"$clkDir/b0")
+    val joined = StreamCorrelate.intervalSemiJoin(impStream, clkStream,
+      "user_id", "imp_ts", "click_ts", "10 MINUTES", "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivsemi").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ivsemi").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    // exactly once per converting impression — the inner form would
+    // emit user 1 twice; the semi form must not
+    assert(got.toSet === Set((1L, ts(10)), (2L, ts(20))))
+    assert(got.length === 2, s"semi join re-emitted a left row: ${got.toSeq}")
+    // batch twin agrees
+    val batch = imps.toDF("user_id", "imp_ts").as("l")
+      .join(clicks.toDF("user_id", "click_ts").as("r"),
+        col("l.user_id") === col("r.user_id") &&
+          col("r.click_ts") >= col("l.imp_ts") &&
+          col("r.click_ts") <= col("l.imp_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_semi")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    assert(got.toSet === batch)
+  }
+
   test("R5b: left-outer interval join emits unmatched rows on watermark close") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(min * 60000)
