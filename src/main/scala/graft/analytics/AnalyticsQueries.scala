@@ -652,6 +652,71 @@ object AnalyticsQueries {
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** A59: time-to-convert distribution — the duration analytics the
+    * funnel (A26) counts and A22's percentiles complete: for each
+    * funnel transition (first view → first qualifying click → first
+    * qualifying purchase), the distribution of elapsed time across
+    * converting users. Stage frames are A26's verbatim (shrinking
+    * aggregates + joins); durations are exact integer seconds
+    * (µs difference, one floor-division — positive by construction,
+    * no floor/truncate hazard); the distribution is the A22 exact
+    * percentile per transition. The marketing read: p50 view→click is
+    * the hesitation window, p90 click→purchase prices the remarketing
+    * deadline.
+    */
+  def qTimeToConvert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tm"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tm")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("tm") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tm")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("tm") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tm")).as("t_purchase"))
+    val d1 = c.join(v, Seq("user_id"))
+      .select(lit("1_view_to_click").as("stage"),
+        expr("(t_click - t_view) div 1000000").as("gap_s"))
+    val d2 = p.join(c, Seq("user_id"))
+      .select(lit("2_click_to_purchase").as("stage"),
+        expr("(t_purchase - t_click) div 1000000").as("gap_s"))
+    d1.unionByName(d2)
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("gap_s"), lit(0.5)), 4).as("p50_s"),
+        round(percentile(col("gap_s"), lit(0.9)), 4).as("p90_s"),
+        max(col("gap_s")).as("max_s"))
+      .orderBy(col("stage"))
+  }
+
+  val qTimeToConvertSql: String = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tm FROM events),
+    v AS (SELECT user_id, min(tm) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.tm) AS t_click
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND e.tm > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.tm) AS t_purchase
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND e.tm > c.t_click
+          GROUP BY e.user_id),
+    gaps AS (
+      SELECT '1_view_to_click' AS stage,
+             (t_click - t_view) // 1000000 AS gap_s
+      FROM c JOIN v USING (user_id)
+      UNION ALL
+      SELECT '2_click_to_purchase',
+             (t_purchase - t_click) // 1000000
+      FROM p JOIN c USING (user_id))
+    SELECT stage, count(*) AS n,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+           max(gap_s)::BIGINT AS max_s
+    FROM gaps GROUP BY stage ORDER BY stage"""
+
   /** A46: quantile estimation over a DETERMINISTIC hash-threshold
     * sample — the scale face of A22: exact percentiles shuffle the
     * full value distribution; at 100 TB the standard move is a uniform
@@ -2236,6 +2301,7 @@ object AnalyticsQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_range_frame" -> (qRangeFrame _),
+    "q_time_to_convert" -> (qTimeToConvert _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2296,6 +2362,7 @@ object AnalyticsQueries {
   def oracles: Map[String, String] = Map(
     "q_cumulative_users" -> qCumulativeUsersSql,
     "q_range_frame" -> qRangeFrameSql,
+    "q_time_to_convert" -> qTimeToConvertSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,

@@ -76,6 +76,84 @@ object TapeManifest {
   def load(spark: SparkSession, root: String, stream: String): DataFrame =
     spark.read.parquet(s"$root/$stream/$ManifestDir")
 
+  final case class RefreshResult(added: Long, removed: Long, kept: Long)
+
+  /** V14: INCREMENTAL manifest maintenance — the ops loop that keeps
+    * V13's index honest as the recorder appends and retention expires.
+    * Tape files are immutable once written (the recorder never
+    * rewrites a sealed object), so the manifest diff is exact: one
+    * METADATA listing of the day dirs, stats built by READING ONLY
+    * the files the manifest hasn't seen (at a steady-state archive
+    * that's the last trigger's output, not the tape), rows for
+    * vanished files (retention/compaction) dropped. A full rebuild
+    * re-reads the archive; at 100 TB that difference is the whole
+    * point of having an index.
+    */
+  def refresh(spark: SparkSession, root: String,
+              stream: String): RefreshResult = {
+    val dir = s"$root/$stream"
+    val listed = listTapeFiles(spark, dir) // (dt, file) pairs on disk
+    val existing =
+      try load(spark, root, stream).collect().toSeq
+      catch { case _: Throwable => Seq.empty[org.apache.spark.sql.Row] }
+    val existingKeys = existing.map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val kept = existing.filter(r =>
+      listed.contains((r.getString(0), r.getString(1))))
+    val newFiles = listed.filterNot(existingKeys)
+    val added: Seq[org.apache.spark.sql.Row] =
+      if (newFiles.isEmpty) Seq.empty
+      else {
+        val paths = newFiles.toSeq.map { case (dt, f) =>
+          s"$dir/${Tape.DtCol}=$dt/$f" }
+        spark.read.option("basePath", dir).text(paths: _*)
+          .select(col("value"),
+            regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+            col(Tape.DtCol).cast("string").as(Tape.DtCol))
+          .groupBy(col(Tape.DtCol), col("file"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(length(col("value")) + lit(1L)).as("line_bytes"))
+          .withColumn("first_seq", regexp_extract(col("file"), nameRe, 1))
+          .withColumn("last_seq", regexp_extract(col("file"), nameRe, 2))
+          .filter(col("first_seq") =!= "" &&
+            col("first_seq").cast("long") <= col("last_seq").cast("long"))
+          .select(col(Tape.DtCol), col("file"),
+            col("first_seq").cast("long").as("first_seq"),
+            col("last_seq").cast("long").as("last_seq"),
+            col("n_lines"), col("line_bytes"))
+          .collect().toSeq
+      }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField(Tape.DtCol, StringType), StructField("file", StringType),
+      StructField("first_seq", LongType), StructField("last_seq", LongType),
+      StructField("n_lines", LongType), StructField("line_bytes", LongType)))
+    spark.createDataFrame((kept ++ added).asJava, schema)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$ManifestDir")
+    RefreshResult(added.length.toLong,
+      (existing.length - kept.length).toLong, kept.length.toLong)
+  }
+
+  /** (dt, file) pairs on disk — one FS metadata pass, no content. */
+  private def listTapeFiles(spark: SparkSession,
+                            dir: String): Set[(String, String)] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s"${Tape.DtCol}="))
+      .flatMap { day =>
+        val dt = day.getPath.getName.stripPrefix(s"${Tape.DtCol}=")
+        fs.listStatus(day.getPath).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_"))
+          .map(st => (dt, st.getPath.getName))
+      }.toSet
+  }
+
   /** Manifest entries whose declared seq range overlaps `[from, to]`. */
   def overlapping(manifest: DataFrame, from: Long, to: Long): DataFrame =
     manifest.filter(col("first_seq") <= to && col("last_seq") >= from)

@@ -225,4 +225,40 @@ class TapeCompactorSpec extends AnyFunSuite {
     assert(rebuilt.length === dayFiles.length - 1)
     assert(!rebuilt.exists(_.getString(1) == "999-1.txt"))
   }
+
+  test("manifest refresh is incremental: no-op on an unchanged tape, " +
+    "appended days add rows, expired days drop rows") {
+    val root = Files.createTempDirectory("graft-refresh").toString
+    import spark.implicits._
+    def day(n: Int, seqBase: Int) = (1 to 120).map { i =>
+      (s"p-$seqBase-$i".getBytes(UTF_8), (seqBase + i).toLong,
+        java.sql.Timestamp.valueOf(f"2024-04-0$n%d 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(day(1, 0), root, "s", numFiles = 3)
+    TapeManifest.write(spark, root, "s")
+    val n1 = TapeManifest.load(spark, root, "s").count()
+    // unchanged tape → pure metadata no-op
+    val r0 = TapeManifest.refresh(spark, root, "s")
+    assert(r0 === TapeManifest.RefreshResult(0L, 0L, n1))
+    // append a second day: only its files are new
+    TapeWriter.write(day(2, 1000), root, "s", numFiles = 3,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    spark.catalog.refreshByPath(s"$root/s")
+    val r1 = TapeManifest.refresh(spark, root, "s")
+    assert(r1.removed === 0L && r1.kept === n1 && r1.added > 0L)
+    // the incremental result equals a from-scratch rebuild exactly
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toSeq).toSet
+    spark.catalog.refreshByPath(s"$root/s")
+    assert(canon(TapeManifest.load(spark, root, "s").collect()) ===
+      canon(TapeManifest.build(spark, root, "s").collect()))
+    // retention: day 1 expires → its rows drop without a rebuild
+    TapeCompactor.expire(spark, root, "s",
+      java.time.LocalDate.parse("2024-04-02"))
+    val r2 = TapeManifest.refresh(spark, root, "s")
+    assert(r2.added === 0L && r2.removed === n1 && r2.kept === r1.added)
+    spark.catalog.refreshByPath(s"$root/s")
+    assert(canon(TapeManifest.load(spark, root, "s").collect()) ===
+      canon(TapeManifest.build(spark, root, "s").collect()))
+  }
 }
