@@ -717,6 +717,60 @@ object AnalyticsQueries {
            max(gap_s)::BIGINT AS max_s
     FROM gaps GROUP BY stage ORDER BY stage"""
 
+  /** A60 minimum pair support for the basket gate. */
+  val BasketMinSupport = 3L
+
+  /** A60: market-basket co-occurrence lift — the association-rule
+    * primitive (the single-level A-priori step): which part PAIRS
+    * appear in the same order more often than independence predicts.
+    * lift(a,b) = N·c_ab / (c_a·c_b), support-floored. The scale story
+    * is WHY this is feasible at all: the pair generation is a
+    * self-join keyed on the ORDER — each join bucket is one basket,
+    * bounded by basket size (≤ C(lines,2) pairs per order, never a
+    * corpus cross product), and the support floor prunes before the
+    * lift join. Both self-join sides are O(corpus): SHUFFLE_HASH by
+    * the §8a rule. Baskets dedup (order, part) first — quantity
+    * doesn't inflate co-occurrence. Lift is one positive integer
+    * floor-division of exact BIGINTs per surviving pair.
+    */
+  def qBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val op = graft.CachedFrames.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct())
+    val n = op.select(col("o")).distinct().count()
+    val parts = op.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val pairs = op.select(col("o"), col("p").as("pa"))
+      .hint("shuffle_hash")
+      .join(op.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= BasketMinSupport)
+    pairs
+      .join(parts.select(col("p").as("pa"), col("c").as("c_a"))
+        .hint("shuffle_hash"), Seq("pa"))
+      .join(parts.select(col("p").as("pb"), col("c").as("c_b"))
+        .hint("shuffle_hash"), Seq("pb"))
+      .select(col("pa"), col("pb"), col("c_ab"), col("c_a"), col("c_b"),
+        expr(s"c_ab * $n * 1000000 div (c_a * c_b)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  val qBasketLiftSql: String = s"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    tot AS (SELECT count(DISTINCT o) AS n FROM op),
+    parts AS (SELECT p, count(*) AS c FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS c_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= $BasketMinSupport)
+    SELECT pa, pb, c_ab, ca.c AS c_a, cb.c AS c_b,
+           (c_ab * n * 1000000 // (ca.c * cb.c))::BIGINT AS lift_micro
+    FROM pairs JOIN parts ca ON ca.p = pa
+               JOIN parts cb ON cb.p = pb, tot
+    ORDER BY lift_micro DESC, pa, pb LIMIT 20"""
+
   /** A46: quantile estimation over a DETERMINISTIC hash-threshold
     * sample — the scale face of A22: exact percentiles shuffle the
     * full value distribution; at 100 TB the standard move is a uniform
@@ -2302,6 +2356,7 @@ object AnalyticsQueries {
     "q_cumulative_users" -> (qCumulativeUsers _),
     "q_range_frame" -> (qRangeFrame _),
     "q_time_to_convert" -> (qTimeToConvert _),
+    "q_basket_lift" -> (qBasketLift _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2363,6 +2418,7 @@ object AnalyticsQueries {
     "q_cumulative_users" -> qCumulativeUsersSql,
     "q_range_frame" -> qRangeFrameSql,
     "q_time_to_convert" -> qTimeToConvertSql,
+    "q_basket_lift" -> qBasketLiftSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,

@@ -935,6 +935,53 @@ object TextQueries {
     * sum of squares, and the final cosine divides two exact integers —
     * deterministic cross-engine with one terminal rounding.
     */
+  /** T22's query phrase (a trigram that actually occurs in the corpus). */
+  val PhraseTerms: Seq[String] = Seq("slow", "hash", "batch")
+
+  /** T22: positional phrase search — the IR operator bag-of-words
+    * retrieval (T6 BM25 / T9 TF-IDF) structurally cannot answer:
+    * "these words, ADJACENT, in THIS order". The index is positional
+    * postings (doc, word, pos) — what Lucene stores beside every
+    * term — and a phrase match is the k-way self-join of the query
+    * terms' postings on (doc, pos+offset). Scale shape: the term
+    * filter prunes the postings stream to |phrase| tiny slices BEFORE
+    * any join (query terms are selective — the pushdown does the
+    * work); each adjacency join is an equi-join on (doc_id, pos),
+    * shuffled on ids, never on text. Emits per-doc match counts +
+    * first occurrence — the snippet anchor.
+    */
+  def textPhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+      .filter(col("word").isin(PhraseTerms: _*))
+    def slice(i: Int) = postings.filter(col("word") === PhraseTerms(i))
+      .select(col("doc_id"), (col("pos") - i).as("anchor"))
+    PhraseTerms.indices.map(slice).reduce(
+        (a, b) => a.join(b, Seq("doc_id", "anchor")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("anchor")).cast("long").as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPhraseSearchSql: String = {
+    def slice(i: Int): String =
+      s"(SELECT doc_id, pos - $i AS anchor FROM postings " +
+        s"WHERE word = '${PhraseTerms(i)}') t$i"
+    val joins = slice(0) + PhraseTerms.indices.drop(1)
+      .map(i => s" JOIN ${slice(i)} USING (doc_id, anchor)").mkString
+    s"""
+    WITH postings AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(range(1, len(w) + 1)) AS t(i)
+      WHERE w[i] IN (${PhraseTerms.map(t => s"'$t'").mkString(", ")})),
+    hits AS (SELECT doc_id, anchor FROM $joins)
+    SELECT doc_id, count(*) AS n_matches, min(anchor)::BIGINT AS first_pos
+    FROM hits GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   def textTfidf(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.CachedFrames.persist(Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word")))
@@ -1412,6 +1459,7 @@ object TextQueries {
     "text_repeated_spans" -> (textRepeatedSpans _),
     "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
+    "text_phrase_search" -> (textPhraseSearch _),
     "text_repetition" -> (textRepetition _),
     "text_lang_id" -> (textLangId _),
     "text_lang_confusion" -> (textLangConfusion _),
@@ -1434,6 +1482,7 @@ object TextQueries {
     "text_repeated_spans" -> textRepeatedSpansSql,
     "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
+    "text_phrase_search" -> textPhraseSearchSql,
     "text_repetition" -> textRepetitionSql,
     "text_lang_id" -> textLangIdSql,
     "text_lang_confusion" -> textLangConfusionSql,
