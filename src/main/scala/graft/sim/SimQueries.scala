@@ -2802,7 +2802,10 @@ object SimQueries {
       .orderBy(col("rank"))
   }
 
-  val kmeansParInitSql: String = {
+  /** The k-means|| rounds as a reusable CTE chain (`e`…`kw`), shared
+    * by the init gate and the S25 trainer composition.
+    */
+  private val kppCtes: String = {
     def round_(r: Int, prev: String): String = s"""
     cost$r AS (
       SELECT e.vec_id,
@@ -2816,30 +2819,123 @@ object SimQueries {
               * t < $KppOversample * cost * 1048576),
     c$r AS (SELECT * FROM $prev UNION ALL
             SELECT e.vec_id, e.vn FROM e JOIN pick$r USING (vec_id))"""
-    s"""
-    WITH e AS ($vecsSql),
+    s"""e AS ($vecsSql),
     c0 AS (SELECT vec_id, vn FROM e
            ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 1),
     ${(1 to KppRounds).map(r => round_(r, s"c${r - 1}")).mkString(",")},
-    assigned AS (
+    kassigned AS (
       SELECT vec_id, cand FROM (
         SELECT e.vec_id, c.vec_id AS cand,
                row_number() OVER (PARTITION BY e.vec_id ORDER BY
                  round(list_dot_product(e.vn, c.vn) * 1e6, 0)::BIGINT DESC,
                  c.vec_id) AS rn
         FROM e, c$KppRounds c) WHERE rn = 1),
-    w AS (SELECT cand AS vec_id, count(*) AS weight
-          FROM assigned GROUP BY cand)
+    kw AS (SELECT cand AS vec_id, count(*) AS weight
+           FROM kassigned GROUP BY cand)"""
+  }
+
+  val kmeansParInitSql: String = s"""
+    WITH $kppCtes
     SELECT row_number() OVER (ORDER BY weight DESC, vec_id) AS rank,
            vec_id, weight
-    FROM w
+    FROM kw
     QUALIFY rank <= $KppK
     ORDER BY rank"""
+
+  /** S25: IVF served over a k-means‖-SEEDED trained codebook — the
+    * composition that makes S23 load-bearing: the top-k‖-by-weight
+    * seed VECTORS replace the label-mean seeds (which a real corpus
+    * doesn't have — labels are the synthetic table's luxury), one
+    * Lloyd step refines them (E12, 6dp-rounded means), and the
+    * serving shape is `knn_ivf_kmeans` verbatim (collected ≤k
+    * codebook, codegen'd array_max assignment, cluster equi-join,
+    * probe-1 top-k). The oracle restates seeding, the Lloyd step and
+    * the serving end to end — the whole unsupervised trainer path is
+    * hash-checked.
+    */
+  def knnIvfKpp(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val seedIds = kmeansParInit(s, dir).select(col("vec_id")).collect()
+      .map(_.getLong(0)).toSeq
+    val seedCb = e.filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id").as("cluster"), col("vn").as("cv"))
+    val cent1 = KMeans.meanByKey(
+      KMeans.assign(e.select(col("vec_id"), col("v")), seedCb)
+        .select(col("cluster"), col("v")), "cluster")
+    val cents = KMeans.collectCodebook(cent1)
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    val assigned = e.select(col("vec_id"), col("vn"),
+      (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"), col("cluster"))
+    val scored = q.join(assigned, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
   }
+
+  val knnIvfKppSql: String = s"""
+    WITH $kppCtes,
+    seedids AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (ORDER BY weight DESC, vec_id)
+          AS rank FROM kw) WHERE rank <= $KppK),
+    seed AS (
+      SELECT e.vec_id AS cluster, e.vn AS cv,
+             list_transform(e.vn, x ->
+               x / sqrt(list_dot_product(e.vn, e.vn))) AS cvn
+      FROM e JOIN seedids USING (vec_id)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    sassigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.vn, a.vn), 6) AS cos
+      FROM sassigned q JOIN sassigned a USING (cluster)
+      WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans_par_init" -> (kmeansParInit _),
     "knn_prefix_refine" -> (knnPrefixRefine _),
+    "knn_ivf_kpp" -> (knnIvfKpp _),
     "knn_recall_eval" -> (knnRecallEval _),
     "pq_train" -> (pqTrain _),
     "knn_graph" -> (knnGraph _),
@@ -2869,6 +2965,7 @@ object SimQueries {
   def oracles: Map[String, String] = Map(
     "kmeans_par_init" -> kmeansParInitSql,
     "knn_prefix_refine" -> knnPrefixRefineSql,
+    "knn_ivf_kpp" -> knnIvfKppSql,
     "knn_recall_eval" -> knnRecallEvalSql,
     "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,
