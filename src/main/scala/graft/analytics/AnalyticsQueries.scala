@@ -771,6 +771,38 @@ object AnalyticsQueries {
                JOIN parts cb ON cb.p = pb, tot
     ORDER BY lift_micro DESC, pa, pb LIMIT 20"""
 
+  /** A61: semi-structured JSON extraction — the schema-on-read step
+    * every event pipeline starts with: `props` is a JSON string
+    * column, and the Spark-first move is `from_json` with an explicit
+    * schema (codegen'd JsonToStructs — typed at plan time, vectorized,
+    * malformed input becomes NULL instead of an exception) rather than
+    * per-row string surgery or a UDF. The gate extracts the typed
+    * field and aggregates it per event type, counting missing/
+    * malformed extractions explicitly — at 100 TB the malformed rate
+    * is a monitored number, not a silent drop. All aggregates exact
+    * BIGINTs.
+    */
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+          .getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  val qJsonExtractSql: String = """
+    SELECT event_type, count(*) AS n,
+           sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+           sum(k)::BIGINT AS sum_k, min(k)::BIGINT AS min_k,
+           max(k)::BIGINT AS max_k
+    FROM (SELECT event_type, (props ->> 'k')::BIGINT AS k FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
   /** A46: quantile estimation over a DETERMINISTIC hash-threshold
     * sample — the scale face of A22: exact percentiles shuffle the
     * full value distribution; at 100 TB the standard move is a uniform
@@ -2357,6 +2389,7 @@ object AnalyticsQueries {
     "q_range_frame" -> (qRangeFrame _),
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_basket_lift" -> (qBasketLift _),
+    "q_json_extract" -> (qJsonExtract _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2419,6 +2452,7 @@ object AnalyticsQueries {
     "q_range_frame" -> qRangeFrameSql,
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_basket_lift" -> qBasketLiftSql,
+    "q_json_extract" -> qJsonExtractSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,
