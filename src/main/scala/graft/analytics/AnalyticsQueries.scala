@@ -909,6 +909,37 @@ object AnalyticsQueries {
            round(sum(o_totalprice), 2) AS revenue
     FROM orders GROUP BY yr ORDER BY yr"""
 
+  /** A62: UNPIVOT (melt) — A23's inverse, and the lossless-roundtrip
+    * claim behind both: pivot to wide (one two-phase hash agg),
+    * `stack` back to long (a narrow codegen'd generator — no shuffle:
+    * the inverse direction is FREE, which is why storing long and
+    * pivoting late is the right layout at scale), and the oracle
+    * states the roundtrip IDENTITY — unpivot(pivot(x)) must equal the
+    * direct GROUP BY, so the gate hash-fails if either direction
+    * drops or fabricates a cell. Absent combinations surface as NULL
+    * cells in the wide frame and are filtered, exactly the rows the
+    * direct aggregate never had.
+    */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    val flags = Seq("A", "N", "R")
+    val wide = Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", flags)
+      .agg(sum(round(col("l_quantity") * 100.0, 0).cast("long")))
+    wide.select(col("l_linestatus"),
+        expr(s"stack(${flags.length}, " +
+          flags.map(f => s"'$f', `$f`").mkString(", ") +
+          ") as (l_returnflag, qty_cq)"))
+      .filter(col("qty_cq").isNotNull)
+      .orderBy(col("l_linestatus"), col("l_returnflag"))
+  }
+
+  val qUnpivotSql: String = """
+    SELECT l_linestatus, l_returnflag,
+           sum(round(l_quantity * 100.0, 0)::BIGINT)::BIGINT AS qty_cq
+    FROM lineitem GROUP BY l_linestatus, l_returnflag
+    ORDER BY l_linestatus, l_returnflag"""
+
   /** A24: set operations — customers active in 1997 INTERSECT/EXCEPT
     * customers active in 2000, tagged and stacked. Both ops compile to
     * aggregate/anti shapes on the key (no sort-based set diff).
@@ -2390,6 +2421,7 @@ object AnalyticsQueries {
     "q_time_to_convert" -> (qTimeToConvert _),
     "q_basket_lift" -> (qBasketLift _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_unpivot" -> (qUnpivot _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2453,6 +2485,7 @@ object AnalyticsQueries {
     "q_time_to_convert" -> qTimeToConvertSql,
     "q_basket_lift" -> qBasketLiftSql,
     "q_json_extract" -> qJsonExtractSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,

@@ -1494,7 +1494,79 @@ object PipelineQueries {
     FROM ranked, budget GROUP BY source ORDER BY source"""
   }
 
+  /** P27: mixing-temperature sweep — P10 picks ONE α; this emits the
+    * whole tuning curve (the D26/S22 knob-selection discipline applied
+    * to corpus mixing): per α rung, every source's sampling share plus
+    * the two numbers a curator trades off — the mixture ENTROPY
+    * (higher = flatter = more diversity) and the MAX single-source
+    * share (lower = less domination). α=1 is proportional (entropy of
+    * the raw corpus), α→0 approaches uniform; the elbow between them
+    * is a read off this table. Exactness discipline: exponents are
+    * {¼,½,¾,1} so every w_raw is a composition of correctly-rounded
+    * sqrt calls (IEEE-identical in both engines — `pow` is NOT
+    * correctly rounded and would drift in the last ulp), each w
+    * quantizes to integer micro BEFORE the per-rung total (the P10
+    * rule: never sum unquantized doubles), shares are integer ppm,
+    * entropy terms quantize per source before the exact BIGINT sum.
+    * All frames are ≤ |sources|·|ladder| rows — plan-time tiny.
+    */
+  val AlphaSweepPcts: Seq[Int] = Seq(25, 50, 75, 100)
+
+  def dataAlphaSweep(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val laddered = counts
+      .select(col("source"), col("n_docs"),
+        explode(typedLit(AlphaSweepPcts)).as("alpha_pct"))
+      .withColumn("w_raw",
+        when(col("alpha_pct") === 25, sqrt(sqrt(col("n_docs"))))
+          .when(col("alpha_pct") === 50, sqrt(col("n_docs")))
+          .when(col("alpha_pct") === 75,
+            sqrt(col("n_docs")) * sqrt(sqrt(col("n_docs"))))
+          .otherwise(col("n_docs") * lit(1.0)))
+      .withColumn("w_micro", round(col("w_raw") * 1e6, 0).cast("long"))
+    val totals = laddered.groupBy(col("alpha_pct"))
+      .agg(sum(col("w_micro")).as("w_total"))
+    laddered.join(totals, Seq("alpha_pct"))
+      .withColumn("share_ppm",
+        expr("w_micro * 1000000 div w_total"))
+      .withColumn("ent_term_micro", round(
+        -(col("w_micro").cast("double") / col("w_total").cast("double")) *
+          log(col("w_micro").cast("double") / col("w_total").cast("double"))
+          * 1e6, 0).cast("long"))
+      .groupBy(col("alpha_pct"))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(col("ent_term_micro")).as("entropy_micro"),
+        max(col("share_ppm")).as("max_share_ppm"))
+      .orderBy(col("alpha_pct"))
+  }
+
+  val dataAlphaSweepSql: String = s"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+               GROUP BY source),
+    ladder AS (SELECT unnest([${AlphaSweepPcts.mkString(", ")}])
+                 AS alpha_pct),
+    l AS (
+      SELECT source, n_docs, alpha_pct,
+             CASE WHEN alpha_pct = 25 THEN sqrt(sqrt(n_docs))
+                  WHEN alpha_pct = 50 THEN sqrt(n_docs)
+                  WHEN alpha_pct = 75 THEN sqrt(n_docs) * sqrt(sqrt(n_docs))
+                  ELSE n_docs * 1.0 END AS w_raw
+      FROM c, ladder),
+    w AS (SELECT source, alpha_pct,
+                 round(w_raw * 1e6, 0)::BIGINT AS w_micro FROM l),
+    t AS (SELECT alpha_pct, sum(w_micro)::BIGINT AS w_total
+          FROM w GROUP BY alpha_pct)
+    SELECT alpha_pct, count(*) AS n_sources,
+           sum(CAST(round(-(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))
+             * ln(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))
+             * 1e6, 0) AS BIGINT))::BIGINT AS entropy_micro,
+           max(w_micro * 1000000 // w_total)::BIGINT AS max_share_ppm
+    FROM w JOIN t USING (alpha_pct)
+    GROUP BY alpha_pct ORDER BY alpha_pct"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_alpha_sweep" -> (dataAlphaSweep _),
     "data_budget_select" -> (dataBudgetSelect _),
     "ppl_filter" -> (pplFilter _),
     "source_report" -> (sourceReport _),
@@ -1521,6 +1593,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "data_alpha_sweep" -> dataAlphaSweepSql,
     "data_budget_select" -> dataBudgetSelectSql,
     "ppl_filter" -> pplFilterSql,
     "source_report" -> sourceReportSql,
