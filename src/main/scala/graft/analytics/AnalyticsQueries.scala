@@ -940,6 +940,49 @@ object AnalyticsQueries {
     FROM lineitem GROUP BY l_linestatus, l_returnflag
     ORDER BY l_linestatus, l_returnflag"""
 
+  /** A63: join-key skew diagnostics — the measurement you run BEFORE
+    * reaching for A34's salt: per prospective join key, the bucket
+    * size distribution (exact percentiles + max), the skew factor
+    * (max/mean, integer micro — the number that decides salting), and
+    * the share of rows under the single hottest key. One map-side-
+    * combinable count per key, one tiny distribution aggregate per
+    * diagnosed key column; the row output is one line per candidate
+    * key — the table a planner (human or AQE threshold tuner) reads.
+    * Diagnosed here: the three fact join keys of this schema.
+    */
+  def qSkewDiagnose(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.CachedFrames.persist(Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+    def diag(key: String): DataFrame = {
+      val c = li.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      val agg = c.agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        round(percentile(col("c"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("c"), lit(0.99)), 4).as("p99"),
+        max(col("c")).as("max_c"))
+      agg.select(lit(key).as("join_key"), col("n_keys"), col("n_rows"),
+        col("p50"), col("p99"), col("max_c"),
+        expr("max_c * n_keys * 1000000 div n_rows").as("skew_micro"),
+        expr("max_c * 1000000 div n_rows").as("top_key_share_ppm"))
+    }
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(diag)
+      .reduce(_.unionByName(_))
+      .orderBy(col("join_key"))
+  }
+
+  val qSkewDiagnoseSql: String = {
+    def one(key: String): String = s"""
+      SELECT '$key' AS join_key, count(*) AS n_keys,
+             sum(c)::BIGINT AS n_rows,
+             round(quantile_cont(c, 0.5), 4) AS p50,
+             round(quantile_cont(c, 0.99), 4) AS p99,
+             max(c)::BIGINT AS max_c,
+             (max(c) * count(*) * 1000000 // sum(c))::BIGINT AS skew_micro,
+             (max(c) * 1000000 // sum(c))::BIGINT AS top_key_share_ppm
+      FROM (SELECT $key, count(*) AS c FROM lineitem GROUP BY $key)"""
+    Seq("l_orderkey", "l_partkey", "l_suppkey").map(one)
+      .mkString("", " UNION ALL ", " ORDER BY join_key")
+  }
+
   /** A24: set operations — customers active in 1997 INTERSECT/EXCEPT
     * customers active in 2000, tagged and stacked. Both ops compile to
     * aggregate/anti shapes on the key (no sort-based set diff).
@@ -2422,6 +2465,7 @@ object AnalyticsQueries {
     "q_basket_lift" -> (qBasketLift _),
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
+    "q_skew_diagnose" -> (qSkewDiagnose _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2486,6 +2530,7 @@ object AnalyticsQueries {
     "q_basket_lift" -> qBasketLiftSql,
     "q_json_extract" -> qJsonExtractSql,
     "q_unpivot" -> qUnpivotSql,
+    "q_skew_diagnose" -> qSkewDiagnoseSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,

@@ -87,7 +87,7 @@ object DedupQueries {
       .withColumn("jaccard", round(col("c") / (col("na") + col("nb") - col("c")), 6))
   }
 
-  private val jaccardPairsSql: String = s"""
+  private[graft] val jaccardPairsSql: String = s"""
     shingles AS ($shinglesSql),
     kept AS (
       SELECT doc_id, shingle FROM shingles
@@ -131,7 +131,7 @@ object DedupQueries {
           "x -> cast(x as string)), '-')"))
       .select(col("doc_id"), col("band"), col("band_key"))
 
-  private val minhashBandsSql: String = s"""
+  private[graft] val minhashBandsSql: String = s"""
     hashed AS (
       SELECT doc_id, ('0x' || substring(md5(shingle), 1, 7))::BIGINT AS h
       FROM shingles),

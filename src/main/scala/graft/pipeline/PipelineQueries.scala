@@ -179,6 +179,69 @@ object PipelineQueries {
         round(col("n_overlap") / col("n_shingles"), 6))
       .filter(col("contamination") >= 0.2)
 
+  /** P28: decontamination method reconciliation — P3 (exact shingle
+    * overlap) and P25 (cross-sided MinHash-LSH) each flag training
+    * docs; this FULL OUTER joins their verdicts per doc (the A30/M10
+    * reconciliation discipline applied to the decontamination
+    * decision): 'both' is the remove-with-confidence list, exact-only
+    * marks verbatim quotation below near-dup similarity (a doc that
+    * QUOTES an eval item inside much larger text — high overlap of
+    * ITS shingles, low symmetric jaccard), fuzzy-only marks
+    * similarity without threshold-crossing overlap. A curator reads
+    * the one-sided lists before trusting either method alone. Cost:
+    * the two pipelines' shared frames (shingle stream, band index)
+    * persist once via CachedFrames.
+    */
+  def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = textDecontam(s, dir)
+      .select(col("doc_id"), col("contamination"))
+    val fuzzy = graft.dedup.DedupQueries.decontamFuzzy(s, dir)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(max(col("jaccard")).as("fuzzy_jaccard"))
+    exact.join(fuzzy, Seq("doc_id"), "full_outer")
+      .withColumn("verdict",
+        when(col("contamination").isNotNull &&
+          col("fuzzy_jaccard").isNotNull, "both")
+          .when(col("contamination").isNotNull, "exact_only")
+          .otherwise("fuzzy_only"))
+      .select(col("doc_id"), col("contamination"), col("fuzzy_jaccard"),
+        col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontamReportSql: String = s"""
+    WITH ${graft.dedup.DedupQueries.jaccardPairsSql},
+    ${graft.dedup.DedupQueries.minhashBandsSql},
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM bands t JOIN bands e
+        ON t.band = e.band AND t.band_key = e.band_key
+      WHERE t.doc_id % 20 != 0 AND e.doc_id % 20 = 0),
+    fz AS (
+      SELECT train_id AS doc_id, max(jaccard) AS fuzzy_jaccard
+      FROM cand JOIN jp ON jp.doc_a = least(train_id, eval_id)
+                       AND jp.doc_b = greatest(train_id, eval_id)
+      WHERE jaccard >= 0.4 GROUP BY train_id),
+    ev AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id % 20 = 0),
+    tr AS (SELECT doc_id, shingle FROM shingles WHERE doc_id % 20 != 0),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM tr
+               GROUP BY doc_id),
+    ov AS (SELECT doc_id, count(*) AS n_overlap
+           FROM tr JOIN ev USING (shingle) GROUP BY doc_id),
+    ex AS (
+      SELECT doc_id,
+             round(coalesce(n_overlap, 0) / n_shingles, 6) AS contamination
+      FROM totals LEFT JOIN ov USING (doc_id)
+      WHERE round(coalesce(n_overlap, 0) / n_shingles, 6) >= 0.2)
+    SELECT coalesce(ex.doc_id, fz.doc_id) AS doc_id,
+           ex.contamination, fz.fuzzy_jaccard,
+           CASE WHEN ex.doc_id IS NOT NULL AND fz.doc_id IS NOT NULL
+                  THEN 'both'
+                WHEN ex.doc_id IS NOT NULL THEN 'exact_only'
+                ELSE 'fuzzy_only' END AS verdict
+    FROM ex FULL OUTER JOIN fz ON ex.doc_id = fz.doc_id
+    ORDER BY doc_id"""
+
   /** P4: token-budget sequence packing — assign documents (in stable
     * doc_id order) to training shards of ~2000 BPE-estimate tokens by
     * exclusive running sum. The running sum is computed as a
@@ -1567,6 +1630,7 @@ object PipelineQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_alpha_sweep" -> (dataAlphaSweep _),
+    "decontam_report" -> (decontamReport _),
     "data_budget_select" -> (dataBudgetSelect _),
     "ppl_filter" -> (pplFilter _),
     "source_report" -> (sourceReport _),
@@ -1594,6 +1658,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "data_alpha_sweep" -> dataAlphaSweepSql,
+    "decontam_report" -> decontamReportSql,
     "data_budget_select" -> dataBudgetSelectSql,
     "ppl_filter" -> pplFilterSql,
     "source_report" -> sourceReportSql,
