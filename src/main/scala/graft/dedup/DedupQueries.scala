@@ -423,6 +423,116 @@ object DedupQueries {
     FROM est JOIN ex USING (doc_a, doc_b)
     ORDER BY doc_a, doc_b"""
 
+  /** D29: b-bit MinHash (Li & König, 2010) — D23's estimator at 1/14th
+    * the signature storage: keep only the low b=2 BITS of each minhash
+    * component (32×2 bits = 8 bytes per doc vs 32×28 bits). Unequal
+    * minima now collide with probability C = 2⁻ᵇ = ¼, so the raw match
+    * fraction f is debiased: Ĵ = (f − C)/(1 − C), computed entirely in
+    * integer micro with the negative clamp taken BEFORE the division
+    * (greatest(0, 4f − 10⁶) div 3 — dividing a possibly-negative
+    * numerator would hit the truncate-vs-floor divergence). The gate
+    * emits the b-bit estimate beside the exact Jaccard and its error,
+    * so the storage/accuracy trade is a hash-verified number per pair;
+    * the spec compares the b-bit error envelope against D23's
+    * full-width one (theory: variance inflates by ~1/(1−C)²).
+    */
+  val BbitMask = 4L // 2^b for b = 2
+
+  def dedupMinhashBbit(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(s, dir))
+    val bands = graft.CachedFrames.persist(minhashBands(sh))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"),
+        col("band_key"))
+      .hint("shuffle_hash")
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"),
+        col("band_key")), Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val shd = graft.CachedFrames.persist(
+      sh.select(col("doc_id"), col("shingle")).distinct())
+    val sigs = graft.CachedFrames.persist(
+      shd.select(col("doc_id"), col("shingle"),
+          explode(expr(s"sequence(0, ${NumHashes - 1})")).as("i"))
+        .withColumn("hi", expr("cast(conv(substring(md5(concat(" +
+          "cast(i as string), '|', shingle)), 1, 7), 16, 10) as bigint)"))
+        .groupBy(col("doc_id"), col("i"))
+        .agg(expr(s"min(hi) % $BbitMask").as("mb")))
+    val est = cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("i"),
+        col("mb").as("ba")).hint("shuffle_hash"), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("i"),
+        col("mb").as("bb")).hint("shuffle_hash"), Seq("doc_b", "i"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(when(col("ba") === col("bb"), 1L).otherwise(0L)).as("m"))
+      .withColumn("f_micro", expr(s"m * 1000000 div $NumHashes"))
+      .withColumn("est_bbit_micro",
+        expr("greatest(0L, 4 * f_micro - 1000000) div 3"))
+      .select(col("doc_a"), col("doc_b"), col("m"),
+        col("est_bbit_micro"))
+    val counts = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exact = cand
+      .join(shd.select(col("doc_id").as("doc_a"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("jaccard_micro", expr(
+        "cast(round(c * 1000000.0 / (na + nb - c), 0) as bigint)"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard_micro"))
+    est.join(exact, Seq("doc_a", "doc_b"))
+      .withColumn("err_micro",
+        abs(col("est_bbit_micro") - col("jaccard_micro")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupMinhashBbitSql: String = s"""
+    WITH shingles AS ($shinglesSql),
+    $minhashBandsSql,
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM shingles),
+    sigb AS (
+      SELECT doc_id, i,
+             min(('0x' || substring(md5(i::VARCHAR || '|' || shingle),
+               1, 7))::BIGINT) % $BbitMask AS mb
+      FROM shd, (SELECT unnest(range(0, $NumHashes)) AS i)
+      GROUP BY doc_id, i),
+    est AS (
+      SELECT doc_a, doc_b, m,
+             greatest(0, 4 * (m * 1000000 // $NumHashes) - 1000000) // 3
+               AS est_bbit_micro
+      FROM (
+        SELECT c.doc_a, c.doc_b,
+               sum(CASE WHEN sa.mb = sb.mb THEN 1 ELSE 0 END)::BIGINT AS m
+        FROM cand c JOIN sigb sa ON sa.doc_id = c.doc_a
+                    JOIN sigb sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+        GROUP BY c.doc_a, c.doc_b)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    ex AS (
+      SELECT doc_a, doc_b,
+             CAST(round(c * 1000000.0 / (na + nb - c), 0) AS BIGINT)
+               AS jaccard_micro
+      FROM (
+        SELECT c.doc_a, c.doc_b, count(*) AS c
+        FROM cand c JOIN shd a ON a.doc_id = c.doc_a
+                    JOIN shd b ON b.doc_id = c.doc_b
+                             AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b) j
+      JOIN (SELECT doc_id, n AS na FROM cnt) ca ON ca.doc_id = j.doc_a
+      JOIN (SELECT doc_id, n AS nb FROM cnt) cb ON cb.doc_id = j.doc_b)
+    SELECT doc_a, doc_b, m, est_bbit_micro, jaccard_micro,
+           abs(est_bbit_micro - jaccard_micro)::BIGINT AS err_micro
+    FROM est JOIN ex USING (doc_a, doc_b)
+    ORDER BY doc_a, doc_b"""
+
   /** D13: PageRank centrality over the near-dup candidate graph — the
     * canonical-document signal: inside a duplicate neighborhood, the
     * doc most linked-to by band-bucket candidacy is the natural keeper
@@ -1582,6 +1692,7 @@ object DedupQueries {
     "dedup_minhash" -> (dedupMinhash _),
     "decontam_fuzzy" -> (decontamFuzzy _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
@@ -1607,6 +1718,7 @@ object DedupQueries {
     "dedup_minhash" -> dedupMinhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
+    "dedup_minhash_bbit" -> dedupMinhashBbitSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,

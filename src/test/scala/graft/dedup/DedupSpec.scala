@@ -512,6 +512,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("b-bit minhash: same pair set and exact values as the " +
+    "full-width estimator; debiasing works; error envelope priced") {
+    val bb = DedupQueries.dedupMinhashBbit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    graft.CachedFrames.releaseAll()
+    val fw = DedupQueries.dedupMinhashEst(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    graft.CachedFrames.releaseAll()
+    assert(bb.keySet === fw.keySet, "candidate pair sets diverged")
+    bb.foreach { case (k, (_, exact, _)) =>
+      assert(exact === fw(k)._2, s"exact jaccard diverged at $k") }
+    // debiasing: near-identical pairs must still estimate high even
+    // through 2-bit components
+    bb.foreach { case (k, (est, exact, _)) =>
+      if (exact >= 900000L)
+        assert(est >= 600000L, s"planted pair under-estimated at $k: $est")
+    }
+    val meanBb = bb.values.map(_._3).sum / bb.size
+    val meanFw = fw.values.map(_._3).sum / fw.size
+    info(s"mean |err|: b-bit $meanBb vs full-width $meanFw")
+    // Li & Konig: variance inflates ~1/(1-C)^2 = 1.78x at b=2; allow
+    // generous room on this small candidate set, but the 14x-smaller
+    // signature must not cost an order of magnitude of accuracy
+    assert(meanBb <= 4L * math.max(meanFw, 20000L),
+      s"b-bit error $meanBb blew past the envelope (full-width $meanFw)")
+  }
+
   test("threshold sweep: pairs and coverage fall monotonically as tau " +
     "rises, and the rungs agree with the direct jaccard gate") {
     val rows = DedupQueries.dedupThresholdSweep(spark, dir).collect()
