@@ -36,6 +36,28 @@ object StreamRecorder {
       }
       .start()
 
+  /** R27: record WITH index maintenance — the V13/V14 loop closed at
+    * the recorder: after each micro-batch's tape flush, the zone-map
+    * manifest refreshes INCREMENTALLY (only the files this trigger
+    * just sealed get read — V14's immutability argument), so a
+    * seq-range seek is correct the moment its data lands, not after a
+    * nightly rebuild. The refresh runs inside foreachBatch AFTER the
+    * write, so checkpoint recovery replays the batch and re-refreshes
+    * idempotently (refresh of an already-indexed file set is a
+    * metadata no-op).
+    */
+  def recordIndexed(records: DataFrame, root: String, stream: String,
+                    checkpoint: String, numFiles: Int = 0): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TapeWriter.write(batch, root, stream, numFiles, SaveMode.Append)
+        graft.vcr.TapeManifest.refresh(batch.sparkSession, root, stream)
+        ()
+      }
+      .start()
+
   /** R1, closed loop: record FROM a Kinesis-shaped endpoint onto the
     * tape — the reference's `record` end to end (KCL consumer → buffer
     * → S3 emit, KinesisRecorder.java:23-47): the kinesis-shaped source

@@ -54,6 +54,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.toSeq === props.toSeq)
   }
 
+  test("R27: indexed recording keeps the zone-map manifest live — " +
+    "after every wave the manifest equals a from-scratch rebuild and " +
+    "a seq-range seek answers immediately") {
+    import spark.implicits._
+    val src = tmp()
+    val root = tmp()
+    def wave(n: Int, seqBase: Int): Unit = {
+      val stage = tmp()
+      (1 to 100).map { i =>
+        (s"w$n-$i".getBytes, (seqBase + i).toLong,
+          java.sql.Timestamp.valueOf(f"2024-06-0$n%d 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(src, s"wave$n.parquet"))
+    }
+    wave(1, 0)
+    val records = spark.readStream
+      .schema("data BINARY, seq LONG, ts TIMESTAMP").parquet(src)
+    val q = StreamRecorder.recordIndexed(records, root, "s", tmp(),
+      numFiles = 2)
+    q.processAllAvailable()
+    def canon = graft.vcr.TapeManifest.load(spark, root, "s")
+      .collect().map(_.toSeq).toSet
+    spark.catalog.refreshByPath(s"$root/s")
+    assert(canon === graft.vcr.TapeManifest.build(spark, root, "s")
+      .collect().map(_.toSeq).toSet)
+    wave(2, 1000)
+    q.processAllAvailable(); q.stop()
+    spark.catalog.refreshByPath(s"$root/s")
+    assert(canon === graft.vcr.TapeManifest.build(spark, root, "s")
+      .collect().map(_.toSeq).toSet)
+    // the index answers for the SECOND wave's seq range immediately
+    val hit = graft.vcr.TapeManifest.readSeqRange(spark, root, "s",
+      1001L, 1010L)
+    assert(hit.count() > 0)
+    assert(hit.selectExpr(s"decode(${Tape.PayloadCol}, 'UTF-8') AS p")
+      .collect().map(_.getString(0)).forall(_.startsWith("w2-")))
+  }
+
   test("R2: watermarked windowed aggregation matches the batch answer") {
     val src = eventsStreamDir()
     val stream = graft.Tables.withEventTime(
