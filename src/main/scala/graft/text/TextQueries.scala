@@ -439,6 +439,84 @@ object TextQueries {
     ORDER BY llr_micro DESC, w1, w2 LIMIT $CollocTopN"""
   }
 
+  /** T25: domain-signature terms — which words distinguish each SOURCE
+    * from the rest of the corpus, by the same Dunning G² T21 uses for
+    * collocations, applied to the (source, word) contingency table:
+    * k11 = word-in-source, k12 = source's other tokens, k21 = word
+    * elsewhere, k22 = the rest. The corpus-analysis read: each
+    * source's top-G² terms are its domain signature (what a mixture
+    * auditor or a P5 weighting decision looks at); a uniform synthetic
+    * corpus yields small G² values — which is itself the signature of
+    * NO domain structure, priced by the spec. Shapes: one token
+    * aggregate per grain (map-side combinable), the G² arithmetic in
+    * fixed literal order from exact BIGINTs (T21's discipline;
+    * products stay exact below 2⁵³, the square is deterministic IEEE
+    * in both engines), top-3 per source via one partitioned window.
+    */
+  val DomainTermsPerSource = 3
+  val DomainTermMinCount = 5L
+
+  def textDomainTerms(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word")))
+    val n = toks.count()
+    val bySrc = toks.groupBy(col("source")).agg(count(lit(1)).as("cs"))
+    val byWord = toks.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    def term(k: Column, r: Column, c: Column): Column =
+      when(k > 0, k.cast("double") *
+        log((k * lit(n)).cast("double") / (r * c).cast("double")))
+        .otherwise(lit(0.0))
+    val g2 = toks.groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c11"))
+      .filter(col("c11") >= DomainTermMinCount)
+      .join(bySrc, Seq("source"))
+      .join(byWord, Seq("word"))
+      .withColumn("llr_micro", round(
+        (term(col("c11"), col("cs"), col("cw")) +
+          term(col("cs") - col("c11"), col("cs"), lit(n) - col("cw")) +
+          term(col("cw") - col("c11"), lit(n) - col("cs"), col("cw")) +
+          term(lit(n) - col("cs") - col("cw") + col("c11"),
+            lit(n) - col("cs"), lit(n) - col("cw"))) * lit(2000000.0), 0)
+        .cast("long"))
+    g2.withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("llr_micro").desc, col("word"))))
+      .filter(col("rank") <= DomainTermsPerSource)
+      .select(col("source"), col("rank"), col("word"), col("c11"),
+        col("llr_micro"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val textDomainTermsSql: String = {
+    def term(k: String, r: String, c: String): String =
+      s"(CASE WHEN $k > 0 THEN CAST($k AS DOUBLE) * " +
+        s"ln(CAST(($k) * n AS DOUBLE) / CAST(($r) * ($c) AS DOUBLE)) " +
+        "ELSE 0.0 END)"
+    s"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    tot AS (SELECT count(*) AS n FROM toks),
+    bs AS (SELECT source, count(*) AS cs FROM toks GROUP BY source),
+    bw AS (SELECT word, count(*) AS cw FROM toks GROUP BY word),
+    g2 AS (
+      SELECT source, word, c11,
+             CAST(round((${term("c11", "cs", "cw")}
+               + ${term("cs - c11", "cs", "n - cw")}
+               + ${term("cw - c11", "n - cs", "cw")}
+               + ${term("n - cs - cw + c11", "n - cs", "n - cw")})
+               * 2000000.0, 0) AS BIGINT) AS llr_micro
+      FROM (SELECT source, word, count(*) AS c11 FROM toks
+            GROUP BY source, word HAVING count(*) >= $DomainTermMinCount)
+      JOIN bs USING (source) JOIN bw USING (word), tot)
+    SELECT source, rank, word, c11, llr_micro FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY llr_micro DESC, word) AS rank
+      FROM g2)
+    WHERE rank <= $DomainTermsPerSource
+    ORDER BY source, rank"""
+  }
+
   /** T12 keyword count the TextRank gate emits. */
   val TextRankTopN = 40
 
@@ -1470,6 +1548,7 @@ object TextQueries {
     "text_zipf" -> (textZipf _),
     "text_collocations" -> (textCollocations _),
     "text_collocations_llr" -> (textCollocationsLlr _),
+    "text_domain_terms" -> (textDomainTerms _),
     "text_textrank" -> (textTextrank _),
     "text_perplexity" -> (textPerplexity _),
     "text_perplexity_jm" -> (textPerplexityJm _),
@@ -1493,6 +1572,7 @@ object TextQueries {
     "text_zipf" -> textZipfSql,
     "text_collocations" -> textCollocationsSql,
     "text_collocations_llr" -> textCollocationsLlrSql,
+    "text_domain_terms" -> textDomainTermsSql,
     "text_textrank" -> textTextrankSql,
     "text_perplexity" -> textPerplexitySql,
     "text_perplexity_jm" -> textPerplexityJmSql,
