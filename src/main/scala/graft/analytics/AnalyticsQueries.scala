@@ -1082,6 +1082,92 @@ object AnalyticsQueries {
     FROM (SELECT 'v' AS st FROM v UNION ALL SELECT 'c' FROM c
           UNION ALL SELECT 'p' FROM p)"""
 
+  /** A64: deadline-windowed funnel — A26 with the semantics production
+    * funnels actually use: a click only converts if it lands within
+    * [[FunnelWindowDays]] of the FIRST view, and a purchase within the
+    * same window of the qualifying click (no deadline ⇒ a user who
+    * views in January and buys in December "converts"). Same shrinking
+    * aggregate+join stages as A26 — the deadline is one extra
+    * predicate per stage, evaluated in exact integer µs — plus a
+    * per-stage emitted count of conversions the UNWINDOWED funnel
+    * would have over-counted (the window's bite, as a number).
+    */
+  val FunnelWindowDays = 7L
+
+  def qFunnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val windowUs = FunnelWindowDays * 86400L * 1000000L
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tm"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tm")).as("t_view"))
+    def stage(tpe: String, prev: DataFrame, prevTs: String,
+              out: String, windowed: Boolean): DataFrame = {
+      val base = e.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("tm") > col(prevTs))
+      val bounded = if (windowed)
+        base.filter(col("tm") <= col(prevTs) + lit(windowUs)) else base
+      bounded.groupBy(col("user_id")).agg(min(col("tm")).as(out))
+    }
+    val c = stage("click", v, "t_view", "t_click", windowed = true)
+    val p = stage("purchase", c.select("user_id", "t_click"), "t_click",
+      "t_purchase", windowed = true)
+    val cAny = stage("click", v, "t_view", "t_click", windowed = false)
+    val pAny = stage("purchase", cAny.select("user_id", "t_click"),
+      "t_click", "t_purchase", windowed = false)
+    v.select(lit("v").as("st"))
+      .unionByName(c.select(lit("c").as("st")))
+      .unionByName(p.select(lit("p").as("st")))
+      .unionByName(cAny.select(lit("ca").as("st")))
+      .unionByName(pAny.select(lit("pa").as("st")))
+      .agg(sum(when(col("st") === "v", 1L).otherwise(0L)).as("viewed"),
+        sum(when(col("st") === "c", 1L).otherwise(0L)).as("clicked_7d"),
+        sum(when(col("st") === "p", 1L).otherwise(0L)).as("purchased_7d"),
+        (sum(when(col("st") === "ca", 1L).otherwise(0L)) -
+          sum(when(col("st") === "c", 1L).otherwise(0L)))
+          .as("clicks_lost_to_window"),
+        (sum(when(col("st") === "pa", 1L).otherwise(0L)) -
+          sum(when(col("st") === "p", 1L).otherwise(0L)))
+          .as("purchases_lost_to_window"))
+  }
+
+  val qFunnelWindowedSql: String = s"""
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tm FROM events),
+    v AS (SELECT user_id, min(tm) AS t_view FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.tm) AS t_click
+          FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND e.tm > v.t_view
+            AND e.tm <= v.t_view + ${FunnelWindowDays * 86400L * 1000000L}
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.tm) AS t_purchase
+          FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND e.tm > c.t_click
+            AND e.tm <= c.t_click + ${FunnelWindowDays * 86400L * 1000000L}
+          GROUP BY e.user_id),
+    ca AS (SELECT e.user_id, min(e.tm) AS t_click
+           FROM e JOIN v USING (user_id)
+           WHERE event_type = 'click' AND e.tm > v.t_view
+           GROUP BY e.user_id),
+    pa AS (SELECT e.user_id, min(e.tm) AS t_purchase
+           FROM e JOIN ca USING (user_id)
+           WHERE event_type = 'purchase' AND e.tm > ca.t_click
+           GROUP BY e.user_id)
+    SELECT sum(CASE WHEN st = 'v' THEN 1 ELSE 0 END)::BIGINT AS viewed,
+           sum(CASE WHEN st = 'c' THEN 1 ELSE 0 END)::BIGINT AS clicked_7d,
+           sum(CASE WHEN st = 'p' THEN 1 ELSE 0 END)::BIGINT
+             AS purchased_7d,
+           (sum(CASE WHEN st = 'ca' THEN 1 ELSE 0 END)
+             - sum(CASE WHEN st = 'c' THEN 1 ELSE 0 END))::BIGINT
+             AS clicks_lost_to_window,
+           (sum(CASE WHEN st = 'pa' THEN 1 ELSE 0 END)
+             - sum(CASE WHEN st = 'p' THEN 1 ELSE 0 END))::BIGINT
+             AS purchases_lost_to_window
+    FROM (SELECT 'v' AS st FROM v UNION ALL SELECT 'c' FROM c
+          UNION ALL SELECT 'p' FROM p UNION ALL SELECT 'ca' FROM ca
+          UNION ALL SELECT 'pa' FROM pa)"""
+
   /** A27: retention cohorts — users grouped by first-seen week, counted
     * per active week. Two aggregates and one join on user_id; the
     * cohort dimension rides the join, so no row ever carries more than
@@ -2466,6 +2552,7 @@ object AnalyticsQueries {
     "q_json_extract" -> (qJsonExtract _),
     "q_unpivot" -> (qUnpivot _),
     "q_skew_diagnose" -> (qSkewDiagnose _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
@@ -2531,6 +2618,7 @@ object AnalyticsQueries {
     "q_json_extract" -> qJsonExtractSql,
     "q_unpivot" -> qUnpivotSql,
     "q_skew_diagnose" -> qSkewDiagnoseSql,
+    "q_funnel_windowed" -> qFunnelWindowedSql,
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,
