@@ -1266,6 +1266,42 @@ object DedupQueries {
     SELECT comp.doc AS doc_id, comp.canonical, sizes.cluster_size
     FROM comp JOIN sizes USING (canonical) ORDER BY doc_id"""
 
+  /** D30: the dedup PURGE PLAN — the artifact a dedup pass actually
+    * ships: one verdict row per corpus document. Composition of D6's
+    * cluster resolution into the corpus frame: cluster members keep
+    * their canonical min-id keeper ('keeper' for the canonical itself,
+    * 'drop_neardup' for the rest), everything outside any verified
+    * cluster is 'unique'. This is the frame the curation writer
+    * anti-joins against (and what P13's token accounting prices);
+    * emitting it as a gate makes the END-TO-END dedup decision — edge
+    * build, threshold, CC, keeper election, corpus re-attach —
+    * hash-checked as one unit rather than per stage.
+    */
+  def dedupPurgePlan(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+      .select(col("doc_id"), col("canonical"), col("cluster_size"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("keeper_id"),
+        when(col("canonical").isNull, "unique")
+          .when(col("canonical") === col("doc_id"), "keeper")
+          .otherwise("drop_neardup").as("verdict"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupPurgePlanSql: String = s"""
+    SELECT d.doc_id,
+           coalesce(cl.canonical, d.doc_id) AS keeper_id,
+           CASE WHEN cl.canonical IS NULL THEN 'unique'
+                WHEN cl.canonical = d.doc_id THEN 'keeper'
+                ELSE 'drop_neardup' END AS verdict,
+           coalesce(cl.cluster_size, 1)::BIGINT AS cluster_size
+    FROM documents d LEFT JOIN ($dedupClustersSql) cl
+      ON cl.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
   /** D15: band-bucket occupancy caps — the sf1-probe's named
     * mitigation for recrawl-shaped corpora, where one mega-cluster
     * puts thousands of docs in the SAME band bucket and D3's
@@ -1693,6 +1729,7 @@ object DedupQueries {
     "decontam_fuzzy" -> (decontamFuzzy _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
+    "dedup_purge_plan" -> (dedupPurgePlan _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
@@ -1719,6 +1756,7 @@ object DedupQueries {
     "decontam_fuzzy" -> decontamFuzzySql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_minhash_bbit" -> dedupMinhashBbitSql,
+    "dedup_purge_plan" -> dedupPurgePlanSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,
