@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** P29: the curated-corpus WRITER — where the whole curation suite
+  * finally lands on disk. Everything upstream emits decisions
+  * (verdict frames, scorecards, budgets); a training run reads
+  * PARQUET. This face materializes the decisions:
+  *
+  *   documents ⟕ dedup purge plan (D30)  → keep keepers + uniques
+  *            ⨝ any extra keep-list      → optional budget/quality cut
+  *            → write parquet, partitioned by source
+  *
+  * Layout choices are the 100 TB ones: partitioned BY SOURCE (the
+  * grain every mixing/weighting decision operates on — P5/P10 sample
+  * per source, so a training loader prunes whole directories), sorted
+  * within partitions by doc_id (stable, reproducible file contents —
+  * two runs of the same plan produce byte-identical layouts), and
+  * repartitioned to a bounded file count per source before the sink
+  * (no thousand tiny files per partition; no single giant one).
+  * The write is idempotent (overwrite of the target dir), and the
+  * keep decision is an ANTI-JOIN against the drop side of the plan —
+  * never a collect.
+  */
+object CurationWriter {
+
+  /** Keep rows of `docs` that the purge plan keeps (verdict !=
+    * 'drop_neardup'), optionally intersected with `keepList` (a
+    * (doc_id) frame, e.g. P26's budget selection).
+    */
+  def curated(docs: DataFrame, purgePlan: DataFrame,
+              keepList: Option[DataFrame] = None): DataFrame = {
+    val drops = purgePlan.filter(col("verdict") === "drop_neardup")
+      .select(col("doc_id"))
+    val kept = docs.join(drops, Seq("doc_id"), "left_anti")
+    keepList match {
+      case Some(k) => kept.join(k.select(col("doc_id")), Seq("doc_id"),
+        "left_semi")
+      case None => kept
+    }
+  }
+
+  /** Materialize the curated corpus at `outDir`, partitioned by
+    * source, `filesPerSource` files per partition, doc_id-sorted
+    * within files. Returns the number of rows written.
+    */
+  def write(s: SparkSession, dir: String, outDir: String,
+            filesPerSource: Int = 1): Long = {
+    val plan = graft.dedup.DedupQueries.dedupPurgePlan(s, dir)
+    val out = curated(Tables.documents(s, dir), plan)
+      .repartition(filesPerSource, col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+    out.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    s.read.parquet(outDir).count()
+  }
+}

@@ -345,4 +345,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(byV === Map("drop_low" -> 10, "keep" -> 80, "drop_high" -> 10),
       s"band verdicts $byV did not separate the planted modes")
   }
+
+  test("P29: the curation writer materializes exactly the purge plan's " +
+    "keep set, partitioned by source, reproducibly") {
+    val out = java.nio.file.Files.createTempDirectory("graft-curated")
+      .toString
+    val n = CurationWriter.write(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val plan = graft.dedup.DedupQueries.dedupPurgePlan(spark, dir)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    val expectedKeep = plan.filter(_.getString(2) != "drop_neardup")
+      .map(_.getLong(0)).toSet
+    assert(n === expectedKeep.size.toLong)
+    val written = spark.read.parquet(out)
+    assert(written.select("doc_id").collect().map(_.getLong(0)).toSet
+      === expectedKeep)
+    // layout: one directory per source, each with parquet files
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("source="))
+    assert(dirs.length === 20, dirs.mkString(","))
+    // every dropped doc is really absent; every keeper's text survives
+    val dropped = plan.filter(_.getString(2) == "drop_neardup")
+      .map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "no near-dups dropped — composition inert?")
+    assert(written.filter(col("doc_id").isin(dropped.toSeq.map(Long.box): _*))
+      .count() === 0L)
+    // idempotent: a second write produces the identical row set
+    val n2 = CurationWriter.write(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    assert(n2 === n)
+  }
 }
