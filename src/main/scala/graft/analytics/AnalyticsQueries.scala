@@ -2299,6 +2299,92 @@ object AnalyticsQueries {
     SELECT user_id, true_cnt, est_cnt, est_cnt - true_cnt AS overshoot
     FROM est ORDER BY true_cnt DESC, user_id"""
 
+  /** A65: HyperLogLog distinct-count serving (E28) — the cardinality
+    * rung that completes the sketch shelf: per event_type, m = 64
+    * one-byte registers answer "how many distinct users" in constant
+    * state however many users exist (KMV's k retained hashes answer
+    * the same question in k·8 bytes; HLL is the production-standard
+    * constant-byte form). The register array comes from one HllAgg
+    * pass over the 60-bit md5-prefix hash (max-merge: order-free AND
+    * idempotent, so replays don't move it); everything downstream is
+    * derived arithmetic the oracle reproduces bit-for-bit — harmonic
+    * sum as an exact BIGINT in 2^(55−rank) units, the α·m² factor as
+    * one literal-parenthesized double chain (the D22 IEEE discipline,
+    * no libm pow), and Flajolet's small-range linear-counting branch
+    * m·ln(m/V) as a 63-entry literal table both engines share, so ln
+    * never runs at query time. The two gate SFs land on OPPOSITE
+    * branches (sf0.01: V=10 zero registers → linear counting; sf0.1:
+    * V=0 → raw harmonic estimate), so both corrections are
+    * hash-verified. n_exact rides along: the estimate's error is a
+    * VERIFIED number, the A44/A45/D11 discipline.
+    */
+  val HllP = 6 // m = 64 registers
+  /** round(m·ln(m/V)) for V = 1..63 — shared literal, both engines. */
+  private val HllLcTable: IndexedSeq[Long] =
+    (1 to 63).map(v => math.round(64.0 * math.log(64.0 / v)))
+
+  def sketchHll(s: SparkSession, dir: String): DataFrame = {
+    val lc = HllLcTable.mkString(",")
+    Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), col("user_id"),
+        graft.dedup.Shingling.h60(col("user_id").cast("string")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HllAgg(col("h"), HllP).as("regs"),
+        countDistinct(col("user_id")).as("n_exact"))
+      .withColumn("n_zero",
+        expr("cast(size(filter(regs, r -> r = 0)) as bigint)"))
+      .withColumn("harm_scaled", expr(
+        "aggregate(regs, cast(0 as bigint), " +
+          "(acc, r) -> acc + shiftleft(cast(1 as bigint), cast(55 - r as int)))"))
+      .withColumn("est_raw", expr(
+        "cast(round(((0.709d * 4096) * 36028797018963968.0) / harm_scaled) as bigint)"))
+      .withColumn("est_hll",
+        when(col("n_zero") > 0 && col("est_raw") <= 160,
+          expr(s"element_at(array($lc), cast(n_zero as int))"))
+          .otherwise(col("est_raw")))
+      .select(col("event_type"), col("n_exact"), col("n_zero"),
+        col("harm_scaled"), col("est_hll"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchHllSql: String = {
+    val lc = HllLcTable.mkString(",")
+    s"""
+    WITH ev AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+      FROM events WHERE user_id IS NOT NULL),
+    hits AS (
+      SELECT event_type, (h >> 54) & 63 AS idx,
+             max(CASE WHEN (h & 18014398509481983) = 0 THEN 55
+                 ELSE 55 - length(bin(h & 18014398509481983)) END) AS reg
+      FROM ev GROUP BY 1, 2),
+    regs AS (
+      SELECT t.event_type, r.i AS idx, coalesce(hi.reg, 0) AS reg
+      FROM (SELECT DISTINCT event_type FROM ev) t
+      CROSS JOIN range(0, 64) r(i)
+      LEFT JOIN hits hi ON hi.event_type = t.event_type AND hi.idx = r.i),
+    agg AS (
+      SELECT event_type,
+             sum(CASE WHEN reg = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+             sum(1::BIGINT << (55 - reg)::INTEGER)::BIGINT AS harm_scaled
+      FROM regs GROUP BY 1),
+    ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+    est AS (
+      SELECT event_type, n_zero, harm_scaled,
+             CAST(round(((0.709::DOUBLE * 4096) * 36028797018963968.0)
+                  / harm_scaled) AS BIGINT) AS est_raw
+      FROM agg)
+    SELECT e.event_type, x.n_exact, e.n_zero, e.harm_scaled,
+           CASE WHEN e.n_zero > 0 AND e.est_raw <= 160
+                THEN ([$lc])[e.n_zero::INTEGER]::BIGINT
+                ELSE e.est_raw END AS est_hll
+    FROM est e JOIN ex x ON x.event_type = e.event_type
+    ORDER BY e.event_type"""
+  }
+
   /** A54: sweep-line peak concurrency — the classic interval-overlap
     * question ("how many orders were in flight at once?") answered
     * without an interval self-join. An order is OPEN from its order
@@ -2556,6 +2642,7 @@ object AnalyticsQueries {
     "q_yoy" -> (qYoy _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
+    "sketch_hll" -> (sketchHll _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -2622,6 +2709,7 @@ object AnalyticsQueries {
     "q_yoy" -> qYoySql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,
+    "sketch_hll" -> sketchHllSql,
     "sketch_quantiles" -> qSketchQuantilesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q_scan_pushdown" -> qScanPushdownSql,

@@ -97,6 +97,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvAgg(item, k).toAggregateExpression()
       }))
     e.injectFunction((
+      new FunctionIdentifier("graft_hll"),
+      new ExpressionInfo(classOf[graft.functions.HllAgg].getName,
+        "graft_hll"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"graft_hll(hash60, p) takes 2 arguments, got ${exprs.length}")
+        val p = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hll(hash60, p): p must be an INT literal, got $other")
+        }
+        val h = if (exprs.head.dataType == LongType) exprs.head
+          else Cast(exprs.head, LongType)
+        graft.functions.HllAgg(h, p).toAggregateExpression()
+      }))
+    e.injectFunction((
       new FunctionIdentifier("graft_countmin"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "graft_countmin"),
       (exprs: Seq[Expression]) => {

@@ -44,6 +44,32 @@ object SketchPropertySpec extends Properties("sketch-kernels") {
       merged.sameElements(bloomOf(items))
     }
 
+  private val hllHashGen: Gen[List[Long]] =
+    Gen.listOf(Gen.chooseNum(0L, (1L << 60) - 1))
+
+  private def hllMax(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    a.zip(b).map { case (x, y) => math.max(x, y) }
+
+  property("hll: split + max-merge == single build (any cut)") =
+    forAll(hllHashGen, Gen.chooseNum(0, 100)) { (hs, cut) =>
+      val (l, r) = hs.splitAt(cut % (hs.length + 1))
+      hllMax(HllAgg.reference(l, 6), HllAgg.reference(r, 6)) ==
+        HllAgg.reference(hs, 6)
+    }
+
+  property("hll: idempotent under replay (double the stream, same regs)") =
+    forAll(hllHashGen) { hs =>
+      HllAgg.reference(hs ++ hs, 6) == HllAgg.reference(hs, 6)
+    }
+
+  property("hll: register ranks stay in [0, 55] and only grow") =
+    forAll(hllHashGen, hllHashGen) { (a, b) =>
+      val ra = HllAgg.reference(a, 6)
+      val rab = HllAgg.reference(a ++ b, 6)
+      ra.forall(r => r >= 0 && r <= 55) &&
+        ra.zip(rab).forall { case (x, y) => y >= x }
+    }
+
   private val mgStreamGen: Gen[List[Long]] = Gen.listOf(
     Gen.frequency(5 -> Gen.const(1L), 3 -> Gen.const(2L),
       4 -> Gen.chooseNum(3L, 40L)))

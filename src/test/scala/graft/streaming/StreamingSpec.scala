@@ -953,6 +953,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length === 5)
   }
 
+  test("R13e: the HLL registers run over the stream — max-merge is " +
+    "order-free AND idempotent, so the live cardinality state is " +
+    "bit-identical to the batch sketch") {
+    val root = tmp()
+    import spark.implicits._
+    // 350 arrivals over 120 distinct payloads, interleaved so every
+    // trigger re-sees earlier values (the idempotence path is live)
+    val payloads = (1 to 350).map(i => s"hll-${(i * 91) % 120}")
+    graft.vcr.TapeWriter.write(
+      payloads.zipWithIndex.map { case (p, i) =>
+        (p.getBytes, i.toLong,
+          java.sql.Timestamp.valueOf("2024-12-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    val h = graft.dedup.Shingling.h60(col("payload").cast("string"))
+    @volatile var streamed: Seq[Long] = Seq.empty
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .select(h.as("h"))
+      .agg(graft.functions.HllAgg(col("h"), 6).as("regs"))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().headOption.foreach(r => streamed = r.getSeq[Long](0))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = TapePlayer.read(spark, root, "s",
+      java.time.LocalDateTime.parse("2024-12-01T00:00:00"), None)
+      .select(h.as("h"))
+      .agg(graft.functions.HllAgg(col("h"), 6).as("regs"))
+      .head().getSeq[Long](0)
+    assert(streamed === batch)
+    assert(streamed.length === 64)
+    // and both equal the in-memory reference over the md5 hashes
+    val ref = graft.functions.HllAgg.reference(
+      payloads.map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.take(15), 16)
+      }, 6)
+    assert(streamed === ref,
+      "streamed HLL registers diverged from the in-memory reference")
+  }
+
   test("R16: weighted sampling at ingest — the streamed A-ES top-k " +
     "per source is EXACTLY the batch draw (row-intrinsic keys + " +
     "bounded-heap merge are arrival-order-free)") {
