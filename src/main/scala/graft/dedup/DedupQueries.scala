@@ -115,6 +115,268 @@ object DedupQueries {
     SELECT doc_a, doc_b, jaccard FROM jp
     WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
 
+  /** D32: k-core decomposition of the near-dup graph — the density
+    * rung of the graph-analytics family (D6 CC answers "which docs
+    * are connected", D13 PageRank "which are central", D25 triangles
+    * "how clustered"; k-core answers "which docs sit in the densely
+    * cross-duplicated REGION" — the template/boilerplate families a
+    * purge plan treats differently from isolated near-dup pairs).
+    * Edges = capped-index pairs sharing ≥ 2 shingles (the df-capped
+    * build D2/D26 already persist). Peeling is the textbook fixpoint
+    * — drop nodes with degree < k, restrict, repeat — run for a FIXED
+    * [[KcoreRounds]] rounds in BOTH engines (fixpoint lands by round
+    * 4 at both gate SFs, spec-asserted; later rounds are provable
+    * no-ops, so the fixed count keeps the oracle a finite CTE chain).
+    * Each round is one map-side-combined degree aggregate plus two
+    * semi-joins on the edge list's existing keys, and the edge set
+    * only ever SHRINKS; per-round localCheckpoint truncates lineage —
+    * the D13 discipline (persist alone stacked ten rounds of plan
+    * into a 2 GB description string).
+    */
+  val KcoreK = 3
+  val KcoreRounds = 6
+
+  def dedupKcore(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.CachedFrames.persist(
+      cappedShingles(shingles(Tables.documents(s, dir))))
+    val a = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("shingle"))
+    val e = a.hint("shuffle_hash").join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("doc_a"), col("doc_b"))
+    kcorePeel(e, KcoreK, KcoreRounds)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The peel loop on an undirected edge list (doc_a, doc_b); returns
+    * the surviving directed edge list (src, dst), both directions.
+    */
+  private[dedup] def kcorePeel(
+      e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      edges = edges
+        .join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")).hint("shuffle_hash"),
+          Seq("dst"), "left_semi")
+        .localCheckpoint()
+    }
+    edges
+  }
+
+  val dedupKcoreSql: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      val prev = if (r == 1) "ed" else s"e${r - 1}"
+      s"""
+    n$r AS (SELECT src FROM $prev GROUP BY src
+            HAVING count(*) >= $KcoreK),
+    e$r AS MATERIALIZED (
+      SELECT p.src, p.dst FROM $prev p
+      WHERE p.src IN (SELECT src FROM n$r)
+        AND p.dst IN (SELECT src FROM n$r))"""
+    }.mkString(",")
+    s"""
+    WITH $jaccardPairsSql,
+    e AS (SELECT doc_a, doc_b FROM pairs WHERE c >= 2),
+    ed AS MATERIALIZED (
+      SELECT doc_a AS src, doc_b AS dst FROM e
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM e),$rounds
+    SELECT src AS doc_id, count(*) AS core_deg
+    FROM e$KcoreRounds GROUP BY src ORDER BY doc_id"""
+  }
+
+  /** D33 core: edit-distance ≤ 1 fuzzy self-join of a (key, name)
+    * frame via deletion neighborhoods (the FastSS / SymSpell
+    * candidate scheme). Every name explodes into its len+1
+    * single-deletion variants (position i removed; i = len+1 is the
+    * identity), candidates are an EQUI-join on the variant string,
+    * and `levenshtein` — the same integer DP in Spark and DuckDB —
+    * verifies candidates exactly. Completeness for d ≤ 1: a
+    * substitution pair shares the variant deleting the differing
+    * position; an insertion/deletion pair shares the shorter string
+    * itself (the longer side's deletion of the inserted char, the
+    * shorter side's identity). So the quadratic all-pairs DP becomes
+    * one equi-join whose buckets are bounded by alphabet size per
+    * position — never a cross product, and the variant explosion is
+    * ×(len+1) on the ENTITY table, the small side of any real
+    * pipeline.
+    */
+  private[dedup] def fuzzyJoinEd1(entities: DataFrame): DataFrame = {
+    val vars = entities.select(col("key"), explode(expr(
+      "transform(sequence(1, length(name) + 1), " +
+        "i -> concat(substring(name, 1, i - 1), " +
+        "substring(name, i + 1, length(name))))")).as("v"))
+    val cand = vars.select(col("key").as("key_a"), col("v"))
+      .hint("shuffle_hash")
+      .join(vars.select(col("key").as("key_b"), col("v"))
+        .hint("shuffle_hash"), Seq("v"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b")).distinct()
+    cand
+      .join(entities.select(col("key").as("key_a"),
+        col("name").as("name_a")).hint("shuffle_hash"), Seq("key_a"))
+      .join(entities.select(col("key").as("key_b"),
+        col("name").as("name_b")).hint("shuffle_hash"), Seq("key_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
+  /** D33: fuzzy-key entity resolution — the record-linkage rung the
+    * text-grain dedup family lacks: near-identical KEYS (typo'd
+    * names, off-by-one ids) rather than near-identical documents.
+    * Runs [[fuzzyJoinEd1]] over customer names; DedupSpec pins
+    * completeness against the brute-force O(n²) DP on a small corpus
+    * and plants one case of each edit class.
+    */
+  def dedupFuzzyKeys(s: SparkSession, dir: String): DataFrame =
+    fuzzyJoinEd1(Tables.customer(s, dir)
+      .select(col("c_custkey").as("key"), col("c_name").as("name")))
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"),
+        col("dist"))
+      .orderBy(col("key_a"), col("key_b"))
+
+  val dedupFuzzyKeysSql: String = """
+    WITH vars AS (
+      SELECT c_custkey AS key,
+             substring(c_name, 1, i - 1) || substring(c_name, i + 1) AS v
+      FROM (SELECT c_custkey, c_name,
+                   unnest(range(1, length(c_name) + 2)) AS i
+            FROM customer)),
+    cand AS (
+      SELECT DISTINCT a.key AS key_a, b.key AS key_b
+      FROM vars a JOIN vars b ON a.v = b.v AND a.key < b.key)
+    SELECT c.key_a, c.key_b, ca.c_name AS name_a, cb.c_name AS name_b,
+           levenshtein(ca.c_name, cb.c_name) AS dist
+    FROM cand c JOIN customer ca ON ca.c_custkey = c.key_a
+                JOIN customer cb ON cb.c_custkey = c.key_b
+    WHERE levenshtein(ca.c_name, cb.c_name) <= 1
+    ORDER BY c.key_a, c.key_b"""
+
+  /** D31 candidate stage: the prefix-filtered candidate pair set.
+    * Tokens order globally by (df ASC, shingle ASC) — rarest first —
+    * and a doc's PREFIX is its first ⌊n/2⌋+1 tokens in that order
+    * (τ = 0.5: a qualifying partner must share ≥ ⌈τ·n⌉ tokens, and a
+    * doc whose prefix misses the partner entirely has at most
+    * n − (⌊n/2⌋+1) = ⌈n/2⌉−1 < ⌈τ·n⌉ tokens left to share — so
+    * prefix(x) ⋈ full-index(y) provably loses NO qualifying pair).
+    * The per-doc position is a window over the DOC partition (bounded
+    * by doc length, never corpus-sized); the df attach and the
+    * candidate join shuffle on `shingle` — the partitioning the
+    * inverted index already lives in. Because prefixes concentrate on
+    * RARE tokens, candidate mass is Σ_t pref_df(t)·df(t) ≪ Σ_t df(t)²
+    * (5.3× fewer distinct pairs than D2's full index on this corpus,
+    * asserted in DedupSpec), and the df cap still bounds the worst
+    * bucket. The length filter 2·min(na,nb) ≥ max(na,nb) is the
+    * τ = 0.5 necessary condition J ≤ min/max, exact in integers.
+    */
+  private[dedup] def allPairsCandidates(
+      kept: DataFrame, counts: DataFrame): DataFrame = {
+    val dfTab = kept.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pos = kept.hint("shuffle_hash")
+      .join(dfTab.hint("shuffle_hash"), Seq("shingle"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+    val prefix = pos
+      .join(counts.hint("shuffle_hash"), Seq("doc_id"))
+      .filter(col("pos") <= expr("n div 2 + 1"))
+      .select(col("doc_id").as("doc_p"), col("shingle"))
+    val cand = prefix.hint("shuffle_hash")
+      .join(kept.select(col("doc_id").as("doc_k"), col("shingle"))
+        .hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("doc_p") =!= col("doc_k"))
+      .select(least(col("doc_p"), col("doc_k")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_k")).as("doc_b"))
+      .distinct()
+    cand
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .filter(lit(2) * least(col("na"), col("nb")) >=
+        greatest(col("na"), col("nb")))
+  }
+
+  /** D31: AllPairs — EXACT τ-Jaccard similarity join via prefix
+    * filtering (Bayardo et al., WWW'07; Chaudhuri's SSJoin prefix
+    * filter), the exact complement to D3: MinHash-LSH trades a
+    * recall guarantee for fixed cost, AllPairs keeps exactness and
+    * prunes candidates by the prefix argument instead of hashing.
+    * Verification computes the true intersection ONLY for surviving
+    * candidates (two equi-joins against the capped index, shuffled on
+    * doc id), so the full df-pair explosion never materializes. The
+    * output provably equals D2's (same capped shingle space, same
+    * threshold) — DedupSpec pins both the equality and the candidate
+    * reduction.
+    */
+  def dedupAllpairs(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.CachedFrames.persist(
+      cappedShingles(shingles(Tables.documents(s, dir))))
+    val counts = shingleCounts(kept)
+    val candf = allPairsCandidates(kept, counts)
+    candf
+      .join(kept.select(col("doc_id").as("doc_a"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("shingle"))
+        .hint("shuffle_hash"), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jaccard",
+        round(col("c") / (col("na") + col("nb") - col("c")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dedupAllpairsSql: String = s"""
+    WITH shingles AS ($shinglesSql),
+    kept AS (
+      SELECT doc_id, shingle FROM shingles
+      QUALIFY count(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+    counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    df AS (SELECT shingle, count(*) AS df FROM kept GROUP BY shingle),
+    ordered AS (
+      SELECT k.doc_id, k.shingle,
+             row_number() OVER (PARTITION BY k.doc_id
+                                ORDER BY d.df, k.shingle) AS pos
+      FROM kept k JOIN df d USING (shingle)),
+    prefix AS (
+      SELECT o.doc_id, o.shingle
+      FROM ordered o JOIN counts c USING (doc_id)
+      WHERE o.pos <= c.n // 2 + 1),
+    cand AS (
+      SELECT DISTINCT least(p.doc_id, k.doc_id) AS doc_a,
+                      greatest(p.doc_id, k.doc_id) AS doc_b
+      FROM prefix p JOIN kept k USING (shingle)
+      WHERE p.doc_id <> k.doc_id),
+    candf AS (
+      SELECT doc_a, doc_b, ca.n AS na, cb.n AS nb
+      FROM cand JOIN counts ca ON ca.doc_id = doc_a
+                JOIN counts cb ON cb.doc_id = doc_b
+      WHERE 2 * least(ca.n, cb.n) >= greatest(ca.n, cb.n)),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, any_value(c.na) AS na,
+             any_value(c.nb) AS nb, count(*) AS c
+      FROM candf c JOIN kept a ON a.doc_id = c.doc_a
+                   JOIN kept b ON b.doc_id = c.doc_b
+                                AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(c / (na + nb - c), 6) AS jaccard
+    FROM inter WHERE round(c / (na + nb - c), 6) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
   /** MinHash band keys per (doc, band): 8 bands × 4 rows of
     * min((a_i·h28 + b_i) mod P) signatures. The k mins come from the
     * one-pass MinHashAgg (no ×k row explosion); banding slices the
@@ -1725,6 +1987,9 @@ object DedupQueries {
     "dedup_bloom" -> (dedupBloom _),
     "dedup_exact" -> (dedupExact _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_allpairs" -> (dedupAllpairs _),
+    "dedup_kcore" -> (dedupKcore _),
+    "dedup_fuzzy_keys" -> (dedupFuzzyKeys _),
     "dedup_minhash" -> (dedupMinhash _),
     "decontam_fuzzy" -> (decontamFuzzy _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
@@ -1752,6 +2017,9 @@ object DedupQueries {
     "dedup_bloom" -> dedupBloomSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_allpairs" -> dedupAllpairsSql,
+    "dedup_kcore" -> dedupKcoreSql,
+    "dedup_fuzzy_keys" -> dedupFuzzyKeysSql,
     "dedup_minhash" -> dedupMinhashSql,
     "decontam_fuzzy" -> decontamFuzzySql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,

@@ -34,6 +34,98 @@ class DedupSpec extends AnyFunSuite {
     assert(got === truth) // 8x4 banding at j>=0.9: recall 1 here
   }
 
+  test("allpairs prefix filter: EXACTLY the D2 result (prefix pruning " +
+    "provably loses no qualifying pair) from strictly fewer candidates") {
+    import org.apache.spark.sql.functions._
+    // exact equality with the full-index jaccard join: pairs AND scores
+    val ap = DedupQueries.dedupAllpairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val jc = DedupQueries.dedupJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ap === jc)
+    assert(ap.size === 25)
+    // and the prefix candidate set is a strict subset of the full
+    // inverted-index pair explosion — the reason the operator exists
+    val kept = Shingling.cappedShingles(
+      Shingling.shingles(graft.Tables.documents(spark, dir)))
+    val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val nCand = DedupQueries.allPairsCandidates(kept, counts).count()
+    val nFull = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    graft.CachedFrames.releaseAll()
+    assert(nCand * 2 < nFull,
+      s"prefix filter should at least halve candidates: $nCand vs $nFull")
+  }
+
+  test("k-core peel: planted clique survives, planted chain dissolves, " +
+    "and the fixed round count sits PAST the corpus fixpoint") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 4-clique (every node degree 3) + a 6-chain (interior degree 2)
+    // + a pendant hanging off the clique
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val chain = (10L to 14L).map(i => (i, i + 1))
+    val pendant = Seq((1L, 99L))
+    val e = (clique ++ chain ++ pendant).toDF("doc_a", "doc_b")
+    val core = DedupQueries.kcorePeel(e, 3, 6)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+    assert(core === Set(1L, 2L, 3L, 4L),
+      "3-core must be exactly the planted clique")
+    // fixpoint: one MORE round changes nothing on the real corpus
+    val atR = DedupQueries.dedupKcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept = Shingling.cappedShingles(
+      Shingling.shingles(graft.Tables.documents(spark, dir)))
+    val corpusE = kept.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("doc_a"), col("doc_b"))
+    val atR1 = DedupQueries.kcorePeel(
+        corpusE, DedupQueries.KcoreK, DedupQueries.KcoreRounds + 1)
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.releaseAll()
+    assert(atR === atR1, "round count must sit past the fixpoint")
+    assert(atR.nonEmpty)
+  }
+
+  test("fuzzy-key join: the deletion neighborhood catches every edit " +
+    "class and equals the brute-force DP") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one planted case per edit class against 'alpha'
+    val ents = Seq(
+      (1L, "alpha"), (2L, "alpha"), // equal names, distinct keys (d=0)
+      (3L, "alphla"),               // insertion  (d=1)
+      (4L, "alph"),                 // deletion   (d=1)
+      (5L, "alpka"),                // substitution (d=1)
+      (6L, "beta")).toDF("key", "name")
+    val got = DedupQueries.fuzzyJoinEd1(ents)
+      .select(col("key_a"), col("key_b"), col("dist")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 1), (1L, 5L, 1),
+      (2L, 3L, 1), (2L, 4L, 1), (2L, 5L, 1)))
+    // completeness vs the O(n²) DP on the sf0.001 customer table
+    val c = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    val fuzzy = DedupQueries.fuzzyJoinEd1(c)
+      .select(col("key_a"), col("key_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = c.select(col("key").as("ka"), col("name").as("na"))
+      .crossJoin(c.select(col("key").as("kb"), col("name").as("nb")))
+      .filter(col("ka") < col("kb") &&
+        levenshtein(col("na"), col("nb")) <= 1)
+      .select(col("ka"), col("kb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fuzzy === brute)
+    assert(fuzzy.nonEmpty)
+  }
+
   test("minhash estimation: planted near-identical pairs estimate high, " +
     "and the per-pair measured error stays inside the k=32 envelope") {
     val rows = DedupQueries.dedupMinhashEst(spark, dir).collect()
