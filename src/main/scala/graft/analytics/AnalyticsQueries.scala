@@ -2385,6 +2385,128 @@ object AnalyticsQueries {
     ORDER BY e.event_type"""
   }
 
+  /** A66: experiment guardrail — Pearson χ² independence test between
+    * the assignment arm (deterministic user_id parity) and the event
+    * mix, the sample-ratio-mismatch check every A/B platform runs
+    * before it trusts a lift number. The contingency table is one
+    * map-side-combined count aggregate (|types|·2 cells however many
+    * events); expected counts are exact rationals over BIGINT totals,
+    * each cell's (O·N − r·c)²/(N·r·c) contribution is micro-quantized
+    * PER CELL and the total is an order-free BIGINT sum — the D22
+    * discipline, so no floating summation order anywhere. The df=4
+    * critical value at α=0.05 (9.487729) ships as a literal; the gate
+    * emits per-cell contributions AND the verdict, so a mismatch is
+    * attributable to its cell.
+    */
+  def qAbChisq(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"), (col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n_events"))
+    // marginals and the grand total as windows over the CELL frame —
+    // |types|·2 rows however many events, so the empty-partition
+    // window is the A54 bounded-axis case, and no join (let alone a
+    // cartesian scalar attach) appears anywhere in the plan
+    val scored = cells
+      .withColumn("r_tot", sum(col("n_events")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("c_tot", sum(col("n_events")).over(
+        Window.partitionBy(col("arm"))))
+      .withColumn("n_tot", sum(col("n_events")).over(
+        Window.partitionBy()))
+      .withColumn("chi_cell_micro", expr(
+        "cast(round(((cast(n_events * n_tot - r_tot * c_tot as double) " +
+          "* cast(n_events * n_tot - r_tot * c_tot as double)) " +
+          "/ cast(n_tot * r_tot * c_tot as double)) * 1000000.0) as bigint)"))
+    scored
+      .withColumn("chi2_micro",
+        sum(col("chi_cell_micro")).over(Window.partitionBy()))
+      .withColumn("significant", col("chi2_micro") > 9487729L)
+      .select(col("event_type"), col("arm"), col("n_events"),
+        col("chi_cell_micro"), col("chi2_micro"), col("significant"))
+      .orderBy(col("event_type"), col("arm"))
+  }
+
+  val qAbChisqSql: String = """
+    WITH cells AS (
+      SELECT event_type, user_id % 2 AS arm, count(*)::BIGINT AS n_events
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+    marg AS (
+      SELECT event_type, arm, n_events,
+             sum(n_events) OVER (PARTITION BY event_type)::BIGINT AS r_tot,
+             sum(n_events) OVER (PARTITION BY arm)::BIGINT AS c_tot,
+             sum(n_events) OVER ()::BIGINT AS n_tot
+      FROM cells),
+    scored AS (
+      SELECT event_type, arm, n_events,
+             CAST(round((((n_events * n_tot - r_tot * c_tot)::DOUBLE
+               * (n_events * n_tot - r_tot * c_tot)::DOUBLE)
+               / (n_tot * r_tot * c_tot)::DOUBLE) * 1000000.0)
+               AS BIGINT) AS chi_cell_micro
+      FROM marg)
+    SELECT event_type, arm, n_events, chi_cell_micro,
+           sum(chi_cell_micro) OVER ()::BIGINT AS chi2_micro,
+           sum(chi_cell_micro) OVER ()::BIGINT > 9487729 AS significant
+    FROM scored
+    ORDER BY event_type, arm"""
+
+  /** A67: per-group least-squares trend — the slope every dashboard
+    * fits ("is this brand's revenue growing?") as ONE aggregation
+    * pass, no iteration: the closed-form OLS slope needs only the
+    * moment sums Σx, Σy, Σxy, Σx², all exact BIGINTs here (x = month
+    * index from a calendar epoch, y = monthly revenue in integer
+    * cents via the q10 per-row quantization), so `n·Σxy − Σx·Σy` and
+    * `n·Σx² − (Σx)²` are EXACT integers (bounded: x ≤ ~10³ months,
+    * y ≤ ~10¹¹ cents/month keeps the products under 2⁶³) and the one
+    * double division at the end is IEEE-deterministic, rounded 6dp in
+    * both engines. Two grains, both bounded: (brand, month) then
+    * brand — the moment-sum shape scales to any row count because the
+    * exchange only ever carries the five sums.
+    */
+  def qTrendSlope(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        ((year(col("l_shipdate")) - 1992) * 12 + month(col("l_shipdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100.0, 0).cast("long")).as("y"))
+    monthly.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_cents_per_month", expr(
+        "round((n_months * sxy - sx * sy) / (n_months * sxx - sx * sx), 6)"))
+      .withColumn("intercept_cents", expr(
+        "round((sy * sxx - sx * sxy) / (n_months * sxx - sx * sx), 6)"))
+      .select(col("p_brand"), col("n_months"),
+        col("slope_cents_per_month"), col("intercept_cents"))
+      .orderBy(col("p_brand"))
+  }
+
+  val qTrendSlopeSql: String = """
+    WITH monthly AS (
+      SELECT p.p_brand,
+             ((year(l.l_shipdate) - 1992) * 12
+               + month(l.l_shipdate) - 1)::BIGINT AS x,
+             sum(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0,
+                 0)::BIGINT)::BIGINT AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    moments AS (
+      SELECT p_brand, count(*)::BIGINT AS n_months,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+      FROM monthly GROUP BY 1)
+    SELECT p_brand, n_months,
+           round((n_months * sxy - sx * sy)
+                 / (n_months * sxx - sx * sx), 6) AS slope_cents_per_month,
+           round((sy * sxx - sx * sxy)
+                 / (n_months * sxx - sx * sx), 6) AS intercept_cents
+    FROM moments ORDER BY p_brand"""
+
   /** A54: sweep-line peak concurrency — the classic interval-overlap
     * question ("how many orders were in flight at once?") answered
     * without an interval self-join. An order is OPEN from its order
@@ -2643,6 +2765,8 @@ object AnalyticsQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "sketch_countmin" -> (qCountMin _),
     "sketch_hll" -> (sketchHll _),
+    "q_ab_chisq" -> (qAbChisq _),
+    "q_trend_slope" -> (qTrendSlope _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q_scan_pushdown" -> (qScanPushdown _),
@@ -2710,6 +2834,8 @@ object AnalyticsQueries {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "sketch_countmin" -> qCountMinSql,
     "sketch_hll" -> sketchHllSql,
+    "q_ab_chisq" -> qAbChisqSql,
+    "q_trend_slope" -> qTrendSlopeSql,
     "sketch_quantiles" -> qSketchQuantilesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
     "q_scan_pushdown" -> qScanPushdownSql,
