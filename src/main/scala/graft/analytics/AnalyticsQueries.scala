@@ -2450,6 +2450,60 @@ object AnalyticsQueries {
     FROM scored
     ORDER BY event_type, arm"""
 
+  /** A68: robust outlier fence — median/MAD, the robust-statistics
+    * complement to A28's moment aggregates (one fat-fingered 10⁹ value
+    * moves a mean/stddev fence arbitrarily; the median and the median
+    * absolute deviation have breakdown point ½). Exactness trick: on
+    * per-row micro-quantized BIGINTs, the 0.5-interpolated percentile
+    * is (a+b)/2 — EXACT in a double for 2⁵³-bounded ints — so med2 =
+    * 2·median and mad4 = 2·median(|2v − med2|) are exact integers in
+    * both engines, and the fence |v − med| > 3·MAD becomes the
+    * integer predicate 2·dev2 > 3·mad4 (the ×2/×4 scalings cancel):
+    * no float comparison anywhere, no ulp-at-the-fence hazard. Two
+    * aggregate passes + two broadcast joins of a |types|-row frame.
+    */
+  def qOutliersMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 1000000.0, 0).cast("long").as("v"))
+    val med = ev.groupBy(col("event_type"))
+      .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(lit(2) * col("v") - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("med2")).as("med_micro_x2"),
+        min(col("mad4")).as("mad_micro_x4"),
+        sum(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val qOutliersMadSql: String = """
+    WITH ev AS (
+      SELECT event_type, round(value * 1000000.0, 0)::BIGINT AS v
+      FROM events WHERE value IS NOT NULL),
+    med AS (
+      SELECT event_type, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS med2
+      FROM ev GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, abs(2 * e.v - m.med2) AS dev2, m.med2
+      FROM ev e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      FROM dev GROUP BY 1)
+    SELECT d.event_type, count(*)::BIGINT AS n,
+           min(d.med2)::BIGINT AS med_micro_x2,
+           min(a.mad4)::BIGINT AS mad_micro_x4,
+           sum(CASE WHEN 2 * d.dev2 > 3 * a.mad4 THEN 1 ELSE 0 END)::BIGINT
+             AS n_outliers
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY 1 ORDER BY 1"""
+
   /** A67: per-group least-squares trend — the slope every dashboard
     * fits ("is this brand's revenue growing?") as ONE aggregation
     * pass, no iteration: the closed-form OLS slope needs only the
@@ -2766,6 +2820,7 @@ object AnalyticsQueries {
     "sketch_countmin" -> (qCountMin _),
     "sketch_hll" -> (sketchHll _),
     "q_ab_chisq" -> (qAbChisq _),
+    "q_outliers_mad" -> (qOutliersMad _),
     "q_trend_slope" -> (qTrendSlope _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -2835,6 +2890,7 @@ object AnalyticsQueries {
     "sketch_countmin" -> qCountMinSql,
     "sketch_hll" -> sketchHllSql,
     "q_ab_chisq" -> qAbChisqSql,
+    "q_outliers_mad" -> qOutliersMadSql,
     "q_trend_slope" -> qTrendSlopeSql,
     "sketch_quantiles" -> qSketchQuantilesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
