@@ -212,11 +212,17 @@ object DedupQueries {
     * ×(len+1) on the ENTITY table, the small side of any real
     * pipeline.
     */
+  /** The len+1 single-deletion variants of string column `c`
+    * (position i removed; i = len+1 yields the string itself).
+    */
+  private def deletionVariants(c: String) = expr(
+    s"transform(sequence(1, length($c) + 1), " +
+      s"i -> concat(substring($c, 1, i - 1), " +
+      s"substring($c, i + 1, length($c))))")
+
   private[dedup] def fuzzyJoinEd1(entities: DataFrame): DataFrame = {
-    val vars = entities.select(col("key"), explode(expr(
-      "transform(sequence(1, length(name) + 1), " +
-        "i -> concat(substring(name, 1, i - 1), " +
-        "substring(name, i + 1, length(name))))")).as("v"))
+    val vars = entities.select(col("key"),
+      explode(deletionVariants("name")).as("v"))
     val cand = vars.select(col("key").as("key_a"), col("v"))
       .hint("shuffle_hash")
       .join(vars.select(col("key").as("key_b"), col("v"))
@@ -229,6 +235,32 @@ object DedupQueries {
       .join(entities.select(col("key").as("key_b"),
         col("name").as("name_b")).hint("shuffle_hash"), Seq("key_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
+  /** Cross-sided D33: match a PROBE stream of (key, name) against a
+    * static REFERENCE dictionary (ref_key, ref_name) at edit distance
+    * ≤ 1 — the decontam-asymmetric shape (P25's): the reference side
+    * is the small dimension, its variant index broadcastable, and the
+    * probe side needs no self-join, so the match is STATELESS — each
+    * record resolves against the same static index regardless of
+    * arrival order, which is what makes the R28 streaming face a
+    * plain stream-static join with exact batch parity.
+    */
+  private[graft] def fuzzyMatchEd1(
+      probe: DataFrame, ref: DataFrame): DataFrame = {
+    val pv = probe.select(col("key"), col("name"),
+      explode(deletionVariants("name")).as("v"))
+    val rv = ref.select(col("ref_key"), col("ref_name"),
+      explode(deletionVariants("ref_name")).as("v"))
+    // duplicates (a probe/ref pair sharing several variants) collapse
+    // via a keyed aggregate, NOT distinct: a probe row's variants all
+    // land in its own trigger, so the update-mode streaming emission
+    // of this groupBy is final per key — the R23 argument
+    pv.join(broadcast(rv), Seq("v"))
+      .groupBy(col("key"), col("name"), col("ref_key"), col("ref_name"))
+      .agg(count(lit(1)).as("n_variant_hits"))
+      .withColumn("dist", levenshtein(col("name"), col("ref_name")))
       .filter(col("dist") <= 1)
   }
 

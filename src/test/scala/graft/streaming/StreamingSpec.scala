@@ -999,6 +999,53 @@ class StreamingSpec extends AnyFunSuite {
       "streamed HLL registers diverged from the in-memory reference")
   }
 
+  test("R28: fuzzy-key resolution at ingest — the stream-static " +
+    "deletion-variant join matches EXACTLY the batch matcher on the " +
+    "same tape (stateless per record, any trigger packing)") {
+    val root = tmp()
+    import spark.implicits._
+    // probes: clean hits, one of each edit class, and misses
+    val probes = Seq(
+      (1L, "alpha"), (2L, "alphla"), (3L, "alph"), (4L, "alpka"),
+      (5L, "beta"), (6L, "betta"), (7L, "unrelated"), (8L, "gamma"),
+      (9L, "gamm"), (10L, "delta"))
+    graft.vcr.TapeWriter.write(
+      probes.map { case (k, n) =>
+        (s"$k|$n".getBytes, k,
+          java.sql.Timestamp.valueOf("2025-01-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 4)
+    val ref = Seq(("r1", "alpha"), ("r2", "beta"), ("r3", "gamma"))
+      .toDF("ref_key", "ref_name")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("key"),
+          element_at(col("p"), 2).as("name"))
+    @volatile var streamed = Set.empty[(Long, String, String, Int)]
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .transform(keyed)
+      .transform(StreamFuzzyMatch.resolve(ref))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          streamed = streamed ++ b.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getString(2), r.getInt(5)))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = graft.dedup.DedupQueries.fuzzyMatchEd1(
+        probes.toDF("key", "name"), ref)
+      .select(col("key"), col("name"), col("ref_key"), col("dist"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getInt(3)))
+      .toSet
+    assert(streamed === batch)
+    // every planted edit class resolved; the misses stayed misses
+    assert(batch.map(_._1) === Set(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L))
+  }
+
   test("R16: weighted sampling at ingest — the streamed A-ES top-k " +
     "per source is EXACTLY the batch draw (row-intrinsic keys + " +
     "bounded-heap merge are arrival-order-free)") {
