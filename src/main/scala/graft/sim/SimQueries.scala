@@ -131,6 +131,104 @@ object SimQueries {
     SELECT q_id, neighbor, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S26: binary quantization + Hamming serving + exact rerank — the
+    * 1-bit rung below SQ8 on the compression ladder, and the scheme
+    * current vector stores ship as their default pre-filter: each
+    * vector's 64 sign bits pack into TWO 32-bit words (two, not one:
+    * bit 63 of a single 64-bit word is the sign bit and `1 << 63`
+    * diverges between engines — wraps in Spark, errors in DuckDB —
+    * while 32-bit words stay comfortably positive in both), the scan
+    * phase reads 8 BYTES per vector (a 32× narrower scan than the
+    * full-width dot: the reason BQ exists), hamming = two codegen'd
+    * xor+bit_count pairs, and the top-[[BqShortlist]] shortlist per
+    * query reranks with the EXACT cosine via the S17 refine shape —
+    * the tiny shortlist joins the vector table, never the reverse.
+    * Sign extraction is a row-local higher-order fold (no explode, no
+    * shuffle); bit-for-bit portable because float `>= 0` is. Spec:
+    * recall@5 vs brute, packing round-trip vs per-dim sign count, and
+    * the serving-scan narrowness.
+    */
+  val BqShortlist = 32
+
+  private def bqPack(from: Int) = expr(
+    s"aggregate(sequence($from, ${from + 31}), cast(0 as bigint), " +
+      s"(acc, i) -> acc + (CASE WHEN element_at(v, i) >= 0D " +
+      s"THEN shiftleft(cast(1 as bigint), cast(i - $from as int)) " +
+      s"ELSE cast(0 as bigint) END))")
+
+  def knnBq(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.CachedFrames.persist(vecs(s, dir)
+      .withColumn("lo", bqPack(1)).withColumn("hi", bqPack(33)))
+    // bounded plan-time collect, the knnBrute discipline: |Q| rows
+    val qSeq: Seq[(Long, Long, Long)] = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("lo"), col("hi")).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val cand = e
+      .select(col("vec_id").as("neighbor"), col("lo"), col("hi"),
+        explode(typedLit(qSeq)).as("q"))
+      .filter(col("q._1") =!= col("neighbor"))
+      .select(col("q._1").as("q_id"), col("neighbor"),
+        (bit_count(col("q._2").bitwiseXOR(col("lo"))) +
+          bit_count(col("q._3").bitwiseXOR(col("hi")))).as("hamming"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("neighbor"))
+    val short = cand.withColumn("hrank", row_number().over(w))
+      .filter(col("hrank") <= BqShortlist)
+    // exact rerank: the |Q|·R-row shortlist joins the vector table
+    // (broadcast-side = shortlist), never the corpus into the scan
+    val rer = short
+      .join(e.select(col("vec_id").as("q_id"), col("vn").as("qvn")),
+        Seq("q_id"))
+      .join(e.select(col("vec_id").as("neighbor"), col("vn")),
+        Seq("neighbor"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("neighbor"), col("hamming"), col("cos"),
+        col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnBqSql: String = s"""
+    WITH e AS ($vecsSql),
+    w AS (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN v[i] >= 0
+                    THEN 1::BIGINT << (i - 1)::INT ELSE 0 END))::BIGINT
+               AS lo,
+             list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN v[i] >= 0
+                    THEN 1::BIGINT << (i - 33)::INT ELSE 0 END))::BIGINT
+               AS hi
+      FROM e),
+    q AS (SELECT vec_id AS q_id, lo, hi FROM w
+          WHERE vec_id < $NumQueries),
+    cand AS (
+      SELECT q.q_id, w.vec_id AS neighbor,
+             bit_count(xor(q.lo, w.lo)) + bit_count(xor(q.hi, w.hi))
+               AS hamming
+      FROM q JOIN w ON w.vec_id != q.q_id),
+    short AS (
+      SELECT q_id, neighbor, hamming,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming, neighbor) AS hrank
+      FROM cand QUALIFY hrank <= $BqShortlist),
+    rer AS (
+      SELECT s.q_id, s.neighbor, s.hamming,
+             round(list_dot_product(eq.vn, en.vn), 6) AS cos
+      FROM short s JOIN e eq ON eq.vec_id = s.q_id
+                   JOIN e en ON en.vec_id = s.neighbor),
+    ranked AS (
+      SELECT q_id, neighbor, hamming, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM rer QUALIFY rank <= $TopK)
+    SELECT q_id, neighbor, hamming, cos, rank FROM ranked
+    ORDER BY q_id, rank"""
+
   /** Per-label mean centroids, rounded for cross-engine determinism. */
   private def centroids(e: DataFrame): DataFrame =
     e.select(col("label"), explode(expr(
@@ -2941,6 +3039,7 @@ object SimQueries {
     "knn_graph" -> (knnGraph _),
     "knn_graph_hnsw" -> (knnGraphHnsw _),
     "knn_brute" -> (knnBrute _),
+    "knn_bq" -> (knnBq _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
@@ -2969,6 +3068,7 @@ object SimQueries {
     "knn_recall_eval" -> knnRecallEvalSql,
     "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,
+    "knn_bq" -> knnBqSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_filtered" -> knnFilteredSql,

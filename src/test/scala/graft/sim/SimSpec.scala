@@ -94,6 +94,41 @@ class SimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
+  test("binary quantization: packed words round-trip the per-dim sign " +
+    "count, rerank cosines agree with brute, recall@5 prices one bit " +
+    "per dimension") {
+    import org.apache.spark.sql.functions._
+    val got = SimQueries.knnBq(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(got.length === SimQueries.NumQueries * SimQueries.TopK)
+    // packing round-trip: hamming from the two 32-bit words equals the
+    // per-dimension sign-mismatch count computed the slow way
+    val e = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val gotH = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    for {
+      ((qi, ni), h) <- gotH if e.contains(qi) && e.contains(ni)
+    } {
+      val slow = e(qi).zip(e(ni)).count { case (a, b) => (a >= 0) != (b >= 0) }
+      assert(slow === h, s"packed hamming diverged at ($qi, $ni)")
+    }
+    // exact-stage cosines must agree with brute's for shared pairs
+    val bruteCos = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c === r.getDouble(3),
+        s"exact rescore diverged from brute at $key"))
+    }
+    val truth = topn(brute, SimQueries.TopK)
+    val mine = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = mine.intersect(truth).size.toDouble / truth.size
+    info(s"bq recall@5 = $recall")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match
