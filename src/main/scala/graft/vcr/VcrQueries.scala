@@ -155,8 +155,42 @@ object VcrQueries {
            END AS est_human
     FROM est ORDER BY dt"""
 
+  /** V15: per-partition archive digest — the integrity fingerprint a
+    * replica compare reads INSTEAD of the data: each day partition
+    * folds to (n, bytes, xor-of-record-hashes), so "are these two
+    * archives identical?" costs one digest-table join however many
+    * terabytes the tapes hold. The record hash keys on (seq | payload)
+    * — a divergence in EITHER field flips the digest, and two
+    * DIFFERENT records can't cancel (xor cancellation needs identical
+    * hashes, i.e. identical records, which a tape's unique seq rules
+    * out). bit_xor is commutative/associative — order-free like the
+    * sketch merges, exactly reproducible in the oracle — but NOT
+    * idempotent: a replayed record flips the digest back, which is
+    * the POINT (a double-write is corruption a digest must see; the
+    * R29 face documents the exactly-once contract this implies).
+    */
+  def vcrDigest(s: SparkSession, dir: String): DataFrame =
+    eventsAsRecords(s, dir)
+      .select(col(Tape.DtCol),
+        graft.dedup.Shingling.h60(concat(col("event_id").cast("string"),
+          lit("|"), col("props"))).as("h"),
+        octet_length(col("props")).as("b"))
+      .groupBy(col(Tape.DtCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("b")).as("payload_bytes"),
+        expr("bit_xor(h)").as("digest"))
+      .orderBy(col(Tape.DtCol))
+
+  val vcrDigestSql: String = """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+           sum(octet_length(encode(props)))::BIGINT AS payload_bytes,
+           bit_xor(('0x' || substring(md5(event_id::VARCHAR || '|' ||
+             props), 1, 15))::BIGINT)::BIGINT AS digest
+    FROM events GROUP BY 1 ORDER BY dt"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vcr_encode" -> (vcrEncode _),
+    "vcr_digest" -> (vcrDigest _),
     "vcr_decode" -> (vcrDecode _),
     "vcr_range" -> (vcrRange _),
     "vcr_batch" -> (vcrBatch _),
@@ -164,6 +198,7 @@ object VcrQueries {
 
   def oracles: Map[String, String] = Map(
     "vcr_encode" -> vcrEncodeSql,
+    "vcr_digest" -> vcrDigestSql,
     "vcr_decode" -> vcrDecodeSql,
     "vcr_range" -> vcrRangeSql,
     "vcr_batch" -> vcrBatchSql,

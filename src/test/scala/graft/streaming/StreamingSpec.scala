@@ -999,6 +999,58 @@ class StreamingSpec extends AnyFunSuite {
       "streamed HLL registers diverged from the in-memory reference")
   }
 
+  test("R29: live archive digests at the recorder — per-dt xor " +
+    "fingerprints are BIT-IDENTICAL to the batch digest under any " +
+    "trigger packing, and a planted divergence flips exactly its day") {
+    val root = tmp()
+    import spark.implicits._
+    // 3 days x 60 unique records, interleaved across 5 tape files
+    val recs = for (d <- 1 to 3; i <- 1 to 60) yield
+      (s"rec-$d-$i", (d * 1000 + i).toLong,
+        java.sql.Timestamp.valueOf(f"2025-02-0$d 09:00:00"))
+    graft.vcr.TapeWriter.write(
+      recs.map { case (p, s, t) => (p.getBytes, s, t) }
+        .toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 5)
+    val rec = decode(col("payload"), "UTF-8")
+    @volatile var streamed = Map.empty[String, (Long, Long, Long)]
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .transform(df => StreamDigest.digests(df, rec))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => streamed = streamed +
+            (r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = StreamDigest.digests(TapePlayer.read(spark, root, "s",
+        java.time.LocalDateTime.parse("2025-02-01T00:00:00"),
+        Some(java.time.LocalDateTime.parse("2025-02-03T23:59:59"))), rec)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed === batch)
+    assert(streamed.keySet ===
+      Set("2025-02-01", "2025-02-02", "2025-02-03"))
+    assert(streamed.values.forall(_._1 === 60L))
+    // a single-record divergence flips exactly its own day's digest
+    val tampered = recs.updated(70,
+      ("rec-2-11X", recs(70)._2, recs(70)._3))
+    val td = StreamDigest.digests(
+        tampered.map { case (p, s, t) => (p.getBytes, s, t) }
+          .toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+          .withColumn(Tape.DtCol, Tape.dtOf(col(Tape.TsCol))),
+        decode(col(Tape.DataCol), "UTF-8"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(td("2025-02-01") === batch("2025-02-01")._3)
+    assert(td("2025-02-02") !== batch("2025-02-02")._3)
+    assert(td("2025-02-03") === batch("2025-02-03")._3)
+  }
+
   test("R28: fuzzy-key resolution at ingest — the stream-static " +
     "deletion-variant join matches EXACTLY the batch matcher on the " +
     "same tape (stateless per record, any trigger packing)") {
