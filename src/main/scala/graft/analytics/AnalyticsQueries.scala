@@ -2450,6 +2450,58 @@ object AnalyticsQueries {
     FROM scored
     ORDER BY event_type, arm"""
 
+  /** A69: DAU/WAU/MAU active-user grid — the product-analytics
+    * staple, and the one sliding-window metric the window-function
+    * family can't express: DISTINCT over a sliding range doesn't
+    * decompose, so a per-day "distinct users in the trailing 7/28
+    * days" is naively a per-day range self-join against the event
+    * table (O(days·events)). The scalable re-expression: collapse to
+    * the USER-DAY grain once (≪ event grain), then each active
+    * (user, day) COVERS the windows ending on days d..d+6 (d..d+27) —
+    * a bounded ×7/×28 explode of the small grain — and a distinct
+    * count per window key finishes it. Stickiness = DAU/WAU in exact
+    * integer micros. Every shuffle keys on (user, window) or
+    * (window); nothing is ever per-day-times-corpus.
+    */
+  def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val ud = graft.CachedFrames.persist(
+      Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct())
+    def windowed(days: Int, name: String): DataFrame = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(0, ${days - 1})")).as("i"), col("d"))
+      .select(col("user_id"), expr("date_add(d, i)").as("w"))
+      .distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as(name))
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    dau
+      .join(windowed(7, "wau").withColumnRenamed("w", "d"), Seq("d"))
+      .join(windowed(28, "mau").withColumnRenamed("w", "d"), Seq("d"))
+      .withColumn("stickiness_micro", expr("dau * 1000000 div wau"))
+      .select(col("d"), col("dau"), col("wau"), col("mau"),
+        col("stickiness_micro"))
+      .orderBy(col("d"))
+  }
+
+  val qActiveUsersSql: String = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, ts::DATE AS d
+      FROM events WHERE user_id IS NOT NULL),
+    dau AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+    wau AS (
+      SELECT w, count(*)::BIGINT AS wau FROM (
+        SELECT DISTINCT user_id, d + i::INTEGER AS w
+        FROM (SELECT user_id, d, unnest(range(0, 7)) AS i FROM ud))
+      GROUP BY 1),
+    mau AS (
+      SELECT w, count(*)::BIGINT AS mau FROM (
+        SELECT DISTINCT user_id, d + i::INTEGER AS w
+        FROM (SELECT user_id, d, unnest(range(0, 28)) AS i FROM ud))
+      GROUP BY 1)
+    SELECT d, dau, wau, mau, dau * 1000000 // wau AS stickiness_micro
+    FROM dau JOIN wau ON wau.w = dau.d JOIN mau ON mau.w = dau.d
+    ORDER BY d"""
+
   /** A68: robust outlier fence — median/MAD, the robust-statistics
     * complement to A28's moment aggregates (one fat-fingered 10⁹ value
     * moves a mean/stddev fence arbitrarily; the median and the median
@@ -2821,6 +2873,7 @@ object AnalyticsQueries {
     "sketch_hll" -> (sketchHll _),
     "q_ab_chisq" -> (qAbChisq _),
     "q_outliers_mad" -> (qOutliersMad _),
+    "q_active_users" -> (qActiveUsers _),
     "q_trend_slope" -> (qTrendSlope _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -2891,6 +2944,7 @@ object AnalyticsQueries {
     "sketch_hll" -> sketchHllSql,
     "q_ab_chisq" -> qAbChisqSql,
     "q_outliers_mad" -> qOutliersMadSql,
+    "q_active_users" -> qActiveUsersSql,
     "q_trend_slope" -> qTrendSlopeSql,
     "sketch_quantiles" -> qSketchQuantilesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,
