@@ -1530,8 +1530,112 @@ object TextQueries {
     QUALIFY rank <= 10
     ORDER BY rank"""
 
+  /** T26: RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    * keyphrase rung beside T11's TextRank: TextRank ranks WORDS by
+    * graph centrality, RAKE ranks PHRASES by co-occurrence degree,
+    * and it's the one every curation stack reaches for first because
+    * it needs nothing but a stopword list. Candidate phrases are
+    * maximal stopword-free runs (each doc's OWN language's list, the
+    * T1 broadcast join), capped at 4 words per standard practice —
+    * the cap also bounds every output string. Scoring is RAKE's
+    * deg/freq: a word's degree sums the lengths of phrases it
+    * occurs in, its frequency counts occurrences, word score =
+    * deg·10⁶ div freq (exact micro), and a phrase scores the SUM of
+    * its words' scores — an order-free integer sum, so cross-engine
+    * exact. The per-position window is per-DOC (bounded by doc
+    * length); phrase text assembles with an ordered aggregate; the
+    * word-stat joins shuffle on the word key the stats already
+    * grouped on. Output: global top-20 phrases (TakeOrdered).
+    */
+  def textRake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sw = Stopwords.toDF("sw_lang", "word")
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("lang"), (col("pos") + 1).as("pos"),
+        col("col").as("word"))
+    val flagged = pos
+      .join(broadcast(sw),
+        pos("lang") === sw("sw_lang") && pos("word") === sw("word"),
+        "left")
+      .select(col("doc_id"), col("lang"), col("pos"), pos("word"),
+        col("sw_lang").isNotNull.cast("int").as("is_stop"))
+    val withPhrase = flagged.withColumn("phrase_id",
+      sum(col("is_stop")).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("is_stop") === 0)
+    val phrases = withPhrase
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word"))).as("phrase"),
+        count(lit(1)).as("plen"))
+      .filter(col("plen") <= 4)
+    val members = withPhrase
+      .join(phrases.select(col("doc_id"), col("phrase_id"), col("plen")),
+        Seq("doc_id", "phrase_id"))
+    val wordStats = members.groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .withColumn("wscore_micro", expr("deg * 1000000 div freq"))
+    val phraseScores = members
+      .join(wordStats.select(col("word"), col("wscore_micro"))
+        .hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(sum(col("wscore_micro")).as("score_micro"))
+      .join(phrases, Seq("doc_id", "phrase_id"))
+    phraseScores
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("score_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase"))
+      .limit(20)
+  }
+
+  val textRakeSql: String = s"""
+    WITH sw(sw_lang, word) AS (VALUES $StopwordsValuesSql),
+    pos AS (
+      SELECT doc_id, lang, i AS pos, w[i] AS word
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w,
+                   unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+            FROM documents)),
+    flagged AS (
+      SELECT p.doc_id, p.lang, p.pos, p.word,
+             CASE WHEN s.word IS NULL THEN 0 ELSE 1 END AS is_stop
+      FROM pos p LEFT JOIN sw s
+        ON s.sw_lang = p.lang AND s.word = p.word),
+    wp AS (
+      SELECT doc_id, pos, word, is_stop,
+             sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM flagged),
+    nonstop AS (SELECT * FROM wp WHERE is_stop = 0),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(word, ' ' ORDER BY pos) AS phrase,
+             count(*)::BIGINT AS plen
+      FROM nonstop GROUP BY 1, 2 HAVING count(*) <= 4),
+    members AS (
+      SELECT n.doc_id, n.phrase_id, n.word, p.plen
+      FROM nonstop n JOIN phrases p USING (doc_id, phrase_id)),
+    ws AS (
+      SELECT word, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg,
+             sum(plen)::BIGINT * 1000000 // count(*)::BIGINT
+               AS wscore_micro
+      FROM members GROUP BY 1),
+    ps AS (
+      SELECT m.doc_id, m.phrase_id,
+             sum(w.wscore_micro)::BIGINT AS score_micro
+      FROM members m JOIN ws w USING (word) GROUP BY 1, 2)
+    SELECT p.phrase, count(*)::BIGINT AS n_occurrences,
+           min(s.score_micro)::BIGINT AS score_micro
+    FROM ps s JOIN phrases p USING (doc_id, phrase_id)
+    GROUP BY p.phrase
+    ORDER BY score_micro DESC, phrase LIMIT 20"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (textBpe _),
+    "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
     "hybrid_search" -> (hybridSearch _),
     "text_repeated_spans" -> (textRepeatedSpans _),
@@ -1556,6 +1660,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
+    "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "hybrid_search" -> hybridSearchSql,
     "text_repeated_spans" -> textRepeatedSpansSql,
