@@ -75,6 +75,21 @@ object ScaleUp {
     }
     evReps.reduce(_ union _).repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // customer: replica r offsets the key and REGENERATES the name in
+    // the same Customer#%09d shape, so the fuzzy-key edit-distance
+    // structure (names differing in single digits) scales with the
+    // table instead of replicating verbatim duplicates
+    val cust = s.read.parquet(s"$src/customer.parquet")
+    val nCust = cust.count()
+    val custReps = (0 until factor).map { r =>
+      val k = col("c_custkey") + lit(r * nCust)
+      cust.select(k.as("c_custkey"),
+        format_string("Customer#%09d", k).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }
+    custReps.reduce(_ union _).repartition(8)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
   def main(args: Array[String]): Unit = {
