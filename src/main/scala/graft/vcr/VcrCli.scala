@@ -142,6 +142,26 @@ object VcrCli {
           s"(${res.filesDeleted} files, ${res.bytesDeleted} bytes) " +
           s"before $keepFrom from $root/$stream")
 
+      case Some("digest") =>
+        // archive integrity fingerprints (V15): one (n, bytes, xor)
+        // row per day partition — what a replica compare diffs
+        // instead of the data. Hashes the STORED line (the base64
+        // envelope), binary-safe. Bounded collect: one row per day.
+        val stream = config.sourceStream.getOrElse(
+          throw new IllegalArgumentException("VCR_SOURCE_STREAM_NAME must be set"))
+        val fromArg = args.lift(1).getOrElse(
+          throw new IllegalArgumentException(
+            "digest needs a start date: e.g., `digest 2024-03-01 [end]`"))
+        val start = TimeArg.parseOrThrow(fromArg, "from")
+        val end = args.lift(2).map(TimeArg.parseOrThrow(_, "to"))
+        val tape = TapePlayer.read(spark, root, stream, start, end)
+        graft.streaming.StreamDigest.digests(tape, col(Tape.LineCol))
+          .orderBy(col(Tape.DtCol))
+          .collect().foreach { r =>
+            println(s"${r.getString(0)}  n=${r.getLong(1)} " +
+              s"line_bytes=${r.getLong(2)} digest=${r.getLong(3)}")
+          }
+
       case Some("index") =>
         // tape seek index (V13): build/refresh the zone-map manifest;
         // `index --seek <from> <to>` replays a seq window through it
@@ -165,7 +185,7 @@ object VcrCli {
 
       case other =>
         throw new IllegalArgumentException(
-          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate|expire|index")
+          s"Unknown command ${other.getOrElse("<none>")}: expected record|play|estimate|expire|index|digest")
     }
   }
 }

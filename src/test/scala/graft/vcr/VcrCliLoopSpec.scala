@@ -89,6 +89,15 @@ class VcrCliLoopSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](noTarget.validateForPlayback())
     assert(e.getMessage.contains("target stream"))
 
+    // digest (V15): per-day integrity fingerprint over the stored
+    // lines — deterministic across runs, counts the day's records
+    val digOut = captured(VcrCli.run(spark, cfg,
+      Array("digest", "2024-03-05")))
+    assert(digOut.contains("2024-03-05  n=40"), digOut)
+    val digOut2 = captured(VcrCli.run(spark, cfg,
+      Array("digest", "2024-03-05")))
+    assert(digOut === digOut2, "digest must be deterministic")
+
     // expire (V11): dry-run reports without deleting; a cutoff after
     // the recorded day deletes it, after which play finds nothing
     val dryOut = captured(VcrCli.run(spark, cfg,
