@@ -77,6 +77,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CodegenFallback"), p)
   }
 
+  test("allpairs exact join: no broadcast anywhere — every stage " +
+    "shuffles on keys the index already has") {
+    // both sides of every join are O(corpus): the prefix candidates,
+    // the count attaches, and the pair-local docset verify. A
+    // broadcast election of any of them is the sf1 regression class
+    // (the 160 MB mis-estimated index); the shuffle_hash hints state
+    // the contract and this assert keeps it from regressing silently.
+    val p = plan("dedup_allpairs")
+    assert(!p.contains("BroadcastExchange"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("binary quantization serves off the packed words: hamming is " +
+    "codegen'd bit arithmetic, exact cosine only after the shortlist") {
+    val p = plan("knn_bq")
+    assert(p.contains("bit_count"), p)
+    // the scan phase must rank on hamming BEFORE any dot product runs:
+    // the rerank's DotProduct appears above the hrank window filter
+    assert(p.contains("dotproduct("), p)
+    assert(p.indexOf("bit_count") > p.indexOf("dotproduct("),
+      "rerank (outer) should print before the hamming scan (inner) in " +
+        "the plan tree — packed-word phase must feed the shortlist")
+  }
+
   test("no gate query plans a nested-loop or cartesian join") {
     // the all-pairs baselines (knnBruteJoin, dedupEmbeddingBrute) are
     // spec-level cross-checks only: at 100 TB a nested-loop pair
