@@ -358,6 +358,62 @@ object SimQueries {
         .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
   }
 
+  /** S27: the index as a PERSISTED ARTIFACT — the offline/online
+    * split made literal: `ivfIndexWrite` trains the S2b codebook once
+    * and materializes the index as two parquet tables (`centroids`:
+    * k rows of (cluster, cv); `postings`: the inverted file — one
+    * (vec_id, cluster, vn) row per corpus vector, partitioned BY
+    * cluster so a probe reads only its list's files), and
+    * `ivfServeArtifact` serves queries from NOTHING but the artifact
+    * plus the query vectors: centroids collect to the assignment
+    * literal (k rows, the codebook discipline), candidates come from
+    * the partition-pruned postings scan. No retraining, no corpus
+    * scan — what "deploy the index" means. SimSpec pins
+    * serve-from-artifact ≡ the in-memory trainer bit-for-bit and
+    * rebuild idempotence.
+    */
+  def ivfIndexWrite(s: SparkSession, dir: String, out: String): Unit = {
+    val e = vecs(s, dir)
+    val codebook = KMeans.train(
+      e.select(col("vec_id"), col("v"), col("label")), iterations = 1)
+    codebook.write.mode("overwrite").parquet(s"$out/centroids")
+    val cents = KMeans.collectCodebook(codebook)
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    e.select(col("vec_id"), col("vn"),
+      (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$out/postings")
+  }
+
+  def ivfServeArtifact(s: SparkSession, dir: String,
+                       artifact: String): DataFrame = {
+    val cents = KMeans.collectCodebook(
+      s.read.parquet(s"$artifact/centroids"))
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    // partition-column inference reads cluster back as INT; restore
+    // the trainer's LONG so served rows compare bit-for-bit
+    val postings = s.read.parquet(s"$artifact/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn"))
+      .withColumn("cluster", (best.getField("neg_cluster") * lit(-1L)))
+      .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
+    serveAgainst(q, postings, excludeSelf = true)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** S2b: IVF over the TRAINED k-means codebook (E12) — one Lloyd
     * iteration from the label-mean seeds, then the same serving shape
     * as `knn_ivf`: the ≤k codebook collects to a literal, assignment is
@@ -777,6 +833,119 @@ object SimQueries {
                ORDER BY cos DESC, neighbor) AS rank
       FROM scored)
     SELECT q_id, neighbor, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S28: multi-probe LSH (Lv et al., VLDB'07) — the LSH family's
+    * missing multiprobe rung (IVF got its nprobe in S8): instead of
+    * buying recall with MORE tables (memory) or WIDER bands (cost),
+    * each query also probes the buckets a near-miss neighbor most
+    * likely fell into — the home band key with its LEAST-CONFIDENT
+    * bit flipped. Confidence of bit j is the margin |q·plane_j| (the
+    * distance to the hyperplane); a true neighbor flips small-margin
+    * bits first. Per (query, band) the probe set is the home key plus
+    * the keys with the 1st- and 2nd-smallest-margin bits flipped
+    * ([[LshProbeFlips]] = 2) — query-side-only expansion, so the
+    * broadcast grows ×3 on |Q|·Bands kilobyte rows while the corpus
+    * side is untouched. Margins ride the SAME bit-for-bit
+    * cross-engine dot products the signature already trusts, rounded
+    * 6dp with bit-index tie-breaks, so probe sequences are
+    * oracle-exact. Candidates are a SUPERSET of S3's by construction
+    * (home keys are probed), so recall can only rise — spec-pinned.
+    */
+  val LshProbeFlips = 2
+
+  def knnLshProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val dim = e.select(size(col("v")).as("d")).head().getInt(0)
+    val planes = Hyperplanes.matrix(dim)
+    val margins = array((0 until Hyperplanes.NumPlanes).map(j =>
+      round(abs(dot(col("v"), typedLit(planes(j)))), 6)): _*)
+    val sigs = e.select(col("vec_id"),
+      Hyperplanes.signature(col("v"), dim).as("sig"))
+    // the SAME canonical persisted index knnLsh builds (CacheManager
+    // dedupes); margins attach to the |Q| query rows only — the
+    // corpus side never carries them
+    val bands = graft.CachedFrames.persist(
+      sigs.select(col("vec_id"), col("sig"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
+        .withColumn("bkey", Hyperplanes.bandKey(col("sig"), col("band"))))
+    val qm = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), margins.as("m"))
+    // per (query, band): order the band's bits by (margin ASC, bit
+    // ASC), flip the first LshProbeFlips — all row-local array math
+    val qProbes = bands.filter(col("vec_id") < NumQueries)
+      .join(qm, Seq("vec_id"))
+      .withColumn("flips", expr(
+        s"slice(transform(array_sort(transform(" +
+          s"sequence(0, ${Hyperplanes.BandBits - 1}), " +
+          s"i -> struct(element_at(m, band * ${Hyperplanes.BandBits} " +
+          s"+ i + 1) as mg, i as i))), x -> x.i), 1, $LshProbeFlips)"))
+      .select(col("vec_id").as("q_id"), col("band"),
+        explode(expr(
+          "concat(array(bkey), transform(flips, " +
+            "i -> cast(bkey as bigint) ^ shiftleft(cast(1 as bigint), i)))"))
+          .as("bkey"))
+      .distinct()
+    val cand = broadcast(qProbes)
+      .join(bands.select(col("vec_id").as("neighbor"), col("band"),
+        col("bkey")), Seq("band", "bkey"))
+      .filter(col("neighbor") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor")).distinct()
+    val e2 = vecs(s, dir)
+    val scored = cand
+      .join(e2.select(col("vec_id").as("q_id"), col("vn").as("qvn")),
+        Seq("q_id"))
+      .join(e2.select(col("vec_id").as("neighbor"), col("vn")),
+        Seq("neighbor"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("neighbor"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnLshProbeSql: String = s"""
+    WITH e AS ($vecsSql),
+    src AS (SELECT vec_id AS id, v FROM e),
+    ${Hyperplanes.sigsSql("src")},
+    margins AS (
+      SELECT id, j,
+             round(abs(list_dot_product(v,
+               list_transform(range(0, len(v)), d ->
+                 (('0x' || substring(md5(j::VARCHAR || '-' || d::VARCHAR),
+                   1, 7))::BIGINT % 2001 - 1000) / 1000.0))), 6) AS mg
+      FROM (SELECT id, v, unnest(range(0, ${Hyperplanes.NumPlanes})) AS j
+            FROM src) WHERE id < $NumQueries),
+    ranked_bits AS (
+      SELECT b.id, b.band, b.bkey, m.j % ${Hyperplanes.BandBits} AS i,
+             row_number() OVER (PARTITION BY b.id, b.band
+               ORDER BY m.mg, m.j) AS r
+      FROM bands b JOIN margins m
+        ON m.id = b.id AND m.j // ${Hyperplanes.BandBits} = b.band
+      WHERE b.id < $NumQueries),
+    probes AS (
+      SELECT DISTINCT id AS q_id, band, bkey FROM ranked_bits
+      UNION
+      SELECT DISTINCT id AS q_id, band,
+             xor(bkey, 1::BIGINT << i::INTEGER) AS bkey
+      FROM ranked_bits WHERE r <= $LshProbeFlips),
+    cand AS (
+      SELECT DISTINCT p.q_id, b.id AS neighbor
+      FROM probes p JOIN bands b
+        ON p.band = b.band AND p.bkey = b.bkey
+      WHERE b.id != p.q_id),
+    scored AS (
+      SELECT c.q_id, c.neighbor,
+             round(list_dot_product(q.vn, n.vn), 6) AS cos
+      FROM cand c JOIN e q ON q.vec_id = c.q_id
+                  JOIN e n ON n.vec_id = c.neighbor),
+    final AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cos, rank FROM final
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
   /** S4: product quantization — the compression half of the IVF-PQ
@@ -3046,6 +3215,7 @@ object SimQueries {
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
+    "knn_lsh_probe" -> (knnLshProbe _),
     "pq_quantize" -> (pqQuantize _),
     "opq_quantize" -> (opqQuantize _),
     "opq_rotate" -> (opqRotate _),
@@ -3075,6 +3245,7 @@ object SimQueries {
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
+    "knn_lsh_probe" -> knnLshProbeSql,
     "pq_quantize" -> pqQuantizeSql,
     "opq_quantize" -> opqQuantizeSql,
     "opq_rotate" -> opqRotateSql,

@@ -129,6 +129,56 @@ class SimSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
+  test("multi-probe LSH: candidates are a superset of plain LSH " +
+    "(home keys probed), so recall can only rise; flipped probes are " +
+    "real recall, not noise") {
+    val plain = SimQueries.knnLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.releaseAll()
+    val probed = SimQueries.knnLshProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.releaseAll()
+    val truth = topn(brute, SimQueries.TopK)
+    val rPlain = plain.intersect(truth).size.toDouble / truth.size
+    val rProbe = probed.intersect(truth).size.toDouble / truth.size
+    info(s"lsh recall@5 plain=$rPlain multiprobe=$rProbe")
+    // superset of candidates => per-query top-k can only improve
+    assert(rProbe >= rPlain,
+      s"multiprobe recall $rProbe fell below plain $rPlain")
+    assert(rProbe > 0.5, s"multiprobe recall collapsed: $rProbe")
+  }
+
+  test("ivf index artifact: write once, serve from parquet — equals " +
+    "the in-memory trainer bit-for-bit; rebuild is idempotent; the " +
+    "probe scan prunes to its cluster's partition") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-artifact").toString
+    SimQueries.ivfIndexWrite(spark, dir, out)
+    val served = SimQueries.ivfServeArtifact(spark, dir, out).collect()
+      .map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val trained = SimQueries.knnIvfKmeans(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === trained,
+      "artifact-served results diverged from the in-memory trainer")
+    // rebuild idempotence: a second write yields the identical index
+    val first = spark.read.parquet(s"$out/postings")
+      .orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+    SimQueries.ivfIndexWrite(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val second = spark.read.parquet(s"$out/postings")
+      .orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+    assert(first === second, "index rebuild must be deterministic")
+    // a single-cluster probe reads only its partition directory
+    val one = spark.read.parquet(s"$out/postings")
+      .filter(col("cluster") === 3)
+    assert(one.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("cluster=3")),
+      "postings probe must prune to the cluster partition")
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match
