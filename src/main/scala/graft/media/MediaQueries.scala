@@ -661,7 +661,152 @@ object MediaQueries {
     FROM scenes GROUP BY media_id, scene_id
     ORDER BY media_id, scene_id"""
 
+  /** M12: constellation-fingerprint clip matching — the Shazam shape
+    * (Wang 2003) as a relational pipeline: content-based retrieval
+    * that answers "which track is this clip from, and at what
+    * offset?" without ever comparing raw media. Each track's frame
+    * sequence yields a deterministic "spectral peak" per frame (the
+    * md5 stub discipline: peak = 28-bit word hash mod 256, so a clip
+    * EXCERPTED from a track shares its peak subsequence — the
+    * property real spectrograms have and the reason the algorithm
+    * works); fingerprints pair each anchor peak with its next
+    * [[ClipFan]] peaks into (f1, f2, Δt) keys carrying (track, t₁);
+    * the corpus index is one such pass; a query clip (a 16-frame
+    * window of each query track, re-indexed from 1) fingerprints the
+    * same way and JOINS the index on the key; the true source shows
+    * a dominant CONSTANT offset t₁_track − t₁_clip, so one count
+    * aggregate + per-query top-1 finishes it. Scale: the index is
+    * O(frames·fan) narrow integer rows keyed by fingerprint hash;
+    * matching is an equi-join on that key plus a map-side-combinable
+    * vote count — no media bytes move, no pairwise track comparison
+    * exists anywhere. Every stage is exact integers; the gate's
+    * expected answer (self-track at offset [[ClipFrom]]−1, votes =
+    * the in-window fingerprint count) is hash-verified.
+    */
+  val ClipFrames = 60 // frames indexed per track
+  val ClipFan = 3     // fingerprint fan-out window
+  val ClipFrom = 5    // clip = frames [5, 20] of each query track
+  val ClipTo = 20
+
+  private[graft] def peaksOf(df: DataFrame,
+      maxT: org.apache.spark.sql.Column): DataFrame = df
+    .select(col("media_id"), col("w"),
+      explode(expr(s"sequence(1, least(size(w), $ClipFrames))")).as("t"))
+    .filter(col("t") <= maxT)
+    .select(col("media_id"), col("t"),
+      (conv(substring(md5(expr("element_at(w, t)")), 1, 7), 16, 10)
+        .cast("long") % 256).as("f"))
+
+  /** Row-local fingerprinting of a (media_id, w) clip frame — the
+    * streaming-safe form: a clip is ONE row carrying its whole frame
+    * sequence, so its (f1, f2, Δt) pairs fold out of higher-order
+    * transforms with no self-join (a stream-stream join is exactly
+    * what update-mode ingest can't do). Emits the same
+    * (media_id, fkey, t1) rows as [[fingerprints]] over
+    * [[peaksOf]] — R31 leans on that equivalence.
+    */
+  private[graft] def fingerprintsRowLocal(clips: DataFrame): DataFrame = {
+    def fAt(t: String) =
+      "cast(conv(substring(md5(element_at(w, " + t +
+        ")), 1, 7), 16, 10) as bigint) % 256"
+    val fpExpr =
+      "flatten(transform(sequence(1, n), t -> " +
+        "CASE WHEN n - t < 1 THEN " +
+        "cast(array() as array<struct<fkey:bigint,t1:int>>) ELSE " +
+        s"transform(sequence(1, least($ClipFan, n - t)), dt -> " +
+        "struct((" + fAt("t") + ") * 1000000 + (" + fAt("t + dt") +
+        ") * 1000 + dt as fkey, t as t1)) END))"
+    clips
+      .withColumn("n", expr(s"least(size(w), $ClipFrames)"))
+      .select(col("media_id"), explode(expr(fpExpr)).as("fp"))
+      .select(col("media_id"), col("fp.fkey"), col("fp.t1"))
+  }
+
+  private[graft] def fingerprints(peaks: DataFrame): DataFrame = {
+    val anchors = peaks.select(col("media_id"), col("t").as("t1"),
+        col("f").as("f1"),
+        explode(expr(s"sequence(1, $ClipFan)")).as("dt"))
+      .withColumn("t", col("t1") + col("dt"))
+    anchors.join(peaks.select(col("media_id"), col("t"),
+        col("f").as("f2")), Seq("media_id", "t"))
+      .select(col("media_id"),
+        (col("f1") * 1000000L + col("f2") * 1000L + col("dt")).as("fkey"),
+        col("t1"))
+  }
+
+  def mediaClipMatch(s: SparkSession, dir: String): DataFrame = {
+    val tracks = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= ClipTo)
+    val peaks = graft.CachedFrames.persist(
+      peaksOf(tracks, lit(ClipFrames)))
+    val index = fingerprints(peaks)
+    val clipPeaks = peaks
+      .filter(col("media_id") < 10 &&
+        col("t").between(ClipFrom, ClipTo))
+      .select(col("media_id").as("q_id"),
+        (col("t") - (ClipFrom - 1)).as("t"), col("f"))
+    val clipFps = fingerprints(
+        clipPeaks.withColumnRenamed("q_id", "media_id"))
+      .select(col("media_id").as("q_id"), col("fkey"),
+        col("t1").as("tc"))
+    val votes = clipFps
+      .join(index.hint("shuffle_hash"), Seq("fkey"))
+      .groupBy(col("q_id"), col("media_id"),
+        (col("t1") - col("tc")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("media_id"), col("t_offset"))
+    votes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("q_id"), col("media_id").as("matched_track"),
+        col("t_offset"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
+  val mediaClipMatchSql: String = s"""
+    WITH tracks AS (
+      SELECT doc_id AS media_id, string_split(text, ' ') AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= $ClipTo),
+    peaks AS (
+      SELECT media_id, t,
+             ('0x' || substring(md5(w[t]), 1, 7))::BIGINT % 256 AS f
+      FROM (SELECT media_id, w,
+                   unnest(range(1, least(len(w), $ClipFrames) + 1)) AS t
+            FROM tracks)),
+    index_fp AS (
+      SELECT a.media_id,
+             a.f * 1000000 + b.f * 1000 + d.dt AS fkey, a.t AS t1
+      FROM peaks a
+      CROSS JOIN (SELECT unnest(range(1, $ClipFan + 1)) AS dt) d
+      JOIN peaks b ON b.media_id = a.media_id AND b.t = a.t + d.dt),
+    clip_peaks AS (
+      SELECT media_id AS q_id, t - ${ClipFrom - 1} AS t, f
+      FROM peaks WHERE media_id < 10
+        AND t BETWEEN $ClipFrom AND $ClipTo),
+    clip_fp AS (
+      SELECT a.q_id,
+             a.f * 1000000 + b.f * 1000 + d.dt AS fkey, a.t AS tc
+      FROM clip_peaks a
+      CROSS JOIN (SELECT unnest(range(1, $ClipFan + 1)) AS dt) d
+      JOIN clip_peaks b ON b.q_id = a.q_id AND b.t = a.t + d.dt),
+    votes AS (
+      SELECT c.q_id, i.media_id, i.t1 - c.tc AS t_offset,
+             count(*) AS votes
+      FROM clip_fp c JOIN index_fp i USING (fkey)
+      GROUP BY 1, 2, 3),
+    best AS (
+      SELECT q_id, media_id, t_offset, votes,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY votes DESC, media_id, t_offset) AS rk
+      FROM votes)
+    SELECT q_id, media_id AS matched_track, t_offset, votes
+    FROM best WHERE rk = 1 ORDER BY q_id"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_clip_match" -> (mediaClipMatch _),
     "media_scenes" -> (mediaScenes _),
     "media_ahash_dedup" -> (mediaAhashDedup _),
     "media_hash_agreement" -> (mediaHashAgreement _),
@@ -677,6 +822,7 @@ object MediaQueries {
     * boundary gets the driver's rows-only check + MediaSpec.
     */
   def oracles: Map[String, String] = Map(
+    "media_clip_match" -> mediaClipMatchSql,
     "media_scenes" -> mediaScenesSql,
     "media_ahash_dedup" -> mediaAhashDedupSql,
     "media_hash_agreement" -> mediaHashAgreementSql,

@@ -199,4 +199,41 @@ class MediaSpec extends AnyFunSuite {
         assert(s.getLong(3) - s.getLong(2) + 1 === s.getLong(4)))
     }
   }
+
+  test("row-local fingerprinting equals the join form exactly — the " +
+    "R31 streaming face rides the same (fkey, t1) rows as the M12 index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tracks = (0 until 5).map(t =>
+      (t.toLong, (1 to 37).map(i => s"eq-$t-$i"))).toDF("media_id", "w")
+    val joinForm = MediaQueries.fingerprints(
+        MediaQueries.peaksOf(tracks, lit(MediaQueries.ClipFrames)))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    val rowLocal = MediaQueries.fingerprintsRowLocal(tracks)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue())).toSet
+    assert(rowLocal === joinForm)
+    assert(rowLocal.nonEmpty)
+  }
+
+  test("clip match: every excerpted clip resolves to its OWN source " +
+    "track at the excision offset with the full in-window vote count") {
+    val rows = MediaQueries.mediaClipMatch(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    val clipLen = MediaQueries.ClipTo - MediaQueries.ClipFrom + 1 // 16
+    // in-window fingerprints: anchors 1..clipLen each pair with up to
+    // ClipFan successors inside the window
+    val expectedVotes = (1 to clipLen).map(t =>
+      math.min(MediaQueries.ClipFan, clipLen - t)).sum
+    rows.foreach { r =>
+      def n(i: Int): Long = r.getAs[Number](i).longValue()
+      assert(n(1) === n(0), s"clip of track ${n(0)} matched ${n(1)}")
+      assert(n(2) === (MediaQueries.ClipFrom - 1).toLong)
+      assert(n(3) === expectedVotes.toLong,
+        s"votes ${n(3)} != all in-window fingerprints " +
+          s"$expectedVotes — the offset histogram leaked mass")
+    }
+  }
 }

@@ -1051,6 +1051,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(td("2025-02-03") === batch("2025-02-03")._3)
   }
 
+  test("R31: clip identification at ingest — streamed vote tables " +
+    "are BIT-IDENTICAL to the batch matcher, and the top vote names " +
+    "the planted source at the planted offset") {
+    val root = tmp()
+    import spark.implicits._
+    // corpus: 6 tracks of 40 distinct words each; clips: 12-word
+    // excerpts of tracks 0-2 starting at position 7
+    def words(track: Int) =
+      (1 to 40).map(i => s"w-$track-$i")
+    val corpus = (0 until 6).map(t => (t.toLong, words(t)))
+      .toDF("media_id", "w")
+    val index = graft.media.MediaQueries.fingerprints(
+      graft.media.MediaQueries.peaksOf(corpus,
+        lit(graft.media.MediaQueries.ClipFrames)))
+    val clips = (0 until 3).map(t =>
+      (100L + t, words(t).slice(6, 18))) // positions 7..18
+    graft.vcr.TapeWriter.write(
+      clips.map { case (id, ws) =>
+        (s"$id|${ws.mkString(" ")}".getBytes, id,
+          java.sql.Timestamp.valueOf("2025-03-01 09:00:00"))
+      }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol),
+      root, "s", numFiles = 3)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(split(decode(col("payload"), "UTF-8"), "\\|", 2).as("p"))
+        .select(element_at(col("p"), 1).cast("long").as("media_id"),
+          split(element_at(col("p"), 2), " ").as("w"))
+    @volatile var streamed = Map.empty[(Long, Long, Int), Long]
+    val q = spark.readStream.format("tape")
+      .option("maxFilesPerTrigger", 1).load(s"$root/s")
+      .transform(keyed)
+      .transform(StreamClipMatch.resolve(index))
+      .writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r => streamed = streamed +
+            ((r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getLong(3)))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    val batch = StreamClipMatch.resolve(index)(
+        clips.toDF("media_id", "w")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(streamed === batch)
+    // top vote per clip: its own source track at offset 6
+    (0 until 3).foreach { t =>
+      val mine = streamed.filter(_._1._1 == 100L + t)
+      val top = mine.maxBy { case ((_, m, o), v) => (v, -m, -o) }
+      assert(top._1._2 === t.toLong, s"clip ${100 + t} matched wrong track")
+      assert(top._1._3 === 6, "wrong excision offset")
+    }
+  }
+
   test("R28: fuzzy-key resolution at ingest — the stream-static " +
     "deletion-variant join matches EXACTLY the batch matcher on the " +
     "same tape (stateless per record, any trigger packing)") {
