@@ -948,6 +948,93 @@ object SimQueries {
     SELECT q_id, neighbor, cos, rank FROM final
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S29: IVF × BQ cascade — S2's coarse prune composed with S26's
+    * 1-bit scan (the ScaNN-style deployment: partition first, then a
+    * cheap in-list pre-filter, exact math only on the survivors).
+    * Each stage cuts candidates multiplicatively while per-candidate
+    * cost rises: the cluster equi-join prunes to the probe list, the
+    * list scan reads TWO 32-bit words per member for the hamming
+    * shortlist, and the exact cosine touches only
+    * top-[[BqShortlist]]. Candidates never leave the query's list
+    * (spec), rerank cosines equal brute's bit-for-bit (spec), and
+    * recall is bounded by S2's probe-1 recall — the measured gap is
+    * the 1-bit price inside a list, also spec-pinned.
+    */
+  def knnIvfBq(s: SparkSession, dir: String): DataFrame = {
+    val e0 = vecs(s, dir)
+    val cents = collectCents(e0)
+    val e = graft.CachedFrames.persist(e0
+      .withColumn("cluster", bestClusterCol(cents))
+      .withColumn("lo", bqPack(1)).withColumn("hi", bqPack(33)))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("cluster"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val cand = q.join(e.select(col("vec_id").as("neighbor"),
+        col("cluster"), col("lo"), col("hi")), Seq("cluster"))
+      .filter(col("neighbor") =!= col("q_id"))
+      .select(col("q_id"), col("neighbor"), col("cluster"),
+        (bit_count(col("qlo").bitwiseXOR(col("lo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("hi")))).as("hamming"))
+    val wh = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("neighbor"))
+    val short = cand.withColumn("hrank", row_number().over(wh))
+      .filter(col("hrank") <= BqShortlist)
+    val rer = short
+      .join(e.select(col("vec_id").as("q_id"), col("vn").as("qvn")),
+        Seq("q_id"))
+      .join(e.select(col("vec_id").as("neighbor"), col("vn")),
+        Seq("neighbor"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    rer.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("neighbor"), col("cluster"),
+        col("hamming"), col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val knnIvfBqSql: String = s"""
+    $assignedSqlPrefix,
+    w AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(range(1, 33),
+               i -> CASE WHEN e.v[i] >= 0
+                    THEN 1::BIGINT << (i - 1)::INT ELSE 0 END))::BIGINT
+               AS lo,
+             list_sum(list_transform(range(33, 65),
+               i -> CASE WHEN e.v[i] >= 0
+                    THEN 1::BIGINT << (i - 33)::INT ELSE 0 END))::BIGINT
+               AS hi
+      FROM e),
+    aw AS (
+      SELECT a.vec_id, a.cluster, w.lo, w.hi
+      FROM assigned a JOIN w USING (vec_id)),
+    cand AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS neighbor, q.cluster,
+             bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi))
+               AS hamming
+      FROM aw q JOIN aw c ON c.cluster = q.cluster
+                          AND c.vec_id != q.vec_id
+      WHERE q.vec_id < $NumQueries),
+    short AS (
+      SELECT q_id, neighbor, cluster, hamming,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY hamming, neighbor) AS hrank
+      FROM cand QUALIFY hrank <= $BqShortlist),
+    rer AS (
+      SELECT s.q_id, s.neighbor, s.cluster, s.hamming,
+             round(list_dot_product(eq.vn, en.vn), 6) AS cos
+      FROM short s JOIN e eq ON eq.vec_id = s.q_id
+                   JOIN e en ON en.vec_id = s.neighbor),
+    ranked AS (
+      SELECT q_id, neighbor, cluster, hamming, cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM rer QUALIFY rank <= $TopK)
+    SELECT q_id, neighbor, cluster, hamming, cos, rank FROM ranked
+    ORDER BY q_id, rank"""
+
   /** S4: product quantization — the compression half of the IVF-PQ
     * stack that makes billion-vector ANN fit in memory. The 64-dim
     * vectors split into 2 subspaces of 32 dims; each subspace gets its
@@ -3209,6 +3296,7 @@ object SimQueries {
     "knn_graph_hnsw" -> (knnGraphHnsw _),
     "knn_brute" -> (knnBrute _),
     "knn_bq" -> (knnBq _),
+    "knn_ivf_bq" -> (knnIvfBq _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
@@ -3239,6 +3327,7 @@ object SimQueries {
     "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,
     "knn_bq" -> knnBqSql,
+    "knn_ivf_bq" -> knnIvfBqSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_filtered" -> knnFilteredSql,

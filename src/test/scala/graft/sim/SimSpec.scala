@@ -148,6 +148,41 @@ class SimSpec extends AnyFunSuite {
     assert(rProbe > 0.5, s"multiprobe recall collapsed: $rProbe")
   }
 
+  test("ivf-bq cascade: candidates never leave the query's list, " +
+    "rerank cosines equal brute bit-for-bit, and recall sits within " +
+    "the 1-bit price of plain IVF") {
+    import org.apache.spark.sql.functions._
+    val got = SimQueries.knnIvfBq(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val ivf = SimQueries.knnIvf(spark, dir)
+    val ivfRows = ivf.collect()
+    graft.CachedFrames.releaseAll()
+    // list containment: every result's cluster equals its query's
+    val qCluster = ivfRows.map(r =>
+      r.getLong(0) -> r.getAs[Number](2).longValue()).toMap
+    got.foreach(r =>
+      assert(r.getAs[Number](2).longValue() === qCluster(r.getLong(0)),
+        s"candidate left the probe list at q=${r.getLong(0)}"))
+    // exact-stage cosines must agree with brute's for shared pairs
+    val bruteCos = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(c => assert(c === r.getDouble(4)))
+    }
+    // recall: bounded by IVF probe-1 (same list, shortlist-filtered),
+    // and the 1-bit pre-filter keeps most of it
+    val truth = topn(brute, SimQueries.TopK)
+    val rIvf = ivfRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(truth).size.toDouble / truth.size
+    val rCasc = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(truth).size.toDouble / truth.size
+    info(s"recall@5 ivf=$rIvf ivf+bq=$rCasc")
+    assert(rCasc <= rIvf + 1e-9)
+    assert(rCasc >= rIvf - 0.2,
+      s"1-bit pre-filter cost too much recall: $rCasc vs $rIvf")
+  }
+
   test("ivf index artifact: write once, serve from parquet — equals " +
     "the in-memory trainer bit-for-bit; rebuild is idempotent; the " +
     "probe scan prunes to its cluster's partition") {
