@@ -2450,6 +2450,68 @@ object AnalyticsQueries {
     FROM scored
     ORDER BY event_type, arm"""
 
+  /** A70: U-shaped (position-based) multi-touch attribution — the
+    * model between A43's first-touch ("all credit to discovery") and
+    * last-touch: 40% to the first touch, 40% to the last, 20% split
+    * across the middles. Exactness discipline: credits are integer
+    * MICROS and the middle split uses explicit remainder assignment
+    * (mid = 200000 div (n−2), remainder to the first middle), so
+    * every user's credits sum to EXACTLY 10⁶ — a conservation law
+    * the whole model rides, emitted per channel so the hash check
+    * proves no micro leaked. Channel is the deterministic k%5 from
+    * the A61-parsed props. One per-user window for position/count,
+    * then one channel aggregate; the window partitions by user —
+    * bounded by a user's touch count, never corpus-sized.
+    */
+  def qAttributionU(s: SparkSession, dir: String): DataFrame = {
+    val touches = Tables.events(s, dir)
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 5)
+          .as("channel"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("event_id"))
+    val pos = touches
+      .withColumn("pos", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+    val credited = pos.withColumn("credit_micro",
+      when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2, lit(500000L))
+        .when(col("pos") === 1 || col("pos") === col("n"), lit(400000L))
+        .otherwise(expr("200000 div (n - 2) + " +
+          "CASE WHEN pos = 2 THEN 200000 % (n - 2) ELSE 0 END")))
+    credited.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .orderBy(col("channel"))
+  }
+
+  val qAttributionUSql: String = """
+    WITH touches AS (
+      SELECT user_id, event_id,
+             (json_extract(props, '$.k')::BIGINT % 5) AS channel
+      FROM events
+      WHERE event_type = 'click' AND user_id IS NOT NULL),
+    pos AS (
+      SELECT user_id, event_id, channel,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY event_id) AS pos,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM touches),
+    credited AS (
+      SELECT channel,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE 200000 // (n - 2) +
+                    CASE WHEN pos = 2 THEN 200000 % (n - 2) ELSE 0 END
+             END AS credit_micro
+      FROM pos)
+    SELECT channel, count(*)::BIGINT AS n_touches,
+           sum(credit_micro)::BIGINT AS credit_micro
+    FROM credited GROUP BY 1 ORDER BY channel"""
+
   /** A69: DAU/WAU/MAU active-user grid — the product-analytics
     * staple, and the one sliding-window metric the window-function
     * family can't express: DISTINCT over a sliding range doesn't
@@ -2874,6 +2936,7 @@ object AnalyticsQueries {
     "q_ab_chisq" -> (qAbChisq _),
     "q_outliers_mad" -> (qOutliersMad _),
     "q_active_users" -> (qActiveUsers _),
+    "q_attribution_u" -> (qAttributionU _),
     "q_trend_slope" -> (qTrendSlope _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -2945,6 +3008,7 @@ object AnalyticsQueries {
     "q_ab_chisq" -> qAbChisqSql,
     "q_outliers_mad" -> qOutliersMadSql,
     "q_active_users" -> qActiveUsersSql,
+    "q_attribution_u" -> qAttributionUSql,
     "q_trend_slope" -> qTrendSlopeSql,
     "sketch_quantiles" -> qSketchQuantilesSql,
     "q1_pricing_summary" -> q1PricingSummarySql,

@@ -1628,7 +1628,78 @@ object PipelineQueries {
     FROM w JOIN t USING (alpha_pct)
     GROUP BY alpha_pct ORDER BY alpha_pct"""
 
+  /** P30: length-bucketed batching ledger — the inference/training
+    * efficiency twin of P4's packing: packing ELIMINATES padding by
+    * concatenation; when sequences must stay whole (inference
+    * serving, contrastive pairs), the standard move is power-of-two
+    * LENGTH BUCKETS, and the decision-relevant number is the padding
+    * each bucket still wastes vs the naive pad-everything-to-max
+    * batch. Bucket = next power of two ≥ token count, floored at 16 —
+    * computed with the E28 trick (`length(bin(n−1))` is bit_length in
+    * BOTH engines, no libm log2). Waste ratios are exact integer
+    * micros; the naive-baseline columns derive from window sums over
+    * the ~10 BUCKET rows (the A54 bounded-axis case). The gate's
+    * artifact is the table a batching config reads: per bucket, how
+    * many docs, how much pad, and the saving vs not bucketing.
+    */
+  def dataLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n"))
+    val bucketed = docs.withColumn("bucket",
+      greatest(lit(16L), expr(
+        "shiftleft(cast(1 as bigint), cast(length(bin(n - 1)) as int))")))
+    val perBucket = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("sum_tokens"),
+        sum(col("bucket") - col("n")).as("sum_padding"),
+        max(col("n")).as("max_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    perBucket
+      .withColumn("global_max", max(col("max_tokens")).over(w))
+      .withColumn("naive_padding",
+        sum(col("n_docs")).over(w) * col("global_max") -
+          sum(col("sum_tokens")).over(w))
+      .withColumn("waste_micro", expr(
+        "sum_padding * 1000000 div (sum_padding + sum_tokens)"))
+      .withColumn("naive_waste_micro", expr(
+        "naive_padding * 1000000 div (naive_padding + " +
+          "sum(sum_tokens) over ())"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        col("sum_padding"), col("waste_micro"), col("naive_waste_micro"))
+      .orderBy(col("bucket"))
+  }
+
+  val dataLengthBucketsSql: String = """
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n
+      FROM documents),
+    bucketed AS (
+      SELECT doc_id, n,
+             greatest(16, 1::BIGINT << length(bin(n - 1))::INT) AS bucket
+      FROM docs),
+    pb AS (
+      SELECT bucket, count(*)::BIGINT AS n_docs,
+             sum(n)::BIGINT AS sum_tokens,
+             sum(bucket - n)::BIGINT AS sum_padding,
+             max(n)::BIGINT AS max_tokens
+      FROM bucketed GROUP BY 1),
+    gl AS (
+      SELECT bucket, n_docs, sum_tokens, sum_padding,
+             max(max_tokens) OVER ()::BIGINT AS global_max,
+             sum(n_docs) OVER ()::BIGINT AS all_docs,
+             sum(sum_tokens) OVER ()::BIGINT AS all_tokens
+      FROM pb)
+    SELECT bucket, n_docs, sum_tokens, sum_padding,
+           sum_padding * 1000000 // (sum_padding + sum_tokens)
+             AS waste_micro,
+           (all_docs * global_max - all_tokens) * 1000000
+             // (all_docs * global_max - all_tokens + all_tokens)
+             AS naive_waste_micro
+    FROM gl ORDER BY bucket"""
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_length_buckets" -> (dataLengthBuckets _),
     "data_alpha_sweep" -> (dataAlphaSweep _),
     "decontam_report" -> (decontamReport _),
     "data_budget_select" -> (dataBudgetSelect _),
@@ -1657,6 +1728,7 @@ object PipelineQueries {
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
+    "data_length_buckets" -> dataLengthBucketsSql,
     "data_alpha_sweep" -> dataAlphaSweepSql,
     "decontam_report" -> decontamReportSql,
     "data_budget_select" -> dataBudgetSelectSql,

@@ -261,4 +261,56 @@ class TapeCompactorSpec extends AnyFunSuite {
     assert(canon(TapeManifest.load(spark, root, "s").collect()) ===
       canon(TapeManifest.build(spark, root, "s").collect()))
   }
+
+  test("tape diff: identical replicas all match; a one-line tamper " +
+    "flags exactly its day as diverged; a deleted day reports missing") {
+    val rootA = Files.createTempDirectory("graft-diff-a").toString
+    val rootB = Files.createTempDirectory("graft-diff-b").toString
+    import spark.implicits._
+    val records = (1 to 300).map { i =>
+      (s"rep-$i".getBytes(UTF_8), i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-06-0${1 + (i - 1) / 100}%d 09:00:00"))
+    }.toDF(Tape.DataCol, Tape.SeqCol, Tape.TsCol)
+    TapeWriter.write(records, rootA, "s", numFiles = 4)
+    // replica = byte-for-byte copy
+    def copyDir(a: java.io.File, b: java.io.File): Unit = {
+      b.mkdirs()
+      a.listFiles().foreach { f =>
+        val t = new java.io.File(b, f.getName)
+        if (f.isDirectory) copyDir(f, t)
+        else Files.copy(f.toPath, t.toPath)
+      }
+    }
+    copyDir(new java.io.File(s"$rootA/s"), new java.io.File(s"$rootB/s"))
+    val clean = TapeDiff.diff(spark, rootA, "s", rootB, "s").collect()
+    assert(clean.length === 3)
+    assert(clean.forall(_.getString(1) == "match"), clean.mkString(","))
+    // tamper ONE line of day 2 in the replica
+    val day2 = new java.io.File(s"$rootB/s/dt=2024-06-02").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).head
+    val ls = Files.readAllLines(day2.toPath)
+    ls.set(0, ls.get(0).dropRight(1) + "X")
+    Files.write(day2.toPath, ls)
+    // the copy carried Hadoop's .crc sidecar; the tamper invalidates
+    // it, and local-FS reads would fail on the checksum instead of
+    // showing the divergence — drop the sidecar (a real replica
+    // store has no such tattletale)
+    val crc = new java.io.File(day2.getParentFile, s".${day2.getName}.crc")
+    if (crc.exists()) crc.delete()
+    spark.catalog.refreshByPath(s"$rootB/s")
+    val tampered = TapeDiff.diff(spark, rootA, "s", rootB, "s").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(tampered === Map("2024-06-01" -> "match",
+      "2024-06-02" -> "diverged", "2024-06-03" -> "match"))
+    // delete day 3 in the replica → missing_b
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(s"$rootB/s/dt=2024-06-03"))
+    spark.catalog.refreshByPath(s"$rootB/s")
+    val missing = TapeDiff.diff(spark, rootA, "s", rootB, "s").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(missing("2024-06-03") === "missing_b")
+  }
 }
