@@ -2,6 +2,7 @@ package graft.vcr
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** V13: tape zone-map manifest — the seek index that makes the tape
   * addressable by SEQUENCE without touching payload bytes.
@@ -11,12 +12,14 @@ import org.apache.spark.sql.functions._
   * decodes everything. But a tape file's NAME already declares its
   * exact seq range (`{firstSeq}-{lastSeq}`, S3RecorderPipeline.java:
   * 45-58) — the manifest materializes those declarations, plus
-  * per-file line counts and byte sizes, as one small parquet under
-  * `_manifest/`. That is the Iceberg-manifest shape for this layout:
-  * at 100 TB the tape is millions of objects, and re-LISTING them per
-  * query (what the reference's driver loop and the estimator's
-  * metadata pass both do) costs minutes of object-store round trips —
-  * while the manifest is a few MB of parquet that one filter prunes.
+  * per-file line counts and byte sizes, as a small parquet dataset
+  * under `_manifest/`, PARTITIONED BY `dt` so maintenance can touch
+  * one day without rewriting the rest. That is the Iceberg-manifest
+  * shape for this layout: at 100 TB the tape is millions of objects,
+  * and re-LISTING them per query (what the reference's driver loop and
+  * the estimator's metadata pass both do) costs minutes of object-store
+  * round trips — while the manifest is a few MB of parquet that one
+  * filter prunes.
   *
   * `readSeqRange` is the payoff: a seq-window replay reads ONLY the
   * files whose declared range overlaps the request (file-grain zone
@@ -37,103 +40,189 @@ object TapeManifest {
 
   private val nameRe = "^(\\d+)-(\\d+)(?:\\.txt)?$"
 
-  /** Per-file zone maps, computed distributed: `(dt, file, first_seq,
-    * last_seq, n_lines, line_bytes)`. Files whose names violate the
-    * `{first}-{last}` contract are EXCLUDED here — fsck (V12) owns
-    * reporting them; an index must not address what it cannot bound.
+  /** Manifest row schema. `dt` is the partition column of the stored
+    * layout; declaring it explicitly keeps its type STRING (partition
+    * inference would guess DATE) and keeps old unpartitioned manifests
+    * (where dt was a data column) readable through the same path.
     */
-  def build(spark: SparkSession, root: String, stream: String): DataFrame = {
-    val dir = s"$root/$stream"
-    spark.read.option("basePath", dir).text(dir)
-      .select(col("value"),
-        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
-        col(Tape.DtCol).cast("string").as(Tape.DtCol))
+  private val manifestSchema = StructType(Seq(
+    StructField(Tape.DtCol, StringType), StructField("file", StringType),
+    StructField("first_seq", LongType), StructField("last_seq", LongType),
+    StructField("n_lines", LongType), StructField("line_bytes", LongType)))
+
+  private val manifestCols =
+    Seq(Tape.DtCol, "file", "first_seq", "last_seq", "n_lines", "line_bytes")
+
+  /** Zone-map stats for a tape text scan: one row per file with
+    * `(dt, file, first_seq, last_seq, n_lines, line_bytes)`. Files
+    * whose names violate the `{first}-{last}` contract are EXCLUDED —
+    * fsck (V12) owns reporting them; an index must not address what it
+    * cannot bound.
+    */
+  private def zoneMapStats(lines: DataFrame): DataFrame =
+    lines
       .groupBy(col(Tape.DtCol), col("file"))
       .agg(count(lit(1)).as("n_lines"),
         // content bytes incl. the '\n' the text sink appends per line
         sum(length(col("value")) + lit(1L)).as("line_bytes"))
-      .withColumn("first_seq",
-        regexp_extract(col("file"), nameRe, 1))
-      .withColumn("last_seq",
-        regexp_extract(col("file"), nameRe, 2))
+      .withColumn("first_seq", regexp_extract(col("file"), nameRe, 1))
+      .withColumn("last_seq", regexp_extract(col("file"), nameRe, 2))
       .filter(col("first_seq") =!= "" &&
         col("first_seq").cast("long") <= col("last_seq").cast("long"))
       .select(col(Tape.DtCol), col("file"),
         col("first_seq").cast("long").as("first_seq"),
         col("last_seq").cast("long").as("last_seq"),
         col("n_lines"), col("line_bytes"))
+
+  private def tapeLines(spark: SparkSession, dir: String,
+                        paths: Seq[String]): DataFrame =
+    spark.read.option("basePath", dir).text(paths: _*)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+        col(Tape.DtCol).cast("string").as(Tape.DtCol))
+
+  /** Per-file zone maps, computed distributed over the whole tape. */
+  def build(spark: SparkSession, root: String, stream: String): DataFrame = {
+    val dir = s"$root/$stream"
+    zoneMapStats(tapeLines(spark, dir, Seq(dir)))
   }
 
   /** Build and persist the manifest parquet beside the day partitions
     * (`{root}/{stream}/_manifest`; the leading underscore keeps text
     * scans of the tape from reading it — Spark's own convention for
-    * metadata side-files).
+    * metadata side-files). Stored PARTITIONED BY dt so that refresh
+    * (V14) can overwrite only the days that changed.
     */
   def write(spark: SparkSession, root: String, stream: String): Unit =
-    build(spark, root, stream).coalesce(1).write.mode("overwrite")
+    build(spark, root, stream)
+      .write.mode("overwrite").partitionBy(Tape.DtCol)
       .parquet(s"$root/$stream/$ManifestDir")
 
+  /** Load the manifest. A missing or unreadable manifest FAILS LOUDLY
+    * — silently treating it as empty would reclassify every tape file
+    * as unseen and pay a full archive re-read, exactly the cost the
+    * index exists to avoid.
+    */
   def load(spark: SparkSession, root: String, stream: String): DataFrame =
-    spark.read.parquet(s"$root/$stream/$ManifestDir")
+    spark.read.schema(manifestSchema)
+      .parquet(s"$root/$stream/$ManifestDir")
+      .select(manifestCols.map(col): _*)
 
   final case class RefreshResult(added: Long, removed: Long, kept: Long)
 
   /** V14: INCREMENTAL manifest maintenance — the ops loop that keeps
     * V13's index honest as the recorder appends and retention expires.
     * Tape files are immutable once written (the recorder never
-    * rewrites a sealed object), so the manifest diff is exact: one
-    * METADATA listing of the day dirs, stats built by READING ONLY
-    * the files the manifest hasn't seen (at a steady-state archive
-    * that's the last trigger's output, not the tape), rows for
-    * vanished files (retention/compaction) dropped. A full rebuild
-    * re-reads the archive; at 100 TB that difference is the whole
-    * point of having an index.
+    * rewrites a sealed object), so the manifest diff is exact, and the
+    * whole refresh is metadata-scale except for reading the NEW files:
+    *
+    *   1. one FS METADATA listing of the day dirs → a (dt, file)
+    *      listing frame (paths only — the planner's file-index scale);
+    *   2. listing ⟕̸ manifest (left anti) → the files to add; stats
+    *      are built by READING ONLY those files;
+    *   3. manifest ⟕̸ listing (reverse anti) → the rows to drop
+    *      (retention/compaction victims), counted per day;
+    *   4. only the AFFECTED dt partitions of the manifest are
+    *      rewritten (dynamic partition overwrite); days that saw no
+    *      change keep their files byte-identical, and a day whose
+    *      every file vanished has its manifest partition deleted.
+    *
+    * The manifest itself is never collect()ed to the driver and never
+    * rewritten whole — at a steady-state archive a refresh costs
+    * O(new files) input and O(changed days) output. A corrupt manifest
+    * surfaces as the load exception (see `load`), not a silent full
+    * rebuild. A manifest that does not exist yet is the one legitimate
+    * bootstrap case: the first refresh IS the full build.
     */
   def refresh(spark: SparkSession, root: String,
               stream: String): RefreshResult = {
     val dir = s"$root/$stream"
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath)) {
+      // bootstrap: no index yet — the first refresh is the full build
+      write(spark, root, stream)
+      val added = load(spark, root, stream).count()
+      return RefreshResult(added, 0L, 0L)
+    }
+    migrateUnpartitioned(spark, fs, manifestPath, dir)
+
+    import spark.implicits._
     val listed = listTapeFiles(spark, dir) // (dt, file) pairs on disk
-    val existing =
-      try load(spark, root, stream).collect().toSeq
-      catch { case _: Throwable => Seq.empty[org.apache.spark.sql.Row] }
-    val existingKeys = existing.map(r => (r.getString(0), r.getString(1)))
-      .toSet
-    val kept = existing.filter(r =>
-      listed.contains((r.getString(0), r.getString(1))))
-    val newFiles = listed.filterNot(existingKeys)
-    val added: Seq[org.apache.spark.sql.Row] =
-      if (newFiles.isEmpty) Seq.empty
+    val listedDf = listed.toSeq.toDF(Tape.DtCol, "file")
+    val manifest = load(spark, root, stream)
+    val keys = Seq(Tape.DtCol, "file")
+
+    // adds: on disk, not in the index. O(new files) — these are the
+    // only paths whose CONTENT the refresh reads.
+    val newFiles = listedDf.join(manifest, keys, "left_anti")
+      .as[(String, String)].collect()
+    // drops: in the index, gone from disk. Counted per day — the days
+    // are the write-granularity, so that is all the driver needs.
+    val dropsByDt = manifest.join(listedDf, keys, "left_anti")
+      .groupBy(col(Tape.DtCol)).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val removed = dropsByDt.values.sum
+    val total = manifest.count()
+
+    val addedStats =
+      if (newFiles.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], manifestSchema)
       else {
         val paths = newFiles.toSeq.map { case (dt, f) =>
           s"$dir/${Tape.DtCol}=$dt/$f" }
-        spark.read.option("basePath", dir).text(paths: _*)
-          .select(col("value"),
-            regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
-            col(Tape.DtCol).cast("string").as(Tape.DtCol))
-          .groupBy(col(Tape.DtCol), col("file"))
-          .agg(count(lit(1)).as("n_lines"),
-            sum(length(col("value")) + lit(1L)).as("line_bytes"))
-          .withColumn("first_seq", regexp_extract(col("file"), nameRe, 1))
-          .withColumn("last_seq", regexp_extract(col("file"), nameRe, 2))
-          .filter(col("first_seq") =!= "" &&
-            col("first_seq").cast("long") <= col("last_seq").cast("long"))
-          .select(col(Tape.DtCol), col("file"),
-            col("first_seq").cast("long").as("first_seq"),
-            col("last_seq").cast("long").as("last_seq"),
-            col("n_lines"), col("line_bytes"))
-          .collect().toSeq
+        zoneMapStats(tapeLines(spark, dir, paths))
       }
-    import scala.jdk.CollectionConverters._
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField(Tape.DtCol, StringType), StructField("file", StringType),
-      StructField("first_seq", LongType), StructField("last_seq", LongType),
-      StructField("n_lines", LongType), StructField("line_bytes", LongType)))
-    spark.createDataFrame((kept ++ added).asJava, schema)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/$ManifestDir")
-    RefreshResult(added.length.toLong,
-      (existing.length - kept.length).toLong, kept.length.toLong)
+    val addedRows = addedStats.count()
+
+    val affectedDts: Set[String] =
+      newFiles.map(_._1).toSet ++ dropsByDt.keySet
+    if (affectedDts.nonEmpty) {
+      // kept rows of the affected days + the new days' stats; only
+      // these partitions are overwritten, the rest stay untouched
+      val out = manifest
+        .filter(col(Tape.DtCol).isin(affectedDts.toSeq: _*))
+        .join(listedDf, keys, "left_semi")
+        .unionByName(addedStats)
+      val outDts = out.select(Tape.DtCol).distinct()
+        .as[String].collect().toSet
+      if (outDts.nonEmpty)
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(Tape.DtCol)
+          .parquet(manifestPath.toString)
+      // a day whose every file vanished writes no rows: drop its
+      // manifest partition explicitly (metadata-only delete)
+      (affectedDts -- outDts).foreach { dt =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          manifestPath, s"${Tape.DtCol}=$dt"), true)
+      }
+      spark.catalog.refreshByPath(manifestPath.toString)
+    }
+    RefreshResult(addedRows, removed, total - removed)
+  }
+
+  /** One-time layout migration: a manifest written by an older build
+    * is a single parquet at the manifest root (dt as a data column).
+    * Rewrite it into the dt-partitioned layout — a distributed
+    * read→write of the manifest only, never the tape.
+    */
+  private def migrateUnpartitioned(spark: SparkSession,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   manifestPath: org.apache.hadoop.fs.Path,
+                                   dir: String): Unit = {
+    val flatFiles = fs.listStatus(manifestPath).toSeq.filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (flatFiles.isEmpty) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_manifest_migrating")
+    spark.read.schema(manifestSchema).parquet(manifestPath.toString)
+      .select(manifestCols.map(col): _*)
+      .write.mode("overwrite").partitionBy(Tape.DtCol).parquet(tmp.toString)
+    fs.delete(manifestPath, true)
+    if (!fs.rename(tmp, manifestPath))
+      throw new java.io.IOException(
+        s"manifest migration rename failed: $tmp -> $manifestPath")
+    spark.catalog.refreshByPath(manifestPath.toString)
   }
 
   /** (dt, file) pairs on disk — one FS metadata pass, no content. */

@@ -260,6 +260,69 @@ class TapeCompactorSpec extends AnyFunSuite {
     spark.catalog.refreshByPath(s"$root/s")
     assert(canon(TapeManifest.load(spark, root, "s").collect()) ===
       canon(TapeManifest.build(spark, root, "s").collect()))
+    // a corrupt manifest FAILS LOUDLY — silently treating it as empty
+    // would reclassify every file as unseen and re-read the archive,
+    // exactly the cost the index exists to avoid
+    val manDir = new java.io.File(s"$root/s/${TapeManifest.ManifestDir}")
+    val victim = manDir.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).find(_.getName.endsWith(".parquet")).get
+    Files.write(victim.toPath, "not a parquet file".getBytes(UTF_8))
+    victim.getParentFile.listFiles().filter(_.getName.endsWith(".crc"))
+      .foreach(f => Files.delete(f.toPath))
+    spark.catalog.refreshByPath(manDir.toString)
+    assertThrows[Exception](TapeManifest.refresh(spark, root, "s"))
+  }
+
+  test("manifest refresh at 10k files: reads only new-file content and " +
+    "rewrites only changed-day manifest partitions") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-refresh-10k").toString
+    // 10,000 tape files (10 days x 1,000), one base64 line each,
+    // written directly — the archive layout, not the writer, is under
+    // test, and at this count the writer would dominate the clock
+    val days = (1 to 10).map(d => f"2024-05-$d%02d")
+    days.zipWithIndex.foreach { case (dt, di) =>
+      val dir = new java.io.File(s"$root/s/dt=$dt"); dir.mkdirs()
+      (0 until 1000).foreach { i =>
+        val seq = di * 1000 + i
+        Files.write(new java.io.File(dir, s"$seq-$seq.txt").toPath,
+          "AA==\n".getBytes(UTF_8))
+      }
+    }
+    TapeManifest.write(spark, root, "s")
+    assert(TapeManifest.load(spark, root, "s").count() === 10000L)
+    // tamper a sample of OLD files' CONTENT (names unchanged): if the
+    // refresh re-read them, their manifest stats would change
+    val d1 = new java.io.File(s"$root/s/dt=2024-05-01")
+    d1.listFiles().filter(_.getName.endsWith(".txt")).take(100).foreach {
+      f => Files.write(f.toPath, "AA==\nAA==\nAA==\n".getBytes(UTF_8))
+    }
+    // snapshot the manifest partition files of every existing day
+    def partFiles(dt: String): Set[(String, Long)] =
+      new java.io.File(s"$root/s/${TapeManifest.ManifestDir}/dt=$dt")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = days.map(dt => dt -> partFiles(dt)).toMap
+    // a new day with 5 new files — the only content refresh may read
+    val dNew = new java.io.File(s"$root/s/dt=2024-05-11"); dNew.mkdirs()
+    (0 until 5).foreach { i =>
+      Files.write(
+        new java.io.File(dNew, s"${20000 + i}-${20000 + i}.txt").toPath,
+        "AA==\n".getBytes(UTF_8))
+    }
+    spark.catalog.refreshByPath(s"$root/s")
+    val r = TapeManifest.refresh(spark, root, "s")
+    assert(r === TapeManifest.RefreshResult(5L, 0L, 10000L))
+    val after = TapeManifest.load(spark, root, "s")
+    assert(after.count() === 10005L)
+    // every old row kept its ORIGINAL stats — the tampered files were
+    // never re-read: refresh input is O(new files), not O(archive)
+    assert(after.filter(col("n_lines") =!= 1L).count() === 0L)
+    // unchanged days' manifest partitions are byte-untouched: refresh
+    // output is O(changed days), not a whole-manifest rewrite
+    days.foreach { dt =>
+      assert(partFiles(dt) === before(dt), s"manifest dt=$dt rewritten")
+    }
   }
 
   test("tape diff: identical replicas all match; a one-line tamper " +
