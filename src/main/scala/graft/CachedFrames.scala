@@ -27,11 +27,15 @@ object CachedFrames {
     p
   }
 
-  /** Unpersist (non-blocking) every tracked frame and clear the
-    * registry.
+  /** Unpersist every tracked frame and clear the registry. BLOCKING by
+    * design: an async unpersist races with the next consumer's persist
+    * of the same canonical plan — the CacheManager dedupes onto the
+    * dying entry, whose blocks are concurrently vanishing, so the next
+    * "warm" read silently recomputes. (Observed as run-order-dependent
+    * cold first samples in the bench before this was made blocking.)
     */
   def releaseAll(): Unit = {
     val it = frames.iterator()
-    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+    while (it.hasNext) { it.next().unpersist(blocking = true); it.remove() }
   }
 }
