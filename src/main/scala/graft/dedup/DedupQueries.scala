@@ -295,22 +295,38 @@ object DedupQueries {
     WHERE levenshtein(ca.c_name, cb.c_name) <= 1
     ORDER BY c.key_a, c.key_b"""
 
-  /** D31 candidate stage: the prefix-filtered candidate pair set.
-    * Tokens order globally by (df ASC, shingle ASC) — rarest first —
-    * and a doc's PREFIX is its first ⌊n/2⌋+1 tokens in that order
-    * (τ = 0.5: a qualifying partner must share ≥ ⌈τ·n⌉ tokens, and a
-    * doc whose prefix misses the partner entirely has at most
-    * n − (⌊n/2⌋+1) = ⌈n/2⌉−1 < ⌈τ·n⌉ tokens left to share — so
-    * prefix(x) ⋈ full-index(y) provably loses NO qualifying pair).
-    * The per-doc position is a window over the DOC partition (bounded
-    * by doc length, never corpus-sized); the df attach and the
-    * candidate join shuffle on `shingle` — the partitioning the
-    * inverted index already lives in. Because prefixes concentrate on
-    * RARE tokens, candidate mass is Σ_t pref_df(t)·df(t) ≪ Σ_t df(t)²
-    * (5.3× fewer distinct pairs than D2's full index on this corpus,
-    * asserted in DedupSpec), and the df cap still bounds the worst
-    * bucket. The length filter 2·min(na,nb) ≥ max(na,nb) is the
-    * τ = 0.5 necessary condition J ≤ min/max, exact in integers.
+  /** D31 candidate stage, PPJoin shape (Xiao et al., WWW'08; upgraded
+    * round 8 from the AllPairs prefix ⋈ full-index form). Tokens order
+    * globally by (df ASC, shingle ASC) — rarest first — and a doc's
+    * PREFIX is its first ⌊n/2⌋+1 tokens in that order.
+    *
+    * Candidates come from prefix ⋈ PREFIX, not prefix ⋈ full index.
+    * Exactness: J(x,y) ≥ τ bounds the overlap o ≥ ⌈τ·|x|⌉ (J ≤
+    * o/max), so if the pair's FIRST common token w₀ sat beyond x's
+    * prefix, all o common tokens would fit in the trailing
+    * |x| − (⌊|x|/2⌋+1) = ⌈|x|/2⌉−1 < ⌈τ|x|⌉ positions — contradiction;
+    * symmetrically for y. Hence w₀ lies inside BOTH prefixes and the
+    * prefix-prefix join loses no qualifying pair.
+    *
+    * The POSITIONAL filter then prices each candidate at that first
+    * collision: both per-doc token orders restrict one global order,
+    * so min(pos_a) and min(pos_b) over a pair's collisions are
+    * attained at the same token w₀, every common token sits at
+    * positions ≥ (i, j) = (pos of w₀), and o ≤ 1 + min(na−i, nb−j).
+    * A qualifying pair needs o ≥ ⌈τ/(1+τ)·(na+nb)⌉ = ⌈(na+nb)/3⌉ at
+    * τ = 0.5, so candidates whose tail can no longer reach α drop
+    * BEFORE verification. The length filter 2·min(na,nb) ≥ max(na,nb)
+    * is the τ = 0.5 necessary condition J ≤ min/max, exact in
+    * integers.
+    *
+    * Cost: the per-doc position is a window over the DOC partition
+    * (bounded by doc length, never corpus-sized); the df attach and
+    * the candidate join shuffle on `shingle` — the partitioning the
+    * inverted index already lives in. Prefixes concentrate on RARE
+    * tokens, so candidate mass is Σ_t pref_df(t)² ≪ Σ_t df(t)² (the
+    * old shape paid Σ_t pref_df(t)·df(t); DedupSpec asserts the
+    * strict improvement), and the df cap still bounds the worst
+    * bucket.
     */
   private[dedup] def allPairsCandidates(
       kept: DataFrame, counts: DataFrame): DataFrame = {
@@ -324,21 +340,22 @@ object DedupQueries {
     val prefix = pos
       .join(counts.hint("shuffle_hash"), Seq("doc_id"))
       .filter(col("pos") <= expr("n div 2 + 1"))
-      .select(col("doc_id").as("doc_p"), col("shingle"))
-    val cand = prefix.hint("shuffle_hash")
-      .join(kept.select(col("doc_id").as("doc_k"), col("shingle"))
-        .hint("shuffle_hash"), Seq("shingle"))
-      .filter(col("doc_p") =!= col("doc_k"))
-      .select(least(col("doc_p"), col("doc_k")).as("doc_a"),
-        greatest(col("doc_p"), col("doc_k")).as("doc_b"))
-      .distinct()
-    cand
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_id"), col("shingle"), col("pos"), col("n"))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("shingle"),
+      col("pos").as("pos_a"), col("n").as("n_a"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("shingle"),
+      col("pos").as("pos_b"), col("n").as("n_b"))
+    a.hint("shuffle_hash")
+      .join(b.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        col("n_a").as("na"), col("n_b").as("nb"))
+      .agg(min(col("pos_a")).as("ia"), min(col("pos_b")).as("ib"))
       .filter(lit(2) * least(col("na"), col("nb")) >=
         greatest(col("na"), col("nb")))
+      .filter(lit(1) + least(col("na") - col("ia"), col("nb") - col("ib"))
+        >= expr("(na + nb + 2) div 3"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
   }
 
   /** D31: AllPairs — EXACT τ-Jaccard similarity join via prefix

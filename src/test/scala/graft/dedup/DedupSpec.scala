@@ -55,9 +55,34 @@ class DedupSpec extends AnyFunSuite {
         Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct().count()
-    graft.CachedFrames.releaseAll()
     assert(nCand * 2 < nFull,
       s"prefix filter should at least halve candidates: $nCand vs $nFull")
+    // PPJoin (prefix x prefix + positional filter) admits strictly
+    // fewer candidates than the round-6 prefix x full-index shape
+    val dfTab = kept.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val pos = kept.join(dfTab, Seq("shingle"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+    val prefixOnly = pos.join(counts, Seq("doc_id"))
+      .filter(col("pos") <= expr("n div 2 + 1"))
+      .select(col("doc_id").as("doc_p"), col("shingle"))
+      .join(kept.select(col("doc_id").as("doc_k"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("doc_p") =!= col("doc_k"))
+      .select(least(col("doc_p"), col("doc_k")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_k")).as("doc_b"))
+      .distinct()
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .filter(lit(2) * least(col("na"), col("nb")) >=
+        greatest(col("na"), col("nb")))
+    val nPrefixOnly = prefixOnly.count()
+    graft.CachedFrames.releaseAll()
+    assert(nCand < nPrefixOnly,
+      s"positional filter should cut candidates: $nCand vs $nPrefixOnly")
   }
 
   test("k-core peel: planted clique survives, planted chain dissolves, " +
