@@ -23,7 +23,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * user, so the timeout bounds live users, not growth per user.
   *
   * Parity (StreamingSpec R25): over any trigger split, the advance
-  * set equals the batch funnel's stage frames row for row.
+  * set equals the batch funnel's stage frames row for row. For
+  * sources that only promise per-shard order under resharding/replay
+  * (the reference replays with RANDOM partition keys,
+  * KinesisPlayer.java:101-103), use [[StreamOoo.funnelAdvances]] —
+  * watermark-buffered, order-tolerant, same output.
   */
 object StreamFunnel {
 

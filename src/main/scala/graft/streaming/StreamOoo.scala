@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Out-of-order-tolerant variants of R22/R25 (round-8 item: the
+  * in-order forms enforce a per-key increasing-(ts, event_id) arrival
+  * contract that a real at-least-once feed cannot promise — the
+  * reference's own replay randomizes partition keys
+  * (KinesisPlayer.java:101-103), so per-key order survives only by
+  * luck of shard assignment).
+  *
+  * Mechanics: WATERMARK-DELAYED EMISSION. Each key buffers arrivals in
+  * state; once the watermark passes an event's time, no earlier event
+  * can still arrive (Spark drops later-than-watermark stragglers
+  * before the stateful operator), so the buffered prefix strictly
+  * below the watermark is emitted in event-time order and removed.
+  * An event-time timeout re-flushes a key when the watermark advances
+  * past its pending events even if no new data arrives for that key.
+  * State per key is O(events inside one watermark window) — bounded by
+  * the delay × the key's rate, not by history. Duplicate deliveries
+  * (same event_id still pending, or at/behind the emitted frontier)
+  * drop silently — at-least-once in, exactly-once out.
+  *
+  * Under any arrival interleaving whose per-key displacement stays
+  * inside the watermark delay, the emitted multiset equals the batch
+  * twin's exactly (StreamingSpec R22b/R25b feed a deliberately
+  * shuffled interleaving).
+  */
+object StreamOoo {
+
+  /** A buffered event: the (ts, id) pair is the event-time order. */
+  final case class PendEv(ts_micro: Long, event_id: Long,
+    event_type: String)
+
+  /** Input row after the watermark column attach. */
+  final case class EvT(user_id: Long, ts_micro: Long, event_id: Long,
+    event_type: String, ts: java.sql.Timestamp)
+
+  /** Dedupe + frontier-drop arrivals, merge into the pending buffer,
+    * and split at the watermark: (ready-in-event-time-order, rest).
+    */
+  private def merge(pending: Seq[PendEv], arrivals: Seq[PendEv],
+                    emTs: Long, emId: Long,
+                    wmMicro: Long): (Seq[PendEv], Seq[PendEv]) = {
+    val seen = pending.iterator.map(_.event_id).toSet
+    val fresh = arrivals
+      .filter(e => !seen.contains(e.event_id) &&
+        (e.ts_micro > emTs || (e.ts_micro == emTs && e.event_id > emId)))
+      .distinctBy(_.event_id)
+    val all = (pending ++ fresh).sortBy(e => (e.ts_micro, e.event_id))
+    all.partition(_.ts_micro < wmMicro)
+  }
+
+  /** Register a re-flush for the earliest still-pending event; no-op
+    * when nothing is pending (the next arrival re-registers).
+    */
+  private def armTimeout[S](state: GroupState[S],
+                            rest: Seq[PendEv]): Unit =
+    if (rest.nonEmpty)
+      state.setTimeoutTimestamp(math.max(
+        rest.head.ts_micro / 1000L + 1L,
+        state.getCurrentWatermarkMs() + 1L))
+
+  private def watermarked(evs: Dataset[_], delay: String): Dataset[EvT] = {
+    implicit val enc = Encoders.product[EvT]
+    evs.toDF()
+      .withColumn("ts", expr("timestamp_micros(ts_micro)"))
+      .withWatermark("ts", delay)
+      .as[EvT]
+  }
+
+  final case class TransSt(pending: Seq[PendEv], emTs: Long, emId: Long,
+    lastType: String, hasLast: Boolean)
+
+  /** R22b: transition pairs at ingest, order-tolerant. Emission is the
+    * in-order R22 fold over the watermark-released prefix.
+    */
+  def transitionPairs(evs: Dataset[StreamTransitions.Ev],
+                      delay: String): Dataset[StreamTransitions.Trans] = {
+    implicit val outEnc = Encoders.product[StreamTransitions.Trans]
+    implicit val stEnc = Encoders.product[TransSt]
+    watermarked(evs, delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TransSt, StreamTransitions.Trans](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[TransSt]) =>
+          val st = state.getOption.getOrElse(
+            TransSt(Seq.empty, Long.MinValue, Long.MinValue, "", false))
+          val wmMicro = state.getCurrentWatermarkMs() * 1000L
+          val arrivals = it.map(e =>
+            PendEv(e.ts_micro, e.event_id, e.event_type)).toSeq
+          val (ready, rest) =
+            merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
+          var lastType = st.lastType
+          var hasLast = st.hasLast
+          val out = ready.flatMap { e =>
+            val t = if (hasLast)
+              Some(StreamTransitions.Trans(uid, e.event_id, lastType,
+                e.event_type))
+            else None
+            lastType = e.event_type; hasLast = true
+            t
+          }
+          val (emTs, emId) =
+            if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
+            else (st.emTs, st.emId)
+          state.update(TransSt(rest, emTs, emId, lastType, hasLast))
+          armTimeout(state, rest)
+          out.iterator
+      }
+  }
+
+  final case class FunSt(pending: Seq[PendEv], emTs: Long, emId: Long,
+    tView: Long, tClick: Long, tPurchase: Long)
+
+  /** R25b: funnel advances at ingest, order-tolerant. Emission is the
+    * in-order R25 fold (first view, first click strictly after it,
+    * first purchase strictly after that) over the released prefix — an
+    * advance is final because nothing earlier can still arrive.
+    */
+  def funnelAdvances(evs: Dataset[StreamFunnel.Ev],
+                     delay: String): Dataset[StreamFunnel.Advance] = {
+    implicit val outEnc = Encoders.product[StreamFunnel.Advance]
+    implicit val stEnc = Encoders.product[FunSt]
+    watermarked(evs, delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunSt, StreamFunnel.Advance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[FunSt]) =>
+          var st = state.getOption.getOrElse(
+            FunSt(Seq.empty, Long.MinValue, Long.MinValue, -1L, -1L, -1L))
+          val wmMicro = state.getCurrentWatermarkMs() * 1000L
+          val arrivals = it.map(e =>
+            PendEv(e.ts_micro, e.event_id, e.event_type)).toSeq
+          val (ready, rest) =
+            merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
+          val out = ready.flatMap { e =>
+            e.event_type match {
+              case "view" if st.tView < 0 =>
+                st = st.copy(tView = e.ts_micro)
+                Some(StreamFunnel.Advance(uid, "viewed", e.ts_micro))
+              case "click" if st.tView >= 0 && st.tClick < 0 &&
+                e.ts_micro > st.tView =>
+                st = st.copy(tClick = e.ts_micro)
+                Some(StreamFunnel.Advance(uid, "clicked", e.ts_micro))
+              case "purchase" if st.tClick >= 0 && st.tPurchase < 0 &&
+                e.ts_micro > st.tClick =>
+                st = st.copy(tPurchase = e.ts_micro)
+                Some(StreamFunnel.Advance(uid, "purchased", e.ts_micro))
+              case _ => None
+            }
+          }
+          val (emTs, emId) =
+            if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
+            else (st.emTs, st.emId)
+          state.update(st.copy(pending = rest, emTs = emTs, emId = emId))
+          armTimeout(state, rest)
+          out.iterator
+      }
+  }
+}

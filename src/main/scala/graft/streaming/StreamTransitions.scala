@@ -19,7 +19,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract is ENFORCED from kept state: a regressed or redelivered
   * event fails the query loudly rather than silently fabricating
   * transitions. Under the contract the emitted pair multiset is
-  * exactly the batch lag's — the spec's claim.
+  * exactly the batch lag's — the spec's claim. For sources that only
+  * promise per-shard order under resharding/replay (the reference
+  * replays with RANDOM partition keys, KinesisPlayer.java:101-103),
+  * use [[StreamOoo.transitionPairs]] — watermark-buffered, order-
+  * tolerant, same output.
   */
 object StreamTransitions {
 

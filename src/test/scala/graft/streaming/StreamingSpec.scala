@@ -1618,6 +1618,148 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === expected.length, "duplicate advances emitted")
   }
 
+  /** R22b/R25b harness: write the sf0.001 events slice as arrival
+    * waves whose interleaving is deliberately OUT of per-user order —
+    * time-chunked, with every 3rd event bumped one wave late (bounded
+    * displacement, inside the watermark delay) — plus a final
+    * sentinel-user wave whose far-future timestamps push the watermark
+    * past everything, flushing all buffers. Files get strictly
+    * increasing mtimes so maxFilesPerTrigger=1 replays the waves in
+    * order, one trigger each.
+    */
+  private def oooWaveDir(evs: org.apache.spark.sql.DataFrame,
+                         sentinelUser: Long): (String, String) = {
+    import spark.implicits._
+    val (tMin, tMax) = evs.agg(min("ts_micro"), max("ts_micro"))
+      .as[(Long, Long)].head()
+    val delayMicros = (tMax - tMin) / 4 + 1
+    val half = delayMicros / 2 + 1 // chunk span < watermark delay
+    val waved = evs.withColumn("wave",
+      ((col("ts_micro") - tMin) / lit(half)).cast("long") +
+        when(col("event_id") % 3 === 0, 1L).otherwise(0L))
+    val nWaves = waved.agg(max("wave")).as[Long].head()
+    val fdir = tmp()
+    val base = System.currentTimeMillis()
+    def emit(df: org.apache.spark.sql.DataFrame, idx: Long): Unit = {
+      val stage = tmp()
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(fdir, f"wave$idx%03d.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(base + idx * 1000))
+    }
+    (0L to nWaves).foreach { w =>
+      emit(waved.filter(col("wave") === w)
+        .select("user_id", "ts_micro", "event_id", "event_type"), w)
+    }
+    val far = tMax + 10 * delayMicros
+    emit(Seq((sentinelUser, far, 1L, "view"),
+      (sentinelUser, far + 1000000L, 2L, "view"))
+      .toDF("user_id", "ts_micro", "event_id", "event_type"), nWaves + 1)
+    (fdir, s"${delayMicros / 1000000 + 1} seconds")
+  }
+
+  test("R22b: out-of-order transitions — watermark-buffered emission " +
+    "equals the batch lag under a deliberately shuffled interleaving " +
+    "the strict R22 contract rejects") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_micro"),
+        col("event_id"), col("event_type"))
+    val (fdir, delay) = oooWaveDir(evs, sentinelUser = 999999L)
+    def source() = spark.readStream.schema(evs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(fdir)
+      .as[StreamTransitions.Ev]
+    // negative control: the interleaving genuinely violates per-user
+    // order — the strict in-order R22 fails loudly on it
+    val strict = StreamTransitions.pairs(source())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .format("noop").start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+      throw new IllegalStateException(
+        "strict R22 accepted the shuffled feed")
+    }
+    strict.stop()
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamTransitions.Trans]()
+    val sq = StreamOoo.transitionPairs(source(), delay)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamTransitions.Trans],
+         _: Long) =>
+          b.collect().foreach(got.add)
+          ()
+      }.start()
+    sq.processAllAvailable(); sq.stop()
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_micro"), col("event_id"))
+    val batch = evs
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("event_id"), col("prev_type"),
+        col("event_type"))
+      .collect()
+      .map(r => StreamTransitions.Trans(r.getLong(0), r.getLong(1),
+        r.getString(2), r.getString(3))).toSet
+    import scala.jdk.CollectionConverters._
+    val emitted = got.asScala.filter(_.user_id < 50).toSeq
+    assert(emitted.toSet === batch,
+      "out-of-order transitions diverged from the batch lag")
+    assert(emitted.size === batch.size, "duplicate transitions emitted")
+  }
+
+  test("R25b: out-of-order funnel advances — watermark-buffered " +
+    "emission equals the batch stage frames under a deliberately " +
+    "shuffled interleaving") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_micro"),
+        col("event_id"), col("event_type"))
+    val (fdir, delay) = oooWaveDir(evs, sentinelUser = 999999L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamFunnel.Advance]()
+    val sq = StreamOoo.funnelAdvances(
+        spark.readStream.schema(evs.schema)
+          .option("maxFilesPerTrigger", 1).parquet(fdir)
+          .as[StreamFunnel.Ev], delay)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamFunnel.Advance], _: Long) =>
+          b.collect().foreach(got.add)
+          ()
+      }.start()
+    sq.processAllAvailable(); sq.stop()
+    val v = evs.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_micro")).as("t_view"))
+    val c = evs.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ts_micro") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_micro")).as("t_click"))
+    val p = evs.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id")).filter(col("ts_micro") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_micro")).as("t_purchase"))
+    val expected =
+      v.collect().map(r => StreamFunnel.Advance(r.getLong(0), "viewed",
+        r.getLong(1))) ++
+      c.collect().map(r => StreamFunnel.Advance(r.getLong(0), "clicked",
+        r.getLong(1))) ++
+      p.collect().map(r => StreamFunnel.Advance(r.getLong(0), "purchased",
+        r.getLong(1)))
+    import scala.jdk.CollectionConverters._
+    val emitted = got.asScala.filter(_.user_id < 50).toSeq
+    assert(emitted.toSet === expected.toSet,
+      "out-of-order funnel advances diverged from the batch frames")
+    assert(emitted.size === expected.length, "duplicate advances emitted")
+  }
+
   test("R23: perplexity scoring at ingest — stream-static reference " +
     "joins reproduce the batch held-out scorer under any trigger " +
     "packing") {
