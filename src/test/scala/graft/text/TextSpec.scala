@@ -320,6 +320,101 @@ class TextSpec extends AnyFunSuite {
       "no merge applied to 'banana' — training not compressing")
   }
 
+  test("deep BPE: the incremental heap trainer replays the reference " +
+    "trainer merge-for-merge at depth on the REAL corpus vocabulary, " +
+    "and the checkpoint fingerprints agree") {
+    val vocab = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val depth = 2048 // full-trajectory replay; reference is O(V·len/round)
+    val (got, toks) = TextQueries.bpeTrainDeep(vocab, depth)
+    val want = refBpe(vocab, depth)
+    assert(got.length === want.length,
+      s"trajectory lengths differ: ${got.length} vs ${want.length}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"merge ${i + 1} diverged: $g vs $w")
+    }
+    // checkpoint fingerprints: the gate's md5 rows recompute from the
+    // reference trajectory
+    val gotCk = TextQueries.bpeCkptRows(got)
+    val wantCk = TextQueries.bpeCkptRows(want.toVector)
+    assert(gotCk === wantCk)
+    assert(gotCk.nonEmpty && gotCk.last._1 === got.length)
+    // every word's deep token count matches the reference encoder
+    val sample = vocab.take(200)
+    sample.foreach { case (w, _) =>
+      assert(toks(w) === refEncode(w, got).length,
+        s"deep token count for '$w' diverged from reference encode")
+    }
+  }
+
+  test("deep BPE fuzz: seeded random vocabularies run to EXHAUSTION — " +
+    "incremental trainer equals the recount-per-round reference") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 8).foreach { t =>
+      val raw = (1 to 4 + rnd.nextInt(8)).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        ((1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString,
+          1L + rnd.nextInt(9))
+      }
+      val planted = raw.groupBy(_._1).map { case (w, xs) =>
+        (w, xs.map(_._2).sum)
+      }.toSeq.sortBy(_._1)
+      val (got, _) = TextQueries.bpeTrainDeep(planted, 10000)
+      val want = refBpe(planted, 10000)
+      assert(got === want.toVector,
+        s"trial $t vocab $planted: incremental $got != reference $want")
+      // exhaustion: the trainer stopped because no pairs remain
+      assert(got.length < 10000)
+    }
+    // depth for real: a RICH vocabulary (1200 distinct words, 8-letter
+    // alphabet) whose trajectory runs >1000 merges — the corpus tables'
+    // 31-word vocabulary exhausts in ~10², so production depth is
+    // exercised here, against the recount-per-round reference
+    val rnd2 = new scala.util.Random(77)
+    val big = (1 to 1200).map { _ =>
+      val len = 2 + rnd2.nextInt(11)
+      ((1 to len).map(_ => ('a' + rnd2.nextInt(8)).toChar).mkString,
+        1L + rnd2.nextInt(50))
+    }.groupBy(_._1).map { case (w, xs) => (w, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val depth = 2000
+    val (gotBig, _) = TextQueries.bpeTrainDeep(big, depth)
+    val wantBig = refBpe(big, depth)
+    assert(gotBig.length === wantBig.length)
+    assert(gotBig === wantBig.toVector,
+      "incremental trainer diverged from reference at depth on the " +
+        "rich vocabulary")
+    assert(gotBig.length > 1000,
+      s"rich vocabulary only sustained ${gotBig.length} merges — " +
+        "depth not exercised")
+  }
+
+  test("deep BPE encode: production-depth accounting never costs more " +
+    "than the 8-round table, always at least one token per word") {
+    val shallow = TextQueries.textBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.CachedFrames.releaseAll()
+    val deep = TextQueries.textBpeDeepEncode(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(deep.nonEmpty)
+    deep.foreach { r =>
+      val (docId, nWords, nDeep) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (nWordsS, nShallow) = shallow(docId)
+      assert(nWords === nWordsS)
+      assert(nDeep <= nShallow,
+        s"doc $docId: deeper merges raised the token bill")
+      assert(nDeep >= nWords, s"doc $docId: a word costs at least 1 token")
+    }
+    // depth buys real compression somewhere
+    assert(deep.exists(r => shallow(r.getLong(0))._2 > r.getLong(2)),
+      "32k merges compressed nothing beyond 8 rounds")
+  }
+
   test("BPE gate: full round table, deterministic across runs") {
     val a = TextQueries.textBpe(spark, dir).collect()
     val b = TextQueries.textBpe(spark, dir).collect()
