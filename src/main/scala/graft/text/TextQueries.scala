@@ -1067,14 +1067,20 @@ object TextQueries {
     // answers what distinct-counting the exploded token stream would —
     // without shuffling corpus-token-cardinality rows for a scalar
     val nDocs = Tables.documents(s, dir).count()
-    // the full index: every (doc, term) weight — feeds norms AND scoring
+    // the full index: every (doc, term) weight — feeds norms AND scoring.
+    // df rides a window over the tf frame rather than a groupBy+join:
+    // the term dictionary is Heaps'-law-sized (the sf1 probe measured
+    // its broadcast at 16.8 MB — GBs at 100 TB), so joining it back
+    // either broadcasts a corpus-growing frame or re-shuffles the whole
+    // index; the window computes df on the single word-shuffle the
+    // dictionary aggregate needs anyway, and nothing is broadcast.
     val tf = toks.groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .withColumn("idf_micro",
-        round(log(lit(nDocs.toDouble) / col("df")) * 1e6, 0).cast("long"))
+    val byWord = org.apache.spark.sql.expressions.Window.partitionBy("word")
     val weights = graft.CachedFrames.persist(
-      tf.join(df.select(col("word"), col("idf_micro")), Seq("word"))
+      tf.withColumn("df", count(lit(1)).over(byWord))
+        .withColumn("idf_micro",
+          round(log(lit(nDocs.toDouble) / col("df")) * 1e6, 0).cast("long"))
         .withColumn("w_micro", col("tf") * col("idf_micro")))
     // w_micro ~ tf*idf*1e6 can reach 1e10; its square breaks 63 bits
     // long before the corpus is interesting, and Spark's non-ANSI sum

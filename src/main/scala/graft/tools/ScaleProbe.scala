@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   * over a tape built from the SF's events and records max state-store
   * rows. Output: one JSON artifact (arg 2, default SCALE_sf1.json).
   *
-  * Usage: runMain graft.tools.ScaleProbe <sfDir> [outPath]
+  * Usage: runMain graft.tools.ScaleProbe <sfDir> [outPath] [suites]
+  * where `suites` is a comma list of dedup,sim,text,analytics,
+  * pipeline,media,vcr (default dedup,sim — the round-4 scope; the
+  * rest added round 8 so every query family has its own measured 10×
+  * point; analytics/vcr need the ScaleUp `tpch`/`core` tables).
   */
 object ScaleProbe {
 
@@ -57,8 +61,17 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val targets = (graft.dedup.DedupQueries.all ++ graft.sim.SimQueries.all)
-      .toSeq.sortBy(_._1)
+    val suites = (if (args.length > 2) args(2) else "dedup,sim")
+      .split(",").map(_.trim).toSet
+    val families = Map(
+      "dedup" -> graft.dedup.DedupQueries.all,
+      "sim" -> graft.sim.SimQueries.all,
+      "text" -> graft.text.TextQueries.all,
+      "analytics" -> graft.analytics.AnalyticsQueries.all,
+      "pipeline" -> graft.pipeline.PipelineQueries.all,
+      "media" -> graft.media.MediaQueries.all,
+      "vcr" -> graft.vcr.VcrQueries.all)
+    val targets = suites.toSeq.flatMap(families(_)).sortBy(_._1)
     val rows = targets.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val dfCold = fn(spark, sfDir)
@@ -80,47 +93,53 @@ object ScaleProbe {
 
     // streaming state probe: the exact ledger (R9) and the
     // Bloom-gated ledger (R14, archive = the whole tape, so every
-    // arrival is an archived dup) over a tape of this SF's events
-    val tapeRoot = java.nio.file.Files
-      .createTempDirectory("graft-scale-tape").toString
-    val ev = graft.Tables.events(spark, sfDir)
-    graft.vcr.TapeWriter.write(
-      ev.select(col("props").cast("binary").as(graft.vcr.Tape.DataCol),
-        col("event_id").as(graft.vcr.Tape.SeqCol),
-        col("ts").as(graft.vcr.Tape.TsCol)),
-      tapeRoot, "s", numFiles = 8)
+    // arrival is an archived dup) over a tape of this SF's events.
+    // Tied to the dedup suite — a text-only run measures no streams.
+    val streamRows: Seq[(String, Double, Long, Long)] =
+      if (!suites("dedup")) Seq.empty
+      else {
+        val tapeRoot = java.nio.file.Files
+          .createTempDirectory("graft-scale-tape").toString
+        val ev = graft.Tables.events(spark, sfDir)
+        graft.vcr.TapeWriter.write(
+          ev.select(col("props").cast("binary").as(graft.vcr.Tape.DataCol),
+            col("event_id").as(graft.vcr.Tape.SeqCol),
+            col("ts").as(graft.vcr.Tape.TsCol)),
+          tapeRoot, "s", numFiles = 8)
 
-    def streamProbe(label: String,
-                    mk: DataFrame => DataFrame): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val stream = spark.readStream.format("tape").load(s"$tapeRoot/s")
-      val q = mk(stream).writeStream.outputMode("complete")
-        .format("memory").queryName(s"probe_$label").start()
-      q.processAllAvailable()
-      val stateRows = q.recentProgress.flatMap(_.stateOperators)
-        .map(_.numRowsTotal) match {
-        case a if a.isEmpty => 0L
-        case a => a.max
+        def streamProbe(label: String,
+                        mk: DataFrame => DataFrame): (String, Double, Long) = {
+          val t0 = System.nanoTime()
+          val stream = spark.readStream.format("tape").load(s"$tapeRoot/s")
+          val q = mk(stream).writeStream.outputMode("complete")
+            .format("memory").queryName(s"probe_$label").start()
+          q.processAllAvailable()
+          val stateRows = q.recentProgress.flatMap(_.stateOperators)
+            .map(_.numRowsTotal) match {
+            case a if a.isEmpty => 0L
+            case a => a.max
+          }
+          q.stop()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE stream:$label%-17s time=$sec%8.2fs state_rows=$stateRows%d")
+          (label, sec, stateRows)
+        }
+        val nArrivals = spark.read.format("tape").load(s"$tapeRoot/s").count()
+        val ledger = streamProbe("ledger_r9",
+          t => graft.streaming.StreamDedupLedger(t))
+        val archive = graft.streaming.StreamBloomGate.buildArchive(
+          spark.read.format("tape").load(s"$tapeRoot/s"))
+        val gated = streamProbe("bloomgate_r14",
+          t => graft.streaming.StreamBloomGate(t, archive))
+        graft.CachedFrames.releaseAll()
+        Seq(ledger, gated).map { case (l, s, st) => (l, s, st, nArrivals) }
       }
-      q.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE stream:$label%-17s time=$sec%8.2fs state_rows=$stateRows%d")
-      (label, sec, stateRows)
-    }
-    val nArrivals = spark.read.format("tape").load(s"$tapeRoot/s").count()
-    val ledger = streamProbe("ledger_r9",
-      t => graft.streaming.StreamDedupLedger(t))
-    val archive = graft.streaming.StreamBloomGate.buildArchive(
-      spark.read.format("tape").load(s"$tapeRoot/s"))
-    val gated = streamProbe("bloomgate_r14",
-      t => graft.streaming.StreamBloomGate(t, archive))
-    graft.CachedFrames.releaseAll()
 
     val qJson = rows.map { case (n, (c, w, b, k)) =>
       s""""$n":{"cold_sec":$c,"warm_sec":$w,"bcast_max_bytes":$b,"n_bcast":$k}"""
     }.mkString("{", ",", "}")
-    val sJson = Seq(ledger, gated).map { case (l, sec, st) =>
-      s""""$l":{"sec":$sec,"state_rows":$st,"arrivals":$nArrivals}"""
+    val sJson = streamRows.map { case (l, sec, st, n) =>
+      s""""$l":{"sec":$sec,"state_rows":$st,"arrivals":$n}"""
     }.mkString("{", ",", "}")
     val line = s"""{"sf_dir":"$sfDir","queries":$qJson,"streaming":$sJson}"""
     println(line)

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   *    ~100 while arrivals grow 10×, exactly the dup-heavy regime the
   *    ingest-dedup ladder exists for.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor]
+  * Usage: runMain graft.tools.ScaleUp <srcSfDir> <outDir> [factor] [which]
+  * where `which` is all|core|tpch (core = documents/embeddings/events/
+  * customer; tpch = the analytics fact/dim tables, round 8).
   */
 object ScaleUp {
 
@@ -92,6 +94,69 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$out/customer.parquet")
   }
 
+  /** The TPC-H-ish fact/dim tables (round 8, for the analytics-family
+    * sf1 probe). Keys are dense 0..n-1 in the driver's tables, so
+    * replica r offsets every key column by r*count — referential
+    * integrity holds WITHIN a replica (replica-r lineitems point at
+    * replica-r orders/parts/suppliers), matching [[replicate]]'s
+    * customer offset, so each replica is a self-contained shard of a
+    * 10×-bigger business over the SAME date range: date-filter
+    * selectivities and group cardinalities keep their sf0.1 shape
+    * while every join's output scales 10×. nation/region are fixed
+    * dims — copied, not replicated (per-nation groups grow 10×, the
+    * realistic shape). supplier names are REGENERATED in the
+    * Supplier#%09d shape like customer's, not copied.
+    */
+  def replicateTpch(s: SparkSession, src: String, out: String,
+                    factor: Int): Unit = {
+    val ord = s.read.parquet(s"$src/orders.parquet")
+    val nOrd = ord.count()
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    val part = s.read.parquet(s"$src/part.parquet")
+    val nPart = part.count()
+    val supp = s.read.parquet(s"$src/supplier.parquet")
+    val nSupp = supp.count()
+    val nCust = s.read.parquet(s"$src/customer.parquet").count()
+
+    (0 until factor).map { r =>
+      ord.select((col("o_orderkey") + lit(r * nOrd)).as("o_orderkey"),
+        (col("o_custkey") + lit(r * nCust)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+    }.reduce(_ union _).repartition(16)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    (0 until factor).map { r =>
+      li.select((col("l_orderkey") + lit(r * nOrd)).as("l_orderkey"),
+        (col("l_partkey") + lit(r * nPart)).as("l_partkey"),
+        (col("l_suppkey") + lit(r * nSupp)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ union _).repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    (0 until factor).map { r =>
+      part.select((col("p_partkey") + lit(r * nPart)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ union _).repartition(8)
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
+    (0 until factor).map { r =>
+      val k = col("s_suppkey") + lit(r * nSupp)
+      supp.select(k.as("s_suppkey"),
+        format_string("Supplier#%09d", k).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    }.reduce(_ union _).repartition(4)
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    s.read.parquet(s"$src/nation.parquet")
+      .write.mode("overwrite").parquet(s"$out/nation.parquet")
+    s.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$out/region.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
@@ -104,7 +169,11 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    replicate(spark, src, out, factor)
+    val which = if (args.length > 3) args(3) else "all"
+    if (which == "all" || which == "core")
+      replicate(spark, src, out, factor)
+    if (which == "all" || which == "tpch")
+      replicateTpch(spark, src, out, factor)
     spark.stop()
   }
 }
