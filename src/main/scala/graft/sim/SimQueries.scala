@@ -414,6 +414,146 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** S31: DELETES on the deployed index — the maintenance operation
+    * every production vector store grows after S27 ships (faiss
+    * `remove_ids`, Milvus/Vespa tombstones): removing a vector must
+    * not rebuild the index. `ivfDelete` appends ids to a tombstone
+    * table next to the artifact — O(deletes) metadata, the postings
+    * are untouched. Serving anti-joins the candidate stream against
+    * the tombstones AFTER the probe join and BEFORE scoring: the
+    * partition-pruned scan keeps its S27 shape (the pruning join is
+    * still directly over the partitioned postings), the anti-join
+    * runs on nprobe-lists-of-candidates (not the whole corpus), and
+    * a deleted vector is never dotted. Deleted vectors may still
+    * QUERY (a user who deleted documents can still search); they
+    * just never appear as neighbors.
+    */
+  def ivfDelete(s: SparkSession, artifact: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long"))
+      .write.mode("append").parquet(s"$artifact/tombstones")
+
+  private def tombstonesOf(s: SparkSession, artifact: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(p.toString).distinct()
+    else s.range(0).select(col("id").as("vec_id"))
+  }
+
+  def ivfServeArtifactDeleted(s: SparkSession, dir: String,
+                              artifact: String): DataFrame = {
+    val cents = KMeans.collectCodebook(
+      s.read.parquet(s"$artifact/centroids"))
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    val postings = s.read.parquet(s"$artifact/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn"))
+      .withColumn("cluster", (best.getField("neg_cluster") * lit(-1L)))
+      .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
+    val scored = q.join(postings, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** S31b: tombstone COMPACTION — when a list has accumulated
+    * `minDead` or more tombstoned rows, rewrite THAT list's partition
+    * without them and retire the covered tombstones; lists below the
+    * threshold stay byte-identical (the V14 dynamic-partition-
+    * overwrite discipline). A fully-dead list writes no rows, so its
+    * partition directory is dropped explicitly (metadata-only).
+    * Tombstones for ids that were never in the postings (double
+    * deletes) are retired too — they cover nothing. Serving is
+    * IDENTICAL before and after (spec'd): compaction trades tombstone
+    * anti-join work for a one-off partition rewrite, the same
+    * reclaim-when-it-pays call LSM stores make.
+    */
+  def ivfCompact(s: SparkSession, artifact: String,
+                 minDead: Long = 1L): Unit = {
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/postings")
+    val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
+    if (!fs.exists(tombPath)) return
+    val tomb = s.read.parquet(tombPath.toString).distinct()
+    val postings = s.read.parquet(postingsPath.toString)
+      .withColumn("cluster", col("cluster").cast("long"))
+    // per-list dead counts; the list set is codebook-sized, so the
+    // collect is k rows — plan-time scalars, not corpus data
+    val deadLists = postings.join(tomb, Seq("vec_id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_dead"))
+      .filter(col("n_dead") >= minDead)
+      .select("cluster").collect().map(_.getLong(0)).sorted
+    if (deadLists.nonEmpty) {
+      val out = postings.filter(col("cluster").isin(deadLists: _*))
+        .join(tomb, Seq("vec_id"), "left_anti")
+      val outLists = out.select("cluster").distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (outLists.nonEmpty)
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster").parquet(postingsPath.toString)
+      (deadLists.toSet -- outLists).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          postingsPath, s"cluster=$c"), true)
+      }
+      s.catalog.refreshByPath(postingsPath.toString)
+    }
+    // surviving tombstones = ids still masking a postings row AFTER the
+    // rewrite (below-threshold lists); covered and orphaned (never-
+    // present) ids retire. tmp+rename — never overwrite a path mid-read
+    val keep = s.read.parquet(tombPath.toString).distinct()
+      .join(s.read.parquet(postingsPath.toString).select("vec_id"),
+        Seq("vec_id"), "left_semi")
+    val tmp = new org.apache.hadoop.fs.Path(s"$artifact/_tombstones_compacting")
+    keep.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(tombPath, true)
+    if (!fs.rename(tmp, tombPath))
+      throw new java.io.IOException(
+        s"tombstone compaction rename failed: $tmp -> $tombPath")
+    s.catalog.refreshByPath(tombPath.toString)
+  }
+
+  /** One artifact+delete build per (JVM, corpus) for the S31 gate:
+    * deploy the S27 index once, tombstone every `vec_id % 7 == 3`
+    * (orthogonal to cluster geometry, so every list loses members),
+    * then serve from nothing but artifact + tombstones. Same codebook
+    * and tie order as `knn_ivf_kmeans`, so the oracle is that gate's
+    * SQL with the delete predicate on candidates — served-after-delete
+    * ≡ the index rebuilt without the deleted vectors is exactly the
+    * contract tombstones promise.
+    */
+  val DeleteMod = 7L
+  val DeleteRem = 3L
+  private val deletedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val artifact = deletedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-deleted-ivf").toString
+      ivfIndexWrite(s, dir, out)
+      ivfDelete(s, out, vecs(s, dir)
+        .filter(col("vec_id") % DeleteMod === DeleteRem)
+        .select(col("vec_id")))
+      out
+    })
+    ivfServeArtifactDeleted(s, dir, artifact)
+  }
+
   /** S2b: IVF over the TRAINED k-means codebook (E12) — one Lloyd
     * iteration from the label-mean seeds, then the same serving shape
     * as `knn_ivf`: the ≤k codebook collects to a literal, assignment is
@@ -490,6 +630,58 @@ object SimQueries {
              round(list_dot_product(q.vn, a.vn), 6) AS cos
       FROM assigned q JOIN assigned a USING (cluster)
       WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S31 oracle: `knn_ivf_kmeans`'s pipeline with the tombstoned ids
+    * excluded from CANDIDATES only (queries keep their full set) —
+    * the index-rebuilt-without-them reference that tombstone serving
+    * must equal.
+    */
+  val knnIvfDeleteSql: String = s"""
+    WITH e AS ($vecsSql),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM e)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.vn, a.vn), 6) AS cos
+      FROM assigned q JOIN assigned a USING (cluster)
+      WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id
+        AND a.vec_id % $DeleteMod != $DeleteRem),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY q_id
                ORDER BY cos DESC, neighbor) AS rank
@@ -3376,6 +3568,7 @@ object SimQueries {
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "knn_filtered_artifact" -> (knnFilteredArtifact _),
     "ivf_tune" -> (ivfTune _),
+    "knn_ivf_delete" -> (knnIvfDelete _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),
@@ -3408,6 +3601,7 @@ object SimQueries {
     "knn_filtered" -> knnFilteredSql,
     "knn_filtered_artifact" -> knnFilteredSql,
     "ivf_tune" -> ivfTuneSql,
+    "knn_ivf_delete" -> knnIvfDeleteSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "knn_lsh_probe" -> knnLshProbeSql,

@@ -241,6 +241,106 @@ class SimSpec extends AnyFunSuite {
       "filtered postings probe must prune to the cluster partition")
   }
 
+  test("IVF deletes (S31): tombstone serving ≡ the index rebuilt " +
+    "without the deleted vectors; deleted ids never surface; " +
+    "compaction preserves serving, retires tombstones, and is a " +
+    "byte-level no-op below its threshold") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del").toString
+    SimQueries.ivfIndexWrite(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val delIds = spark.read.parquet(s"$out/postings")
+      .filter(col("vec_id") % SimQueries.DeleteMod === SimQueries.DeleteRem)
+      .select(col("vec_id"))
+    SimQueries.ivfDelete(spark, out, delIds)
+    // add an orphan tombstone (id never indexed) — compaction must
+    // retire it, serving must not care
+    SimQueries.ivfDelete(spark, out,
+      spark.range(1).select((col("id") - 999999L).as("vec_id")))
+    val served = SimQueries.ivfServeArtifactDeleted(spark, dir, out)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served.nonEmpty)
+    // hard constraint: no tombstoned id is ever a neighbor
+    assert(served.forall(r => r(1).asInstanceOf[Long]
+      % SimQueries.DeleteMod != SimQueries.DeleteRem),
+      "a deleted vector surfaced as a neighbor")
+    // tombstones ≡ rebuild: an artifact physically rebuilt without the
+    // deleted rows must serve bit-for-bit the same
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-ivf-del-ref").toString
+    spark.read.parquet(s"$out/centroids")
+      .write.parquet(s"$ref/centroids")
+    spark.read.parquet(s"$out/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+      .filter(col("vec_id") % SimQueries.DeleteMod =!= SimQueries.DeleteRem)
+      .write.partitionBy("cluster").parquet(s"$ref/postings")
+    val rebuilt = SimQueries.ivfServeArtifact(spark, dir, ref)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === rebuilt,
+      "tombstone serving diverged from the rebuilt-without-them index")
+    // negative control: ignoring the tombstones serves differently
+    val undeleted = SimQueries.ivfServeArtifact(spark, dir, out)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served !== undeleted,
+      "delete set was supposed to change some result")
+    // below-threshold compaction: postings files byte-identical
+    def fileState(p: String) = {
+      val root = new java.io.File(p)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).map(f => (f.getPath, f.length, f.lastModified)).sortBy(_._1)
+    }
+    val before = fileState(s"$out/postings")
+    SimQueries.ivfCompact(spark, out, minDead = Long.MaxValue)
+    assert(fileState(s"$out/postings") === before,
+      "below-threshold compaction must not touch postings files")
+    // orphan retired even by the no-op pass
+    assert(spark.read.parquet(s"$out/tombstones")
+      .filter(col("vec_id") < 0).count() === 0L,
+      "orphan tombstone survived compaction")
+    // real compaction: serving unchanged, covered tombstones retired
+    SimQueries.ivfCompact(spark, out, minDead = 1L)
+    val servedAfter = SimQueries.ivfServeArtifactDeleted(spark, dir, out)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(servedAfter === served,
+      "compaction changed serving results")
+    assert(spark.read.parquet(s"$out/tombstones").count() === 0L,
+      "compaction left covered tombstones behind")
+  }
+
+  test("IVF delete compaction drops a fully-dead list's partition " +
+    "directory and serving never probes it again") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-ivf-dead-list").toString
+    SimQueries.ivfIndexWrite(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val post = spark.read.parquet(s"$out/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+    // kill EVERY member of one list
+    val victim = post.groupBy("cluster").count()
+      .orderBy(col("count"), col("cluster")).limit(1)
+      .collect().head.getLong(0)
+    SimQueries.ivfDelete(spark, out,
+      post.filter(col("cluster") === victim).select("vec_id"))
+    val served = SimQueries.ivfServeArtifactDeleted(spark, dir, out)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    SimQueries.ivfCompact(spark, out, minDead = 1L)
+    assert(!new java.io.File(s"$out/postings/cluster=$victim").exists,
+      "fully-dead list partition directory must be dropped")
+    val after = SimQueries.ivfServeArtifactDeleted(spark, dir, out)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(after === served)
+    assert(after.forall(_(2).asInstanceOf[Long] != victim))
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match
