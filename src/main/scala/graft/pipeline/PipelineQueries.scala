@@ -326,8 +326,13 @@ object PipelineQueries {
   /** P6: unigram language-model scoring — build the corpus unigram
     * distribution, score each document by mean negative log-likelihood
     * (the cheap stand-in for model-based quality filtering). The vocab
-    * is a bounded aggregate (≪ corpus) broadcast back to the token
-    * stream. Cross-engine discipline: per-word logprobs are quantized
+    * is Heaps'-law-sized — it grows with the corpus, so it is NOT a
+    * broadcast (the T9 lesson): scoring first collapses tokens to the
+    * (doc, word, count) grain — a map-side-combined aggregate, so the
+    * shuffled volume is distinct pairs, not raw tokens — then
+    * shuffle-hash-joins that frame against the vocab on `word`; the
+    * per-token NLL sum is recovered exactly as Σ count·lp_micro.
+    * Cross-engine discipline: per-word logprobs are quantized
     * to integer MICRO-NATS at the vocab level (one rounding of one
     * double per distinct word), so the per-doc sum and mean are exact
     * BIGINT arithmetic — averaging rounded doubles instead lands on
@@ -337,19 +342,22 @@ object PipelineQueries {
   def textUnigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dw = graft.CachedFrames.persist(
+      toks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c")))
     // the corpus token total is Σ vocab counts — read it off the
-    // (bounded, persisted) vocab aggregate instead of a separate
-    // corpus-wide count() scan
-    val counts = graft.CachedFrames.persist(
-      toks.groupBy(col("word")).agg(count(lit(1)).as("cnt")))
-    val total = counts.agg(sum(col("cnt"))).head().getLong(0)
+    // (bounded) vocab re-aggregate of the persisted (doc, word) frame
+    // instead of a separate corpus-wide count() scan
+    val counts = dw.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
+    val total = counts.agg(coalesce(sum(col("cnt")), lit(0L)))
+      .head().getLong(0)
     val vocab = counts
       .withColumn("lp_micro",
         round(-log(col("cnt") / lit(total.toDouble)) * 1e6, 0).cast("long"))
       .select(col("word"), col("lp_micro"))
-    toks.join(broadcast(vocab), Seq("word"))
+    dw.join(vocab.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("lp_micro")).as("s"), count(lit(1)).as("n_tokens"))
+      .agg(sum(col("lp_micro") * col("c")).as("s"),
+        sum(col("c")).as("n_tokens"))
       .select(col("doc_id"), expr("s div n_tokens").as("nll_micro"),
         col("n_tokens"))
       .orderBy(col("doc_id"))
@@ -518,14 +526,20 @@ object PipelineQueries {
     * whose keeper lives in another source contributes zero here — the
     * honest attribution for cross-source copies. One shuffle on the
     * 16-byte hash for the keeper resolution, one per-source rollup.
+    * The keeper rides a min-window over the hash partition — NOT an
+    * aggregate joined back: the keeper frame is corpus-sized (one row
+    * per distinct payload; the sf1 probe measured its AQE-elected
+    * broadcast at 18.9 MB — GBs at 100 TB), and the window reuses the
+    * one hash shuffle the resolution needs anyway. Partition mass is
+    * bounded by duplicate multiplicity, never corpus size.
     */
   def dataDedupBudget(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"),
         md5(col("text").cast("binary")).as("h"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    docs.join(keep, Seq("h"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    docs.withColumn("keeper", min(col("doc_id")).over(wh))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("tokens_total"),
@@ -1127,8 +1141,12 @@ object PipelineQueries {
       .select(col("source"), col("doc_id"),
         md5(col("text").cast("binary")).as("h"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    val uniq = graft.CachedFrames.persist(docs.join(keep, Seq("h"))
+    // keeper = min-window over the hash partition (P13's shape — the
+    // aggregate-and-join-back form broadcast an 18.9 MB corpus-sized
+    // keeper frame at sf1)
+    val uniq = graft.CachedFrames.persist(docs
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
       .filter(col("doc_id") === col("keeper"))
       .select(col("source"), col("doc_id"), col("n_tok")))
     val counts = uniq.groupBy(col("source"))
@@ -1322,8 +1340,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("lang"),
           col("n_tokens").cast("long").as("n_toks"), col("quality"),
           md5(col("text")).as("h")))
-    val keeper = d.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    val f = d.join(keeper, Seq("h"))
+    // keeper via min-window over the hash partition (P13's shape; the
+    // join-back form broadcast the corpus-sized keeper frame at sf1)
+    val f = d.withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
       .withColumn("is_dup", (col("doc_id") =!= col("keeper")).cast("long"))
     val lt = graft.CachedFrames.persist(
       f.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n")))
@@ -1404,10 +1424,14 @@ object PipelineQueries {
           .cast("long") % 100 >= 80)
     val m = graft.text.TextQueries.jmTrain(
       d.filter(!col("__held")).select(col("doc_id"), col("text")))
+    // the doc_id→source attribution frame is corpus-sized (one row
+    // per doc; its AQE-elected broadcast measured 1.4 MB at sf1 —
+    // grows without bound), so the join is pinned SHUFFLE_HASH
     val scored = graft.CachedFrames.persist(
       graft.text.TextQueries.jmScore(m)(
         d.filter(col("__held")).select(col("doc_id"), col("text")))
-        .join(d.select(col("doc_id"), col("source")), Seq("doc_id")))
+        .join(d.select(col("doc_id"), col("source")).hint("shuffle_hash"),
+          Seq("doc_id")))
     val base = scored.agg(
       coalesce(expr("sum(nll_micro) div count(1)"), lit(0L)))
       .head().getLong(0)

@@ -750,9 +750,17 @@ object TextQueries {
     */
   private[graft] def jmScore(m: JmModel)(docs: DataFrame): DataFrame =
     jmBigrams(wordDocs(docs))
-      .join(m.big, Seq("prev", "cur"), "left")
-      .join(m.ctx, Seq("prev"), "left")
-      .join(m.uni.withColumnRenamed("word", "cur"), Seq("cur"), "left")
+      // the model tables are vocabulary-scale (bigram counts grow
+      // super-linearly under Heaps' law — the sf1 probe measured the
+      // AQE-elected broadcast at 16.8 MB, GBs at 100 TB), so all
+      // three reference joins are pinned SHUFFLE_HASH: scored pairs
+      // and counts co-shuffle on their keys, nothing corpus-growing
+      // is ever collected to one node. Matches the T9/T13 discipline
+      // ("a 100 TB vocabulary is not a broadcast").
+      .join(m.big.hint("shuffle_hash"), Seq("prev", "cur"), "left")
+      .join(m.ctx.hint("shuffle_hash"), Seq("prev"), "left")
+      .join(m.uni.withColumnRenamed("word", "cur").hint("shuffle_hash"),
+        Seq("cur"), "left")
       .withColumn("unseen",
         when(col("cb").isNull, lit(1L)).otherwise(lit(0L)))
       .withColumn("p_ml",
