@@ -372,8 +372,13 @@ object SimQueries {
     * serve-from-artifact ≡ the in-memory trainer bit-for-bit and
     * rebuild idempotence.
     */
-  def ivfIndexWrite(s: SparkSession, dir: String, out: String): Unit = {
-    val e = vecs(s, dir)
+  def ivfIndexWrite(s: SparkSession, dir: String, out: String): Unit =
+    ivfIndexWriteOn(vecs(s, dir), out)
+
+  /** The S27 build over an explicit (vec_id, v, vn, label) corpus
+    * frame — exposed so S32 can deploy an index trained on a PREFIX of
+    * the corpus and insert the rest. */
+  private[graft] def ivfIndexWriteOn(e: DataFrame, out: String): Unit = {
     val codebook = KMeans.train(
       e.select(col("vec_id"), col("v"), col("label")), iterations = 1)
     codebook.write.mode("overwrite").parquet(s"$out/centroids")
@@ -554,6 +559,73 @@ object SimQueries {
     ivfServeArtifactDeleted(s, dir, artifact)
   }
 
+  /** S32: INSERTS into the deployed index — the other half of the
+    * maintenance story S31 opened (faiss `add` after `train`): a new
+    * vector is assigned to its nearest TRAINED centroid — the codebook
+    * does NOT retrain on insert, exactly the faiss/Milvus contract —
+    * and appended to that list's partition directory. O(inserts) rows
+    * written; existing postings files are never rewritten (spec'd on
+    * file state). Serving needs no insert-awareness at all: the next
+    * partition-pruned scan simply sees more files in the probed list.
+    */
+  def ivfInsert(s: SparkSession, artifact: String,
+                newVecs: DataFrame): Unit =
+    ivfInserter(s, artifact)(newVecs)
+
+  /** The insert routine with the k-row codebook hoisted to a one-time
+    * collect — the R30 streaming face calls the returned closure once
+    * per micro-batch (the `queryAssigner` discipline: collect the
+    * bounded codebook at start-up, per-trigger work is one narrow
+    * projection + one partitioned append). */
+  private[graft] def ivfInserter(s: SparkSession, artifact: String)
+  : DataFrame => Unit = {
+    val cents = KMeans.collectCodebook(
+      s.read.parquet(s"$artifact/centroids"))
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    (newVecs: DataFrame) =>
+      newVecs.select(col("vec_id"), col("vn"),
+          (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$artifact/postings")
+  }
+
+  /** One build per (JVM, corpus) for the S32 gate: deploy the index
+    * TRAINED on the vectors with `vec_id % 3 != 1` only, then insert
+    * the held-out THIRD post-deployment, then serve the standard query
+    * set from the artifact. The oracle restates the subset-trained
+    * codebook (seed → one Lloyd step over the training rows only) with
+    * the FULL corpus assigned under it — insert-then-serve ≡ the index
+    * rebuilt with the same codebook over everything is exactly the
+    * contract `add` promises (and exactly what retraining would NOT
+    * give). A third (not a token few) so the churn is candidate-
+    * visible: inserted vectors displace served answers, which the spec
+    * asserts.
+    */
+  val InsertMod = 3L
+  val InsertRem = 1L
+  private val insertedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnIvfInsert(s: SparkSession, dir: String): DataFrame = {
+    val artifact = insertedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-inserted-ivf").toString
+      ivfIndexWriteOn(
+        vecs(s, dir).filter(col("vec_id") % InsertMod =!= InsertRem), out)
+      ivfInsert(s, out, vecs(s, dir)
+        .filter(col("vec_id") % InsertMod === InsertRem)
+        .select(col("vec_id"), col("vn")))
+      out
+    })
+    ivfServeArtifact(s, dir, artifact)
+  }
+
   /** S2b: IVF over the TRAINED k-means codebook (E12) — one Lloyd
     * iteration from the label-mean seeds, then the same serving shape
     * as `knn_ivf`: the ≤k codebook collects to a literal, assignment is
@@ -682,6 +754,59 @@ object SimQueries {
       FROM assigned q JOIN assigned a USING (cluster)
       WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id
         AND a.vec_id % $DeleteMod != $DeleteRem),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S32 oracle: the `knn_ivf_kmeans` pipeline with the CODEBOOK
+    * chain (seed → one Lloyd step) computed over the training rows
+    * only and the FULL corpus assigned under it — the
+    * rebuilt-with-the-same-codebook reference that insert-then-serve
+    * must equal.
+    */
+  val knnIvfInsertSql: String = s"""
+    WITH e AS ($vecsSql),
+    tr AS (SELECT * FROM e WHERE vec_id % $InsertMod != $InsertRem),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM tr)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT tr.vec_id, tr.v, seed.cluster,
+               row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+                 round(list_dot_product(tr.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM tr, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    scored AS (
+      SELECT q.vec_id AS q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.vn, a.vn), 6) AS cos
+      FROM assigned q JOIN assigned a USING (cluster)
+      WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY q_id
                ORDER BY cos DESC, neighbor) AS rank
@@ -3569,6 +3694,7 @@ object SimQueries {
     "knn_filtered_artifact" -> (knnFilteredArtifact _),
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_delete" -> (knnIvfDelete _),
+    "knn_ivf_insert" -> (knnIvfInsert _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),
@@ -3602,6 +3728,7 @@ object SimQueries {
     "knn_filtered_artifact" -> knnFilteredSql,
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_delete" -> knnIvfDeleteSql,
+    "knn_ivf_insert" -> knnIvfInsertSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "knn_lsh_probe" -> knnLshProbeSql,

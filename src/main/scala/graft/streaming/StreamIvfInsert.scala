@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** R30: streaming IVF index maintenance — S32's `ivfInsert` run
+  * continuously: new vectors arrive as a stream and every micro-batch
+  * appends its assignment-routed rows to the deployed artifact's
+  * postings partitions. This is the write-side complement of R19
+  * (which streams QUERIES against a static index): together they are
+  * the standing topology of a production vector store — one stream
+  * grows the index, one serves from it.
+  *
+  * Topology: the k-row codebook collects ONCE at start-up (part of the
+  * offline build, the `queryAssigner` discipline); each trigger's work
+  * is one narrow literal-argmax projection plus one partitioned parquet
+  * append — no join, no shuffle wider than the batch, no rewrite of any
+  * existing file. The artifact is the state and it lives OUTSIDE the
+  * stream (the R18 CAS rule), so per-trigger cost is O(batch) and the
+  * index a concurrent reader sees only ever GROWS: a vector is
+  * queryable from the trigger after its arrival, and S31 tombstones
+  * compose unchanged (deletes mask, inserts append, compaction
+  * reconciles — the LSM triangle).
+  *
+  * Exactly-once caveat, stated rather than hidden: a trigger that fails
+  * between the parquet append and the checkpoint commit replays its
+  * batch, duplicating those postings rows. Production seals each
+  * trigger's files under a batch-id-derived name (the V3 sequence-range
+  * naming) or runs the R14 Bloom gate upstream; the parity spec drives
+  * clean triggers, which is the contract this face claims.
+  */
+object StreamIvfInsert {
+
+  /** Start appending `vecs` (a streaming frame of (vec_id BIGINT,
+    * v ARRAY&lt;DOUBLE&gt;)) into the IVF artifact at `artifact`.
+    * Normalization happens here so the wire format matches R19's query
+    * stream — raw vectors in, the artifact's (vec_id, vn, cluster)
+    * layout out.
+    */
+  def start(s: SparkSession, artifact: String, vecs: DataFrame,
+            checkpoint: String): StreamingQuery = {
+    val insert = graft.sim.SimQueries.ivfInserter(s, artifact)
+    vecs.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          insert(b.toDF()
+            .withColumn("vn", graft.functions.VectorFunctions
+              .normalize(col("v")))
+            .select(col("vec_id"), col("vn")))
+          ()
+      }.start()
+  }
+}

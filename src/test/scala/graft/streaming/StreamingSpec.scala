@@ -1388,6 +1388,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(served.head.getDouble(3) === 1.0)
   }
 
+  test("R30: streamed IVF inserts — the artifact after the stream is " +
+    "row-identical to one batch ivfInsert under trigger-at-a-time " +
+    "arrival, and serving from it matches bit-for-bit") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val e = graft.Tables.embeddings(spark, dir0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+    val m = graft.sim.SimQueries.InsertMod
+    val r = graft.sim.SimQueries.InsertRem
+    val streamed = tmp(); val twin = tmp()
+    // identical subset-trained deployments (S27 rebuild determinism)
+    graft.sim.SimQueries.ivfIndexWriteOn(
+      e.filter(col("vec_id") % m =!= r), streamed)
+    graft.sim.SimQueries.ivfIndexWriteOn(
+      e.filter(col("vec_id") % m =!= r), twin)
+    graft.CachedFrames.releaseAll()
+    val rows = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1))).sortBy(_._1)
+    assert(rows.length >= 3, "need >=3 held-out vectors for 3 triggers")
+    val vdir = tmp()
+    rows.grouped(rows.length / 3 + 1).zipWithIndex.foreach {
+      case (wave, i) =>
+        val stage = tmp()
+        wave.toSeq.toDF("vec_id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath,
+          java.nio.file.Paths.get(vdir, f"wave$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(vdir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(vdir)
+    val sq = StreamIvfInsert.start(spark, streamed, stream, tmp())
+    sq.processAllAvailable(); sq.stop()
+    graft.sim.SimQueries.ivfInsert(spark, twin,
+      e.filter(col("vec_id") % m === r).select(col("vec_id"), col("vn")))
+    def postings(p: String) = spark.read.parquet(s"$p/postings")
+      .selectExpr("vec_id", "cast(cluster as bigint) as cluster", "vn")
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.head.asInstanceOf[Long])
+    assert(postings(streamed) === postings(twin),
+      "streamed postings diverged from the batch-insert twin")
+    val sServed = graft.sim.SimQueries
+      .ivfServeArtifact(spark, dir0, streamed).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val tServed = graft.sim.SimQueries
+      .ivfServeArtifact(spark, dir0, twin).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(sServed === tServed,
+      "serving from the streamed artifact diverged from the twin")
+  }
+
   test("R20: streamed scene detection equals the batch M9 ledger " +
     "scene-for-scene when frames arrive split across triggers") {
     import spark.implicits._
