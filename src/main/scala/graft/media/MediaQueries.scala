@@ -351,13 +351,20 @@ object MediaQueries {
     * band equi-join proposes, exact hamming ≤ radius verifies. Output
     * (media_a, media_b, hamming), unordered.
     */
-  private def bandVerify(hashed: DataFrame, radius: Long): DataFrame = {
-    val bands = hashed.select(col("media_id"), col("h"),
+  /** The 4×16 band-key frame over any 64-bit hash string column `h`:
+    * (media_id, h, band, bk) — shared by the uncapped (M8) and
+    * occupancy-capped (M13) candidate builders.
+    */
+  private[media] def bandsOf(hashed: DataFrame): DataFrame =
+    hashed.select(col("media_id"), col("h"),
       explode(expr("transform(sequence(1, 4), b -> " +
         "struct(b as band, substring(h, (b-1)*16+1, 16) as bk))"))
         .as("x"))
       .select(col("media_id"), col("h"),
         col("x.band").as("band"), col("x.bk").as("bk"))
+
+  private def bandVerify(hashed: DataFrame, radius: Long): DataFrame = {
+    val bands = bandsOf(hashed)
     val cand = bands.select(col("media_id").as("media_a"),
         col("h").as("h_a"), col("band"), col("bk"))
       .hint("shuffle_hash")
@@ -375,15 +382,18 @@ object MediaQueries {
       .select(col("media_a"), col("media_b"), col("hamming"))
   }
 
-  private[media] def ahashOn(docs: DataFrame): DataFrame = {
-    val h = graft.CachedFrames.persist(pxFrame(docs)
+  /** The persisted (media_id, h) aHash frame over a (media_id, text)
+    * corpus — shared by M8's pair ledger and M13's capped clusters. */
+  private[media] def ahashFrame(docs: DataFrame): DataFrame =
+    graft.CachedFrames.persist(pxFrame(docs)
       .withColumn("h", expr(
         "concat_ws('', transform(px, x -> " +
           "case when x * 64 > psum then '1' else '0' end))"))
       .select(col("media_id"), col("h")))
-    bandVerify(h, AhashRadius)
+
+  private[media] def ahashOn(docs: DataFrame): DataFrame =
+    bandVerify(ahashFrame(docs), AhashRadius)
       .orderBy(col("media_a"), col("media_b"))
-  }
 
   def mediaAhashDedup(s: SparkSession, dir: String): DataFrame =
     ahashOn(Tables.documents(s, dir)
@@ -423,6 +433,130 @@ object MediaQueries {
     WHERE len(list_filter(range(1, 65), i -> ah_a[i] != ah_b[i]))
       <= $AhashRadius
     ORDER BY media_a, media_b"""
+
+  /** M13: occupancy-capped perceptual-hash dedup CLUSTERS — M8's
+    * 100 TB face. M8's band join proposes O(occ²) pairs per bucket,
+    * and under whole-corpus duplication (exactly when a media dedup
+    * pass matters most) hot buckets grow quadratically — the sf1
+    * probe measured M8 at 11.1× for 10× data, and that growth IS the
+    * pair mass. The D15 discipline bounds it: per band bucket,
+    * propose the STAR to the bucket min (O(occ) edges, connectivity
+    * preserved at the candidate level) plus all pairs among the
+    * bottom-[[MediaCapK]] ids (≤ C(CapK,2), borderline-pair
+    * robustness), haul hashes only for survivors of the distinct,
+    * hamming-verify, and name each near-dup cluster through D6's
+    * components. Candidate mass is O(occ + CapK²) per bucket — linear
+    * in the corpus under ANY skew — and the output moves from M8's
+    * pair ledger to the decision grain a curation pass consumes:
+    * (media_id, canonical, cluster_size).
+    */
+  val MediaCapK = 8
+
+  /** Capped candidate pairs over a (media_id, h) hash frame — exposed
+    * for MediaSpec's pair-mass comparison against the uncapped join.
+    */
+  private[media] def cappedMediaCandidates(hashed: DataFrame): DataFrame = {
+    val bands = bandsOf(hashed).select(col("media_id"), col("band"),
+      col("bk"))
+    val bmin = bands.groupBy(col("band"), col("bk"))
+      .agg(min(col("media_id")).as("m"))
+    // bmin is O(buckets) ~ O(corpus): SHUFFLE_HASH, never broadcast
+    val star = bands.hint("shuffle_hash").join(bmin, Seq("band", "bk"))
+      .filter(col("media_id") =!= col("m"))
+      .select(col("m").as("media_a"), col("media_id").as("media_b"))
+    val kpairs = bands.groupBy(col("band"), col("bk"))
+      .agg(graft.functions.TopKAgg(lit(0.0), col("media_id"), MediaCapK)
+        .as("kept"))
+      .select(expr("array_sort(transform(kept, x -> x.id))").as("ids"))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(ids) - 1), i -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> " +
+          "struct(ids[i] AS media_a, y AS media_b))))")).as("p"))
+      .select(col("p.media_a"), col("p.media_b"))
+    star.union(kpairs).distinct()
+  }
+
+  def mediaAhashClusters(s: SparkSession, dir: String): DataFrame = {
+    val h = ahashFrame(Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), col("text")))
+    val cand = cappedMediaCandidates(h)
+    val edges = cand
+      .join(h.select(col("media_id").as("media_a"), col("h").as("h_a"))
+        .hint("shuffle_hash"), Seq("media_a"))
+      .join(h.select(col("media_id").as("media_b"), col("h").as("h_b"))
+        .hint("shuffle_hash"), Seq("media_b"))
+      .withColumn("hamming",
+        graft.functions.HammingDistance(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= AhashRadius)
+      .select(col("media_a"), col("media_b"))
+    val labels = graft.operators.ConnectedComponents.run(edges)
+    val sizes = labels.groupBy(col("root"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("root"))
+      .select(col("node").as("media_id"), col("root").as("canonical"),
+        col("cluster_size"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaAhashClustersSql: String = s"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id AS media_id, text,
+             greatest(1, (length(text) + 63) // 64) AS seg
+      FROM documents),
+    px AS (
+      SELECT media_id,
+             list_transform(range(1, 65), i ->
+               ('0x' || substring(md5(substring(text,
+                 ((i-1)*seg+1)::INT, seg::INT)), 1, 2))::BIGINT) AS px
+      FROM g),
+    ps AS (SELECT media_id, px, list_sum(px)::BIGINT AS psum FROM px),
+    h AS (
+      SELECT media_id,
+             array_to_string(list_transform(px, x ->
+               CASE WHEN x * 64 > psum THEN '1' ELSE '0' END), '') AS ahash
+      FROM ps),
+    bands AS (
+      SELECT media_id, ahash, b AS band,
+             substring(ahash, (b-1)*16+1, 16) AS bk
+      FROM h, unnest(range(1, 5)) AS t(b)),
+    bmin AS (SELECT band, bk, min(media_id) AS m
+             FROM bands GROUP BY band, bk),
+    star AS (SELECT bm.m AS media_a, b.media_id AS media_b
+             FROM bands b JOIN bmin bm USING (band, bk)
+             WHERE b.media_id != bm.m),
+    topk AS (SELECT band, bk, media_id
+             FROM (SELECT *, row_number() OVER (
+                     PARTITION BY band, bk ORDER BY media_id) AS rn
+                   FROM bands)
+             WHERE rn <= $MediaCapK),
+    kp AS (SELECT a.media_id AS media_a, b.media_id AS media_b
+           FROM topk a JOIN topk b
+             ON a.band = b.band AND a.bk = b.bk
+            AND a.media_id < b.media_id),
+    cand AS (SELECT DISTINCT media_a, media_b FROM
+             (SELECT media_a, media_b FROM star
+              UNION ALL SELECT media_a, media_b FROM kp)),
+    edges AS (
+      SELECT media_a, media_b
+      FROM (SELECT c.media_a, c.media_b, ha.ahash AS ah_a,
+                   hb.ahash AS ah_b
+            FROM cand c
+            JOIN h ha ON ha.media_id = c.media_a
+            JOIN h hb ON hb.media_id = c.media_b)
+      WHERE len(list_filter(range(1, 65), i -> ah_a[i] != ah_b[i]))
+        <= $AhashRadius),
+    und AS (SELECT media_a AS a, media_b AS b FROM edges
+            UNION SELECT media_b, media_a FROM edges),
+    n AS (SELECT DISTINCT a AS m FROM und),
+    reach(m, r) AS (
+      SELECT m, m FROM n
+      UNION
+      SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.m),
+    comp AS (SELECT m, min(r) AS canonical FROM reach GROUP BY m),
+    sizes AS (SELECT canonical, count(*) AS cluster_size
+              FROM comp GROUP BY canonical)
+    SELECT comp.m AS media_id, comp.canonical, sizes.cluster_size
+    FROM comp JOIN sizes USING (canonical) ORDER BY media_id"""
 
   /** M10: perceptual-hash FAMILY AGREEMENT — aHash (mean threshold)
     * vs dHash (adjacent gradient, the imagehash library's other
@@ -809,6 +943,7 @@ object MediaQueries {
     "media_clip_match" -> (mediaClipMatch _),
     "media_scenes" -> (mediaScenes _),
     "media_ahash_dedup" -> (mediaAhashDedup _),
+    "media_ahash_clusters" -> (mediaAhashClusters _),
     "media_hash_agreement" -> (mediaHashAgreement _),
     "media_cdc_bytes" -> (mediaCdcBytes _),
     "media_cdc_dedup" -> (mediaCdcDedup _),
@@ -825,6 +960,7 @@ object MediaQueries {
     "media_clip_match" -> mediaClipMatchSql,
     "media_scenes" -> mediaScenesSql,
     "media_ahash_dedup" -> mediaAhashDedupSql,
+    "media_ahash_clusters" -> mediaAhashClustersSql,
     "media_hash_agreement" -> mediaHashAgreementSql,
     "media_cdc_bytes" -> mediaCdcBytesSql,
     "media_cdc_dedup" -> mediaCdcDedupSql,

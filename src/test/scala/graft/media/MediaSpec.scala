@@ -113,6 +113,60 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("capped perceptual-hash clusters (M13): candidate mass strictly " +
+    "below the uncapped band join, capping only REFINES the uncapped " +
+    "components (never merges strangers), and recovers nearly all " +
+    "clustered media") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val h = MediaQueries.ahashFrame(docs)
+    // pair-mass bound: capped candidates ⊆ and < the uncapped proposal
+    val bands = MediaQueries.bandsOf(h).select("media_id", "band", "bk")
+    val uncapped = bands.select(col("media_id").as("media_a"),
+        col("band"), col("bk"))
+      .join(bands.select(col("media_id").as("media_b"), col("band"),
+        col("bk")), Seq("band", "bk"))
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b").distinct()
+    val capped = MediaQueries.cappedMediaCandidates(h)
+    val nU = uncapped.count(); val nC = capped.count()
+    assert(nC < nU, s"cap did not cut candidate mass ($nC vs $nU)")
+    assert(capped.join(uncapped, Seq("media_a", "media_b"), "left_anti")
+      .count() === 0L, "capped candidates must be a subset")
+    val gate = MediaQueries.mediaAhashClusters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(gate.nonEmpty)
+    gate.groupBy(_(1)).foreach { case (_, members) =>
+      assert(members.length >= 2, "singleton cluster emitted")
+    }
+    // capped edges ⊆ uncapped edges, so capping can only REFINE the
+    // uncapped components: every capped cluster lives inside ONE
+    // uncapped component — strangers never merge (soundness)
+    val uncappedEdges = MediaQueries.mediaAhashDedup(spark, dir)
+      .select(col("media_a"), col("media_b"))
+    val refCanon = graft.operators.ConnectedComponents.run(uncappedEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CachedFrames.releaseAll()
+    gate.groupBy(_(1)).foreach { case (canon, members) =>
+      val roots = members.map(m =>
+        refCanon(m.head.asInstanceOf[Long])).distinct
+      assert(roots.size === 1,
+        s"capped cluster $canon spans uncapped components $roots")
+    }
+    // coverage: the cap may drop borderline pairs in >CapK buckets
+    // whose star edge fails verification (the D15 trade, priced
+    // here): ≥85% of uncapped clustered media must still cluster
+    val cappedIds = gate.map(_.head.asInstanceOf[Long]).toSet
+    assert(cappedIds.subsetOf(refCanon.keySet),
+      "capped clustering invented a member")
+    val recall = cappedIds.size.toDouble / refCanon.size
+    assert(recall >= 0.85,
+      f"capped clustering recovered only $recall%.2f of clustered media")
+    assert(recall < 1.0 || cappedIds.size == refCanon.size)
+  }
+
   test("hash-family agreement: exact copies land 'both' at hamming 0, " +
     "and the families genuinely disagree somewhere on the corpus") {
     val rows = MediaQueries.mediaHashAgreement(spark, dir).collect()
