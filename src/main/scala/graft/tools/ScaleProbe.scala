@@ -71,7 +71,13 @@ object ScaleProbe {
       "pipeline" -> graft.pipeline.PipelineQueries.all,
       "media" -> graft.media.MediaQueries.all,
       "vcr" -> graft.vcr.VcrQueries.all)
-    val targets = suites.toSeq.flatMap(families(_)).sortBy(_._1)
+    // SPARK_GRAFT_PROBE_ONLY: comma list of query names for isolated
+    // re-measurement (sampling-artifact adjudication); absent → all
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val targets = suites.toSeq.flatMap(families(_))
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     val rows = targets.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val dfCold = fn(spark, sfDir)
