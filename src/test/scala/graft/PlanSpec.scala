@@ -185,6 +185,55 @@ class PlanSpec extends AnyFunSuite {
       }
   }
 
+  test("the JM reference-model joins stay shuffled — no broadcast of " +
+    "the bigram/context/unigram count tables (round-8 sf1 regression " +
+    "guard)") {
+    // the model tables are vocabulary-scale (Heaps'-law growth; the
+    // sf1 probe measured the AQE-elected broadcast at 16.8 MB — GBs at
+    // 100 TB). The SHUFFLE_HASH hints in jmScore must hold for every
+    // consumer whatever the static estimate.
+    Seq("text_perplexity_jm", "ppl_filter", "domain_reweight")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$q broadcasts a reference-model side:\n$p")
+        assert(p.contains("ShuffledHashJoin"),
+          s"$q lost its shuffled model joins:\n$p")
+        graft.CachedFrames.releaseAll()
+      }
+  }
+
+  test("the exact-dedup keeper rides a window over the hash shuffle — " +
+    "no keeper-frame join survives in the plan (round-8 sf1 " +
+    "regression guard)") {
+    // the aggregate-then-join-back form's keeper frame is one row per
+    // distinct payload (corpus-sized; 18.9 MB AQE broadcast at sf1).
+    // The min-window form has no join on the hash at all: assert no
+    // hash-keyed join of either flavor remains, and the window is
+    // there doing the work.
+    Seq("data_dedup_budget", "data_alpha_mix_dedup", "source_report")
+      .foreach { q =>
+        val p = plan(q)
+        val hashJoin = p.linesIterator.exists(l =>
+          (l.contains("BroadcastHashJoin") ||
+            l.contains("ShuffledHashJoin") ||
+            l.contains("SortMergeJoin")) && l.matches(".*\\[h#.*"))
+        assert(!hashJoin, s"$q still joins on the payload hash:\n$p")
+        assert(p.contains("Window"), s"$q lost the keeper window:\n$p")
+        graft.CachedFrames.releaseAll()
+      }
+  }
+
+  test("text_unigram_lm scores at the (doc, word) grain and " +
+    "shuffle-joins its Heaps'-law vocab — never broadcasts it " +
+    "(round-8 sf1 regression guard)") {
+    val p = plan("text_unigram_lm")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"unigram vocab broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"), p)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("media_ahash_dedup: the band self-join stays shuffled (same " +
     "sf1 regression class as the shingle/band index joins)") {
     // both sides of the candidate join are the O(corpus) hash frame;

@@ -1446,6 +1446,62 @@ class StreamingSpec extends AnyFunSuite {
       "serving from the streamed artifact diverged from the twin")
   }
 
+  test("R32: streamed deletes — tombstone serving after the stream " +
+    "equals one batch ivfDelete, replayed delete batches are no-ops " +
+    "(at-least-once IS exactly-once), and a compaction after the " +
+    "stream preserves serving") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val streamed = tmp(); val twin = tmp()
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, streamed)
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, twin)
+    graft.CachedFrames.releaseAll()
+    val delIds = spark.read.parquet(s"$streamed/postings")
+      .select(col("vec_id")).filter(col("vec_id") % 7 === 3)
+      .collect().map(_.getLong(0)).sorted
+    assert(delIds.length >= 3)
+    val ddir = tmp()
+    // wave 1 and wave 2 split the ids; wave 3 REPLAYS wave 1 verbatim
+    val waves = delIds.grouped(delIds.length / 2 + 1).toSeq
+    (waves :+ waves.head).zipWithIndex.foreach { case (wave, i) =>
+      val stage = tmp()
+      wave.toSeq.toDF("vec_id").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(ddir, f"wave$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(ddir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(ddir)
+    val sq = StreamIvfDelete.start(spark, streamed, stream, tmp())
+    sq.processAllAvailable(); sq.stop()
+    graft.sim.SimQueries.ivfDelete(spark, twin,
+      delIds.toSeq.toDF("vec_id"))
+    val sServed = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, streamed)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val tServed = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, twin)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(sServed === tServed,
+      "streamed tombstones diverged from the batch-delete twin " +
+        "(the replayed wave must be a serving no-op)")
+    assert(sServed.forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+      "a streamed-deleted vector surfaced as a neighbor")
+    graft.sim.SimQueries.ivfCompact(spark, streamed, minDead = 1L)
+    val afterCompact = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, streamed)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(afterCompact === sServed,
+      "compaction after the delete stream changed serving")
+  }
+
   test("R20: streamed scene detection equals the batch M9 ledger " +
     "scene-for-scene when frames arrive split across triggers") {
     import spark.implicits._
