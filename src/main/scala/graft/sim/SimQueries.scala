@@ -612,6 +612,114 @@ object SimQueries {
   private val insertedArtifacts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** S33: the RETRAIN decision — the monitoring rung that closes the
+    * maintenance loop S27/S31/S32 opened (deploy → insert/delete →
+    * compact → ... when is the codebook itself stale?). After churn,
+    * the deployed centroids no longer sit at their lists' means; the
+    * spherical k-means objective (mean max-cosine, the E12 training
+    * criterion) prices that drift directly: score the CURRENT corpus
+    * under the deployed codebook, run ONE Lloyd step from it (refit —
+    * exactly what a maintenance retrain does), score again, and
+    * recommend retraining iff the refit strictly improves. Both
+    * objectives micro-quantize per vector (ccos is already 6dp, so
+    * ×1e6 is exact) and average as BIGINT integer division — the
+    * whole decision is hash-checkable, no float summation anywhere.
+    * The gate reuses the S32 scenario (codebook trained on 2/3 of
+    * the corpus, full corpus as current state), where the refit
+    * provably has signal; cost is two assignment scans + one
+    * codebook-sized aggregate — the price of knowing, paid offline.
+    */
+  def knnIvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cb0 = KMeans.train(
+      e.filter(col("vec_id") % InsertMod =!= InsertRem)
+        .select(col("vec_id"), col("v"), col("label")), iterations = 1)
+    val a1 = KMeans.assign(e.select(col("vec_id"), col("v")), cb0)
+    val cb1 = KMeans.meanByKey(a1.select(col("cluster"), col("v")),
+      "cluster")
+    val a2 = KMeans.assign(e.select(col("vec_id"), col("v")), cb1)
+    def objMicro(a: DataFrame) = a.agg(
+      expr("sum(cast(round(ccos * 1e6, 0) as bigint)) div count(1)"),
+      count(lit(1)))
+    val Seq(d, n) = objMicro(a1).head().toSeq.map(_.asInstanceOf[Long])
+    val Seq(r, n2) = objMicro(a2).head().toSeq.map(_.asInstanceOf[Long])
+    require(n == n2)
+    import s.implicits._
+    Seq((d, r, r - d, n, r > d))
+      .toDF("obj_deployed_micro", "obj_retrained_micro", "gain_micro",
+        "n_vectors", "retrain")
+  }
+
+  /** S33 oracle: the S32 training chain gives the deployed codebook;
+    * one further Lloyd step over the FULL corpus gives the refit; both
+    * objectives are exact-integer means of the 6dp assignment cosines.
+    */
+  val knnIvfDriftSql: String = s"""
+    WITH e AS ($vecsSql),
+    tr AS (SELECT * FROM e WHERE vec_id % $InsertMod != $InsertRem),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM tr)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT tr.vec_id, tr.v, seed.cluster,
+               row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+                 round(list_dot_product(tr.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM tr, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    a1 AS (
+      SELECT vec_id, v, cluster, ccos FROM (
+        SELECT e.vec_id, e.v, cb.cluster,
+               round(list_dot_product(e.vn, cb.cvn), 6) AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    cb1 AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a1)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    a2 AS (
+      SELECT vec_id, ccos FROM (
+        SELECT e.vec_id,
+               round(list_dot_product(e.vn, cb1.cvn), 6) AS ccos,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb1.cvn), 6) DESC,
+                 cb1.cluster) AS rn
+        FROM e, cb1) WHERE rn = 1),
+    od AS (SELECT sum(CAST(round(ccos * 1e6, 0) AS BIGINT))::BIGINT
+                    // count(*) AS obj_deployed_micro,
+                  count(*) AS n_vectors
+           FROM a1),
+    orr AS (SELECT sum(CAST(round(ccos * 1e6, 0) AS BIGINT))::BIGINT
+                     // count(*) AS obj_retrained_micro
+            FROM a2)
+    SELECT obj_deployed_micro, obj_retrained_micro,
+           (obj_retrained_micro - obj_deployed_micro)::BIGINT AS gain_micro,
+           n_vectors,
+           obj_retrained_micro > obj_deployed_micro AS retrain
+    FROM od, orr"""
+
   def knnIvfInsert(s: SparkSession, dir: String): DataFrame = {
     val artifact = insertedArtifacts.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
@@ -3695,6 +3803,7 @@ object SimQueries {
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_delete" -> (knnIvfDelete _),
     "knn_ivf_insert" -> (knnIvfInsert _),
+    "knn_ivf_drift" -> (knnIvfDrift _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),
@@ -3729,6 +3838,7 @@ object SimQueries {
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_delete" -> knnIvfDeleteSql,
     "knn_ivf_insert" -> knnIvfInsertSql,
+    "knn_ivf_drift" -> knnIvfDriftSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,
     "knn_lsh" -> knnLshSql,
     "knn_lsh_probe" -> knnLshProbeSql,

@@ -399,6 +399,38 @@ class SimSpec extends AnyFunSuite {
       "inserting a ninth of the corpus was supposed to change serving")
   }
 
+  test("IVF drift monitor (S33): the churned deployment recommends " +
+    "retraining with an exact-integer gain, and a Lloyd refit is " +
+    "monotone in the objective from ANY codebook (up to 6dp rounding)") {
+    import org.apache.spark.sql.functions._
+    val gate = SimQueries.knnIvfDrift(spark, dir).collect().head
+    graft.CachedFrames.releaseAll()
+    assert(gate.getBoolean(4),
+      "a codebook trained on 2/3 of the corpus must want retraining")
+    assert(gate.getLong(2) > 0L)
+    assert(gate.getLong(0) + gate.getLong(2) === gate.getLong(1),
+      "gain must be exactly the objective delta")
+    // Lloyd monotonicity, checked from the FULLY-trained codebook
+    // (where the gain is smallest): reassign + refit never drops the
+    // spherical objective beyond micro-rounding slack
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val cb0 = KMeans.train(e, iterations = 1)
+    def objMicro(a: org.apache.spark.sql.DataFrame): Long = a.agg(
+      expr("sum(cast(round(ccos * 1e6, 0) as bigint)) div count(1)"))
+      .head().getLong(0)
+    val a1 = KMeans.assign(e.select(col("vec_id"), col("v")), cb0)
+    val o1 = objMicro(a1)
+    val cb1 = KMeans.meanByKey(a1.select(col("cluster"), col("v")),
+      "cluster")
+    val o2 = objMicro(KMeans.assign(e.select(col("vec_id"), col("v")),
+      cb1))
+    graft.CachedFrames.releaseAll()
+    assert(o2 >= o1 - 10L,
+      s"Lloyd refit dropped the objective: $o1 -> $o2")
+  }
+
   test("literal-broadcast brute kNN equals the join form bit-for-bit") {
     // the gate runs the join-free broadcast-literal plan; the naive
     // nested-loop join form is the reference semantics it must match
