@@ -552,6 +552,82 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** P31: effective-token accounting under repetition decay — the
+    * data-constrained-scaling question (Muennighoff et al. 2023:
+    * repeated epochs are worth exponentially less than fresh data)
+    * asked of the corpus itself: training one pass over the RAW
+    * corpus shows each unique document T_s/U_s times, so a source's
+    * duplication factor IS its repetition count. Each source's
+    * effective tokens price that: the k-th repetition of the unique
+    * mass is worth decay^(k-1), here decay = 1/2 — chosen because
+    * powers of two are EXACT doubles, so the whole valuation is a
+    * handful of IEEE-deterministic operations per source (shift,
+    * one division, two multiplies, one add) and micro-quantizes to
+    * a hash-checkable BIGINT; the closed form Σ_{k=1..e} 2^{1-k} =
+    * 2 − 2^{1-e} avoids any float summation. Output per source:
+    * raw/unique masses, the full-epoch count, effective tokens in
+    * micro units, and efficiency (effective per raw token, ppm) —
+    * the number that says "dedup before you spend budget here".
+    * Scale shape: P13's one hash-window pass plus a per-source map;
+    * nothing beyond the (sources)-bounded aggregate leaves the
+    * exchange the token accounting already paid.
+    */
+  def dataEpochValue(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        md5(col("text").cast("binary")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val per = docs.withColumn("keeper", min(col("doc_id")).over(wh))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("doc_id") === col("keeper"), col("n_tok"))
+          .otherwise(0L)).as("tokens_unique"))
+      .withColumn("full_epochs",
+        least(expr("tokens_total div tokens_unique"), lit(62L)))
+    per
+      .withColumn("p", expr(
+        "1.0 / cast(shiftleft(1L, cast(full_epochs - 1 as int)) as double)"))
+      .withColumn("q", expr(
+        "1.0 / cast(shiftleft(1L, cast(full_epochs as int)) as double)"))
+      .withColumn("effective_tokens_micro",
+        round((col("tokens_unique") * (lit(2.0) - col("p")) +
+          (col("tokens_total") % col("tokens_unique")) * col("q")) * 1e6,
+          0).cast("long"))
+      .withColumn("efficiency_ppm",
+        expr("effective_tokens_micro div tokens_total"))
+      .select(col("source"), col("tokens_total"), col("tokens_unique"),
+        col("full_epochs"), col("effective_tokens_micro"),
+        col("efficiency_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val dataEpochValueSql: String = """
+    WITH docs AS (
+      SELECT source, doc_id, md5(text) AS h,
+             len(string_split(text, ' '))::BIGINT AS n_tok
+      FROM documents),
+    k AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper FROM docs),
+    per AS (
+      SELECT source, sum(n_tok)::BIGINT AS tokens_total,
+             sum(CASE WHEN doc_id = keeper THEN n_tok ELSE 0 END)::BIGINT
+               AS tokens_unique
+      FROM k GROUP BY source),
+    e AS (SELECT *, least(tokens_total // tokens_unique, 62)
+                      AS full_epochs FROM per)
+    SELECT source, tokens_total, tokens_unique, full_epochs,
+           CAST(round((tokens_unique *
+               (2.0 - 1.0 / (1::BIGINT << (full_epochs - 1)::INT)) +
+               (tokens_total % tokens_unique) *
+               (1.0 / (1::BIGINT << full_epochs::INT))) * 1e6, 0)
+             AS BIGINT) AS effective_tokens_micro,
+           CAST(round((tokens_unique *
+               (2.0 - 1.0 / (1::BIGINT << (full_epochs - 1)::INT)) +
+               (tokens_total % tokens_unique) *
+               (1.0 / (1::BIGINT << full_epochs::INT))) * 1e6, 0)
+             AS BIGINT) // tokens_total AS efficiency_ppm
+    FROM e ORDER BY source"""
+
   val dataDedupBudgetSql: String = """
     WITH docs AS (
       SELECT source, doc_id, md5(text) AS h,
@@ -1749,6 +1825,7 @@ object PipelineQueries {
     "weighted_sample" -> (weightedSample _),
     "sketch_kmv_overlap" -> (sketchKmvOverlap _),
     "data_dedup_budget" -> (dataDedupBudget _),
+    "data_epoch_value" -> (dataEpochValue _),
     "text_unigram_lm" -> (textUnigramLm _))
 
   def oracles: Map[String, String] = Map(
@@ -1770,6 +1847,7 @@ object PipelineQueries {
     "weighted_sample" -> weightedSampleSql,
     "sketch_kmv_overlap" -> sketchKmvOverlapSql,
     "data_dedup_budget" -> dataDedupBudgetSql,
+    "data_epoch_value" -> dataEpochValueSql,
     "pii_scrub" -> piiScrubSql,
     "text_bigram_lm" -> textBigramLmSql,
     "stratified_sample" -> stratifiedSampleSql,

@@ -85,6 +85,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(k / n > 0.15 && k / n < 0.35, s"odd keep ratio ${k / n}")
   }
 
+  test("data_epoch_value: planted duplication prices exactly by the " +
+    "closed form — unique source at par, fully-doubled source at 75%, " +
+    "and efficiency is monotone in duplication") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // srcA: 4 unique docs. srcB: 2 docs, each duplicated once (T=2U).
+    // srcC: 1 doc repeated 4 times (T=4U, e=4).
+    val docs = (
+      (1 to 4).map(i => (s"srcA", 100L + i, s"alpha beta gamma $i")) ++
+      Seq(("srcB", 201L, "delta epsilon"), ("srcB", 202L, "delta epsilon"),
+        ("srcB", 203L, "zeta eta theta"), ("srcB", 204L, "zeta eta theta")) ++
+      (1 to 4).map(i => ("srcC", 300L + i, "iota kappa"))
+    ).toDF("source", "doc_id", "text")
+    val tdir = java.nio.file.Files
+      .createTempDirectory("graft-epochs").toString
+    docs.write.parquet(s"$tdir/documents.parquet")
+    val out = PipelineQueries.dataEpochValue(spark, tdir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    graft.CachedFrames.releaseAll()
+    // srcA: e=1, effective = U exactly, efficiency = 1.0
+    val (ta, ua, ea, fa, pa) = out("srcA")
+    assert(ta === ua && ea === 1L && fa === ua * 1000000L
+      && pa === 1000000L)
+    // srcB: T=2U, e=2 → effective = 1.5·U, efficiency = 750000 ppm
+    val (tb, ub, eb, fb, pb) = out("srcB")
+    assert(tb === 2 * ub && eb === 2L)
+    assert(fb === (ub * 1.5 * 1e6).round)
+    assert(pb === 750000L)
+    // srcC: T=4U, e=4 → effective = U·(2 − 1/8) = 1.875·U,
+    // efficiency = 468750 ppm — monotone: more duplication, less value
+    val (tc, uc, ec, fc, pc) = out("srcC")
+    assert(tc === 4 * uc && ec === 4L)
+    assert(fc === (uc * 1.875 * 1e6).round)
+    assert(pc === 468750L)
+    assert(pa > pb && pb > pc)
+  }
+
   test("unigram LM: rare-word docs score higher NLL than common-word docs") {
     val rows = PipelineQueries.textUnigramLm(spark, dir).collect()
     assert(rows.length === 500)
