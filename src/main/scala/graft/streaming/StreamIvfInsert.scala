@@ -23,14 +23,36 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * compose unchanged (deletes mask, inserts append, compaction
   * reconciles — the LSM triangle).
   *
-  * Exactly-once caveat, stated rather than hidden: a trigger that fails
-  * between the parquet append and the checkpoint commit replays its
-  * batch, duplicating those postings rows. Production seals each
-  * trigger's files under a batch-id-derived name (the V3 sequence-range
-  * naming) or runs the R14 Bloom gate upstream; the parity spec drives
-  * clean triggers, which is the contract this face claims.
+  * Exactly-once under replay: a trigger that fails between the parquet
+  * append and the checkpoint commit replays its batch, and a naive
+  * append would duplicate those postings rows. The face seals each
+  * trigger with the standard foreachBatch idempotence recipe: a
+  * per-batch-id commit marker beside the artifact, written AFTER the
+  * append — a replayed batch sees its marker and becomes a no-op
+  * (spec'd by invoking the same batch twice). A crash between append
+  * and marker still duplicates that one batch — closing that needs a
+  * transactional commit protocol (the V14 manifest discipline); the
+  * marker shrinks the at-risk window from "every replay" to "a crash
+  * inside one two-step commit".
   */
 object StreamIvfInsert {
+
+  /** Insert one batch id-sealed: no-op if this batchId already
+    * committed. Factored out so the spec can drive a replay directly.
+    */
+  private[streaming] def insertBatch(s: SparkSession, artifact: String,
+      insert: DataFrame => Unit, b: DataFrame, batchId: Long): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$artifact/_insert_commits/batch-$batchId")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return
+    insert(b
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .select(col("vec_id"), col("vn")))
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
 
   /** Start appending `vecs` (a streaming frame of (vec_id BIGINT,
     * v ARRAY&lt;DOUBLE&gt;)) into the IVF artifact at `artifact`.
@@ -45,12 +67,8 @@ object StreamIvfInsert {
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         _: Long) =>
-          insert(b.toDF()
-            .withColumn("vn", graft.functions.VectorFunctions
-              .normalize(col("v")))
-            .select(col("vec_id"), col("vn")))
-          ()
+         batchId: Long) =>
+          insertBatch(s, artifact, insert, b.toDF(), batchId)
       }.start()
   }
 }

@@ -1436,6 +1436,15 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(_.head.asInstanceOf[Long])
     assert(postings(streamed) === postings(twin),
       "streamed postings diverged from the batch-insert twin")
+    // exactly-once under replay: re-running an already-committed batch
+    // id (what a failure between checkpoint commits does) is a no-op —
+    // the per-batch marker makes the append idempotent
+    val before = postings(streamed)
+    StreamIvfInsert.insertBatch(spark, streamed,
+      graft.sim.SimQueries.ivfInserter(spark, streamed),
+      rows.take(2).toSeq.toDF("vec_id", "v"), batchId = 0L)
+    assert(postings(streamed) === before,
+      "replaying a committed batch id duplicated postings rows")
     val sServed = graft.sim.SimQueries
       .ivfServeArtifact(spark, dir0, streamed).collect().map(_.toSeq).toSeq
     graft.CachedFrames.releaseAll()
