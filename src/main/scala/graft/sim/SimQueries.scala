@@ -1186,6 +1186,16 @@ object SimQueries {
       filteredIndexWrite(s, dir, out)
       out
     })
+    serveFilteredArtifact(s, dir, artifact, tombstoned = false)
+  }
+
+  /** The shared S30/S34 serving body: filtered ANN from a deployed
+    * artifact, optionally masking tombstoned ids (the anti-join runs
+    * AFTER the probe join and BEFORE scoring — probed lists only,
+    * partition pruning intact, a deleted vector never dotted).
+    */
+  private def serveFilteredArtifact(s: SparkSession, dir: String,
+      artifact: String, tombstoned: Boolean): DataFrame = {
     val cents = s.read.parquet(s"$artifact/centroids")
       .select(col("label"), col("cvn")).collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1).toVector))
@@ -1199,9 +1209,15 @@ object SimQueries {
         explode(topProbesCol(cents, NProbe)).as("p"))
       .select(col("q_id"), col("qvn"), col("q_tenant"),
         col("p.label").as("cluster"))
-    val scored = q.join(postings, Seq("cluster"))
+    val candidates0 = q.join(postings, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .filter(col("tenant") === col("q_tenant"))
+    val candidates =
+      if (tombstoned)
+        candidates0.join(tombstonesOf(s, artifact), Seq("vec_id"),
+          "left_anti")
+      else candidates0
+    val scored = candidates
       .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
@@ -1210,6 +1226,32 @@ object SimQueries {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("tenant"),
         col("cos"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** S34: tombstoned FILTERED serving (S30 ∘ S31 — the full
+    * production query path: a DEPLOYED index answering a
+    * metadata-constrained query while honoring live deletes). The two
+    * masks compose in the candidate stream: the tenant conjunct thins
+    * each probed list, the tombstone anti-join removes deleted ids,
+    * and only survivors are dotted. Gate tombstones every id ≡ 3
+    * (mod 7) on the S30 artifact; the oracle is `knn_filtered`'s SQL
+    * with the delete predicate on candidates — served ≡ the filtered
+    * index rebuilt without the deleted vectors, hash-checked.
+    */
+  private val filteredDeletedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnFilteredDelete(s: SparkSession, dir: String): DataFrame = {
+    val artifact = filteredDeletedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-filtered-del-ivf").toString
+      filteredIndexWrite(s, dir, out)
+      ivfDelete(s, out, vecs(s, dir)
+        .filter(col("vec_id") % DeleteMod === DeleteRem)
+        .select(col("vec_id")))
+      out
+    })
+    serveFilteredArtifact(s, dir, artifact, tombstoned = true)
   }
 
   val knnFilteredSql: String = s"""
@@ -1236,6 +1278,42 @@ object SimQueries {
              round(list_dot_product(q.qvn, a.vn), 6) AS cos
       FROM qprobe q JOIN assigned a USING (cluster)
       WHERE a.vec_id != q.q_id AND a.tenant = q.q_tenant),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, tenant, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S34 oracle: `knn_filtered` with the tombstoned ids excluded from
+    * candidates only — the filtered-index-rebuilt-without-them
+    * reference that tombstoned filtered serving must equal.
+    */
+  val knnFilteredDeleteSql: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, vn, cluster, vec_id % $FilterTenants AS tenant
+      FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn,
+             vec_id % $FilterTenants AS q_tenant, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe),
+    scored AS (
+      SELECT q.q_id, a.vec_id AS neighbor, a.tenant,
+             round(list_dot_product(q.qvn, a.vn), 6) AS cos
+      FROM qprobe q JOIN assigned a USING (cluster)
+      WHERE a.vec_id != q.q_id AND a.tenant = q.q_tenant
+        AND a.vec_id % $DeleteMod != $DeleteRem),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY q_id
                ORDER BY cos DESC, neighbor) AS rank
@@ -3800,6 +3878,7 @@ object SimQueries {
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "knn_filtered_artifact" -> (knnFilteredArtifact _),
+    "knn_filtered_delete" -> (knnFilteredDelete _),
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_delete" -> (knnIvfDelete _),
     "knn_ivf_insert" -> (knnIvfInsert _),
@@ -3835,6 +3914,7 @@ object SimQueries {
     "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_filtered" -> knnFilteredSql,
     "knn_filtered_artifact" -> knnFilteredSql,
+    "knn_filtered_delete" -> knnFilteredDeleteSql,
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_delete" -> knnIvfDeleteSql,
     "knn_ivf_insert" -> knnIvfInsertSql,

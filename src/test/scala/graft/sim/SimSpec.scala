@@ -399,6 +399,28 @@ class SimSpec extends AnyFunSuite {
       "inserting a ninth of the corpus was supposed to change serving")
   }
 
+  test("tombstoned filtered serving (S34): the tenant mask and the " +
+    "delete mask compose — no deleted id and no cross-tenant id ever " +
+    "surfaces, and the deletes genuinely move some answer") {
+    val served = SimQueries.knnFilteredDelete(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val (q, n, t) = (r(0).asInstanceOf[Long], r(1).asInstanceOf[Long],
+        r(2).asInstanceOf[Long])
+      assert(n % SimQueries.DeleteMod != SimQueries.DeleteRem,
+        s"deleted vector $n surfaced for query $q")
+      assert(t === q % SimQueries.FilterTenants,
+        s"cross-tenant neighbor $n for query $q")
+    }
+    val undeleted = SimQueries.knnFilteredArtifact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served !== undeleted,
+      "the delete set was supposed to change some filtered answer")
+  }
+
   test("IVF drift monitor (S33): the churned deployment recommends " +
     "retraining with an exact-integer gain, and a Lloyd refit is " +
     "monotone in the objective from ANY codebook (up to 6dp rounding)") {
