@@ -31,7 +31,7 @@ object StreamRecorder {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        TapeWriter.write(batch, root, stream, numFiles, SaveMode.Append)
+        TapeWriter.ingest(batch, root, stream, numFiles, SaveMode.Append)
         ()
       }
       .start()
@@ -45,6 +45,18 @@ object StreamRecorder {
     * write, so checkpoint recovery replays the batch and re-refreshes
     * idempotently (refresh of an already-indexed file set is a
     * metadata no-op).
+    *
+    * The refresh is SCOPED to the dt partitions this trigger wrote —
+    * the recorder knows its own footprint (the batch's distinct event
+    * days, a bounded collect: O(days per trigger) values). Per-trigger
+    * listing cost is therefore O(today's files), not O(archive): an
+    * unscoped refresh would listStatus-walk every `dt=` directory of
+    * the tape on every micro-batch — millions of object-store LIST
+    * round trips at 100 TB, the exact cost V13's manifest exists to
+    * avoid. Retention keeps the manifest honest through its own hook
+    * (`TapeCompactor.ExpireResult.days` → scoped refresh, see VcrCli's
+    * expire verb); the unscoped full walk stays available as the
+    * explicit audit path (`VcrCli index`).
     */
   def recordIndexed(records: DataFrame, root: String, stream: String,
                     checkpoint: String, numFiles: Int = 0): StreamingQuery =
@@ -52,8 +64,14 @@ object StreamRecorder {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        TapeWriter.write(batch, root, stream, numFiles, SaveMode.Append)
-        graft.vcr.TapeManifest.refresh(batch.sparkSession, root, stream)
+        // persist carries the batch from the tape flush to the
+        // footprint scan — without it the source would be re-pulled
+        val b = batch.persist()
+        TapeWriter.ingest(b, root, stream, numFiles, SaveMode.Append)
+        val dts = b.select(Tape.dtOf(col(Tape.TsCol)).as(Tape.DtCol))
+          .distinct().collect().map(_.getString(0)).toSet
+        b.unpersist()
+        graft.vcr.TapeManifest.refresh(batch.sparkSession, root, stream, dts)
         ()
       }
       .start()

@@ -126,8 +126,13 @@ object TapeCompactor {
     Result(groups.size, filesBefore, filesAfter)
   }
 
+  /** `days` carries the deleted partition values so the caller can
+    * hand them to the scoped manifest refresh (V14) — retention's half
+    * of R27's "the maintainer knows its own footprint" contract.
+    */
   final case class ExpireResult(daysDeleted: Int, filesDeleted: Long,
-                                bytesDeleted: Long)
+                                bytesDeleted: Long,
+                                days: Seq[String] = Seq.empty)
 
   /** V11: tape retention — delete whole day partitions strictly OLDER
     * than `keepFrom`. The reference leans on S3 lifecycle rules for
@@ -163,6 +168,7 @@ object TapeCompactor {
     var days = 0
     var files = 0L
     var bytes = 0L
+    val deletedDts = ArrayBuffer[String]()
     old.foreach { p =>
       var dayFiles = 0L
       var dayBytes = 0L
@@ -178,7 +184,8 @@ object TapeCompactor {
         throw new java.io.IOException(
           s"retention failed to delete $p — partition still on disk")
       days += 1; files += dayFiles; bytes += dayBytes
+      deletedDts += p.getName.stripPrefix(prefix)
     }
-    ExpireResult(days, files, bytes)
+    ExpireResult(days, files, bytes, deletedDts.toSeq)
   }
 }

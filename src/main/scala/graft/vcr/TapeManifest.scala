@@ -133,33 +133,75 @@ object TapeManifest {
     * surfaces as the load exception (see `load`), not a silent full
     * rebuild. A manifest that does not exist yet is the one legitimate
     * bootstrap case: the first refresh IS the full build.
+    *
+    * This no-argument form walks EVERY `dt=` directory to discover the
+    * diff — an O(archive) LIST pass that is right for an audit (fsck's
+    * companion) or a refresh after changes of unknown extent, and wrong
+    * on a hot path: at 100 TB the tape is millions of objects and a
+    * streaming trigger must not pay archive-wide LIST round trips. A
+    * caller that KNOWS which days changed — the recorder knows what it
+    * just wrote, retention knows what it deleted — uses the scoped
+    * overload below.
     */
   def refresh(spark: SparkSession, root: String,
-              stream: String): RefreshResult = {
+              stream: String): RefreshResult =
+    refreshImpl(spark, root, stream, None)
+
+  /** Scoped V14 refresh: reconcile ONLY the given `dt` partitions
+    * against disk — the steady-state form for callers that know their
+    * write/delete footprint (R27's per-trigger maintenance, retention's
+    * expire hook). Listing cost is O(|scope| directories), not
+    * O(archive); days outside the scope are untouched BY CONSTRUCTION
+    * (their manifest rows never join the diff). A scoped day with no
+    * directory on disk is a legitimate drop (expired day). The result
+    * is identical to the full walk whenever the scope covers every day
+    * that actually changed — the caller's contract.
+    */
+  def refresh(spark: SparkSession, root: String, stream: String,
+              scope: Set[String]): RefreshResult =
+    refreshImpl(spark, root, stream, Some(scope))
+
+  private def refreshImpl(spark: SparkSession, root: String, stream: String,
+                          scope: Option[Set[String]]): RefreshResult = {
     val dir = s"$root/$stream"
     val manifestPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
     val fs = manifestPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifestPath)) {
       // bootstrap: no index yet — the first refresh is the full build
-      write(spark, root, stream)
-      val added = load(spark, root, stream).count()
+      // regardless of scope (nothing is indexed, so everything is new).
+      // persist carries the stats from the count to the write; without
+      // it the tape would be read twice.
+      val built = build(spark, root, stream).persist()
+      val added = built.count()
+      built.write.mode("overwrite").partitionBy(Tape.DtCol)
+        .parquet(manifestPath.toString)
+      built.unpersist()
       return RefreshResult(added, 0L, 0L)
     }
     migrateUnpartitioned(spark, fs, manifestPath, dir)
 
     import spark.implicits._
-    val listed = listTapeFiles(spark, dir) // (dt, file) pairs on disk
+    val listed = listTapeFiles(spark, dir, scope) // (dt, file) on disk
     val listedDf = listed.toSeq.toDF(Tape.DtCol, "file")
     val manifest = load(spark, root, stream)
+    // scoped mode diffs only the scoped days' manifest rows against the
+    // scoped listing — rows of other days MUST NOT reach the anti-join,
+    // or every unlisted day would read as dropped
+    val manifestInScope = scope match {
+      case Some(dts) if dts.nonEmpty =>
+        manifest.filter(col(Tape.DtCol).isin(dts.toSeq: _*))
+      case Some(_) => manifest.limit(0)
+      case None => manifest
+    }
     val keys = Seq(Tape.DtCol, "file")
 
     // adds: on disk, not in the index. O(new files) — these are the
     // only paths whose CONTENT the refresh reads.
-    val newFiles = listedDf.join(manifest, keys, "left_anti")
+    val newFiles = listedDf.join(manifestInScope, keys, "left_anti")
       .as[(String, String)].collect()
     // drops: in the index, gone from disk. Counted per day — the days
     // are the write-granularity, so that is all the driver needs.
-    val dropsByDt = manifest.join(listedDf, keys, "left_anti")
+    val dropsByDt = manifestInScope.join(listedDf, keys, "left_anti")
       .groupBy(col(Tape.DtCol)).agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect().toMap
     val removed = dropsByDt.values.sum
@@ -179,11 +221,18 @@ object TapeManifest {
       newFiles.map(_._1).toSet ++ dropsByDt.keySet
     if (affectedDts.nonEmpty) {
       // kept rows of the affected days + the new days' stats; only
-      // these partitions are overwritten, the rest stay untouched
+      // these partitions are overwritten, the rest stay untouched.
+      // localCheckpoint MATERIALIZES the frame before the overwrite:
+      // the kept rows are read from the very parquet partitions the
+      // dynamic overwrite replaces, and a read-while-replace is only
+      // safe under committers that stage (direct-write committers or a
+      // failure mid-commit would corrupt the manifest) — cutting the
+      // lineage makes the swap committer-independent.
       val out = manifest
         .filter(col(Tape.DtCol).isin(affectedDts.toSeq: _*))
         .join(listedDf, keys, "left_semi")
         .unionByName(addedStats)
+        .localCheckpoint()
       val outDts = out.select(Tape.DtCol).distinct()
         .as[String].collect().toSet
       if (outDts.nonEmpty)
@@ -225,22 +274,34 @@ object TapeManifest {
     spark.catalog.refreshByPath(manifestPath.toString)
   }
 
-  /** (dt, file) pairs on disk — one FS metadata pass, no content. */
-  private def listTapeFiles(spark: SparkSession,
-                            dir: String): Set[(String, String)] = {
+  /** (dt, file) pairs on disk — FS metadata only, no content. With a
+    * scope, lists ONLY the scoped day directories (a missing scoped day
+    * contributes nothing — that is how an expired day reads as
+    * dropped); without one, walks every `dt=` child of the tape root.
+    */
+  private def listTapeFiles(spark: SparkSession, dir: String,
+                            scope: Option[Set[String]])
+  : Set[(String, String)] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Set.empty
-    fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(s"${Tape.DtCol}="))
-      .flatMap { day =>
-        val dt = day.getPath.getName.stripPrefix(s"${Tape.DtCol}=")
-        fs.listStatus(day.getPath).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
-            !st.getPath.getName.startsWith("_"))
-          .map(st => (dt, st.getPath.getName))
-      }.toSet
+    val dayDirs: Seq[(String, org.apache.hadoop.fs.Path)] = scope match {
+      case Some(dts) => dts.toSeq.sorted
+        .map(dt => (dt,
+          new org.apache.hadoop.fs.Path(root, s"${Tape.DtCol}=$dt")))
+        .filter { case (_, p) => fs.exists(p) }
+      case None => fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"${Tape.DtCol}="))
+        .map(st =>
+          (st.getPath.getName.stripPrefix(s"${Tape.DtCol}="), st.getPath))
+    }
+    dayDirs.flatMap { case (dt, day) =>
+      fs.listStatus(day).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        .map(st => (dt, st.getPath.getName))
+    }.toSet
   }
 
   /** Manifest entries whose declared seq range overlaps `[from, to]`. */

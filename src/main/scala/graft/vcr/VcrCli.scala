@@ -141,6 +141,22 @@ object VcrCli {
         println(s"$verb ${res.daysDeleted} day partitions " +
           s"(${res.filesDeleted} files, ${res.bytesDeleted} bytes) " +
           s"before $keepFrom from $root/$stream")
+        // retention's half of the V14 loop: drop exactly the expired
+        // days from the zone-map manifest (scoped refresh — lists only
+        // the deleted days, finds them gone, prunes their partitions).
+        // Only when an index exists; expire must not create one.
+        if (!dryRun && res.days.nonEmpty) {
+          val manifestPath = new org.apache.hadoop.fs.Path(
+            s"$root/$stream/${TapeManifest.ManifestDir}")
+          val fs = manifestPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(manifestPath)) {
+            val r = TapeManifest.refresh(spark, root, stream,
+              res.days.toSet)
+            println(s"Manifest pruned: ${r.removed} entries of " +
+              s"${res.days.size} expired days dropped")
+          }
+        }
 
       case Some("digest") =>
         // archive integrity fingerprints (V15): one (n, bytes, xor)

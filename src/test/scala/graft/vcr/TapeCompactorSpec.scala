@@ -325,6 +325,69 @@ class TapeCompactorSpec extends AnyFunSuite {
     }
   }
 
+  test("R27: scoped manifest refresh lists ONLY the scoped day dirs — " +
+    "a single-day append costs a one-day LIST, not an archive walk; an " +
+    "expired scoped day drops its rows with ZERO day listings") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    val local = Files.createTempDirectory("graft-scoped").toString
+    val root = s"counting:$local"
+    val tapeDir = s"$local/s"
+    // 8-day archive laid down directly (the layout, not the writer, is
+    // under test), read back through the counting scheme
+    val days = (1 to 8).map(d => f"2024-07-$d%02d")
+    days.zipWithIndex.foreach { case (dt, di) =>
+      val dir = new java.io.File(s"$tapeDir/dt=$dt"); dir.mkdirs()
+      (0 until 20).foreach { i =>
+        val seq = di * 100 + i
+        Files.write(new java.io.File(dir, s"$seq-$seq.txt").toPath,
+          "AA==\n".getBytes(UTF_8))
+      }
+    }
+    TapeManifest.write(spark, root, "s")
+    assert(TapeManifest.load(spark, root, "s").count() === 160L)
+    def canon = {
+      spark.catalog.refreshByPath(s"$root/s")
+      TapeManifest.load(spark, root, "s").collect().map(_.toSeq).toSet
+    }
+    def rebuild = TapeManifest.build(spark, root, "s")
+      .collect().map(_.toSeq).toSet
+    // the recorder's steady state: a trigger appends 3 files to ONE day
+    val d8 = new java.io.File(s"$tapeDir/dt=2024-07-08")
+    (0 until 3).foreach { i =>
+      Files.write(new java.io.File(d8, s"${900 + i}-${900 + i}.txt").toPath,
+        "AA==\n".getBytes(UTF_8))
+    }
+    spark.catalog.refreshByPath(s"$root/s")
+    CountingFileSystem.reset()
+    val r = TapeManifest.refresh(spark, root, "s", Set("2024-07-08"))
+    assert(r === TapeManifest.RefreshResult(3L, 0L, 160L))
+    // THE R27 contract: only the written day's directory was LISTed —
+    // no other day, and not the tape root (no archive walk)
+    assert(CountingFileSystem.dayDirsListed(tapeDir) ===
+      Set("dt=2024-07-08"))
+    assert(!CountingFileSystem.listed.contains(tapeDir),
+      "scoped refresh walked the tape root")
+    assert(canon === rebuild)
+    // retention's half: expire reports its footprint, the scoped
+    // refresh drops exactly those rows — and since the dir is GONE the
+    // reconcile does not LIST a single day directory
+    val res = TapeCompactor.expire(spark, root, "s",
+      java.time.LocalDate.parse("2024-07-02"))
+    assert(res.days === Seq("2024-07-01"))
+    CountingFileSystem.reset()
+    val r2 = TapeManifest.refresh(spark, root, "s", res.days.toSet)
+    assert(r2.added === 0L && r2.removed === 20L)
+    assert(CountingFileSystem.dayDirsListed(tapeDir) === Set.empty)
+    assert(canon === rebuild)
+    // the audit path still exists and walks everything: the unscoped
+    // refresh is a no-op here but LISTs every remaining day
+    CountingFileSystem.reset()
+    val r3 = TapeManifest.refresh(spark, root, "s")
+    assert(r3.added === 0L && r3.removed === 0L)
+    assert(CountingFileSystem.dayDirsListed(tapeDir).size === 7)
+  }
+
   test("tape diff: identical replicas all match; a one-line tamper " +
     "flags exactly its day as diverged; a deleted day reports missing") {
     val rootA = Files.createTempDirectory("graft-diff-a").toString
