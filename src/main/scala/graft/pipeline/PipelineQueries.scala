@@ -578,24 +578,36 @@ object PipelineQueries {
         md5(col("text").cast("binary")).as("h"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    // tokens_unique = 0 is legal (a source whose every payload's keeper
+    // lives in another source — the cross-source case data_dedup_budget
+    // contemplates) and must not reach the division: non-ANSI Spark
+    // yields NULL there and least(NULL, 62) silently returns 62, while
+    // the DuckDB oracle errors — the engines would diverge. Such a
+    // source contributes NOTHING fresh: 0 epochs, 0 effective tokens.
     val per = docs.withColumn("keeper", min(col("doc_id")).over(wh))
       .groupBy(col("source"))
       .agg(sum(col("n_tok")).as("tokens_total"),
         sum(when(col("doc_id") === col("keeper"), col("n_tok"))
           .otherwise(0L)).as("tokens_unique"))
       .withColumn("full_epochs",
-        least(expr("tokens_total div tokens_unique"), lit(62L)))
+        when(col("tokens_unique") === 0L, 0L)
+          .otherwise(least(expr("tokens_total div tokens_unique"),
+            lit(62L))))
+    // unique > 0 ⇒ full_epochs ≥ 1 (unique ≤ total), so the shifts in
+    // the guarded branch never see a negative count
     per
       .withColumn("p", expr(
         "1.0 / cast(shiftleft(1L, cast(full_epochs - 1 as int)) as double)"))
       .withColumn("q", expr(
         "1.0 / cast(shiftleft(1L, cast(full_epochs as int)) as double)"))
       .withColumn("effective_tokens_micro",
-        round((col("tokens_unique") * (lit(2.0) - col("p")) +
-          (col("tokens_total") % col("tokens_unique")) * col("q")) * 1e6,
-          0).cast("long"))
+        when(col("tokens_unique") === 0L, 0L).otherwise(
+          round((col("tokens_unique") * (lit(2.0) - col("p")) +
+            (col("tokens_total") % col("tokens_unique")) * col("q")) * 1e6,
+            0).cast("long")))
       .withColumn("efficiency_ppm",
-        expr("effective_tokens_micro div tokens_total"))
+        when(col("tokens_unique") === 0L, 0L)
+          .otherwise(expr("effective_tokens_micro div tokens_total")))
       .select(col("source"), col("tokens_total"), col("tokens_unique"),
         col("full_epochs"), col("effective_tokens_micro"),
         col("efficiency_ppm"))
@@ -613,19 +625,22 @@ object PipelineQueries {
              sum(CASE WHEN doc_id = keeper THEN n_tok ELSE 0 END)::BIGINT
                AS tokens_unique
       FROM k GROUP BY source),
-    e AS (SELECT *, least(tokens_total // tokens_unique, 62)
+    e AS (SELECT *, CASE WHEN tokens_unique = 0 THEN 0::BIGINT
+                    ELSE least(tokens_total // tokens_unique, 62) END
                       AS full_epochs FROM per)
     SELECT source, tokens_total, tokens_unique, full_epochs,
-           CAST(round((tokens_unique *
+           CASE WHEN tokens_unique = 0 THEN 0::BIGINT
+           ELSE CAST(round((tokens_unique *
                (2.0 - 1.0 / (1::BIGINT << (full_epochs - 1)::INT)) +
                (tokens_total % tokens_unique) *
                (1.0 / (1::BIGINT << full_epochs::INT))) * 1e6, 0)
-             AS BIGINT) AS effective_tokens_micro,
-           CAST(round((tokens_unique *
+             AS BIGINT) END AS effective_tokens_micro,
+           CASE WHEN tokens_unique = 0 THEN 0::BIGINT
+           ELSE CAST(round((tokens_unique *
                (2.0 - 1.0 / (1::BIGINT << (full_epochs - 1)::INT)) +
                (tokens_total % tokens_unique) *
                (1.0 / (1::BIGINT << full_epochs::INT))) * 1e6, 0)
-             AS BIGINT) // tokens_total AS efficiency_ppm
+             AS BIGINT) // tokens_total END AS efficiency_ppm
     FROM e ORDER BY source"""
 
   val dataDedupBudgetSql: String = """

@@ -437,10 +437,17 @@ object SimQueries {
     ids.select(col("vec_id").cast("long"))
       .write.mode("append").parquet(s"$artifact/tombstones")
 
+  /** Explicit schema: a tombstone table that compaction has fully
+    * retired is an EMPTY directory, which schema inference would
+    * reject; with the declared single column it reads as zero rows.
+    */
+  private val tombstoneSchema = "vec_id LONG"
+
   private def tombstonesOf(s: SparkSession, artifact: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) s.read.parquet(p.toString).distinct()
+    if (fs.exists(p))
+      s.read.schema(tombstoneSchema).parquet(p.toString).distinct()
     else s.range(0).select(col("id").as("vec_id"))
   }
 
@@ -477,14 +484,25 @@ object SimQueries {
   /** S31b: tombstone COMPACTION — when a list has accumulated
     * `minDead` or more tombstoned rows, rewrite THAT list's partition
     * without them and retire the covered tombstones; lists below the
-    * threshold stay byte-identical (the V14 dynamic-partition-
-    * overwrite discipline). A fully-dead list writes no rows, so its
-    * partition directory is dropped explicitly (metadata-only).
+    * threshold stay byte-identical. A fully-dead list ends with no
+    * files, so its partition directory is dropped (metadata-only).
     * Tombstones for ids that were never in the postings (double
     * deletes) are retired too — they cover nothing. Serving is
     * IDENTICAL before and after (spec'd): compaction trades tombstone
     * anti-join work for a one-off partition rewrite, the same
     * reclaim-when-it-pays call LSM stores make.
+    *
+    * Compaction is designed to run WHILE R30 inserts and R32 deletes
+    * stream against the same artifact: (a) the tombstone table is
+    * snapshotted at file grain up front — deletes that land mid-compact
+    * are outside the snapshot and survive; (b) the retire step is
+    * append-then-remove, so a concurrent reader always sees a SUPERSET
+    * of the live tombstone ids (never a window that serves deleted
+    * vectors); (c) an UNCOMMITTED streamed insert batch's files are
+    * excluded from the rewrite and left physically in place, so the
+    * replay's delete-then-re-move convergence still holds — no lost
+    * insert, no duplicated batch, no resurrected delete (spec'd under
+    * a crash-compact-replay interleaving in StreamingSpec).
     */
   def ivfCompact(s: SparkSession, artifact: String,
                  minDead: Long = 1L): Unit = {
@@ -492,44 +510,152 @@ object SimQueries {
     val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     if (!fs.exists(tombPath)) return
-    val tomb = s.read.parquet(tombPath.toString).distinct()
-    val postings = s.read.parquet(postingsPath.toString)
-      .withColumn("cluster", col("cluster").cast("long"))
+    // SNAPSHOT the tombstone part files up front: R32 appends deletes
+    // to this directory continuously, and compaction must retire only
+    // what it actually reconciled — a tombstone that lands mid-compact
+    // is outside the snapshot and survives untouched.
+    val tombFiles = fs.listStatus(tombPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (tombFiles.isEmpty) { pruneInsertMarkers(s, fs, artifact); return }
+    val tomb = s.read.schema(tombstoneSchema)
+      .parquet(tombFiles.map(_.toString): _*).distinct()
+    // COMMITTED postings files only: an uncommitted streamed batch's
+    // files (`b{id}-*` with no `_insert_commits/batch-{id}` marker) are
+    // mid-commit and R30's replay owns them — it deletes-then-re-moves
+    // by that name prefix. The rewrite must neither absorb their rows
+    // into anonymous part files (the replay would then re-add the
+    // batch and duplicate it) nor delete them (the insert would be
+    // lost if the replay never came). Listing is O(k) directories —
+    // codebook-sized, and compaction is offline maintenance.
+    val commitsDir = new org.apache.hadoop.fs.Path(
+      s"$artifact/_insert_commits")
+    val committed: Set[Long] =
+      if (fs.exists(commitsDir)) fs.listStatus(commitsDir).toSeq
+        .flatMap(_.getPath.getName.stripPrefix("batch-").toLongOption)
+        .toSet
+      else Set.empty
+    val batchRe = "^b(\\d+)-.*".r
+    def uncommitted(name: String): Boolean = name match {
+      case batchRe(id) => !committed.contains(id.toLong)
+      case _ => false
+    }
+    val commFiles: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      fs.listStatus(postingsPath).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+        .flatMap { cd =>
+          val c = cd.getPath.getName.stripPrefix("cluster=").toLong
+          fs.listStatus(cd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet") &&
+              !uncommitted(st.getPath.getName))
+            .map(st => (c, st.getPath))
+        }
+    val commPostings =
+      if (commFiles.isEmpty) s.read.parquet(postingsPath.toString).limit(0)
+        .withColumn("cluster", col("cluster").cast("long"))
+      else s.read.option("basePath", postingsPath.toString)
+        .parquet(commFiles.map(_._2.toString): _*)
+        .withColumn("cluster", col("cluster").cast("long"))
     // per-list dead counts; the list set is codebook-sized, so the
     // collect is k rows — plan-time scalars, not corpus data
-    val deadLists = postings.join(tomb, Seq("vec_id"))
+    val deadLists = commPostings.join(tomb, Seq("vec_id"))
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_dead"))
       .filter(col("n_dead") >= minDead)
       .select("cluster").collect().map(_.getLong(0)).sorted
     if (deadLists.nonEmpty) {
-      val out = postings.filter(col("cluster").isin(deadLists: _*))
+      val deadSet = deadLists.toSet
+      // the rewrite is file-grain append-then-remove (the tombstone
+      // swap's discipline applied to postings): stage the kept rows,
+      // move the staged files INTO the live partitions, then delete
+      // exactly the snapshotted committed originals — below-threshold
+      // lists stay byte-identical, uncommitted batch files stay in
+      // place under their own names
+      val kept = commPostings.filter(col("cluster").isin(deadLists: _*))
         .join(tomb, Seq("vec_id"), "left_anti")
-      val outLists = out.select("cluster").distinct()
-        .collect().map(_.getLong(0)).toSet
-      if (outLists.nonEmpty)
-        out.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cluster").parquet(postingsPath.toString)
-      (deadLists.toSet -- outLists).foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          postingsPath, s"cluster=$c"), true)
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$artifact/_postings_compacting")
+      kept.write.mode("overwrite").partitionBy("cluster")
+        .parquet(staging.toString)
+      fs.listStatus(staging).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+        .foreach { cd =>
+          val dest = new org.apache.hadoop.fs.Path(
+            postingsPath, cd.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(cd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (st, i) =>
+              val to = new org.apache.hadoop.fs.Path(dest,
+                s"compacted-${java.util.UUID.randomUUID()}-$i.parquet")
+              if (!fs.rename(st.getPath, to))
+                throw new java.io.IOException(
+                  s"postings compaction move failed: ${st.getPath} -> $to")
+            }
+        }
+      commFiles.filter(f => deadSet.contains(f._1))
+        .foreach { case (_, p) => fs.delete(p, false) }
+      // a fully-dead list holding no other files drops its directory
+      // (metadata-only); one with uncommitted batch files keeps it
+      deadLists.foreach { c =>
+        val d = new org.apache.hadoop.fs.Path(postingsPath, s"cluster=$c")
+        if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true)
       }
+      fs.delete(staging, true)
       s.catalog.refreshByPath(postingsPath.toString)
     }
-    // surviving tombstones = ids still masking a postings row AFTER the
-    // rewrite (below-threshold lists); covered and orphaned (never-
-    // present) ids retire. tmp+rename — never overwrite a path mid-read
-    val keep = s.read.parquet(tombPath.toString).distinct()
+    // surviving tombstones = snapshot ids still masking a postings row
+    // AFTER the rewrite (below-threshold lists); covered and orphaned
+    // (never-present) ids retire. The swap is APPEND-THEN-REMOVE at
+    // file grain: write the keep set to a staging dir, move its part
+    // files INTO the live tombstone dir under fresh names, and only
+    // then delete the snapshotted originals. At every instant the
+    // directory holds a SUPERSET of the live tombstone ids (reads
+    // distinct(), so the transient duplication is invisible) — a
+    // concurrent reader can never land in a no-tombstones window and
+    // briefly serve deleted vectors, which the old delete-then-rename
+    // of the whole directory allowed. Files appended by R32 after the
+    // snapshot are not in `tombFiles` and are never touched.
+    val keep = s.read.schema(tombstoneSchema)
+      .parquet(tombFiles.map(_.toString): _*).distinct()
       .join(s.read.parquet(postingsPath.toString).select("vec_id"),
         Seq("vec_id"), "left_semi")
     val tmp = new org.apache.hadoop.fs.Path(s"$artifact/_tombstones_compacting")
     keep.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(tombPath, true)
-    if (!fs.rename(tmp, tombPath))
-      throw new java.io.IOException(
-        s"tombstone compaction rename failed: $tmp -> $tombPath")
+    val staged = fs.listStatus(tmp).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    staged.zipWithIndex.foreach { case (st, i) =>
+      val dest = new org.apache.hadoop.fs.Path(tombPath,
+        s"compacted-${java.util.UUID.randomUUID()}-$i.parquet")
+      if (!fs.rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"tombstone compaction move failed: ${st.getPath} -> $dest")
+    }
+    tombFiles.foreach(f => fs.delete(f, false))
+    fs.delete(tmp, true)
     s.catalog.refreshByPath(tombPath.toString)
+    pruneInsertMarkers(s, fs, artifact)
+  }
+
+  /** R30 housekeeping folded into compaction: the streamed-insert
+    * commit markers accumulate one path per trigger forever; replays
+    * only ever reach back a bounded number of batches (the checkpoint
+    * frontier), so retire all but the newest `keepNewest` ids.
+    */
+  private def pruneInsertMarkers(s: SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 artifact: String,
+                                 keepNewest: Int = 100): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$artifact/_insert_commits")
+    if (!fs.exists(dir)) return
+    val ids = fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .flatMap(p => p.getName.stripPrefix("batch-").toLongOption
+        .map(_ -> p))
+      .sortBy(_._1)
+    ids.dropRight(keepNewest).foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** One artifact+delete build per (JVM, corpus) for the S31 gate:
@@ -577,8 +703,13 @@ object SimQueries {
     * per micro-batch (the `queryAssigner` discipline: collect the
     * bounded codebook at start-up, per-trigger work is one narrow
     * projection + one partitioned append). */
-  private[graft] def ivfInserter(s: SparkSession, artifact: String)
-  : DataFrame => Unit = {
+  /** The assignment half of insert, factored so R30 can route a batch
+    * without committing it: (vec_id, vn) in → (vec_id, vn, cluster)
+    * under the deployed codebook out. The k-row codebook collects once
+    * when the closure is built (the `queryAssigner` discipline).
+    */
+  private[graft] def ivfAssigner(s: SparkSession, artifact: String)
+  : DataFrame => DataFrame = {
     val cents = KMeans.collectCodebook(
       s.read.parquet(s"$artifact/centroids"))
     val best = array_max(array(cents.map { case (c, cv) =>
@@ -590,7 +721,14 @@ object SimQueries {
     }: _*))
     (newVecs: DataFrame) =>
       newVecs.select(col("vec_id"), col("vn"),
-          (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
+        (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
+  }
+
+  private[graft] def ivfInserter(s: SparkSession, artifact: String)
+  : DataFrame => Unit = {
+    val assign = ivfAssigner(s, artifact)
+    (newVecs: DataFrame) =>
+      assign(newVecs)
         .write.mode("append").partitionBy("cluster")
         .parquet(s"$artifact/postings")
   }

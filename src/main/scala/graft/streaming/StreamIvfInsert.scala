@@ -15,43 +15,89 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Topology: the k-row codebook collects ONCE at start-up (part of the
   * offline build, the `queryAssigner` discipline); each trigger's work
   * is one narrow literal-argmax projection plus one partitioned parquet
-  * append — no join, no shuffle wider than the batch, no rewrite of any
-  * existing file. The artifact is the state and it lives OUTSIDE the
+  * write — no join, no shuffle wider than the batch, no rewrite of any
+  * existing row. The artifact is the state and it lives OUTSIDE the
   * stream (the R18 CAS rule), so per-trigger cost is O(batch) and the
   * index a concurrent reader sees only ever GROWS: a vector is
   * queryable from the trigger after its arrival, and S31 tombstones
   * compose unchanged (deletes mask, inserts append, compaction
   * reconciles — the LSM triangle).
   *
-  * Exactly-once under replay: a trigger that fails between the parquet
-  * append and the checkpoint commit replays its batch, and a naive
-  * append would duplicate those postings rows. The face seals each
-  * trigger with the standard foreachBatch idempotence recipe: a
-  * per-batch-id commit marker beside the artifact, written AFTER the
-  * append — a replayed batch sees its marker and becomes a no-op
-  * (spec'd by invoking the same batch twice). A crash between append
-  * and marker still duplicates that one batch — closing that needs a
-  * transactional commit protocol (the V14 manifest discipline); the
-  * marker shrinks the at-risk window from "every replay" to "a crash
-  * inside one two-step commit".
+  * Exactly-once under replay, including a crash MID-commit: each
+  * trigger stages its routed rows beside the artifact, then moves the
+  * staged files into the live postings partitions under names OWNED by
+  * the batch id (`b{batchId}-{i}.parquet`), then writes a per-batch
+  * commit marker. Sources replay a failed trigger with the same batch
+  * id and the same data, and assignment under a fixed codebook is
+  * deterministic — so redelivery touches the same cluster set, removes
+  * any `b{batchId}-*` leftovers a crashed attempt left behind, and
+  * re-moves fresh copies: the postings converge on exactly one copy of
+  * the batch no matter where the previous attempt died. A committed
+  * batch id is a pure no-op. (Transient: recovery of a half-moved
+  * batch briefly retracts rows a reader may have seen early; they
+  * return within the same replay. An append-only reader never sees
+  * duplicates.) Compaction prunes markers older than any reachable
+  * replay (`SimQueries.pruneInsertMarkers`).
   */
 object StreamIvfInsert {
 
   /** Insert one batch id-sealed: no-op if this batchId already
-    * committed. Factored out so the spec can drive a replay directly.
+    * committed; otherwise stage → claim-owned move → marker. Factored
+    * out so the spec can drive a replay (and a mid-commit crash)
+    * directly.
+    *
+    * @param moveLimit test hook: stop after moving this many staged
+    *                  files (simulates a crash mid-move); < 0 = all.
     */
   private[streaming] def insertBatch(s: SparkSession, artifact: String,
-      insert: DataFrame => Unit, b: DataFrame, batchId: Long): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$artifact/_insert_commits/batch-$batchId")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      assign: DataFrame => DataFrame, b: DataFrame, batchId: Long,
+      moveLimit: Int = -1): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val commits = new org.apache.hadoop.fs.Path(s"$artifact/_insert_commits")
+    val marker = new org.apache.hadoop.fs.Path(commits, s"batch-$batchId")
+    val fs = marker.getFileSystem(conf)
     if (fs.exists(marker)) return
-    insert(b
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$artifact/_insert_staging/batch-$batchId")
+    assign(b
       .withColumn("vn",
         graft.functions.VectorFunctions.normalize(col("v")))
       .select(col("vec_id"), col("vn")))
-    fs.mkdirs(marker.getParent)
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(staging.toString)
+    val postings = new org.apache.hadoop.fs.Path(s"$artifact/postings")
+    var moved = 0
+    fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
+      .foreach { cd =>
+        val dest = new org.apache.hadoop.fs.Path(postings, cd.getPath.getName)
+        fs.mkdirs(dest)
+        // clear this batch's leftovers from a crashed previous attempt
+        // BEFORE re-moving — redelivery must converge, not accumulate
+        fs.listStatus(dest).toSeq
+          .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+          .foreach(st => fs.delete(st.getPath, false))
+        fs.listStatus(cd.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (st, i) =>
+            if (moveLimit < 0 || moved < moveLimit) {
+              val to = new org.apache.hadoop.fs.Path(dest,
+                s"b$batchId-${cd.getPath.getName.stripPrefix("cluster=")}" +
+                  s"-$i.parquet")
+              if (!fs.rename(st.getPath, to))
+                throw new java.io.IOException(
+                  s"insert commit move failed: ${st.getPath} -> $to")
+              moved += 1
+            }
+          }
+      }
+    if (moveLimit >= 0 && moved >= moveLimit)
+      throw new java.io.IOException(
+        s"simulated crash after moving $moved files (batch $batchId)")
+    fs.delete(staging, true)
+    fs.mkdirs(commits)
     fs.create(marker, true).close()
+    s.catalog.refreshByPath(postings.toString)
   }
 
   /** Start appending `vecs` (a streaming frame of (vec_id BIGINT,
@@ -62,13 +108,13 @@ object StreamIvfInsert {
     */
   def start(s: SparkSession, artifact: String, vecs: DataFrame,
             checkpoint: String): StreamingQuery = {
-    val insert = graft.sim.SimQueries.ivfInserter(s, artifact)
+    val assign = graft.sim.SimQueries.ivfAssigner(s, artifact)
     vecs.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
          batchId: Long) =>
-          insertBatch(s, artifact, insert, b.toDF(), batchId)
+          insertBatch(s, artifact, assign, b.toDF(), batchId)
       }.start()
   }
 }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * An event-time timeout re-flushes a key when the watermark advances
   * past its pending events even if no new data arrives for that key.
   * State per key is O(events inside one watermark window) — bounded by
-  * the delay × the key's rate, not by history. Duplicate deliveries
-  * (same event_id still pending, or at/behind the emitted frontier)
-  * drop silently — at-least-once in, exactly-once out.
+  * the delay × the key's rate, not by history — and AGGREGATE state is
+  * bounded too: a drained key idle past [[DefaultIdleMs]] of event
+  * time is removed (see `armTimeout`), so the store holds O(keys
+  * active within the horizon), not O(keys ever seen). Duplicate
+  * deliveries (same event_id still pending, or at/behind the emitted
+  * frontier) drop silently — at-least-once in, exactly-once out.
   *
   * Under any arrival interleaving whose per-key displacement stays
   * inside the watermark delay, the emitted multiset equals the batch
@@ -53,14 +56,33 @@ object StreamOoo {
     all.partition(_.ts_micro < wmMicro)
   }
 
-  /** Register a re-flush for the earliest still-pending event; no-op
-    * when nothing is pending (the next arrival re-registers).
+  /** Event-time horizon after which a DRAINED key's state is dropped:
+    * 30 days of event time past its last emitted event. Bounds
+    * aggregate state at O(keys active within the horizon) instead of
+    * O(distinct keys ever seen). Dropping is safe against duplicates —
+    * every emitted event is behind the watermark by then, so a
+    * redelivery is dropped upstream before the stateful operator —
+    * and costs only the chain restart: a key returning after 30 quiet
+    * days starts a fresh transition chain / funnel, the same trade
+    * every TTL'd session store makes. Feeds whose per-key quiet gaps
+    * stay under the horizon match the batch twin exactly (the parity
+    * specs); the horizon is a parameter for feeds that need otherwise.
     */
-  private def armTimeout[S](state: GroupState[S],
-                            rest: Seq[PendEv]): Unit =
+  val DefaultIdleMs: Long = 30L * 24 * 3600 * 1000
+
+  /** Register a re-flush for the earliest still-pending event; with
+    * nothing pending, arm the idle-expiry instead — when IT fires with
+    * still nothing new, the key's state is removed.
+    */
+  private def armTimeout[S](state: GroupState[S], rest: Seq[PendEv],
+                            emTs: Long, idleMs: Long): Unit =
     if (rest.nonEmpty)
       state.setTimeoutTimestamp(math.max(
         rest.head.ts_micro / 1000L + 1L,
+        state.getCurrentWatermarkMs() + 1L))
+    else
+      state.setTimeoutTimestamp(math.max(
+        emTs / 1000L + idleMs,
         state.getCurrentWatermarkMs() + 1L))
 
   private def watermarked(evs: Dataset[_], delay: String): Dataset[EvT] = {
@@ -77,8 +99,9 @@ object StreamOoo {
   /** R22b: transition pairs at ingest, order-tolerant. Emission is the
     * in-order R22 fold over the watermark-released prefix.
     */
-  def transitionPairs(evs: Dataset[StreamTransitions.Ev],
-                      delay: String): Dataset[StreamTransitions.Trans] = {
+  def transitionPairs(evs: Dataset[StreamTransitions.Ev], delay: String,
+                      idleMs: Long = DefaultIdleMs)
+  : Dataset[StreamTransitions.Trans] = {
     implicit val outEnc = Encoders.product[StreamTransitions.Trans]
     implicit val stEnc = Encoders.product[TransSt]
     watermarked(evs, delay)
@@ -93,22 +116,29 @@ object StreamOoo {
             PendEv(e.ts_micro, e.event_id, e.event_type)).toSeq
           val (ready, rest) =
             merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
-          var lastType = st.lastType
-          var hasLast = st.hasLast
-          val out = ready.flatMap { e =>
-            val t = if (hasLast)
-              Some(StreamTransitions.Trans(uid, e.event_id, lastType,
-                e.event_type))
-            else None
-            lastType = e.event_type; hasLast = true
-            t
+          if (arrivals.isEmpty && ready.isEmpty && rest.isEmpty &&
+            state.hasTimedOut) {
+            // the idle-expiry fired with nothing new: drop the key
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastType = st.lastType
+            var hasLast = st.hasLast
+            val out = ready.flatMap { e =>
+              val t = if (hasLast)
+                Some(StreamTransitions.Trans(uid, e.event_id, lastType,
+                  e.event_type))
+              else None
+              lastType = e.event_type; hasLast = true
+              t
+            }
+            val (emTs, emId) =
+              if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
+              else (st.emTs, st.emId)
+            state.update(TransSt(rest, emTs, emId, lastType, hasLast))
+            armTimeout(state, rest, emTs, idleMs)
+            out.iterator
           }
-          val (emTs, emId) =
-            if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
-            else (st.emTs, st.emId)
-          state.update(TransSt(rest, emTs, emId, lastType, hasLast))
-          armTimeout(state, rest)
-          out.iterator
       }
   }
 
@@ -120,8 +150,9 @@ object StreamOoo {
     * first purchase strictly after that) over the released prefix — an
     * advance is final because nothing earlier can still arrive.
     */
-  def funnelAdvances(evs: Dataset[StreamFunnel.Ev],
-                     delay: String): Dataset[StreamFunnel.Advance] = {
+  def funnelAdvances(evs: Dataset[StreamFunnel.Ev], delay: String,
+                     idleMs: Long = DefaultIdleMs)
+  : Dataset[StreamFunnel.Advance] = {
     implicit val outEnc = Encoders.product[StreamFunnel.Advance]
     implicit val stEnc = Encoders.product[FunSt]
     watermarked(evs, delay)
@@ -136,28 +167,35 @@ object StreamOoo {
             PendEv(e.ts_micro, e.event_id, e.event_type)).toSeq
           val (ready, rest) =
             merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
-          val out = ready.flatMap { e =>
-            e.event_type match {
-              case "view" if st.tView < 0 =>
-                st = st.copy(tView = e.ts_micro)
-                Some(StreamFunnel.Advance(uid, "viewed", e.ts_micro))
-              case "click" if st.tView >= 0 && st.tClick < 0 &&
-                e.ts_micro > st.tView =>
-                st = st.copy(tClick = e.ts_micro)
-                Some(StreamFunnel.Advance(uid, "clicked", e.ts_micro))
-              case "purchase" if st.tClick >= 0 && st.tPurchase < 0 &&
-                e.ts_micro > st.tClick =>
-                st = st.copy(tPurchase = e.ts_micro)
-                Some(StreamFunnel.Advance(uid, "purchased", e.ts_micro))
-              case _ => None
+          if (arrivals.isEmpty && ready.isEmpty && rest.isEmpty &&
+            state.hasTimedOut) {
+            // the idle-expiry fired with nothing new: drop the key
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = ready.flatMap { e =>
+              e.event_type match {
+                case "view" if st.tView < 0 =>
+                  st = st.copy(tView = e.ts_micro)
+                  Some(StreamFunnel.Advance(uid, "viewed", e.ts_micro))
+                case "click" if st.tView >= 0 && st.tClick < 0 &&
+                  e.ts_micro > st.tView =>
+                  st = st.copy(tClick = e.ts_micro)
+                  Some(StreamFunnel.Advance(uid, "clicked", e.ts_micro))
+                case "purchase" if st.tClick >= 0 && st.tPurchase < 0 &&
+                  e.ts_micro > st.tClick =>
+                  st = st.copy(tPurchase = e.ts_micro)
+                  Some(StreamFunnel.Advance(uid, "purchased", e.ts_micro))
+                case _ => None
+              }
             }
+            val (emTs, emId) =
+              if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
+              else (st.emTs, st.emId)
+            state.update(st.copy(pending = rest, emTs = emTs, emId = emId))
+            armTimeout(state, rest, emTs, idleMs)
+            out.iterator
           }
-          val (emTs, emId) =
-            if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
-            else (st.emTs, st.emId)
-          state.update(st.copy(pending = rest, emTs = emTs, emId = emId))
-          armTimeout(state, rest)
-          out.iterator
       }
   }
 }

@@ -92,11 +92,14 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     // srcA: 4 unique docs. srcB: 2 docs, each duplicated once (T=2U).
     // srcC: 1 doc repeated 4 times (T=4U, e=4).
+    // srcD: every payload's keeper lives in srcA (pure cross-source
+    // duplicate) — tokens_unique = 0, the division-guard case
     val docs = (
       (1 to 4).map(i => (s"srcA", 100L + i, s"alpha beta gamma $i")) ++
       Seq(("srcB", 201L, "delta epsilon"), ("srcB", 202L, "delta epsilon"),
         ("srcB", 203L, "zeta eta theta"), ("srcB", 204L, "zeta eta theta")) ++
-      (1 to 4).map(i => ("srcC", 300L + i, "iota kappa"))
+      (1 to 4).map(i => ("srcC", 300L + i, "iota kappa")) ++
+      (1 to 2).map(i => ("srcD", 400L + i, s"alpha beta gamma $i"))
     ).toDF("source", "doc_id", "text")
     val tdir = java.nio.file.Files
       .createTempDirectory("graft-epochs").toString
@@ -122,6 +125,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(fc === (uc * 1.875 * 1e6).round)
     assert(pc === 468750L)
     assert(pa > pb && pb > pc)
+    // srcD: fully cross-source-duplicated — the tokens_unique = 0 guard
+    // must yield zeros, not NULL-poisoned epochs (least(NULL, 62) = 62)
+    val (td, ud, ed, fd, pd) = out("srcD")
+    assert(td > 0L && ud === 0L)
+    assert(ed === 0L && fd === 0L && pd === 0L)
   }
 
   test("unigram LM: rare-word docs score higher NLL than common-word docs") {

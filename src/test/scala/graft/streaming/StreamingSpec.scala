@@ -1441,7 +1441,7 @@ class StreamingSpec extends AnyFunSuite {
     // the per-batch marker makes the append idempotent
     val before = postings(streamed)
     StreamIvfInsert.insertBatch(spark, streamed,
-      graft.sim.SimQueries.ivfInserter(spark, streamed),
+      graft.sim.SimQueries.ivfAssigner(spark, streamed),
       rows.take(2).toSeq.toDF("vec_id", "v"), batchId = 0L)
     assert(postings(streamed) === before,
       "replaying a committed batch id duplicated postings rows")
@@ -1509,6 +1509,88 @@ class StreamingSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
     assert(afterCompact === sServed,
       "compaction after the delete stream changed serving")
+  }
+
+  test("R30/S31b: compaction between a crashed insert commit and its " +
+    "replay — no lost insert, no duplicated batch, no resurrected " +
+    "delete; tombstones appended mid-compact survive the snapshot") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    val e = graft.Tables.embeddings(spark, dir0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val m = graft.sim.SimQueries.InsertMod
+    val r = graft.sim.SimQueries.InsertRem
+    graft.sim.SimQueries.ivfIndexWriteOn(
+      e.filter(col("vec_id") % m =!= r)
+        .withColumn("vn", graft.functions.VectorFunctions.normalize(col("v"))),
+      art)
+    graft.CachedFrames.releaseAll()
+    // tombstone some deployed ids so compaction has lists to rewrite
+    val deployed = spark.read.parquet(s"$art/postings").select("vec_id")
+    graft.sim.SimQueries.ivfDelete(spark, art,
+      deployed.filter(col("vec_id") % 7 === 3))
+    val delCount = deployed.filter(col("vec_id") % 7 === 3).count()
+    assert(delCount > 0)
+    val assign = graft.sim.SimQueries.ivfAssigner(spark, art)
+    val batch = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1))).toSeq
+      .toDF("vec_id", "v")
+    val batchIds = batch.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // 1. the insert commit CRASHES mid-move: some b9-* files landed
+    assertThrows[java.io.IOException](StreamIvfInsert.insertBatch(
+      spark, art, assign, batch, batchId = 9L, moveLimit = 1))
+    spark.catalog.refreshByPath(s"$art/postings")
+    val partial = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id").isin(batchIds.toSeq: _*)).count()
+    assert(partial > 0 && partial < batchIds.size,
+      s"crash simulation should leave a PARTIAL batch, left $partial")
+    // 2. compaction runs between the crash and the replay — it must
+    //    rewrite the dead lists yet leave the uncommitted b9-* files
+    //    alone (they carry no tombstoned rows but live in shared dirs)
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    assert(spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).count() === 0L,
+      "compaction failed to remove tombstoned rows")
+    // 3. the replay converges: exactly one copy of every batch row
+    StreamIvfInsert.insertBatch(spark, art, assign, batch, batchId = 9L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    val counts = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id").isin(batchIds.toSeq: _*))
+      .groupBy("vec_id").count().collect()
+    assert(counts.length === batchIds.size, "replay lost insert rows")
+    assert(counts.forall(_.getLong(1) === 1L),
+      "replay duplicated insert rows after compaction absorbed the " +
+        "crashed attempt")
+    // no resurrected delete: tombstoned ids still absent
+    assert(spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3 &&
+        !col("vec_id").isin(batchIds.toSeq: _*)).count() === 0L)
+    // a committed batch id stays a no-op even after compaction pruned
+    // nothing relevant
+    StreamIvfInsert.insertBatch(spark, art, assign, batch, batchId = 9L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    assert(spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id").isin(batchIds.toSeq: _*)).count()
+      === batchIds.size)
+    // 4. tombstones appended MID-compact survive: snapshot discipline.
+    //    Simulate by appending a fresh tombstone, then compacting with
+    //    a threshold nothing reaches — the no-op pass must retire the
+    //    covered-nothing orphans ONLY from its snapshot, keeping the
+    //    live one
+    val freshVictim = batchIds.head
+    graft.sim.SimQueries.ivfDelete(spark, art,
+      Seq(freshVictim).toDF("vec_id"))
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = Long.MaxValue)
+    spark.catalog.refreshByPath(s"$art/tombstones")
+    assert(spark.read.schema("vec_id LONG")
+      .parquet(s"$art/tombstones").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(freshVictim),
+      "a live tombstone was lost or a covered one resurrected")
   }
 
   test("R20: streamed scene detection equals the batch M9 ledger " +
@@ -1836,6 +1918,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.toSet === batch,
       "out-of-order transitions diverged from the batch lag")
     assert(emitted.size === batch.size, "duplicate transitions emitted")
+  }
+
+  test("R22b idle expiry: a drained key idle past the event-time " +
+    "horizon is removed from the state store (aggregate state is " +
+    "O(active keys), not O(keys ever seen)); its output was already " +
+    "emitted intact") {
+    import spark.implicits._
+    val fdir = tmp()
+    val base = System.currentTimeMillis()
+    def emit(rows: Seq[(Long, Long, Long, String)], idx: Int): Unit = {
+      val stage = tmp()
+      rows.toDF("user_id", "ts_micro", "event_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(fdir, f"wave$idx%03d.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(base + idx * 1000))
+    }
+    val sec = 1000000L // event-time microseconds
+    // user 1 speaks once, early (clear of the t=0 initial-watermark
+    // boundary, where the pre-operator late filter would eat the row);
+    // user 9 marches the watermark far past user 1's 30 s idle
+    // horizon, one trigger at a time
+    emit(Seq((1L, 10 * sec, 1L, "view"), (1L, 11 * sec, 2L, "click")), 0)
+    emit(Seq((9L, 100 * sec, 91L, "view")), 1)
+    emit(Seq((9L, 200 * sec, 92L, "view")), 2)
+    emit(Seq((9L, 300 * sec, 93L, "view")), 3)
+    emit(Seq((9L, 400 * sec, 94L, "view")), 4)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamTransitions.Trans]()
+    val sq = StreamOoo.transitionPairs(
+      spark.readStream
+        .schema("user_id LONG, ts_micro LONG, event_id LONG, " +
+          "event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(fdir)
+        .as[StreamTransitions.Ev],
+      delay = "5 seconds", idleMs = 30L * 1000)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamTransitions.Trans],
+         _: Long) =>
+          b.collect().foreach(got.add)
+          ()
+      }.start()
+    sq.processAllAvailable()
+    val stateRows = sq.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal)
+    sq.stop()
+    import scala.jdk.CollectionConverters._
+    // user 1's transition was emitted before the expiry
+    assert(got.asScala.toSet.contains(
+      StreamTransitions.Trans(1L, 2L, "view", "click")))
+    // ...and then its state was dropped: only user 9 remains resident
+    assert(stateRows.lastOption === Some(1L),
+      s"drained idle key kept state rows: ${stateRows.toSeq}")
+    // at some earlier point both keys were resident (the expiry did
+    // the shrinking, not a never-stored key)
+    assert(stateRows.exists(_ >= 2L), stateRows.toSeq.toString)
   }
 
   test("R25b: out-of-order funnel advances — watermark-buffered " +
