@@ -528,18 +528,7 @@ object SimQueries {
     // batch and duplicate it) nor delete them (the insert would be
     // lost if the replay never came). Listing is O(k) directories —
     // codebook-sized, and compaction is offline maintenance.
-    val commitsDir = new org.apache.hadoop.fs.Path(
-      s"$artifact/_insert_commits")
-    val committed: Set[Long] =
-      if (fs.exists(commitsDir)) fs.listStatus(commitsDir).toSeq
-        .flatMap(_.getPath.getName.stripPrefix("batch-").toLongOption)
-        .toSet
-      else Set.empty
-    val batchRe = "^b(\\d+)-.*".r
-    def uncommitted(name: String): Boolean = name match {
-      case batchRe(id) => !committed.contains(id.toLong)
-      case _ => false
-    }
+    val committed = graft.streaming.StagedCommit.committedIds(fs, artifact)
     val commFiles: Seq[(Long, org.apache.hadoop.fs.Path)] =
       fs.listStatus(postingsPath).toSeq
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
@@ -548,7 +537,8 @@ object SimQueries {
           fs.listStatus(cd.getPath).toSeq
             .filter(st => st.isFile &&
               st.getPath.getName.endsWith(".parquet") &&
-              !uncommitted(st.getPath.getName))
+              !graft.streaming.StagedCommit.uncommittedFile(
+                st.getPath.getName, committed))
             .map(st => (c, st.getPath))
         }
     val commPostings =
@@ -3648,6 +3638,310 @@ object SimQueries {
     rankTopK(seen)
   }
 
+  // ——— S35/S36: the graph-ANN family's DEPLOYMENT rung — the build
+  // cost knnGraph/knnGraphHnsw pay per invocation written once as a
+  // parquet artifact, serving reduced to partition-pruned scans. ———
+
+  /** Edge-list bucket count: serving collects each round's frontier
+    * (a bounded |Q|·beam id set, the codebook idiom) and prunes the
+    * edge scan to the frontier's buckets — the graph-ANN analog of the
+    * IVF postings partition pruning. 64 buckets keeps per-partition
+    * file counts sane at corpus scale while making a ≤400-id frontier
+    * touch a fraction of the edge set.
+    */
+  val GraphBuckets = 64
+
+  private def centsWriteOn(e: DataFrame, out: String): Unit =
+    centroids(e).select(col("label"), col("cvn"))
+      .write.mode("overwrite").parquet(s"$out/centroids")
+
+  private def collectCentsArtifact(s: SparkSession,
+      artifact: String): Seq[(Int, Seq[Double])] =
+    s.read.parquet(s"$artifact/centroids").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector)).sortBy(_._1)
+
+  private def refinedBaseEdges(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val vecById = e.select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    var edges = coMemberGraph(e, cents).localCheckpoint(false)
+    var rr = 0
+    while (rr < GraphRefineRounds) {
+      edges = refineEdges(edges, vecById).localCheckpoint(false)
+      rr += 1
+    }
+    symmetrize(edges)
+  }
+
+  /** S35: deploy the S12 graph — centroids (the k-row seeding
+    * codebook), postings (the cluster-partitioned member table that
+    * seeds each query's entry set AND scores candidates), and the
+    * refined symmetrized edge list bucket-partitioned by `src`. Build
+    * once, serve many: the NN-descent cost knnGraph pays per call is
+    * paid here once.
+    */
+  def graphIndexWrite(s: SparkSession, dir: String, out: String): Unit = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    centsWriteOn(e, out)
+    e.select(col("vec_id"), col("vn"), bestClusterCol(cents).as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$out/postings")
+    refinedBaseEdges(e, cents)
+      .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/edges")
+  }
+
+  /** One beam round against the PERSISTED edge list: the frontier is
+    * first collected (bounded: ≤ |Q|·beam ids — the same plan-time
+    * scalar class as the codebooks) so the edge scan prunes to the
+    * frontier's bucket partitions and rows; the join itself is the
+    * in-memory `expandRound` unchanged, so served rows are identical.
+    */
+  private def expandRoundArtifact(s: SparkSession, seen: DataFrame,
+      edgesPath: String, q: DataFrame, vecById: DataFrame, beam: Int,
+      lvl: Option[Int] = None): DataFrame = {
+    val frontier = seen.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAgg(col("cos"), col("cand"), beam)
+        .as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("src"))
+      .localCheckpoint(false)
+    val ids = frontier.select("src").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val buckets = ids.map(i =>
+      ((i % GraphBuckets) + GraphBuckets) % GraphBuckets).distinct
+    val scan = s.read.parquet(edgesPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("src").isin(ids: _*))
+    val graph = lvl.fold(scan)(l => scan.filter(col("lvl") === l))
+      .select(col("src"), col("dst"))
+    val expanded = broadcast(frontier).join(graph, Seq("src"))
+      .select(col("q_id"), col("dst").as("cand")).distinct()
+      .join(seen.select(col("q_id"), col("cand")),
+        Seq("q_id", "cand"), "left_anti")
+    val scoredNew = expanded
+      .join(vecById, Seq("cand"))
+      .join(q.select(col("q_id"), col("qvn")), Seq("q_id"))
+      .filter(col("cand") =!= col("q_id"))
+      .select(col("q_id"), col("cand"),
+        round(dot(col("qvn"), col("cvn")), 6).as("cos"))
+    seen.union(scoredNew)
+  }
+
+  /** S35 serving: the S12 beam search fed ENTIRELY from the artifact —
+    * no graph build, no corpus-wide scan; per round one bucket-pruned
+    * edge read plus the candidate scoring join. Row-identical to
+    * `knnGraph` (spec'd): same seeds, same rounds, same ranking.
+    */
+  def graphServeArtifact(s: SparkSession, dir: String,
+                         artifact: String): DataFrame = {
+    val cents = collectCentsArtifact(s, artifact)
+    val postings = s.read.parquet(s"$artifact/postings")
+      .withColumn("cluster", col("cluster").cast("int"))
+    val vecById = postings
+      .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
+        bestClusterCol(cents).as("cluster"))
+    var seen = q
+      .join(postings.select(col("vec_id").as("cand"), col("vn").as("cvn"),
+        col("cluster")), Seq("cluster"))
+      .filter(col("cand") =!= col("q_id"))
+      .select(col("q_id"), col("cand"),
+        round(dot(col("qvn"), col("cvn")), 6).as("cos"))
+      .localCheckpoint(false)
+    var r = 0
+    while (r < GraphRounds) {
+      seen = expandRoundArtifact(s, seen, s"$artifact/edges", q, vecById,
+        GraphBeam).localCheckpoint(false)
+      r += 1
+    }
+    rankTopK(seen)
+  }
+
+  /** S36: deploy the S13 layered graph — members carry (vec_id, vn,
+    * lvl); all three layer graphs live in ONE bucket-partitioned edge
+    * table with `lvl` as a data column (filter-pushed per descent
+    * round); the deterministic entry point is a one-row table. R15b
+    * streams inserts into this artifact (members + edges appends under
+    * the StagedCommit seal); re-pruning grown adjacencies back to M is
+    * offline compaction's job, the S31b division of labor.
+    */
+  def hnswIndexWrite(s: SparkSession, dir: String, out: String): Unit =
+    hnswIndexWriteOn(vecs(s, dir), out)
+
+  /** The S36 build over an explicit (vec_id, v, vn, label) corpus frame
+    * — exposed so R15b can deploy a graph built on a PREFIX of the
+    * corpus and stream the rest in. */
+  private[graft] def hnswIndexWriteOn(e: DataFrame, out: String): Unit = {
+    val cents = collectCents(e)
+    centsWriteOn(e, out)
+    val lv = hnswLevels(e).localCheckpoint(false)
+    lv.write.mode("overwrite").parquet(s"$out/members")
+    val g0 = refinedBaseEdges(e, cents).withColumn("lvl", lit(0))
+    val g1 = symmetrize(coMemberGraph(lv.filter(col("lvl") >= 1), cents))
+      .withColumn("lvl", lit(1))
+    val g2 = symmetrize(coMemberGraph(lv.filter(col("lvl") >= 2), cents))
+      .withColumn("lvl", lit(2))
+    g0.unionByName(g1).unionByName(g2)
+      .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$out/edges")
+    lv.orderBy(col("lvl").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("vn"))
+      .write.mode("overwrite").parquet(s"$out/entry")
+  }
+
+  /** S36 serving: the S13 descent fed from the artifact — entry row,
+    * one pruned round per upper layer, `HnswBaseRounds` on the base.
+    * Row-identical to `knnGraphHnsw` on a freshly-built artifact.
+    * Queries may come from the corpus (`hnswServeArtifact`) or be any
+    * (q_id, qvn) frame (`hnswServeArtifactOn` — what R15b's
+    * insert-then-serve spec drives).
+    */
+  def hnswServeArtifactOn(s: SparkSession, q: DataFrame,
+                          artifact: String): DataFrame = {
+    val entryRow = s.read.parquet(s"$artifact/entry").head()
+    val entryId = entryRow.getLong(0)
+    val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
+    val vecById = s.read.parquet(s"$artifact/members")
+      .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    var seen = q.select(col("q_id"), lit(entryId).as("cand"),
+        round(dot(col("qvn"), typedLit(entryVn)), 6).as("cos"))
+      .localCheckpoint(false)
+    Seq(2, 1).foreach { l =>
+      seen = expandRoundArtifact(s, seen, s"$artifact/edges", q, vecById,
+        HnswBeam, lvl = Some(l)).localCheckpoint(false)
+    }
+    var r = 0
+    while (r < HnswBaseRounds) {
+      seen = expandRoundArtifact(s, seen, s"$artifact/edges", q, vecById,
+        HnswBeam, lvl = Some(0)).localCheckpoint(false)
+      r += 1
+    }
+    rankTopK(seen)
+  }
+
+  def hnswServeArtifact(s: SparkSession, dir: String,
+                        artifact: String): DataFrame =
+    hnswServeArtifactOn(s,
+      vecs(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("vn").as("qvn")),
+      artifact)
+
+  /** One artifact build per (JVM, corpus) for the S35/S36 gates —
+    * the deployment story IS the gate: build once, serve from parquet.
+    */
+  private val graphArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val hnswArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnGraphArtifact(s: SparkSession, dir: String): DataFrame =
+    graphServeArtifact(s, dir, graphArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-index").toString
+      graphIndexWrite(s, dir, out)
+      out
+    }))
+
+  def knnGraphHnswArtifact(s: SparkSession, dir: String): DataFrame =
+    hnswServeArtifact(s, dir, hnswArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-hnsw-index").toString
+      hnswIndexWrite(s, dir, out)
+      out
+    }))
+
+  /** S36b (R15b's core): insert a batch of (vec_id BIGINT,
+    * v ARRAY&lt;DOUBLE&gt;) into the PERSISTED layered-graph artifact —
+    * R15's insert-is-search-plus-connect run against parquet instead
+    * of in-memory state, sealed exactly-once under the StagedCommit
+    * discipline R30 established. The descent reads the COMMITTED view
+    * of members/edges (a crashed attempt's half-moved files are
+    * excluded, so the replay recomputes the identical staged tree and
+    * converges); the connect appends the new nodes' top-M edges AND
+    * the reverse edges pointing the graph at them — append-only, no
+    * existing file rewritten. Appended reverse edges can push a
+    * touched node's degree above M between compactions; re-pruning is
+    * offline maintenance (the S31b division of labor), and beam search
+    * over an over-connected node only widens, never loses, reachability.
+    */
+  private[graft] def hnswArtifactInsert(s: SparkSession, artifact: String,
+      batch: DataFrame, batchId: Long, moveLimit: Int = -1): Unit = {
+    graft.streaming.StagedCommit.commit(s, artifact, batchId, moveLimit) {
+      staging =>
+        def committedRead(table: String): DataFrame = s.read
+          .option("basePath", s"$artifact/$table")
+          .parquet(graft.streaming.StagedCommit
+            .committedParquet(s, artifact, table): _*)
+        val members = committedRead("members") // (vec_id, vn, lvl)
+        val edges = committedRead("edges") // (lvl, src, dst) + bucket
+        val newLv = hnswLevels(
+          batch.withColumn("vn", normalize(col("v")))
+            .select(col("vec_id"), col("vn")))
+          .localCheckpoint(false)
+        val entryRow = s.read.parquet(s"$artifact/entry").head()
+        val entryId = entryRow.getLong(0)
+        val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
+        val q = newLv.select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+        val vecById = members
+          .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+        def layer(l: Int) = edges.filter(col("lvl") === l)
+          .select(col("src"), col("dst"))
+        var seen = q.select(col("q_id"), lit(entryId).as("cand"),
+            round(dot(col("qvn"), typedLit(entryVn)), 6).as("cos"))
+          .localCheckpoint(false)
+        Seq(layer(2), layer(1)).foreach { g =>
+          seen = expandRound(seen, g, q, vecById, HnswBeam)
+            .localCheckpoint(false)
+        }
+        var r = 0
+        while (r < HnswBaseRounds) {
+          seen = expandRound(seen, layer(0), q, vecById, HnswBeam)
+            .localCheckpoint(false)
+          r += 1
+        }
+        // same-trigger arrivals must be able to link (|batch|² block,
+        // bounded by the trigger, never corpus-sized)
+        val internal = q.join(
+            newLv.select(col("vec_id").as("cand"), col("vn").as("cvn")),
+            col("q_id") =!= col("cand"))
+          .select(col("q_id"), col("cand"),
+            round(dot(col("qvn"), col("cvn")), 6).as("cos"))
+        val cand = seen.filter(col("cand") =!= col("q_id"))
+          .union(internal).localCheckpoint(false)
+        val grownLv = members.select(col("vec_id"), col("lvl"))
+          .unionByName(newLv.select(col("vec_id"), col("lvl")))
+        val candLv = cand.join(
+          grownLv.select(col("vec_id").as("cand"), col("lvl").as("clvl")),
+          Seq("cand"))
+        val newEdges = (0 to 2).map { l =>
+          candLv
+            .join(newLv.filter(col("lvl") >= l)
+              .select(col("vec_id").as("q_id")), Seq("q_id"))
+            .filter(col("clvl") >= l)
+            .groupBy(col("q_id"))
+            .agg(graft.functions.TopKAgg(col("cos"), col("cand"), GraphM)
+              .as("top"))
+            .select(col("q_id").as("src"), explode(col("top")).as("t"))
+            .select(col("src"), col("t.id").as("dst"))
+            .withColumn("lvl", lit(l))
+        }.reduce(_.unionByName(_))
+        val reversed = newEdges.select(col("lvl"),
+          col("dst").as("src"), col("src").as("dst"))
+        newLv.write.mode("overwrite").parquet(s"$staging/members")
+        newEdges.select(col("lvl"), col("src"), col("dst"))
+          .unionByName(reversed).distinct()
+          .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$staging/edges")
+    }
+    s.catalog.refreshByPath(s"$artifact/members")
+    s.catalog.refreshByPath(s"$artifact/edges")
+  }
+
   /** S18: ANN recall-evaluation harness — the operator a serving team
     * runs before choosing an index: every SQL-expressible ANN method
     * in the suite scored against the brute-force truth in ONE query.
@@ -4009,6 +4303,8 @@ object SimQueries {
     "pq_train" -> (pqTrain _),
     "knn_graph" -> (knnGraph _),
     "knn_graph_hnsw" -> (knnGraphHnsw _),
+    "knn_graph_artifact" -> (knnGraphArtifact _),
+    "knn_graph_hnsw_artifact" -> (knnGraphHnswArtifact _),
     "knn_brute" -> (knnBrute _),
     "knn_bq" -> (knnBq _),
     "knn_ivf_bq" -> (knnIvfBq _),

@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The exactly-once append commit shared by the streamed index
+  * maintainers (R30 postings inserts, R15b graph inserts): a trigger's
+  * output is STAGED beside the artifact, then moved file-by-file into
+  * the live table(s) under names OWNED by the batch id
+  * (`b{batchId}-…parquet`), then sealed with a per-batch commit
+  * marker. Sources replay a failed trigger with the same batch id and
+  * the same data, and the staged write is deterministic — so
+  * redelivery visits the same destination directories, removes any
+  * `b{batchId}-*` leftovers a crashed attempt left, and re-moves fresh
+  * copies: the tables converge on exactly one copy of the batch no
+  * matter where the previous attempt died. A committed batch id is a
+  * pure no-op. Offline compaction must leave files of UNCOMMITTED
+  * batch ids alone (see `SimQueries.ivfCompact`) — they are mid-commit
+  * and the replay owns them.
+  */
+object StagedCommit {
+
+  /** Run `stage` (which writes one or more parquet table trees under
+    * the given staging root, each `table/partition dirs…/part files`),
+    * then move every staged parquet file into
+    * `artifact/<same relative path dir>/b{batchId}-{n}.parquet` and
+    * seal the batch. No-op when the batch id is already sealed.
+    *
+    * @param moveLimit test hook: stop (throw) after moving this many
+    *                  files — simulates a crash mid-commit; < 0 = all.
+    */
+  def commit(s: SparkSession, artifact: String, batchId: Long,
+             moveLimit: Int = -1)(stage: String => Unit): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val commits = new Path(s"$artifact/_insert_commits")
+    val marker = new Path(commits, s"batch-$batchId")
+    val fs = marker.getFileSystem(conf)
+    if (fs.exists(marker)) return
+    val staging = new Path(s"$artifact/_insert_staging/batch-$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true) // crashed leftovers
+    stage(staging.toString)
+    var moved = 0
+    def walk(src: Path, relDir: String): Unit = {
+      fs.listStatus(src).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) walk(st.getPath,
+          if (relDir.isEmpty) name else s"$relDir/$name")
+        else if (name.endsWith(".parquet")) {
+          val dest = new Path(s"$artifact/$relDir")
+          fs.mkdirs(dest)
+          moveInto(fs, st.getPath, dest, batchId, moved)
+          moved += 1
+          if (moveLimit >= 0 && moved >= moveLimit)
+            throw new java.io.IOException(
+              s"simulated crash after moving $moved files (batch $batchId)")
+        }
+      }
+    }
+    // pass 1: clear this batch's leftovers from a crashed previous
+    // attempt in EVERY destination dir the staged tree maps to —
+    // before any move, so redelivery converges instead of accumulating
+    def sweep(src: Path, relDir: String): Unit =
+      fs.listStatus(src).foreach { st =>
+        if (st.isDirectory) sweep(st.getPath,
+          if (relDir.isEmpty) st.getPath.getName
+          else s"$relDir/${st.getPath.getName}")
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          val dest = new Path(s"$artifact/$relDir")
+          if (fs.exists(dest))
+            fs.listStatus(dest)
+              .filter(_.getPath.getName.startsWith(s"b$batchId-"))
+              .foreach(x => fs.delete(x.getPath, false))
+        }
+      }
+    sweep(staging, "")
+    walk(staging, "")
+    fs.delete(staging, true)
+    fs.mkdirs(commits)
+    fs.create(marker, true).close()
+  }
+
+  private def moveInto(fs: FileSystem, src: Path, destDir: Path,
+                       batchId: Long, n: Int): Unit = {
+    val to = new Path(destDir, s"b$batchId-$n.parquet")
+    if (!fs.rename(src, to))
+      throw new java.io.IOException(s"insert commit move failed: $src -> $to")
+  }
+
+  /** Batch ids sealed at this artifact. */
+  def committedIds(fs: FileSystem, artifact: String): Set[Long] = {
+    val commits = new Path(s"$artifact/_insert_commits")
+    if (!fs.exists(commits)) Set.empty
+    else fs.listStatus(commits).toSeq
+      .flatMap(_.getPath.getName.stripPrefix("batch-").toLongOption).toSet
+  }
+
+  private val batchFileRe = "^b(\\d+)-.*".r
+
+  /** True for a `b{id}-*` file whose batch is NOT sealed: it is
+    * mid-commit and the replay owns it — maintenance readers
+    * (compaction, the insert descent itself) must skip AND spare it.
+    */
+  def uncommittedFile(name: String, committed: Set[Long]): Boolean =
+    name match {
+      case batchFileRe(id) => !committed.contains(id.toLong)
+      case _ => false
+    }
+
+  /** The COMMITTED parquet files of `artifact/<table>` (recursive, so
+    * partition layouts pass through): the consistent view a maintainer
+    * reads while commits may be mid-flight.
+    */
+  def committedParquet(s: SparkSession, artifact: String,
+                       table: String): Seq[String] = {
+    val dir = new Path(s"$artifact/$table")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val committed = committedIds(fs, artifact)
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet") &&
+          !uncommittedFile(st.getPath.getName, committed))
+          Seq(st.getPath)
+        else Seq.empty
+      }
+    walk(dir).map(_.toString)
+  }
+}

@@ -41,10 +41,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIvfInsert {
 
-  /** Insert one batch id-sealed: no-op if this batchId already
-    * committed; otherwise stage → claim-owned move → marker. Factored
-    * out so the spec can drive a replay (and a mid-commit crash)
-    * directly.
+  /** Insert one batch id-sealed via [[StagedCommit]]: no-op if this
+    * batchId already committed; otherwise stage → claim-owned move →
+    * marker. Factored out so the spec can drive a replay (and a
+    * mid-commit crash) directly.
     *
     * @param moveLimit test hook: stop after moving this many staged
     *                  files (simulates a crash mid-move); < 0 = all.
@@ -52,52 +52,15 @@ object StreamIvfInsert {
   private[streaming] def insertBatch(s: SparkSession, artifact: String,
       assign: DataFrame => DataFrame, b: DataFrame, batchId: Long,
       moveLimit: Int = -1): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val commits = new org.apache.hadoop.fs.Path(s"$artifact/_insert_commits")
-    val marker = new org.apache.hadoop.fs.Path(commits, s"batch-$batchId")
-    val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return
-    val staging = new org.apache.hadoop.fs.Path(
-      s"$artifact/_insert_staging/batch-$batchId")
-    assign(b
-      .withColumn("vn",
-        graft.functions.VectorFunctions.normalize(col("v")))
-      .select(col("vec_id"), col("vn")))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(staging.toString)
-    val postings = new org.apache.hadoop.fs.Path(s"$artifact/postings")
-    var moved = 0
-    fs.listStatus(staging).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cluster="))
-      .foreach { cd =>
-        val dest = new org.apache.hadoop.fs.Path(postings, cd.getPath.getName)
-        fs.mkdirs(dest)
-        // clear this batch's leftovers from a crashed previous attempt
-        // BEFORE re-moving — redelivery must converge, not accumulate
-        fs.listStatus(dest).toSeq
-          .filter(_.getPath.getName.startsWith(s"b$batchId-"))
-          .foreach(st => fs.delete(st.getPath, false))
-        fs.listStatus(cd.getPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (st, i) =>
-            if (moveLimit < 0 || moved < moveLimit) {
-              val to = new org.apache.hadoop.fs.Path(dest,
-                s"b$batchId-${cd.getPath.getName.stripPrefix("cluster=")}" +
-                  s"-$i.parquet")
-              if (!fs.rename(st.getPath, to))
-                throw new java.io.IOException(
-                  s"insert commit move failed: ${st.getPath} -> $to")
-              moved += 1
-            }
-          }
-      }
-    if (moveLimit >= 0 && moved >= moveLimit)
-      throw new java.io.IOException(
-        s"simulated crash after moving $moved files (batch $batchId)")
-    fs.delete(staging, true)
-    fs.mkdirs(commits)
-    fs.create(marker, true).close()
-    s.catalog.refreshByPath(postings.toString)
+    StagedCommit.commit(s, artifact, batchId, moveLimit) { staging =>
+      assign(b
+        .withColumn("vn",
+          graft.functions.VectorFunctions.normalize(col("v")))
+        .select(col("vec_id"), col("vn")))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(s"$staging/postings")
+    }
+    s.catalog.refreshByPath(s"$artifact/postings")
   }
 
   /** Start appending `vecs` (a streaming frame of (vec_id BIGINT,

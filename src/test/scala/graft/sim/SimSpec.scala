@@ -648,6 +648,32 @@ class SimSpec extends AnyFunSuite {
       s"no rank-1 progress from the ring start: $best0 -> $best1")
   }
 
+  test("S35/S36: the persisted graph artifacts serve row-identical to " +
+    "the in-memory builds — the per-invocation NN-descent cost is paid " +
+    "once at deploy, never at serve") {
+    val flat = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val flatArt = SimQueries.knnGraphArtifact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(flatArt === flat,
+      "artifact-served S12 diverged from the in-memory build")
+    val layered = SimQueries.knnGraphHnsw(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val layeredArt = SimQueries.knnGraphHnswArtifact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(layeredArt === layered,
+      "artifact-served S13 diverged from the in-memory build")
+    // serving a second time reuses the deployed artifact (the gate
+    // caches per corpus) and stays deterministic
+    val again = SimQueries.knnGraphArtifact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(again === flat)
+  }
+
   test("graph ANN: deterministic run to run; recall@5 beats the IVF " +
     "probe-1 baseline (beam search escapes the query's own list)") {
     val a = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq

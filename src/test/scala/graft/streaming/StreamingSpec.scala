@@ -1593,6 +1593,90 @@ class StreamingSpec extends AnyFunSuite {
       "a live tombstone was lost or a covered one resurrected")
   }
 
+  test("R15b: streamed inserts into the persisted layered-graph " +
+    "artifact — every arrival gains a base adjacency, inserted " +
+    "vectors surface as served neighbors, replay is a no-op, and a " +
+    "crash mid-commit converges") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    val e = graft.Tables.embeddings(spark, dir0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+    val m = graft.sim.SimQueries.InsertMod
+    val r = graft.sim.SimQueries.InsertRem
+    graft.sim.SimQueries.hnswIndexWriteOn(
+      e.filter(col("vec_id") % m =!= r), art)
+    graft.CachedFrames.releaseAll()
+    val heldOut = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1))).sortBy(_._1)
+    val vdir = tmp()
+    heldOut.grouped(heldOut.length / 2 + 1).zipWithIndex.foreach {
+      case (wave, i) =>
+        val stage = tmp()
+        wave.toSeq.toDF("vec_id", "v").coalesce(1)
+          .write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet")).get
+        Files.copy(part.toPath,
+          java.nio.file.Paths.get(vdir, f"wave$i%02d.parquet"))
+    }
+    val schema = spark.read.parquet(vdir).schema
+    val sq = StreamGraphInsert.start(spark, art,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(vdir), tmp())
+    sq.processAllAvailable(); sq.stop()
+    val insertedIds = heldOut.map(_._1).toSet
+    // membership: the artifact holds the full corpus now
+    spark.catalog.refreshByPath(s"$art/members")
+    assert(spark.read.parquet(s"$art/members").count() === e.count())
+    // every arrival has a base-layer adjacency
+    spark.catalog.refreshByPath(s"$art/edges")
+    val srcs = spark.read.parquet(s"$art/edges")
+      .filter(col("lvl") === 0).select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(insertedIds.subsetOf(srcs),
+      s"arrivals without adjacency: ${(insertedIds -- srcs).take(5)}")
+    // insert → still-served: querying WITH the inserted vectors, the
+    // descent must surface inserted nodes as neighbors (they are each
+    // other's closest kin in this corpus slice)
+    val q = heldOut.take(10).toSeq.toDF("vec_id", "v")
+      .select(col("vec_id").as("q_id"),
+        graft.functions.VectorFunctions.normalize(col("v")).as("qvn"))
+    val served = graft.sim.SimQueries.hnswServeArtifactOn(spark, q, art)
+      .collect()
+    assert(served.nonEmpty)
+    val servedNeighbors = served.map(_.getLong(1)).toSet
+    assert(servedNeighbors.exists(insertedIds.contains),
+      "no inserted vector ever surfaced as a served neighbor")
+    // replay: re-running a committed batch id changes nothing
+    def edgeCount = {
+      spark.catalog.refreshByPath(s"$art/edges")
+      spark.read.parquet(s"$art/edges").count()
+    }
+    val before = edgeCount
+    graft.sim.SimQueries.hnswArtifactInsert(spark, art,
+      heldOut.take(3).toSeq.toDF("vec_id", "v"), batchId = 0L)
+    assert(edgeCount === before, "replayed batch id duplicated edges")
+    // crash mid-commit, then replay: exactly one copy of the batch
+    val fresh = heldOut.take(2).map { case (id, v) => (id + 1000000L, v) }
+    assertThrows[java.io.IOException](
+      graft.sim.SimQueries.hnswArtifactInsert(spark, art,
+        fresh.toSeq.toDF("vec_id", "v"), batchId = 77L, moveLimit = 1))
+    graft.sim.SimQueries.hnswArtifactInsert(spark, art,
+      fresh.toSeq.toDF("vec_id", "v"), batchId = 77L)
+    spark.catalog.refreshByPath(s"$art/members")
+    val counts = spark.read.parquet(s"$art/members")
+      .filter(col("vec_id") >= 1000000L)
+      .groupBy("vec_id").count().collect()
+    assert(counts.length === 2 && counts.forall(_.getLong(1) === 1L),
+      "crash-then-replay lost or duplicated members")
+  }
+
   test("R20: streamed scene detection equals the batch M9 ledger " +
     "scene-for-scene when frames arrive split across triggers") {
     import spark.implicits._
