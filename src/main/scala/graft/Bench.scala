@@ -13,7 +13,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ONLY: comma list of query names — isolated
+    // re-measurement under the EXACT bench protocol (warm-ups, median
+    // of 3, same session config) for regression adjudication; absent →
+    // the full sweep the driver runs.
+    val benchOnly = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => benchOnly.forall(_.contains(n)) }
+      .sortBy(_._1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
     : Double = {
       val t0 = System.nanoTime()
@@ -63,7 +71,11 @@ object Bench {
     val samples = perQuery.map { case (name, ss) =>
       "\"" + name + "\":[" + ss.mkString(",") + "]"
     }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"),
+    // an isolated re-measurement must not clobber the full sweep's
+    // artifact the judge diffs round over round
+    val artifact =
+      if (benchOnly.isDefined) "bench_isolated.json" else "bench_full.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
       s"""{"total_sec":$total,"sf":"$sfDir","medians":$qs,"samples":$samples}\n""")
     spark.stop()
   }
