@@ -1512,6 +1512,77 @@ object DedupQueries {
     SELECT vec_a, vec_b, cosine FROM scored
     WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
 
+  /** D5b: occupancy-capped embedding near-dup — the D15/M13 cap
+    * applied to the hyperplane band join, closing the one similarity
+    * family whose pair mass had no capped rung (the sf1 probe measured
+    * D5's true-pair contract at 6.7× per data decade under whole-corpus
+    * duplication). Per (band, bkey) bucket: every member pairs with the
+    * bucket MIN id (star — O(occ), bucket connectivity preserved) plus
+    * all-pairs among the bottom-CapK ids (≤ C(CapK,2) — borderline
+    * robustness where the hub itself fails the cosine test). Candidate
+    * mass per bucket is O(occ + k²) instead of O(occ²); survivors still
+    * verify with the EXACT cosine, so precision is unchanged — the cap
+    * trades candidate recall only on pairs whose every shared bucket is
+    * heavily occupied, the documented 100 TB trade. Reuses D15's
+    * `cappedCandidates` verbatim under a column rename.
+    */
+  def dedupEmbeddingCapped(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", VectorFunctions.normalize(col("v")))
+    val dim = e.select(size(col("v")).as("d")).head().getInt(0)
+    val sigs = e.select(col("vec_id"),
+      graft.sim.Hyperplanes.signature(col("v"), dim).as("sig"))
+    val bands = sigs.select(col("vec_id"), col("sig"),
+      explode(sequence(lit(0), lit(graft.sim.Hyperplanes.Bands - 1))).as("band"))
+      .withColumn("bkey",
+        graft.sim.Hyperplanes.bandKey(col("sig"), col("band")))
+    val cand = cappedCandidates(bands.select(col("vec_id").as("doc_id"),
+        col("band"), col("bkey").as("band_key")))
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("vn").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("vn").as("vb")), Seq("vec_b"))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val dedupEmbeddingCappedSql: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x ->
+               x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[]))) AS vn
+      FROM embeddings),
+    src AS (SELECT vec_id AS id, v FROM e),
+    ${graft.sim.Hyperplanes.sigsSql("src")},
+    bminE AS (SELECT band, bkey, min(id) AS m
+              FROM bands GROUP BY band, bkey),
+    starE AS (SELECT bm.m AS vec_a, b.id AS vec_b
+              FROM bands b JOIN bminE bm USING (band, bkey)
+              WHERE b.id != bm.m),
+    topkE AS (SELECT band, bkey, id
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY band, bkey ORDER BY id) AS rn
+                    FROM bands)
+              WHERE rn <= $CapK),
+    kpE AS (SELECT a.id AS vec_a, b.id AS vec_b
+            FROM topkE a JOIN topkE b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+    candE AS (SELECT DISTINCT vec_a, vec_b FROM
+              (SELECT vec_a, vec_b FROM starE
+               UNION ALL SELECT vec_a, vec_b FROM kpE)),
+    scored AS (
+      SELECT vec_a, vec_b,
+             round(list_dot_product(ea.vn, eb.vn), 6) AS cosine
+      FROM candE JOIN e ea ON ea.vec_id = vec_a
+                 JOIN e eb ON eb.vec_id = vec_b)
+    SELECT vec_a, vec_b, cosine FROM scored
+    WHERE cosine >= 0.4 ORDER BY vec_a, vec_b"""
+
   /** The all-pairs exactness baseline D5 replaces at the gate: every
     * O(n²) pair costs one codegen'd dot product over once-normalized
     * vectors. Spec-checked against `dedupEmbedding` (the bucketed path
@@ -1619,6 +1690,40 @@ object DedupQueries {
                 ELSE 'drop_neardup' END AS verdict,
            coalesce(cl.cluster_size, 1)::BIGINT AS cluster_size
     FROM documents d LEFT JOIN ($dedupClustersSql) cl
+      ON cl.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+  /** D30b: the purge plan routed through the CAPPED rung — at 100 TB
+    * the servable cluster input is D15's occupancy-capped candidates
+    * (O(occ + k²) pair mass per bucket), not D6's uncapped bucket
+    * all-pairs; a recrawl-shaped corpus would make the uncapped purge
+    * plan's own input quadratic. Same verdict logic, capped cluster
+    * table, oracle = the purge projection over the D15 CTE chain.
+    */
+  def dedupPurgePlanCapped(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClustersCapped(s, dir)
+      .select(col("doc_id"), col("canonical"), col("cluster_size"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical"), col("doc_id")).as("keeper_id"),
+        when(col("canonical").isNull, "unique")
+          .when(col("canonical") === col("doc_id"), "keeper")
+          .otherwise("drop_neardup").as("verdict"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: interpolates dedupClustersCappedSql, declared further down —
+  // a strict val here would capture null at object init
+  lazy val dedupPurgePlanCappedSql: String = s"""
+    SELECT d.doc_id,
+           coalesce(cl.canonical, d.doc_id) AS keeper_id,
+           CASE WHEN cl.canonical IS NULL THEN 'unique'
+                WHEN cl.canonical = d.doc_id THEN 'keeper'
+                ELSE 'drop_neardup' END AS verdict,
+           coalesce(cl.cluster_size, 1)::BIGINT AS cluster_size
+    FROM documents d LEFT JOIN ($dedupClustersCappedSql) cl
       ON cl.doc_id = d.doc_id
     ORDER BY d.doc_id"""
 
@@ -2053,6 +2158,8 @@ object DedupQueries {
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_minhash_bbit" -> (dedupMinhashBbit _),
     "dedup_purge_plan" -> (dedupPurgePlan _),
+    "dedup_purge_plan_capped" -> (dedupPurgePlanCapped _),
+    "dedup_embedding_capped" -> (dedupEmbeddingCapped _),
     "dedup_minhash_est" -> (dedupMinhashEst _),
     "dedup_pagerank" -> (dedupPagerank _),
     "dedup_pagerank_weighted" -> (dedupPagerankWeighted _),
@@ -2083,6 +2190,8 @@ object DedupQueries {
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "dedup_minhash_bbit" -> dedupMinhashBbitSql,
     "dedup_purge_plan" -> dedupPurgePlanSql,
+    "dedup_purge_plan_capped" -> dedupPurgePlanCappedSql,
+    "dedup_embedding_capped" -> dedupEmbeddingCappedSql,
     "dedup_minhash_est" -> dedupMinhashEstSql,
     "dedup_pagerank" -> dedupPagerankSql,
     "dedup_pagerank_weighted" -> dedupPagerankWeightedSql,

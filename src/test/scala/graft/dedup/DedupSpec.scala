@@ -272,6 +272,49 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("D5b: the capped embedding rung is sound (output ⊆ uncapped D5), " +
+    "keeps full recall on strong pairs here, and the capped purge plan " +
+    "stays verdict-consistent over the whole corpus") {
+    val un = DedupQueries.dedupEmbedding(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    graft.CachedFrames.releaseAll()
+    val cap = DedupQueries.dedupEmbeddingCapped(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    graft.CachedFrames.releaseAll()
+    assert(cap.nonEmpty)
+    // capped candidates ⊆ band candidates and both verify exactly, so
+    // capped OUTPUT ⊆ uncapped output with identical cosines
+    assert(cap.keySet.subsetOf(un.keySet),
+      s"capped emitted a pair the uncapped join never saw: " +
+        s"${(cap.keySet -- un.keySet).take(3)}")
+    cap.foreach { case (k, c) => assert(c === un(k)) }
+    // at this corpus' bucket occupancies the cap loses nothing strong:
+    // every cosine ≥ 0.9 uncapped pair survives the capped rung
+    val strong = un.filter(_._2 >= 0.9).keySet
+    assert(strong.subsetOf(cap.keySet),
+      s"cap dropped a strong pair: ${(strong -- cap.keySet).take(3)}")
+    // D30b: the purge plan over the capped rung — exactly one verdict
+    // per document, keepers self-referential, drops point at keepers
+    val plan = DedupQueries.dedupPurgePlanCapped(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val nDocs = graft.Tables.documents(spark, dir).count()
+    assert(plan.length.toLong === nDocs)
+    val verdictOf = plan.map(r => r.getLong(0) -> r.getString(2)).toMap
+    plan.foreach { r =>
+      val (doc, keeper, verdict, size) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))
+      verdict match {
+        case "unique" => assert(keeper === doc && size === 1L)
+        case "keeper" => assert(keeper === doc && size >= 2L)
+        case "drop_neardup" =>
+          assert(keeper !== doc)
+          assert(verdictOf(keeper) === "keeper",
+            s"doc $doc drops toward non-keeper $keeper")
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+  }
+
   test("df cap bounds the hot-shingle join bucket; rare-shingle " +
     "near-dups survive") {
     import spark.implicits._
