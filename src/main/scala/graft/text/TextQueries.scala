@@ -1471,10 +1471,14 @@ object TextQueries {
   /** T16d checkpoints: every `BpeCkptEvery`-th round (plus the final
     * round) the merge-table prefix is fingerprinted — (ckpt_round,
     * md5 of the merge sequence so far). No SQL oracle CAN restate 32k
-    * chained rounds (the 8-round chain is already generated CTE
-    * blocks), so this gate is rows-only by design; TextSpec pins the
-    * fingerprints against the independent reference trainer replayed
-    * on the same vocabulary.
+    * chained rounds — each round's argmax aggregates over the previous
+    * round's state, which SQL recursion prohibits, so the only SQL
+    * form is static per-round unrolling, and unrolling 512+ rounds
+    * would restate the trajectory under test — so this gate is
+    * rows-only by design; TextSpec pins the fingerprints against the
+    * independent reference trainer replayed on the same vocabulary,
+    * and the fold MECHANISM itself is oracle-checked at the reachable
+    * depth by `text_bpe_deep_ckpt_prefix` below.
     */
   def textBpeDeepCkpt(s: SparkSession, dir: String): DataFrame = {
     val (merges, _) = deepBpe(s, dir)
@@ -1482,6 +1486,41 @@ object TextQueries {
     bpeCkptRows(merges).toDF("ckpt_round", "table_md5")
       .orderBy(col("ckpt_round"))
   }
+
+  /** T16d': the checkpoint-fingerprint MECHANISM under a hash-matched
+    * oracle — the DEEP trainer's cut at the oracle depth, exactly the
+    * row `bpeCkptRows` computes for `text_bpe_deep_ckpt`, restated in
+    * DuckDB as `md5(string_agg(l || r || cnt ORDER BY round))` over
+    * the same 8-round chain that checks T16. This pins the fold
+    * byte-for-byte (concatenation order, count formatting, hex case)
+    * AND re-checks the deep trainer's prefix through a second,
+    * structurally different lens (a fingerprint, not a row set). The
+    * full-depth cuts stay rows-only BY NECESSITY: each BPE round's
+    * argmax is an aggregate over the previous round's state, which SQL
+    * recursion prohibits (no aggregation over the recursive
+    * reference), so the only SQL form is static per-round unrolling —
+    * and unrolling 512+ rounds would make the oracle restate the very
+    * trajectory under test. TextSpec covers depth instead
+    * (reference-replay + fuzz-to-exhaustion).
+    */
+  def textBpeDeepCkptPrefix(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = deepBpe(s, dir)
+    import s.implicits._
+    bpeCkptRows(merges).filter(_._1 == BpeRounds)
+      .toDF("ckpt_round", "table_md5")
+  }
+
+  lazy val textBpeDeepCkptPrefixSql: String = s"""
+    WITH $bpeChainSql,
+    m AS (SELECT * FROM (
+      ${(1 to BpeRounds).map(k =>
+        s"SELECT $k AS merge_round, l, r, cnt FROM b$k")
+        .mkString(" UNION ALL ")}))
+    SELECT CAST($BpeRounds AS INTEGER) AS ckpt_round,
+           md5(string_agg(
+             l || chr(1) || r || chr(1) || CAST(cnt AS VARCHAR) || chr(2),
+             '' ORDER BY merge_round)) AS table_md5
+    FROM m"""
 
   private[graft] def bpeCkptRows(
       merges: Seq[(Int, String, String, Long)]): Seq[(Int, String)] = {
@@ -1497,7 +1536,7 @@ object TextQueries {
     cuts.map { n =>
       val md = java.security.MessageDigest.getInstance("MD5")
       merges.take(n).foreach { case (_, l, r, c) =>
-        md.update(s"${l}${r}${c}".getBytes("UTF-8")) }
+        md.update(s"${l}\u0001${r}\u0001${c}\u0002".getBytes("UTF-8")) }
       n -> md.digest().map("%02x".format(_)).mkString
     }
   }
@@ -1880,6 +1919,7 @@ object TextQueries {
     "text_bpe" -> (textBpe _),
     "text_bpe_deep" -> (textBpeDeep _),
     "text_bpe_deep_ckpt" -> (textBpeDeepCkpt _),
+    "text_bpe_deep_ckpt_prefix" -> (textBpeDeepCkptPrefix _),
     "text_bpe_deep_encode" -> (textBpeDeepEncode _),
     "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
@@ -1907,6 +1947,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "text_bpe" -> textBpeSql,
     "text_bpe_deep" -> textBpeSql,
+    "text_bpe_deep_ckpt_prefix" -> textBpeDeepCkptPrefixSql,
     "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "hybrid_search" -> hybridSearchSql,
