@@ -142,6 +142,146 @@ object StreamOoo {
       }
   }
 
+  final case class SceneOooSt(pending: Seq[PendEv], emTs: Long,
+    emId: Long, lastIdx: Long, lastHash: String, scenes: Long)
+
+  /** R20b: scene-boundary detection, order-tolerant — the escape hatch
+    * for R20's ENFORCED increasing-frame-order contract, which a tape
+    * replayed through random partition keys
+    * (reference KinesisPlayer.java:101-103) cannot promise. Frame
+    * index IS the event time (1 frame ≡ 1 second, so `delay` = the
+    * tolerated frame displacement): frames buffer per media, the
+    * watermark-released prefix threads through the R20 hamming fold in
+    * frame order, and emitted assignments are final because no earlier
+    * frame can still arrive. Redelivered frames at/behind the emitted
+    * frontier drop silently instead of failing the query.
+    */
+  def sceneAssignments(frames: Dataset[StreamScenes.Frame], delay: String,
+                       idleMs: Long = DefaultIdleMs)
+  : Dataset[StreamScenes.SceneAssign] = {
+    implicit val outEnc = Encoders.product[StreamScenes.SceneAssign]
+    implicit val stEnc = Encoders.product[SceneOooSt]
+    val evs = frames.toDF().select(
+      col("media_id").as("user_id"),
+      (col("frame_idx").cast("long") * lit(1000000L)).as("ts_micro"),
+      col("frame_idx").cast("long").as("event_id"),
+      col("fhash").as("event_type"))
+    watermarked(evs, delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SceneOooSt, StreamScenes.SceneAssign](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (media: Long, it: Iterator[EvT], state: GroupState[SceneOooSt]) =>
+          val st = state.getOption.getOrElse(
+            SceneOooSt(Seq.empty, Long.MinValue, Long.MinValue, -1L,
+              null, 0L))
+          val wmMicro = state.getCurrentWatermarkMs() * 1000L
+          val arrivals = it.map(e =>
+            PendEv(e.ts_micro, e.event_id, e.event_type)).toSeq
+          val (ready, rest) =
+            merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
+          if (arrivals.isEmpty && ready.isEmpty && rest.isEmpty &&
+            state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var lastIdx = st.lastIdx
+            var lastHash = st.lastHash
+            var scenes = st.scenes
+            val out = ready.map { e =>
+              val h = if (lastHash == null) -1L
+                else StreamScenes.hamming(lastHash, e.event_type).toLong
+              val isCut = h < 0L || h > StreamScenes.CutBits
+              scenes = if (isCut) scenes + 1 else scenes
+              lastIdx = e.event_id
+              lastHash = e.event_type
+              StreamScenes.SceneAssign(media, e.event_id.toInt, scenes,
+                if (isCut) 1L else 0L, math.max(h, 0L))
+            }
+            val (emTs, emId) =
+              if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
+              else (st.emTs, st.emId)
+            state.update(
+              SceneOooSt(rest, emTs, emId, lastIdx, lastHash, scenes))
+            armTimeout(state, rest, emTs, idleMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** R3b input: sessionization under at-least-once needs an event
+    * identity for the redelivery dedup; the in-order R3 keys on
+    * timestamps alone. */
+  final case class SessEv(user_id: Long, ts_micro: Long, event_id: Long)
+
+  final case class SessOooSt(pending: Seq[PendEv], emTs: Long, emId: Long,
+    start: Long, last: Long, n: Long, open: Boolean)
+
+  /** R3b: gap sessionization, order-tolerant AND complete — the R22b
+    * buffer in front of R3's fold, plus the watermark gap closure: once
+    * the watermark passes `last event + gap` with nothing buffered, no
+    * event can ever land inside the tail session (later-than-watermark
+    * stragglers drop upstream), so the tail emits FINAL — every session
+    * is eventually emitted exactly once, which is full parity with the
+    * batch q_sessionize over any bounded-displacement interleaving.
+    */
+  def sessionsOoo(evs: Dataset[SessEv], delay: String,
+                  gapUs: Long = StreamSessionize.DefaultGapUs,
+                  idleMs: Long = DefaultIdleMs)
+  : Dataset[StreamSessionize.Session] = {
+    implicit val outEnc = Encoders.product[StreamSessionize.Session]
+    implicit val stEnc = Encoders.product[SessOooSt]
+    val in = evs.toDF().select(col("user_id"), col("ts_micro"),
+      col("event_id"), lit("e").as("event_type"))
+    watermarked(in, delay)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessOooSt, StreamSessionize.Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[SessOooSt]) =>
+          val st = state.getOption.getOrElse(
+            SessOooSt(Seq.empty, Long.MinValue, Long.MinValue,
+              0L, 0L, 0L, false))
+          val wmMicro = state.getCurrentWatermarkMs() * 1000L
+          val arrivals = it.map(e =>
+            PendEv(e.ts_micro, e.event_id, e.event_type)).toSeq
+          val (ready, rest) =
+            merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
+          if (arrivals.isEmpty && ready.isEmpty && rest.isEmpty &&
+            state.hasTimedOut && !st.open) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (start, last, n, open) = (st.start, st.last, st.n, st.open)
+            var closed = List.empty[StreamSessionize.Session]
+            ready.foreach { e =>
+              if (!open) {
+                start = e.ts_micro; last = e.ts_micro; n = 1L; open = true
+              } else if (e.ts_micro - last > gapUs) {
+                closed ::= StreamSessionize.Session(uid, start, last, n)
+                start = e.ts_micro; last = e.ts_micro; n = 1L
+              } else {
+                last = e.ts_micro; n += 1L
+              }
+            }
+            // gap closure: nothing buffered and the watermark is past
+            // last+gap — the tail session can never grow again
+            if (open && rest.isEmpty && wmMicro > last + gapUs) {
+              closed ::= StreamSessionize.Session(uid, start, last, n)
+              open = false
+            }
+            val (emTs, emId) =
+              if (ready.nonEmpty) (ready.last.ts_micro, ready.last.event_id)
+              else (st.emTs, st.emId)
+            state.update(SessOooSt(rest, emTs, emId, start, last, n, open))
+            if (rest.nonEmpty) armTimeout(state, rest, emTs, idleMs)
+            else if (open) state.setTimeoutTimestamp(math.max(
+              (last + gapUs) / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            else armTimeout(state, Seq.empty, emTs, idleMs)
+            closed.reverse.iterator
+          }
+      }
+  }
+
   final case class FunSt(pending: Seq[PendEv], emTs: Long, emId: Long,
     tView: Long, tClick: Long, tPurchase: Long)
 

@@ -34,7 +34,7 @@ object StreamScenes {
 
   val CutBits: Int = graft.media.MediaQueries.SceneCutBits
 
-  private def hamming(a: String, b: String): Int = {
+  private[streaming] def hamming(a: String, b: String): Int = {
     var c = 0
     var i = 0
     while (i < a.length) { if (a.charAt(i) != b.charAt(i)) c += 1; i += 1 }

@@ -2065,6 +2065,138 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateRows.exists(_ >= 2L), stateRows.toSeq.toString)
   }
 
+  test("R20b: out-of-order scene detection — watermark-buffered frames " +
+    "equal the batch M9 ledger under a shuffled interleaving the " +
+    "strict R20 contract rejects loudly") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id").as("media_id"), col("text"))
+    val frames = graft.media.MediaQueries.frameHashes(docs)
+      .selectExpr("media_id", "cast(frame_idx as int) as frame_idx",
+        "fhash")
+    val rows = frames.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val maxIdx = rows.map(_._2).max
+    // time-chunked waves of H frames, every 3rd frame bumped one wave
+    // late — bounded displacement < the watermark delay; a sentinel
+    // media's far-future frames push the watermark past everything
+    val H = 4
+    val fdir = tmp()
+    val base = System.currentTimeMillis()
+    def emit(ws: Seq[(Long, Int, String)], idx: Int): Unit = {
+      val stage = tmp()
+      ws.toSeq.toDF("media_id", "frame_idx", "fhash").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(fdir, f"wave$idx%03d.parquet")
+      Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(base + idx * 1000))
+    }
+    def waveOf(r: (Long, Int, String)): Int =
+      r._2 / H + (if (r._2 % 3 == 0) 1 else 0)
+    val nWaves = rows.map(waveOf).max
+    (0 to nWaves).foreach(w => emit(rows.filter(waveOf(_) == w), w))
+    val sentinelHash = rows.head._3
+    emit(Seq((999999L, maxIdx + 1000, sentinelHash)), nWaves + 1)
+    emit(Seq((999999L, maxIdx + 1001, sentinelHash)), nWaves + 2)
+    val schema = frames.schema
+    def source() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(fdir)
+      .as[StreamScenes.Frame]
+    // negative control: the strict in-order R20 fails loudly on the
+    // bumped frames instead of silently corrupting scene ids
+    val strict = StreamScenes.assign(source())
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp()).format("noop").start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+      throw new IllegalStateException("strict R20 accepted the shuffle")
+    }
+    strict.stop()
+    val assigns = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamScenes.SceneAssign]()
+    val sq = StreamOoo.sceneAssignments(source(), s"${2 * H + 2} seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamScenes.SceneAssign],
+         _: Long) =>
+          b.collect().foreach(assigns.add)
+          ()
+      }.start()
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val streamedScenes = assigns.asScala.toSeq
+      .filter(_.media_id < 999999L)
+      .groupBy(a => (a.media_id, a.scene_id))
+      .map { case ((m, sid), fs) =>
+        (m, sid, fs.map(_.frame_idx).min.toLong,
+          fs.map(_.frame_idx).max.toLong, fs.size.toLong,
+          fs.filter(_.cut == 1L).map(_.hamming).max)
+      }.toSet
+    val batchScenes = StreamScenes.batchTwin(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamedScenes === batchScenes,
+      "OOO streamed scene ledger diverged from the batch M9 twin")
+  }
+
+  test("R3b: out-of-order sessionization — the buffered fold plus " +
+    "watermark gap closure emits EVERY session exactly once, equal to " +
+    "the batch gap fold, under a shuffled interleaving") {
+    import spark.implicits._
+    val evs = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_micro"),
+        col("event_id"), col("event_type"))
+    val (fdir, delay) = oooWaveDir(evs, sentinelUser = 999999L)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      StreamSessionize.Session]()
+    val sq = StreamOoo.sessionsOoo(
+      spark.readStream.schema(evs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(fdir)
+        .as[StreamOoo.SessEv], delay)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tmp())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamSessionize.Session],
+         _: Long) =>
+          b.collect().foreach(got.add)
+          ()
+      }.start()
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val emitted = got.asScala.filter(_.user_id < 50).toSeq
+    // batch twin: the gap fold over each user's fully-sorted events —
+    // ALL sessions, tails included (the gap closure makes the stream
+    // complete, not merely prefix-correct)
+    val gap = StreamSessionize.DefaultGapUs
+    val expected = evs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3))
+        val out = scala.collection.mutable.ArrayBuffer[
+          StreamSessionize.Session]()
+        var start = -1L; var last = -1L; var n = 0L
+        sorted.foreach { e =>
+          if (n == 0L) { start = e._2; last = e._2; n = 1L }
+          else if (e._2 - last > gap) {
+            out += StreamSessionize.Session(uid, start, last, n)
+            start = e._2; last = e._2; n = 1L
+          } else { last = e._2; n += 1L }
+        }
+        if (n > 0L) out += StreamSessionize.Session(uid, start, last, n)
+        out.toSeq
+      }
+    assert(emitted.toSet === expected.toSet,
+      "OOO sessionization diverged from the batch gap fold")
+    assert(emitted.size === expected.size,
+      "a session was emitted more than once")
+  }
+
   test("R25b: out-of-order funnel advances — watermark-buffered " +
     "emission equals the batch stage frames under a deliberately " +
     "shuffled interleaving") {
