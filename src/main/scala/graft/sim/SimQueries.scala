@@ -3801,6 +3801,45 @@ object SimQueries {
     * insert-then-serve spec drives).
     */
   def hnswServeArtifactOn(s: SparkSession, q: DataFrame,
+                          artifact: String): DataFrame =
+    rankTopK(hnswDescend(s, q, artifact))
+
+  def hnswServeArtifact(s: SparkSession, dir: String,
+                        artifact: String): DataFrame =
+    hnswServeArtifactOn(s,
+      vecs(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("vn").as("qvn")),
+      artifact)
+
+  /** S36c: DELETES on the deployed graph — the S31 shape carried over:
+    * ids append to the artifact's tombstone table (O(deletes) metadata,
+    * members/edges untouched; `ivfDelete` is the same append, so R32's
+    * streaming face works on a graph artifact unchanged). Serving masks
+    * tombstoned ids at final ranking ONLY — the hnswlib/faiss
+    * mark-deleted semantics: a deleted node keeps ROUTING (its edges
+    * are the graph's connectivity; removing them would strand its
+    * neighborhood) but is never returned as a neighbor. Physical
+    * removal is [[hnswCompact]]'s job.
+    */
+  def graphDelete(s: SparkSession, artifact: String,
+                  ids: DataFrame): Unit =
+    ivfDelete(s, artifact, ids)
+
+  /** S36 serving with the tombstone mask (rows-only, like every graph
+    * rung): identical descent, deleted ids anti-joined out of the
+    * ranking — candidates, not the corpus, pay the join.
+    */
+  def hnswServeArtifactDeleted(s: SparkSession, q: DataFrame,
+                               artifact: String): DataFrame = {
+    val seen = hnswDescend(s, q, artifact)
+    rankTopK(seen.join(tombstonesOf(s, artifact)
+      .select(col("vec_id").as("cand")), Seq("cand"), "left_anti"))
+  }
+
+  /** The S36 descent without the ranking — shared by the plain and
+    * tombstone-masked serves so the two can never drift.
+    */
+  private def hnswDescend(s: SparkSession, q: DataFrame,
                           artifact: String): DataFrame = {
     val entryRow = s.read.parquet(s"$artifact/entry").head()
     val entryId = entryRow.getLong(0)
@@ -3820,15 +3859,138 @@ object SimQueries {
         HnswBeam, lvl = Some(0)).localCheckpoint(false)
       r += 1
     }
-    rankTopK(seen)
+    seen
   }
 
-  def hnswServeArtifact(s: SparkSession, dir: String,
-                        artifact: String): DataFrame =
-    hnswServeArtifactOn(s,
-      vecs(s, dir).filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("vn").as("qvn")),
-      artifact)
+  /** S36b: graph COMPACTION — the offline maintenance the insert and
+    * delete faces defer to (the S31b division of labor): physically
+    * remove tombstoned members and their adjacency rows, drop edges
+    * pointing at removed nodes, and RE-PRUNE every surviving (lvl,src)
+    * adjacency to its best GraphM by exact cosine — restoring the
+    * degree bound that append-only R15b inserts grow past. File-grain
+    * append-then-remove over the COMMITTED snapshot (uncommitted
+    * streamed-batch files are excluded and spared — the replay owns
+    * them), covered tombstones retire through the same snapshot swap
+    * as ivfCompact. The entry point is recomputed if its node died.
+    * Post-compact serving loses the deleted nodes' ROUTING (the priced
+    * trade vs the mask — same as faiss rebuild-after-remove); the spec
+    * pins the degree bound, deleted-gone, live-members-intact, and a
+    * recall floor over the live corpus.
+    */
+  def hnswCompact(s: SparkSession, artifact: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
+    val tombFiles =
+      if (!fs.exists(tombPath)) Seq.empty
+      else fs.listStatus(tombPath).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    val tomb =
+      if (tombFiles.isEmpty) s.range(0).select(col("id").as("vec_id"))
+      else s.read.schema(tombstoneSchema)
+        .parquet(tombFiles.map(_.toString): _*).distinct()
+    def committedRead(table: String): DataFrame = s.read
+      .option("basePath", s"$artifact/$table")
+      .parquet(graft.streaming.StagedCommit
+        .committedParquet(s, artifact, table): _*)
+    val members = committedRead("members")
+    val edges = committedRead("edges")
+    val live = members.join(tomb, Seq("vec_id"), "left_anti")
+      .localCheckpoint(false)
+    // surviving edges: both endpoints live; re-prune to best-M by the
+    // exact cosine (the batch build's own selection criterion)
+    val scored = edges.select(col("lvl"), col("src"), col("dst"))
+      .join(live.select(col("vec_id").as("src"), col("vn").as("svn")),
+        Seq("src"))
+      .join(live.select(col("vec_id").as("dst"), col("vn").as("dvn")),
+        Seq("dst"))
+      .select(col("lvl"), col("src"), col("dst"),
+        round(dot(col("svn"), col("dvn")), 6).as("cos"))
+      .dropDuplicates("lvl", "src", "dst")
+    val pruned = scored.groupBy(col("lvl"), col("src"))
+      .agg(graft.functions.TopKAgg(col("cos"), col("dst"), GraphM)
+        .as("top"))
+      .select(col("lvl"), col("src"), explode(col("top")).as("t"))
+      .select(col("lvl"), col("src"), col("t.id").as("dst"))
+      .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
+      .localCheckpoint(false)
+    // swap both tables file-grain: stage, move in, delete the
+    // snapshotted committed originals (never an empty-table window)
+    def swap(table: String, out: DataFrame,
+             partitionCols: Seq[String]): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(s"$artifact/$table")
+      val snapshot = graft.streaming.StagedCommit
+        .committedParquet(s, artifact, table)
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$artifact/_${table}_compacting")
+      val w = out.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staging.toString)
+      def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
+        fs.listStatus(p).toSeq.foreach { st =>
+          val nm = st.getPath.getName
+          if (st.isDirectory) walk(st.getPath,
+            if (rel.isEmpty) nm else s"$rel/$nm")
+          else if (nm.endsWith(".parquet")) {
+            val destDir = if (rel.isEmpty) dir
+              else new org.apache.hadoop.fs.Path(dir, rel)
+            fs.mkdirs(destDir)
+            val to = new org.apache.hadoop.fs.Path(destDir,
+              s"compacted-${java.util.UUID.randomUUID()}.parquet")
+            if (!fs.rename(st.getPath, to))
+              throw new java.io.IOException(
+                s"graph compaction move failed: ${st.getPath} -> $to")
+          }
+        }
+      walk(staging, "")
+      snapshot.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      fs.delete(staging, true)
+      s.catalog.refreshByPath(dir.toString)
+    }
+    swap("members", live, Seq.empty)
+    swap("edges", pruned, Seq("bucket"))
+    // entry point: recompute if the incumbent died
+    val entryPath = new org.apache.hadoop.fs.Path(s"$artifact/entry")
+    val entryRow = s.read.parquet(entryPath.toString).head()
+    val entryDead = tomb.filter(col("vec_id") === entryRow.getLong(0))
+      .limit(1).count() > 0L
+    if (entryDead) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$artifact/_entry_compacting")
+      live.orderBy(col("lvl").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("vn"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(entryPath, true)
+      if (!fs.rename(tmp, entryPath))
+        throw new java.io.IOException(
+          s"entry swap failed: $tmp -> $entryPath")
+      s.catalog.refreshByPath(entryPath.toString)
+    }
+    // retire the covered tombstones: everything in the snapshot is now
+    // physically gone from members (same discipline as ivfCompact)
+    if (tombFiles.nonEmpty) {
+      val keep = s.read.schema(tombstoneSchema)
+        .parquet(tombFiles.map(_.toString): _*).distinct()
+        .join(s.read.parquet(s"$artifact/members").select("vec_id"),
+          Seq("vec_id"), "left_semi")
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$artifact/_tombstones_compacting")
+      keep.write.mode("overwrite").parquet(tmp.toString)
+      val staged = fs.listStatus(tmp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      staged.zipWithIndex.foreach { case (st, i) =>
+        val dest = new org.apache.hadoop.fs.Path(tombPath,
+          s"compacted-${java.util.UUID.randomUUID()}-$i.parquet")
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(
+            s"tombstone retire move failed: ${st.getPath} -> $dest")
+      }
+      tombFiles.foreach(f => fs.delete(f, false))
+      fs.delete(tmp, true)
+      s.catalog.refreshByPath(tombPath.toString)
+    }
+  }
 
   /** One artifact build per (JVM, corpus) for the S35/S36 gates —
     * the deployment story IS the gate: build once, serve from parquet.

@@ -35,11 +35,15 @@ class DriverContractSpec extends AnyFunSuite {
     assert(qs.size >= 62)
     // rows-only entries are the documented exceptions: the stub-codec
     // decode boundary, graph ANN whose L-round beam traversal is not
-    // SQL-expressible (deterministic + recall-spec'd in SimSpec), and
-    // the deep-BPE checkpoint/encode gates (no SQL oracle can restate
-    // 32k chained merge rounds; reference-trainer-spec'd in TextSpec)
+    // SQL-expressible (deterministic + recall-spec'd in SimSpec; the
+    // artifact-served twins inherit the same face, parity-spec'd
+    // against the in-memory builds), and the deep-BPE checkpoint/encode
+    // gates (no SQL oracle can restate 32k chained merge rounds;
+    // reference-trainer-spec'd in TextSpec, fold mechanism
+    // oracle-pinned by text_bpe_deep_ckpt_prefix)
     assert((qs -- os) === Set("media_decode", "knn_graph",
-      "knn_graph_hnsw", "text_bpe_deep_ckpt", "text_bpe_deep_encode"))
+      "knn_graph_hnsw", "knn_graph_artifact", "knn_graph_hnsw_artifact",
+      "text_bpe_deep_ckpt", "text_bpe_deep_encode"))
   }
 
   test("VcrCli validates commands and arguments like the reference") {

@@ -674,6 +674,88 @@ class SimSpec extends AnyFunSuite {
     assert(again === flat)
   }
 
+  test("S36b/c: graph-artifact deletes mask results while keeping " +
+    "routing; compaction restores the degree bound, removes the dead " +
+    "physically, retires tombstones, and re-elects a dead entry point") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-maint").toString
+    SimQueries.hnswIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    val baseIds = spark.read.parquet(s"$art/members")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // an insert storm grows reverse-edge degrees past the bound
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val storm = e.limit(40)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("v"))
+    graft.sim.SimQueries.hnswArtifactInsert(spark, art, storm, 1L)
+    def maxDeg = {
+      spark.catalog.refreshByPath(s"$art/edges")
+      spark.read.parquet(s"$art/edges")
+        .groupBy(col("lvl"), col("src")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).head().getLong(0)
+    }
+    assert(maxDeg > SimQueries.GraphM,
+      "storm failed to exceed the degree bound — strengthen the fixture")
+    // deletes: tombstone every base id ≡ 4 (mod 9); serving masks them
+    import spark.implicits._
+    val dead = baseIds.filter(_ % 9 == 4)
+    assert(dead.nonEmpty)
+    SimQueries.graphDelete(spark, art, dead.toSeq.toDF("vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        graft.functions.VectorFunctions.normalize(col("v")).as("qvn"))
+      .localCheckpoint(false)
+    def servedDeleted = SimQueries
+      .hnswServeArtifactDeleted(spark, q, art).collect().map(_.toSeq).toSeq
+    val s1 = servedDeleted
+    graft.CachedFrames.releaseAll()
+    assert(s1.nonEmpty)
+    assert(s1.forall(r => !dead.contains(r(1).asInstanceOf[Long])),
+      "a tombstoned vector surfaced as a neighbor")
+    assert(servedDeleted === s1, "masked serving is not deterministic")
+    graft.CachedFrames.releaseAll()
+    // mask-only so far: the dead still route (members intact)
+    spark.catalog.refreshByPath(s"$art/members")
+    assert(spark.read.parquet(s"$art/members")
+      .filter(col("vec_id").isin(dead.toSeq: _*)).count() ===
+      dead.size.toLong)
+    // compaction: physical removal + degree restore + tombstone retire
+    SimQueries.hnswCompact(spark, art)
+    spark.catalog.refreshByPath(s"$art/members")
+    val after = spark.read.parquet(s"$art/members")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert((after & dead).isEmpty, "compaction left dead members")
+    assert(after.size === baseIds.size + 40 - dead.size,
+      "compaction lost live members")
+    assert(maxDeg <= SimQueries.GraphM,
+      s"degree bound not restored: $maxDeg")
+    spark.catalog.refreshByPath(s"$art/edges")
+    val endpoints = spark.read.parquet(s"$art/edges")
+      .select(explode(array(col("src"), col("dst"))).as("v"))
+      .filter(col("v").isin(dead.toSeq: _*)).count()
+    assert(endpoints === 0L, "an edge still touches a dead node")
+    spark.catalog.refreshByPath(s"$art/tombstones")
+    assert(spark.read.schema("vec_id LONG")
+      .parquet(s"$art/tombstones").count() === 0L,
+      "covered tombstones were not retired")
+    val s2 = servedDeleted
+    graft.CachedFrames.releaseAll()
+    assert(s2.nonEmpty)
+    assert(s2.forall(r => !dead.contains(r(1).asInstanceOf[Long])))
+    // entry death: tombstone the incumbent entry, compact, re-elected
+    val entry0 = spark.read.parquet(s"$art/entry").head().getLong(0)
+    SimQueries.graphDelete(spark, art, Seq(entry0).toDF("vec_id"))
+    SimQueries.hnswCompact(spark, art)
+    spark.catalog.refreshByPath(s"$art/entry")
+    val entry1 = spark.read.parquet(s"$art/entry").head().getLong(0)
+    assert(entry1 !== entry0, "dead entry point was not re-elected")
+    val s3 = servedDeleted
+    graft.CachedFrames.releaseAll()
+    assert(s3.nonEmpty, "serving died with the old entry point")
+  }
+
   test("graph ANN: deterministic run to run; recall@5 beats the IVF " +
     "probe-1 baseline (beam search escapes the query's own list)") {
     val a = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq
