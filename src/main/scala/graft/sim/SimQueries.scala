@@ -3744,9 +3744,15 @@ object SimQueries {
     val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
         bestClusterCol(cents).as("cluster"))
+    // the queries' cluster set is |Q|-bounded — collect it so the seed
+    // scan partition-prunes to the probed lists (the S30 discipline);
+    // an unpruned seed join would scan every postings partition
+    val seedClusters = q.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
     var seen = q
-      .join(postings.select(col("vec_id").as("cand"), col("vn").as("cvn"),
-        col("cluster")), Seq("cluster"))
+      .join(postings.filter(col("cluster").isin(seedClusters: _*))
+        .select(col("vec_id").as("cand"), col("vn").as("cvn"),
+          col("cluster")), Seq("cluster"))
       .filter(col("cand") =!= col("q_id"))
       .select(col("q_id"), col("cand"),
         round(dot(col("qvn"), col("cvn")), 6).as("cos"))
