@@ -1687,6 +1687,67 @@ object TextQueries {
     FROM dw JOIN encoded USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** T27: tokenizer FERTILITY per source — the report every corpus
+    * card carries (tokens-per-word and chars-per-token under the
+    * trained tokenizer, per source): fertility prices how expensively
+    * a source tokenizes (morphology-heavy or noisy sources fragment
+    * into more subwords — their token budget buys fewer words), and
+    * chars-per-token is the compression ratio a byte budget converts
+    * through. Rides T17's one corpus-word join; both ratios emit in
+    * exact integer ppm (micro units, BIGINT division) so the whole
+    * report hash-checks. Scale shape: the word-stream shuffle T16/T17
+    * already pay plus one (sources)-bounded aggregate.
+    */
+  def textFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dw = graft.CachedFrames.persist(docs
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0))
+    val vocab0 = dw.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val (_, vocabR) = bpeTrain(vocab0, BpeRounds)
+    val toks = vocabR.select(col("word"),
+      size(filter(split(col("wstr"), BpeSep),
+        s0 => length(s0) > lit(0))).cast("long").as("n_toks"))
+    val per = dw.join(toks, Seq("word"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_bpe_tokens"))
+    val chars = docs.groupBy(col("source"))
+      .agg(sum(length(col("text")).cast("long")).as("n_chars"))
+    per.join(chars, Seq("source"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 div n_bpe_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val textFertilitySql: String = s"""
+    WITH $bpeChainSql,
+    encoded AS (
+      SELECT word, len(list_filter(string_split(wstr, chr(31)),
+               s -> len(s) > 0))::BIGINT AS n_toks
+      FROM v$BpeRounds),
+    dw AS (
+      SELECT doc_id, source, word
+      FROM (SELECT doc_id, source,
+                   unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE len(word) > 0),
+    per AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_words, sum(n_toks)::BIGINT AS n_bpe_tokens
+      FROM dw JOIN encoded USING (word) GROUP BY source),
+    ch AS (SELECT source, sum(len(text))::BIGINT AS n_chars
+           FROM documents GROUP BY source)
+    SELECT source, n_docs, n_words, n_bpe_tokens, n_chars,
+           n_bpe_tokens * 1000000 // n_words AS fertility_ppm,
+           n_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
+    FROM per JOIN ch USING (source) ORDER BY source"""
+
   // ---- T19: cross-doc repeated-span coverage ----
 
   /** T19: per-document REPEATED-TEXT coverage — the removal signal
@@ -1923,6 +1984,7 @@ object TextQueries {
     "text_bpe_deep_encode" -> (textBpeDeepEncode _),
     "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_fertility" -> (textFertility _),
     "hybrid_search" -> (hybridSearch _),
     "text_repeated_spans" -> (textRepeatedSpans _),
     "text_bm25" -> (textBm25 _),
@@ -1950,6 +2012,7 @@ object TextQueries {
     "text_bpe_deep_ckpt_prefix" -> textBpeDeepCkptPrefixSql,
     "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_fertility" -> textFertilitySql,
     "hybrid_search" -> hybridSearchSql,
     "text_repeated_spans" -> textRepeatedSpansSql,
     "text_bm25" -> textBm25Sql,

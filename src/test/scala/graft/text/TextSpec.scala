@@ -484,6 +484,36 @@ class TextSpec extends AnyFunSuite {
     assert(fd.exists(vec.contains), "no vector doc survived fusion")
   }
 
+  test("T27 fertility: tokens-per-word >= 1 everywhere, ratios " +
+    "recompute from the per-doc encode bills, and sources cover the " +
+    "corpus exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.textFertility(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nWords, nToks, nChars, fert, cpt) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(nDocs > 0 && nWords > 0 && nToks > 0 && nChars > 0)
+      // a word is at least one BPE token: fertility >= 1.0 exactly
+      assert(fert >= 1000000L, s"fertility below 1 token/word: $r")
+      assert(cpt > 0L)
+      assert(fert === nToks * 1000000L / nWords)
+      assert(cpt === nChars * 1000000L / nToks)
+    }
+    // the per-source word/token masses are the per-doc encode bills
+    // re-aggregated: totals must agree exactly
+    val perDoc = TextQueries.textBpeEncode(spark, dir)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).head()
+    graft.CachedFrames.releaseAll()
+    assert(rows.map(_.getLong(2)).sum === perDoc.getLong(0))
+    assert(rows.map(_.getLong(3)).sum === perDoc.getLong(1))
+    // source partition covers the corpus: doc counts sum to the table
+    assert(rows.map(_.getLong(1)).sum ===
+      graft.Tables.documents(spark, dir).count())
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
