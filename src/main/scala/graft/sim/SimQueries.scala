@@ -451,6 +451,52 @@ object SimQueries {
     else s.range(0).select(col("id").as("vec_id"))
   }
 
+  /** The tombstone-honoring artifact serving core for ARBITRARY query
+    * frames (q_id, qvn, cluster) — S31/S34's candidate discipline
+    * factored for R19b's per-trigger body: the probe join partition-
+    * prunes the postings scan, the tombstone anti-join runs on
+    * nprobe-lists-of-candidates (never the corpus), survivors score.
+    */
+  private[graft] def serveArtifactDeletedOn(s: SparkSession, q: DataFrame,
+      artifact: String, excludeSelf: Boolean): DataFrame = {
+    val postings = s.read.parquet(s"$artifact/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val joined = q.join(postings, Seq("cluster"))
+    val scored =
+      (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
+       else joined)
+        .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
+        .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"), col("rank"))
+  }
+
+  /** R19b support: assign arbitrary (q_id, v) query vectors to their
+    * probe cluster with the DEPLOYED codebook — the `queryAssigner`
+    * discipline pointed at the artifact; collects the k rows once,
+    * the returned function is a narrow stream-safe projection.
+    */
+  private[graft] def ivfQueryAssigner(s: SparkSession, artifact: String)
+  : DataFrame => DataFrame = {
+    val cents = KMeans.collectCodebook(
+      s.read.parquet(s"$artifact/centroids"))
+    val best = array_max(array(cents.map { case (c, cv) =>
+      struct(
+        round(dot(col("vn"),
+          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+          .as("ccos"),
+        lit(-c).as("neg_cluster"))
+    }: _*))
+    (q: DataFrame) =>
+      q.withColumn("vn", normalize(col("v")))
+        .withColumn("cluster", best.getField("neg_cluster") * lit(-1L))
+        .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
+  }
+
   def ivfServeArtifactDeleted(s: SparkSession, dir: String,
                               artifact: String): DataFrame = {
     val cents = KMeans.collectCodebook(
@@ -462,22 +508,11 @@ object SimQueries {
           .as("ccos"),
         lit(-c).as("neg_cluster"))
     }: _*))
-    val postings = s.read.parquet(s"$artifact/postings")
-      .withColumn("cluster", col("cluster").cast("long"))
     val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn"))
       .withColumn("cluster", (best.getField("neg_cluster") * lit(-1L)))
       .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
-    val scored = q.join(postings, Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
-      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
-        col("cos"), col("rank"))
+    serveArtifactDeletedOn(s, q, artifact, excludeSelf = true)
       .orderBy(col("q_id"), col("rank"))
   }
 

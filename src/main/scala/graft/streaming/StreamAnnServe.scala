@@ -55,4 +55,30 @@ object StreamAnnServe {
           ()
       }.start()
   }
+
+  /** R19b: streamed queries against the DEPLOYED artifact, honoring
+    * LIVE tombstones — R19 composed with S31's delete mask, closing
+    * the standing serving topology: R30 grows the artifact, R32
+    * tombstones it, and this face answers each trigger from whatever
+    * both have committed. The codebook collects once at start-up; the
+    * tombstone table re-reads per trigger (O(deletes) — metadata-scale,
+    * exactly the anti-join input size), so a delete is honored from
+    * the trigger after its arrival — the same visibility contract R32
+    * gives the batch serves. Stateless per trigger; the artifact is
+    * the state and lives outside the stream.
+    */
+  def serveArtifact(s: SparkSession, artifact: String, queries: DataFrame,
+      checkpoint: String, excludeSelf: Boolean = false)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val assign = graft.sim.SimQueries.ivfQueryAssigner(s, artifact)
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          sink(graft.sim.SimQueries.serveArtifactDeletedOn(
+            s, assign(b.toDF()), artifact, excludeSelf))
+          ()
+      }.start()
+  }
 }

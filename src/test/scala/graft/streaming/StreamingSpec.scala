@@ -1593,6 +1593,68 @@ class StreamingSpec extends AnyFunSuite {
       "a live tombstone was lost or a covered one resurrected")
   }
 
+  test("R19b: streamed serving from the deployed artifact honors LIVE " +
+    "tombstones — a delete landing between triggers changes the next " +
+    "trigger's answers, each wave bit-identical to its batch twin") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val qVecs = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val qdir = tmp()
+    def emitWave(idx: Int): Unit = {
+      val stage = tmp()
+      qVecs.toDF("q_id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(qdir, f"wave$idx%02d.parquet"))
+    }
+    val waves = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[Seq[Any]]]()
+    emitWave(0)
+    val schema = spark.read.parquet(qdir).schema
+    val sq = StreamAnnServe.serveArtifact(spark, art,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(qdir),
+      tmp(), excludeSelf = true) { out =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      if (rows.nonEmpty) { waves.add(rows); () }
+    }
+    sq.processAllAvailable()
+    // the delete lands BETWEEN triggers (R32's appends are this call)
+    val delIds = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+    graft.sim.SimQueries.ivfDelete(spark, art, delIds)
+    emitWave(1)
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val ws = waves.asScala.toSeq
+    assert(ws.size === 2, s"expected 2 serving waves, got ${ws.size}")
+    val preTwin = graft.sim.SimQueries.ivfServeArtifact(spark, dir0, art)
+      .collect().map(_.toSeq).toSet
+    graft.CachedFrames.releaseAll()
+    val postTwin = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, art)
+      .collect().map(_.toSeq).toSet
+    graft.CachedFrames.releaseAll()
+    assert(ws.head.toSet === preTwin,
+      "pre-delete streamed wave diverged from the undeleted batch twin")
+    assert(ws(1).toSet === postTwin,
+      "post-delete streamed wave diverged from the tombstoned batch twin")
+    assert(ws(1).forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+      "a deleted vector surfaced after its tombstone landed")
+    assert(ws.head.toSet !== ws(1).toSet,
+      "the delete was supposed to change some served answer")
+  }
+
   test("R15b: streamed inserts into the persisted layered-graph " +
     "artifact — every arrival gains a base adjacency, inserted " +
     "vectors surface as served neighbors, replay is a no-op, and a " +
