@@ -1655,6 +1655,102 @@ class StreamingSpec extends AnyFunSuite {
       "the delete was supposed to change some served answer")
   }
 
+  test("R30+R32+R19b topology: insert, delete, and serving streams " +
+    "interleaved against ONE artifact, with a compaction mid-flight — " +
+    "final serving equals the batch-maintained twin bit-for-bit") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp(); val twin = tmp()
+    val e = graft.Tables.embeddings(spark, dir0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+    val m = graft.sim.SimQueries.InsertMod
+    val r = graft.sim.SimQueries.InsertRem
+    graft.sim.SimQueries.ivfIndexWriteOn(
+      e.filter(col("vec_id") % m =!= r), art)
+    graft.sim.SimQueries.ivfIndexWriteOn(
+      e.filter(col("vec_id") % m =!= r), twin)
+    graft.CachedFrames.releaseAll()
+    val heldOut = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1))).sortBy(_._1)
+    val delIds = e.select(col("vec_id")).collect().map(_.getLong(0))
+      .filter(_ % 7 == 3).sorted
+    def stageFile(df: org.apache.spark.sql.DataFrame, dirOut: String,
+                  name: String): Unit = {
+      val stage = tmp()
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(dirOut, name))
+    }
+    val insDir = tmp(); val delDir = tmp(); val qDir = tmp()
+    val insWaves = heldOut.grouped(heldOut.length / 2 + 1).toSeq
+    val delWaves = delIds.grouped(delIds.length / 2 + 1).toSeq
+    val qVecs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v"))
+    // stage the FIRST waves so each stream's schema is inferable
+    stageFile(insWaves.head.toSeq.toDF("vec_id", "v"), insDir, "w0.parquet")
+    stageFile(delWaves.head.toSeq.toDF("vec_id"), delDir, "w0.parquet")
+    stageFile(qVecs, qDir, "w0.parquet")
+    val insQ = StreamIvfInsert.start(spark, art,
+      spark.readStream.schema(spark.read.parquet(insDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(insDir), tmp())
+    val delQ = StreamIvfDelete.start(spark, art,
+      spark.readStream.schema(spark.read.parquet(delDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(delDir), tmp())
+    val served = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[Seq[Any]]]()
+    val srvQ = StreamAnnServe.serveArtifact(spark, art,
+      spark.readStream.schema(spark.read.parquet(qDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(qDir),
+      tmp(), excludeSelf = true) { out =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      if (rows.nonEmpty) { served.add(rows); () }
+    }
+    // deterministic interleave: ins1 → del1 → serve1 → COMPACT →
+    // ins2 → serve2 → del2 → final serve
+    insQ.processAllAvailable()
+    delQ.processAllAvailable()
+    srvQ.processAllAvailable()
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L)
+    stageFile(insWaves(1).toSeq.toDF("vec_id", "v"), insDir, "w1.parquet")
+    insQ.processAllAvailable()
+    stageFile(qVecs, qDir, "w1.parquet")
+    srvQ.processAllAvailable()
+    stageFile(delWaves(1).toSeq.toDF("vec_id"), delDir, "w1.parquet")
+    delQ.processAllAvailable()
+    stageFile(qVecs, qDir, "w2.parquet")
+    srvQ.processAllAvailable()
+    insQ.stop(); delQ.stop(); srvQ.stop()
+    // the batch-maintained twin: same inserts, same deletes, no streams
+    graft.sim.SimQueries.ivfInsert(spark, twin,
+      e.filter(col("vec_id") % m === r).select(col("vec_id"), col("vn")))
+    import spark.implicits._
+    graft.sim.SimQueries.ivfDelete(spark, twin, delIds.toSeq.toDF("vec_id"))
+    val twinServed = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, twin)
+      .collect().map(_.toSeq).toSet
+    graft.CachedFrames.releaseAll()
+    import scala.jdk.CollectionConverters._
+    val finalWave = served.asScala.toSeq.last.toSet
+    assert(finalWave === twinServed,
+      "the stream-maintained artifact serves differently from the " +
+        "batch-maintained twin")
+    assert(finalWave.forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+      "a deleted vector surfaced in the final serving wave")
+    // compaction mid-flight lost nothing: every surviving posting row
+    // appears exactly once
+    spark.catalog.refreshByPath(s"$art/postings")
+    val dup = spark.read.parquet(s"$art/postings")
+      .groupBy("vec_id").count().filter(col("count") > 1).count()
+    assert(dup === 0L, "a postings row is duplicated after the " +
+      "compact-under-streams interleaving")
+  }
+
   test("R15b: streamed inserts into the persisted layered-graph " +
     "artifact — every arrival gains a base adjacency, inserted " +
     "vectors surface as served neighbors, replay is a no-op, and a " +
