@@ -1710,7 +1710,10 @@ object TextQueries {
     val toks = vocabR.select(col("word"),
       size(filter(split(col("wstr"), BpeSep),
         s0 => length(s0) > lit(0))).cast("long").as("n_toks"))
-    val per = dw.join(toks, Seq("word"))
+    // toks is RAW-vocabulary-scale (every corpus word — Heaps'-law
+    // growth, not the bounded merge table): pinned SHUFFLE_HASH per
+    // the T9/T13 discipline so nothing corpus-growing ever collects
+    val per = dw.join(toks.hint("shuffle_hash"), Seq("word"))
       .groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_words"),
