@@ -1751,6 +1751,70 @@ object TextQueries {
            n_chars * 1000000 // n_bpe_tokens AS chars_per_token_ppm
     FROM per JOIN ch USING (source) ORDER BY source"""
 
+  /** T28: per-source unigram KL DRIFT vs the corpus mixture — the
+    * distribution-shift scalar a reweighting pass (P24's attribution,
+    * DSIR-style selection) consumes: KL(source ‖ corpus) over unigram
+    * frequencies says how far a source's vocabulary usage sits from
+    * the blend it ships in. No smoothing needed: every source word is
+    * a corpus word by construction, so the reference probability never
+    * vanishes. Determinism discipline: each term's log-ratio rounds to
+    * 6dp FIRST (both engines' libm agree through 6dp), then scales to
+    * an integral-valued double that multiplies the exact BIGINT count
+    * — so the per-source sum is exact integer arithmetic and the
+    * divide-by-total is one integer division: the whole report
+    * hash-checks, no float summation order anywhere. Scale shape: the
+    * word shuffle the unigram families already pay, two bounded
+    * aggregates, one scalar collect (corpus token total — the codebook
+    * idiom).
+    */
+  def textKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val dw = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val bs = graft.CachedFrames.persist(
+      dw.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("c_sw")))
+    val ts = bs.groupBy(col("source")).agg(sum(col("c_sw")).as("t_s"))
+    val bw = bs.groupBy(col("word")).agg(sum(col("c_sw")).as("c_w"))
+    val tC = bw.agg(sum(col("c_w"))).head().getLong(0)
+    val terms = bs
+      .join(ts.hint("shuffle_hash"), Seq("source"))
+      .join(bw.hint("shuffle_hash"), Seq("word"))
+      .withColumn("x", round(
+        log((col("c_sw").cast("double") * lit(tC.toDouble)) /
+          (col("c_w").cast("double") * col("t_s").cast("double"))), 6))
+      .withColumn("term_micro",
+        round(col("c_sw") * col("x") * lit(1e6), 0).cast("long"))
+    terms.groupBy(col("source"))
+      .agg(max(col("t_s")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("term_micro")).as("kl_sum_micro"))
+      .withColumn("kl_micro", expr("kl_sum_micro div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("kl_micro"))
+      .orderBy(col("source"))
+  }
+
+  val textKlDriftSql: String = """
+    WITH dw AS (
+      SELECT source, word
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE len(word) > 0),
+    bs AS (SELECT source, word, count(*)::BIGINT AS c_sw
+           FROM dw GROUP BY source, word),
+    ts AS (SELECT source, sum(c_sw)::BIGINT AS t_s FROM bs GROUP BY source),
+    bw AS (SELECT word, sum(c_sw)::BIGINT AS c_w FROM bs GROUP BY word),
+    tc AS (SELECT sum(c_w)::BIGINT AS t_c FROM bw),
+    terms AS (
+      SELECT source, t_s, c_sw,
+             CAST(round(c_sw * round(ln((c_sw::DOUBLE * t_c) /
+               (c_w::DOUBLE * t_s)), 6) * 1e6, 0) AS BIGINT) AS term_micro
+      FROM bs JOIN ts USING (source) JOIN bw USING (word) CROSS JOIN tc)
+    SELECT source, max(t_s) AS n_tokens, count(*) AS n_types,
+           sum(term_micro)::BIGINT // max(t_s) AS kl_micro
+    FROM terms GROUP BY source ORDER BY source"""
+
   // ---- T19: cross-doc repeated-span coverage ----
 
   /** T19: per-document REPEATED-TEXT coverage — the removal signal
@@ -1988,6 +2052,7 @@ object TextQueries {
     "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_fertility" -> (textFertility _),
+    "text_kl_drift" -> (textKlDrift _),
     "hybrid_search" -> (hybridSearch _),
     "text_repeated_spans" -> (textRepeatedSpans _),
     "text_bm25" -> (textBm25 _),
@@ -2016,6 +2081,7 @@ object TextQueries {
     "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_fertility" -> textFertilitySql,
+    "text_kl_drift" -> textKlDriftSql,
     "hybrid_search" -> hybridSearchSql,
     "text_repeated_spans" -> textRepeatedSpansSql,
     "text_bm25" -> textBm25Sql,

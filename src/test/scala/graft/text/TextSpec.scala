@@ -514,6 +514,51 @@ class TextSpec extends AnyFunSuite {
       graft.Tables.documents(spark, dir).count())
   }
 
+  test("T28 KL drift: exactly-proportional sources measure ZERO (the " +
+    "integer ratios hit ln(1.0) bit-exactly), disjoint-vocabulary " +
+    "sources measure positive, and the real corpus is non-negative " +
+    "with exact token coverage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def planted(rows: Seq[(String, Long, String)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-kl").toString
+      rows.toDF("source", "doc_id", "text")
+        .write.parquet(s"$d/documents.parquet")
+      d
+    }
+    // both sources carry w1:w2 at exactly 3:1 — proportional to the
+    // mixture, so every term's ratio is exactly 1.0 and KL is 0
+    val prop = planted(Seq(
+      ("srcA", 1L, (Seq.fill(30)("w1") ++ Seq.fill(10)("w2")).mkString(" ")),
+      ("srcB", 2L, (Seq.fill(15)("w1") ++ Seq.fill(5)("w2")).mkString(" "))))
+    val p = TextQueries.textKlDrift(spark, prop).collect()
+    graft.CachedFrames.releaseAll()
+    assert(p.length === 2)
+    p.foreach(r => assert(r.getLong(3) === 0L,
+      s"proportional source drifted: $r"))
+    // disjoint vocabularies: each source is maximally far from the blend
+    val skew = planted(Seq(
+      ("srcA", 1L, Seq.fill(40)("only_a").mkString(" ")),
+      ("srcB", 2L, Seq.fill(10)("only_b").mkString(" "))))
+    val k = TextQueries.textKlDrift(spark, skew).collect()
+    graft.CachedFrames.releaseAll()
+    k.foreach(r => assert(r.getLong(3) > 0L, s"skewed source at zero: $r"))
+    // the bigger source sits closer to the mixture it dominates
+    val km = k.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(km("srcA") < km("srcB"))
+    // real corpus: Gibbs' inequality up to the 6dp term rounding, and
+    // the per-source token masses cover the corpus exactly
+    val real = TextQueries.textKlDrift(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(real.nonEmpty)
+    real.foreach(r => assert(r.getLong(3) >= -1L, s"negative KL: $r"))
+    assert(real.exists(_.getLong(3) > 0L), "no source drifts at all?")
+    val totalTokens = graft.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(real.map(_.getLong(1)).sum === totalTokens)
+  }
+
   test("winnowing fingerprints: near-dup docs share most fingerprints") {
     val fp = TextQueries.textFingerprint(spark, dir)
       .select("doc_id", "n_fp").collect()
