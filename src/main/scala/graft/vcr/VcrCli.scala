@@ -190,6 +190,19 @@ object VcrCli {
               from.toLong, to.toLong).count()
             println(s"Seek [$from,$to] on $root/$stream: $n records " +
               "from zone-map-pruned files")
+          case Array("--refresh", dts) =>
+            // the steady-state ops verb: reconcile ONLY the named days
+            // (comma-separated) — O(|days|) listings, the R27 contract
+            val r = TapeManifest.refresh(spark, root, stream,
+              dts.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+            println(s"Refreshed $root/$stream [$dts]: +${r.added} " +
+              s"-${r.removed} (kept ${r.kept})")
+          case Array("--refresh") =>
+            // the audit walk: every dt directory LISTed — fsck's
+            // companion, not a hot-path verb
+            val r = TapeManifest.refresh(spark, root, stream)
+            println(s"Audited $root/$stream: +${r.added} -${r.removed} " +
+              s"(kept ${r.kept})")
           case _ =>
             TapeManifest.write(spark, root, stream)
             val m = TapeManifest.load(spark, root, stream)

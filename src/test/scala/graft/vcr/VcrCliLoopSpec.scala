@@ -98,8 +98,22 @@ class VcrCliLoopSpec extends AnyFunSuite {
       Array("digest", "2024-03-05")))
     assert(digOut === digOut2, "digest must be deterministic")
 
+    // index (V13/V14): build the manifest, then the scoped-refresh ops
+    // verb is a metadata no-op on the unchanged day, and the audit
+    // walk agrees with it
+    val idxOut = captured(VcrCli.run(spark, cfg, Array("index")))
+    assert(idxOut.contains("records in the manifest"), idxOut)
+    val refOut = captured(VcrCli.run(spark, cfg,
+      Array("index", "--refresh", "2024-03-05")))
+    assert(refOut.contains("+0 -0"), refOut)
+    val audOut = captured(VcrCli.run(spark, cfg,
+      Array("index", "--refresh")))
+    assert(audOut.contains("+0 -0"), audOut)
+
     // expire (V11): dry-run reports without deleting; a cutoff after
-    // the recorded day deletes it, after which play finds nothing
+    // the recorded day deletes it, after which play finds nothing —
+    // and retention's scoped-refresh hook prunes the manifest rows of
+    // exactly the expired day
     val dryOut = captured(VcrCli.run(spark, cfg,
       Array("expire", "2024-03-06", "--dry-run")))
     assert(dryOut.contains("Would delete 1 day partitions"), dryOut)
@@ -108,6 +122,9 @@ class VcrCliLoopSpec extends AnyFunSuite {
       Array("expire", "2024-03-06")))
     assert(expOut.contains("Deleted 1 day partitions"), expOut)
     assert(!new java.io.File(s"$root/cli-src/dt=2024-03-05").exists())
+    assert(expOut.contains("Manifest pruned:"), expOut)
+    spark.catalog.refreshByPath(s"$root/cli-src/_manifest")
+    assert(TapeManifest.load(spark, root, "cli-src").count() === 0L)
     FakeKinesisRegistry.remove(epName)
   }
 }
