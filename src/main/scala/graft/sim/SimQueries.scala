@@ -980,6 +980,107 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** One artifact per (JVM, corpus) for the probe-ladder serve — the
+    * SAME ivfIndexWrite layout the S27/S31/S32 rungs deploy. */
+  private val probeArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S8∘S27: MULTI-PROBE serving from the DEPLOYED artifact — the
+    * production serving depth on the production index (the S8 rungs
+    * probe in-memory assignments; the deployed path was probe-1 only):
+    * each query probes its top-NProbe trained centroids, each probe is
+    * a partition-pruned postings scan, and candidates across probes
+    * are disjoint (a vector lives in exactly one list) so the union
+    * ranks directly. The oracle restates the knn_ivf_kmeans training
+    * chain with rn ≤ NProbe on the query side — the artifact IS that
+    * trainer's layout (SimSpec pins serve-from-artifact ≡ trainer), so
+    * probe-ladder serving from parquet hash-checks end to end.
+    */
+  def knnIvfProbeArtifact(s: SparkSession, dir: String): DataFrame = {
+    val artifact = probeArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-probe-ivf").toString
+      ivfIndexWrite(s, dir, out)
+      out
+    })
+    val cents = KMeans.collectCodebook(
+      s.read.parquet(s"$artifact/centroids"))
+      .map { case (c, cv) =>
+        (c.toInt, graft.functions.VectorFunctions.normalizeSeq(cv)) }
+    val postings = s.read.parquet(s"$artifact/postings")
+      .withColumn("cluster", col("cluster").cast("long"))
+    val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn"),
+        explode(topProbesCol(cents, NProbe)).as("p"))
+      .select(col("q_id"), col("vn").as("qvn"),
+        col("p.label").cast("long").as("cluster"))
+    val scored = q.join(postings, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // lazy: interpolates NProbe, declared further down — a strict val
+  // here would capture the Int zero-default at object init
+  lazy val knnIvfProbeArtifactSql: String = s"""
+    WITH e AS ($vecsSql),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM e)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe),
+    scored AS (
+      SELECT q.q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.qvn, a.vn), 6) AS cos
+      FROM qprobe q JOIN assigned a USING (cluster)
+      WHERE a.vec_id != q.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   /** S31 oracle: `knn_ivf_kmeans`'s pipeline with the tombstoned ids
     * excluded from CANDIDATES only (queries keep their full set) —
     * the index-rebuilt-without-them reference that tombstone serving
@@ -4515,6 +4616,7 @@ object SimQueries {
     "knn_ivf_probe" -> ((s: SparkSession, d: String) => knnIvfProbe(s, d)),
     "knn_filtered" -> ((s: SparkSession, d: String) => knnFiltered(s, d)),
     "knn_filtered_artifact" -> (knnFilteredArtifact _),
+    "knn_ivf_probe_artifact" -> (knnIvfProbeArtifact _),
     "knn_filtered_delete" -> (knnFilteredDelete _),
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_delete" -> (knnIvfDelete _),
@@ -4551,6 +4653,7 @@ object SimQueries {
     "knn_ivf_probe" -> knnIvfProbeSql,
     "knn_filtered" -> knnFilteredSql,
     "knn_filtered_artifact" -> knnFilteredSql,
+    "knn_ivf_probe_artifact" -> knnIvfProbeArtifactSql,
     "knn_filtered_delete" -> knnFilteredDeleteSql,
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_delete" -> knnIvfDeleteSql,
