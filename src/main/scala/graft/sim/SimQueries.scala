@@ -1014,7 +1014,15 @@ object SimQueries {
         explode(topProbesCol(cents, NProbe)).as("p"))
       .select(col("q_id"), col("vn").as("qvn"),
         col("p.label").cast("long").as("cluster"))
-    val scored = q.join(postings, Seq("cluster"))
+    // the probed cluster set is |Q|·NProbe-bounded — collect it so the
+    // postings scan partition-prunes to exactly the probed lists (the
+    // S30/S35 discipline; the explode alone is data-dependent and
+    // would scan every partition)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val scored = q
+      .join(postings.filter(col("cluster").isin(probed: _*)),
+        Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
     val w = Window.partitionBy(col("q_id"))

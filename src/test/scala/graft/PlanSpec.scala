@@ -159,6 +159,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("deployed-index serving scans are PARTITION-PRUNED: the probed " +
+    "cluster set reaches the postings scan as a partition filter " +
+    "(round-9 S37 regression guard; S35's per-round edge scans carry " +
+    "the same isin discipline but execute behind localCheckpoints, so " +
+    "their evidence is the sf1 probe, not this final plan)") {
+    // multi-probe artifact serve: the bounded probed-cluster collect
+    // must land as a partition filter on the postings scan — without
+    // it every partition of the deployed index is read per query batch
+    val p37 = plan("knn_ivf_probe_artifact")
+    val prunedPostings = p37.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cluster") &&
+        !l.contains("PartitionFilters: []"))
+    assert(prunedPostings,
+      s"S37 postings scan lost its cluster partition pruning:\n$p37")
+    graft.CachedFrames.releaseAll()
+  }
+
   test("the O(corpus) index joins stay shuffled — no broadcast of the " +
     "shingle or band index at any estimate (sf1-probe regression guard)") {
     // the static planner underestimates the cached/anti-joined index
