@@ -1655,6 +1655,48 @@ class StreamingSpec extends AnyFunSuite {
       "the delete was supposed to change some served answer")
   }
 
+  test("StagedCommit crash-point sweep: a commit killed after ANY " +
+    "number of moved files converges to exactly one copy on replay") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val assign = graft.sim.SimQueries.ivfAssigner(spark, art)
+    // a batch spread over several clusters so the commit moves >1 file
+    val batch = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 12)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val ids = batch.map(_._1).toSet
+    (0 to 3).foreach { k =>
+      val bid = 100L + k
+      val thrown = try {
+        StreamIvfInsert.insertBatch(spark, art, assign,
+          batch.toDF("vec_id", "v"), bid, moveLimit = k)
+        false
+      } catch { case _: java.io.IOException => true }
+      // k files may be fewer than the staged tree: only then a crash
+      if (thrown)
+        StreamIvfInsert.insertBatch(spark, art, assign,
+          batch.toDF("vec_id", "v"), bid)
+      // replaying the now-committed id is a no-op at every k
+      StreamIvfInsert.insertBatch(spark, art, assign,
+        batch.toDF("vec_id", "v"), bid)
+      spark.catalog.refreshByPath(s"$art/postings")
+      val counts = spark.read.parquet(s"$art/postings")
+        .filter(col("vec_id").isin(ids.toSeq: _*))
+        .groupBy("vec_id").count().collect()
+      assert(counts.length === ids.size,
+        s"crash point $k lost rows: ${counts.length}/${ids.size}")
+      assert(counts.forall(_.getLong(1) === (k + 1).toLong),
+        s"crash point $k: expected ${k + 1} committed copies " +
+          s"(one per prior batch id), got " +
+          counts.map(_.getLong(1)).distinct.mkString(","))
+    }
+  }
+
   test("R30+R32+R19b topology: insert, delete, and serving streams " +
     "interleaved against ONE artifact, with a compaction mid-flight — " +
     "final serving equals the batch-maintained twin bit-for-bit") {
