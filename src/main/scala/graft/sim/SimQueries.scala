@@ -538,6 +538,17 @@ object SimQueries {
     * replay's delete-then-re-move convergence still holds — no lost
     * insert, no duplicated batch, no resurrected delete (spec'd under
     * a crash-compact-replay interleaving in StreamingSpec).
+    *
+    * Priced residual: append-then-remove has a DUAL window — between
+    * move-in and originals-delete a reader can transiently see a kept
+    * postings row twice (tombstones are immune: their reads
+    * `distinct()`). That bounded double-read replaces the two strictly
+    * worse windows the old design had (a no-tombstone-table gap that
+    * served deleted vectors, and committer-dependent dynamic overwrite
+    * that could corrupt under direct-write committers). Durable state
+    * is exact at every crash point (the sweep spec); full read
+    * snapshot isolation would need a manifest/pointer layer over the
+    * artifact — the V13 shape, the noted production upgrade path.
     */
   def ivfCompact(s: SparkSession, artifact: String,
                  minDead: Long = 1L): Unit = {
