@@ -409,8 +409,7 @@ object SimQueries {
     }: _*))
     // partition-column inference reads cluster back as INT; restore
     // the trainer's LONG so served rows compare bit-for-bit
-    val postings = s.read.parquet(s"$artifact/postings")
-      .withColumn("cluster", col("cluster").cast("long"))
+    val postings = postingsView(s, artifact)
     val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn"))
       .withColumn("cluster", (best.getField("neg_cluster") * lit(-1L)))
@@ -443,6 +442,29 @@ object SimQueries {
     */
   private val tombstoneSchema = "vec_id LONG"
 
+  /** Declared schemas for the manifest-resolved artifact tables (the
+    * empty-view guard needs them; partition col as inference returns
+    * it). */
+  private[graft] val PostingsDdl = "vec_id BIGINT, vn ARRAY<DOUBLE>, cluster INT"
+  private[graft] val FilteredPostingsDdl =
+    "vec_id BIGINT, vn ARRAY<DOUBLE>, tenant BIGINT, cluster INT"
+  private[graft] val GraphEdgesDdl = "src BIGINT, dst BIGINT, bucket INT"
+  private[graft] val HnswEdgesDdl = "src BIGINT, dst BIGINT, lvl INT, bucket INT"
+  private[graft] val HnswMembersDdl = "vec_id BIGINT, vn ARRAY<DOUBLE>, lvl INT"
+
+  /** The SNAPSHOT-ISOLATED postings read every IVF serving and
+    * maintenance path uses: the manifest-resolved live file set (see
+    * `SnapshotManifest`) — a mid-flight compaction's moved-in gen
+    * files are invisible until its atomic manifest swap, and its
+    * replaced inputs are excluded right after, so no reader ever sees
+    * a kept row twice. Untracked artifacts (never compacted) resolve
+    * to the committed listing — the plain read this replaces.
+    */
+  private def postingsView(s: SparkSession, artifact: String): DataFrame =
+    graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "postings", PostingsDdl)
+      .withColumn("cluster", col("cluster").cast("long"))
+
   private def tombstonesOf(s: SparkSession, artifact: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -459,8 +481,7 @@ object SimQueries {
     */
   private[graft] def serveArtifactDeletedOn(s: SparkSession, q: DataFrame,
       artifact: String, excludeSelf: Boolean): DataFrame = {
-    val postings = s.read.parquet(s"$artifact/postings")
-      .withColumn("cluster", col("cluster").cast("long"))
+    val postings = postingsView(s, artifact)
     val joined = q.join(postings, Seq("cluster"))
     val scored =
       (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
@@ -551,11 +572,19 @@ object SimQueries {
     * artifact — the V13 shape, the noted production upgrade path.
     */
   def ivfCompact(s: SparkSession, artifact: String,
-                 minDead: Long = 1L): Unit = {
+                 minDead: Long = 1L,
+                 onPoint: String => Unit = _ => ()): Unit = {
     val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/postings")
     val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     if (!fs.exists(tombPath)) return
+    // Grace deletion first: the PREVIOUS rewrite's replaced files have
+    // been excluded from every resolved view since its manifest swap —
+    // one full compaction cycle for in-flight readers to drain (the
+    // Iceberg expire-snapshots trade). Also sweeps a crashed rewrite's
+    // orphan gen files.
+    graft.streaming.SnapshotManifest.vacuum(fs, artifact, "postings")
+    onPoint("vacuumed")
     // SNAPSHOT the tombstone part files up front: R32 appends deletes
     // to this directory continuously, and compaction must retire only
     // what it actually reconciled — a tombstone that lands mid-compact
@@ -566,33 +595,28 @@ object SimQueries {
     if (tombFiles.isEmpty) { pruneInsertMarkers(s, fs, artifact); return }
     val tomb = s.read.schema(tombstoneSchema)
       .parquet(tombFiles.map(_.toString): _*).distinct()
-    // COMMITTED postings files only: an uncommitted streamed batch's
-    // files (`b{id}-*` with no `_insert_commits/batch-{id}` marker) are
-    // mid-commit and R30's replay owns them — it deletes-then-re-moves
-    // by that name prefix. The rewrite must neither absorb their rows
-    // into anonymous part files (the replay would then re-add the
-    // batch and duplicate it) nor delete them (the insert would be
-    // lost if the replay never came). Listing is O(k) directories —
-    // codebook-sized, and compaction is offline maintenance.
-    val committed = graft.streaming.StagedCommit.committedIds(fs, artifact)
-    val commFiles: Seq[(Long, org.apache.hadoop.fs.Path)] =
-      fs.listStatus(postingsPath).toSeq
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
-        .flatMap { cd =>
-          val c = cd.getPath.getName.stripPrefix("cluster=").toLong
-          fs.listStatus(cd.getPath).toSeq
-            .filter(st => st.isFile &&
-              st.getPath.getName.endsWith(".parquet") &&
-              !graft.streaming.StagedCommit.uncommittedFile(
-                st.getPath.getName, committed))
-            .map(st => (c, st.getPath))
-        }
+    // ONE resolved snapshot of the live postings view (manifest-
+    // filtered, committed-only): the SAME list feeds the rewrite input
+    // and the manifest's replaced set — nothing is ever re-listed, so
+    // a batch committing mid-compact can neither be absorbed nor
+    // removed. Uncommitted `b{id}-*` files are excluded by the view
+    // (the replay owns them); they stay physically in place.
+    val entries = graft.streaming.SnapshotManifest
+      .resolveEntries(s, artifact, "postings")
+    val gen0 = graft.streaming.SnapshotManifest
+      .read(fs, artifact, "postings").map(_.gen).getOrElse(Set.empty)
+    def clusterOf(rel: String): Option[Long] = {
+      val seg = rel.takeWhile(_ != '/')
+      if (seg.startsWith("cluster=")) seg.stripPrefix("cluster=").toLongOption
+      else None
+    }
     val commPostings =
-      if (commFiles.isEmpty) s.read.parquet(postingsPath.toString).limit(0)
+      if (entries.isEmpty) s.read.parquet(postingsPath.toString).limit(0)
         .withColumn("cluster", col("cluster").cast("long"))
       else s.read.option("basePath", postingsPath.toString)
-        .parquet(commFiles.map(_._2.toString): _*)
+        .parquet(entries.map(_._2): _*)
         .withColumn("cluster", col("cluster").cast("long"))
+    onPoint("resolved")
     // per-list dead counts; the list set is codebook-sized, so the
     // collect is k rows — plan-time scalars, not corpus data
     val deadLists = commPostings.join(tomb, Seq("vec_id"))
@@ -602,18 +626,25 @@ object SimQueries {
       .select("cluster").collect().map(_.getLong(0)).sorted
     if (deadLists.nonEmpty) {
       val deadSet = deadLists.toSet
-      // the rewrite is file-grain append-then-remove (the tombstone
-      // swap's discipline applied to postings): stage the kept rows,
-      // move the staged files INTO the live partitions, then delete
-      // exactly the snapshotted committed originals — below-threshold
-      // lists stay byte-identical, uncommitted batch files stay in
-      // place under their own names
+      // the rewrite is SNAPSHOT-ISOLATED: stage the kept rows, move
+      // the staged files into the live partitions under `gen-*` names
+      // (INVISIBLE to every reader until the manifest swap), then
+      // atomically swap the manifest to (carried gen + new gen,
+      // removed = the dead lists' replaced inputs). Readers resolving
+      // before the swap see exactly the old view, after it exactly the
+      // new one — the append-then-remove double-read window is gone.
+      // Physical deletion of the replaced files waits for the NEXT
+      // compaction's vacuum (generation grace). Below-threshold lists
+      // stay byte-identical; uncommitted batch files stay in place
+      // under their own names.
       val kept = commPostings.filter(col("cluster").isin(deadLists: _*))
         .join(tomb, Seq("vec_id"), "left_anti")
       val staging = new org.apache.hadoop.fs.Path(
         s"$artifact/_postings_compacting")
       kept.write.mode("overwrite").partitionBy("cluster")
         .parquet(staging.toString)
+      onPoint("staged")
+      val moved = scala.collection.mutable.ArrayBuffer[String]()
       fs.listStatus(staging).toSeq
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
         .foreach { cd =>
@@ -624,39 +655,40 @@ object SimQueries {
             .filter(st => st.isFile &&
               st.getPath.getName.endsWith(".parquet"))
             .zipWithIndex.foreach { case (st, i) =>
-              val to = new org.apache.hadoop.fs.Path(dest,
-                s"compacted-${java.util.UUID.randomUUID()}-$i.parquet")
+              val nm = graft.streaming.SnapshotManifest.genName(i)
+              val to = new org.apache.hadoop.fs.Path(dest, nm)
               if (!fs.rename(st.getPath, to))
                 throw new java.io.IOException(
                   s"postings compaction move failed: ${st.getPath} -> $to")
+              moved += s"${cd.getPath.getName}/$nm"
             }
         }
-      commFiles.filter(f => deadSet.contains(f._1))
-        .foreach { case (_, p) => fs.delete(p, false) }
-      // a fully-dead list holding no other files drops its directory
-      // (metadata-only); one with uncommitted batch files keeps it
-      deadLists.foreach { c =>
-        val d = new org.apache.hadoop.fs.Path(postingsPath, s"cluster=$c")
-        if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true)
-      }
+      onPoint("moved-in")
+      val replaced = entries.collect {
+        case (rel, _) if clusterOf(rel).exists(deadSet.contains) => rel
+      }.toSet
+      graft.streaming.SnapshotManifest.commit(fs, artifact, "postings",
+        gen = (gen0 -- replaced) ++ moved, removed = replaced)
       fs.delete(staging, true)
       s.catalog.refreshByPath(postingsPath.toString)
+      onPoint("committed")
     }
-    // surviving tombstones = snapshot ids still masking a postings row
-    // AFTER the rewrite (below-threshold lists); covered and orphaned
-    // (never-present) ids retire. The swap is APPEND-THEN-REMOVE at
-    // file grain: write the keep set to a staging dir, move its part
-    // files INTO the live tombstone dir under fresh names, and only
-    // then delete the snapshotted originals. At every instant the
-    // directory holds a SUPERSET of the live tombstone ids (reads
+    // surviving tombstones = snapshot ids still masking a row in the
+    // NEW resolved postings view (below-threshold lists); covered and
+    // orphaned (never-present) ids retire. The swap is APPEND-THEN-
+    // REMOVE at file grain: write the keep set to a staging dir, move
+    // its part files INTO the live tombstone dir under fresh names,
+    // and only then delete the snapshotted originals. At every instant
+    // the directory holds a SUPERSET of the live tombstone ids (reads
     // distinct(), so the transient duplication is invisible) — a
     // concurrent reader can never land in a no-tombstones window and
-    // briefly serve deleted vectors, which the old delete-then-rename
-    // of the whole directory allowed. Files appended by R32 after the
+    // briefly serve deleted vectors. Files appended by R32 after the
     // snapshot are not in `tombFiles` and are never touched.
     val keep = s.read.schema(tombstoneSchema)
       .parquet(tombFiles.map(_.toString): _*).distinct()
-      .join(s.read.parquet(postingsPath.toString).select("vec_id"),
+      .join(graft.streaming.SnapshotManifest
+        .resolveDf(s, artifact, "postings", PostingsDdl)
+        .select("vec_id"),
         Seq("vec_id"), "left_semi")
     val tmp = new org.apache.hadoop.fs.Path(s"$artifact/_tombstones_compacting")
     keep.write.mode("overwrite").parquet(tmp.toString)
@@ -678,12 +710,20 @@ object SimQueries {
   /** R30 housekeeping folded into compaction: the streamed-insert
     * commit markers accumulate one path per trigger forever; replays
     * only ever reach back a bounded number of batches (the checkpoint
-    * frontier), so retire all but the newest `keepNewest` ids.
+    * frontier), so retire all but the newest `keepNewest` ids. A
+    * pruned batch's `b{id}-*` files may still sit in below-threshold
+    * partitions that no rewrite has touched — so the low-watermark is
+    * advanced to the highest pruned id FIRST (watermark-then-delete;
+    * a crash in between leaves ids doubly covered, harmless), keeping
+    * those files classified committed: later compactions may absorb
+    * them, their tombstones can retire, and `StagedCommit.commit`
+    * still treats any replayed id at or below the watermark as a
+    * no-op.
     */
-  private def pruneInsertMarkers(s: SparkSession,
-                                 fs: org.apache.hadoop.fs.FileSystem,
-                                 artifact: String,
-                                 keepNewest: Int = 100): Unit = {
+  private[graft] def pruneInsertMarkers(s: SparkSession,
+                                        fs: org.apache.hadoop.fs.FileSystem,
+                                        artifact: String,
+                                        keepNewest: Int = 100): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$artifact/_insert_commits")
     if (!fs.exists(dir)) return
     val ids = fs.listStatus(dir).toSeq
@@ -691,7 +731,11 @@ object SimQueries {
       .flatMap(p => p.getName.stripPrefix("batch-").toLongOption
         .map(_ -> p))
       .sortBy(_._1)
-    ids.dropRight(keepNewest).foreach { case (_, p) => fs.delete(p, true) }
+    val pruned = ids.dropRight(keepNewest)
+    if (pruned.isEmpty) return
+    graft.streaming.StagedCommit
+      .advanceLowWatermark(fs, artifact, pruned.last._1)
+    pruned.foreach { case (_, p) => fs.delete(p, true) }
   }
 
   /** One artifact+delete build per (JVM, corpus) for the S31 gate:
@@ -1018,8 +1062,7 @@ object SimQueries {
       s.read.parquet(s"$artifact/centroids"))
       .map { case (c, cv) =>
         (c.toInt, graft.functions.VectorFunctions.normalizeSeq(cv)) }
-    val postings = s.read.parquet(s"$artifact/postings")
-      .withColumn("cluster", col("cluster").cast("long"))
+    val postings = postingsView(s, artifact)
     val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn"),
         explode(topProbesCol(cents, NProbe)).as("p"))
@@ -1485,7 +1528,8 @@ object SimQueries {
       .sortBy(_._1)
     // partition-column inference reads cluster back as INT — already
     // the assignment literal's type, so no cast dance needed
-    val postings = s.read.parquet(s"$artifact/postings")
+    val postings = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "postings", FilteredPostingsDdl)
     val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
         (col("vec_id") % FilterTenants).as("q_tenant"),
@@ -3854,7 +3898,7 @@ object SimQueries {
     * in-memory `expandRound` unchanged, so served rows are identical.
     */
   private def expandRoundArtifact(s: SparkSession, seen: DataFrame,
-      edgesPath: String, q: DataFrame, vecById: DataFrame, beam: Int,
+      edges: DataFrame, q: DataFrame, vecById: DataFrame, beam: Int,
       lvl: Option[Int] = None): DataFrame = {
     val frontier = seen.groupBy(col("q_id"))
       .agg(graft.functions.TopKAgg(col("cos"), col("cand"), beam)
@@ -3866,7 +3910,7 @@ object SimQueries {
       .map(_.getLong(0)).toSeq
     val buckets = ids.map(i =>
       ((i % GraphBuckets) + GraphBuckets) % GraphBuckets).distinct
-    val scan = s.read.parquet(edgesPath)
+    val scan = edges
       .filter(col("bucket").isin(buckets: _*))
       .filter(col("src").isin(ids: _*))
     val graph = lvl.fold(scan)(l => scan.filter(col("lvl") === l))
@@ -3892,10 +3936,13 @@ object SimQueries {
   def graphServeArtifact(s: SparkSession, dir: String,
                          artifact: String): DataFrame = {
     val cents = collectCentsArtifact(s, artifact)
-    val postings = s.read.parquet(s"$artifact/postings")
+    val postings = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "postings", PostingsDdl)
       .withColumn("cluster", col("cluster").cast("int"))
     val vecById = postings
       .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    val edges = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "edges", GraphEdgesDdl)
     val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
         bestClusterCol(cents).as("cluster"))
@@ -3914,7 +3961,7 @@ object SimQueries {
       .localCheckpoint(false)
     var r = 0
     while (r < GraphRounds) {
-      seen = expandRoundArtifact(s, seen, s"$artifact/edges", q, vecById,
+      seen = expandRoundArtifact(s, seen, edges, q, vecById,
         GraphBeam).localCheckpoint(false)
       r += 1
     }
@@ -4005,18 +4052,24 @@ object SimQueries {
     val entryRow = s.read.parquet(s"$artifact/entry").head()
     val entryId = entryRow.getLong(0)
     val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
-    val vecById = s.read.parquet(s"$artifact/members")
+    // manifest-resolved reads: a mid-flight hnswCompact's moved-in gen
+    // files stay invisible until its atomic manifest swap, so the
+    // descent never scores a member or walks an edge twice
+    val vecById = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "members", HnswMembersDdl)
       .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+    val edges = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "edges", HnswEdgesDdl)
     var seen = q.select(col("q_id"), lit(entryId).as("cand"),
         round(dot(col("qvn"), typedLit(entryVn)), 6).as("cos"))
       .localCheckpoint(false)
     Seq(2, 1).foreach { l =>
-      seen = expandRoundArtifact(s, seen, s"$artifact/edges", q, vecById,
+      seen = expandRoundArtifact(s, seen, edges, q, vecById,
         HnswBeam, lvl = Some(l)).localCheckpoint(false)
     }
     var r = 0
     while (r < HnswBaseRounds) {
-      seen = expandRoundArtifact(s, seen, s"$artifact/edges", q, vecById,
+      seen = expandRoundArtifact(s, seen, edges, q, vecById,
         HnswBeam, lvl = Some(0)).localCheckpoint(false)
       r += 1
     }
@@ -4038,9 +4091,15 @@ object SimQueries {
     * pins the degree bound, deleted-gone, live-members-intact, and a
     * recall floor over the live corpus.
     */
-  def hnswCompact(s: SparkSession, artifact: String): Unit = {
+  def hnswCompact(s: SparkSession, artifact: String,
+                  onPoint: String => Unit = _ => ()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(artifact)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // grace deletion of the PREVIOUS rewrite's replaced files + any
+    // crashed rewrite's orphan gen files (see ivfCompact's note)
+    graft.streaming.SnapshotManifest.vacuum(fs, artifact, "members")
+    graft.streaming.SnapshotManifest.vacuum(fs, artifact, "edges")
+    onPoint("vacuumed")
     val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     val tombFiles =
       if (!fs.exists(tombPath)) Seq.empty
@@ -4051,12 +4110,34 @@ object SimQueries {
       if (tombFiles.isEmpty) s.range(0).select(col("id").as("vec_id"))
       else s.read.schema(tombstoneSchema)
         .parquet(tombFiles.map(_.toString): _*).distinct()
-    def committedRead(table: String): DataFrame = s.read
-      .option("basePath", s"$artifact/$table")
-      .parquet(graft.streaming.StagedCommit
-        .committedParquet(s, artifact, table): _*)
-    val members = committedRead("members")
-    val edges = committedRead("edges")
+    // ONE resolved snapshot per table, taken up front: the SAME file
+    // list feeds both the rewrite input and the manifest's replaced
+    // set. If the swap re-listed at manifest time, a streamed R15b
+    // batch that commits between here and the swap would have its
+    // b{id}-* files marked removed while its rows are absent from the
+    // rewrite — and since its marker already exists, replay is a
+    // no-op: the batch would be permanently lost.
+    val snapEntries: Map[String, Seq[(String, String)]] =
+      Seq("members", "edges").map(t => t ->
+        graft.streaming.SnapshotManifest.resolveEntries(s, artifact, t))
+        .toMap
+    val gen0: Map[String, Set[String]] = Seq("members", "edges")
+      .map(t => t -> graft.streaming.SnapshotManifest
+        .read(fs, artifact, t).map(_.gen).getOrElse(Set.empty[String]))
+      .toMap
+    // An all-files-mid-commit (or missing) table reads as an explicit-
+    // schema EMPTY frame — passing zero paths to spark.read.parquet
+    // throws on schema inference.
+    def snapshotRead(table: String, ddl: String): DataFrame = {
+      val files = snapEntries(table).map(_._2)
+      if (files.isEmpty)
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      else s.read.option("basePath", s"$artifact/$table")
+        .parquet(files: _*)
+    }
+    val members = snapshotRead("members", HnswMembersDdl)
+    val edges = snapshotRead("edges", HnswEdgesDdl)
     val live = members.join(tomb, Seq("vec_id"), "left_anti")
       .localCheckpoint(false)
     // surviving edges: both endpoints live; re-prune to best-M by the
@@ -4076,18 +4157,24 @@ object SimQueries {
       .select(col("lvl"), col("src"), col("t.id").as("dst"))
       .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
       .localCheckpoint(false)
-    // swap both tables file-grain: stage, move in, delete the
-    // snapshotted committed originals (never an empty-table window)
+    // swap both tables SNAPSHOT-ISOLATED: stage, move in under gen-*
+    // names (invisible until the manifest swap), then atomically
+    // commit a manifest replacing EXACTLY the snapshot the rewrite
+    // consumed. Physical deletion of the replaced files waits for the
+    // next compaction's vacuum (generation grace) — a reader that
+    // resolved before the swap keeps reading a complete old view, one
+    // after it a complete new view, never a mix.
     def swap(table: String, out: DataFrame,
              partitionCols: Seq[String]): Unit = {
       val dir = new org.apache.hadoop.fs.Path(s"$artifact/$table")
-      val snapshot = graft.streaming.StagedCommit
-        .committedParquet(s, artifact, table)
       val staging = new org.apache.hadoop.fs.Path(
         s"$artifact/_${table}_compacting")
       val w = out.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staging.toString)
+      onPoint(s"staged-$table")
+      val moved = scala.collection.mutable.ArrayBuffer[String]()
+      var n = 0
       def walk(p: org.apache.hadoop.fs.Path, rel: String): Unit =
         fs.listStatus(p).toSeq.foreach { st =>
           val nm = st.getPath.getName
@@ -4097,18 +4184,23 @@ object SimQueries {
             val destDir = if (rel.isEmpty) dir
               else new org.apache.hadoop.fs.Path(dir, rel)
             fs.mkdirs(destDir)
-            val to = new org.apache.hadoop.fs.Path(destDir,
-              s"compacted-${java.util.UUID.randomUUID()}.parquet")
+            val gn = graft.streaming.SnapshotManifest.genName(n)
+            n += 1
+            val to = new org.apache.hadoop.fs.Path(destDir, gn)
             if (!fs.rename(st.getPath, to))
               throw new java.io.IOException(
                 s"graph compaction move failed: ${st.getPath} -> $to")
+            moved += (if (rel.isEmpty) gn else s"$rel/$gn")
           }
         }
       walk(staging, "")
-      snapshot.foreach(f =>
-        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      onPoint(s"moved-in-$table")
+      val replaced = snapEntries(table).map(_._1).toSet
+      graft.streaming.SnapshotManifest.commit(fs, artifact, table,
+        gen = (gen0(table) -- replaced) ++ moved, removed = replaced)
       fs.delete(staging, true)
       s.catalog.refreshByPath(dir.toString)
+      onPoint(s"committed-$table")
     }
     swap("members", live, Seq.empty)
     swap("edges", pruned, Seq("bucket"))
@@ -4129,11 +4221,15 @@ object SimQueries {
       s.catalog.refreshByPath(entryPath.toString)
     }
     // retire the covered tombstones: everything in the snapshot is now
-    // physically gone from members (same discipline as ivfCompact)
+    // gone from the RESOLVED members view (the raw directory still
+    // holds the replaced files until the next vacuum — reading it raw
+    // would keep every tombstone alive forever)
     if (tombFiles.nonEmpty) {
       val keep = s.read.schema(tombstoneSchema)
         .parquet(tombFiles.map(_.toString): _*).distinct()
-        .join(s.read.parquet(s"$artifact/members").select("vec_id"),
+        .join(graft.streaming.SnapshotManifest
+          .resolveDf(s, artifact, "members", HnswMembersDdl)
+          .select("vec_id"),
           Seq("vec_id"), "left_semi")
       val tmp = new org.apache.hadoop.fs.Path(
         s"$artifact/_tombstones_compacting")
@@ -4195,12 +4291,13 @@ object SimQueries {
       batch: DataFrame, batchId: Long, moveLimit: Int = -1): Unit = {
     graft.streaming.StagedCommit.commit(s, artifact, batchId, moveLimit) {
       staging =>
-        def committedRead(table: String): DataFrame = s.read
-          .option("basePath", s"$artifact/$table")
-          .parquet(graft.streaming.StagedCommit
-            .committedParquet(s, artifact, table): _*)
-        val members = committedRead("members") // (vec_id, vn, lvl)
-        val edges = committedRead("edges") // (lvl, src, dst) + bucket
+        // manifest-resolved committed view: excludes a crashed
+        // attempt's half-moved b-files AND a past compaction's
+        // replaced-but-not-yet-vacuumed files
+        val members = graft.streaming.SnapshotManifest
+          .resolveDf(s, artifact, "members", HnswMembersDdl)
+        val edges = graft.streaming.SnapshotManifest
+          .resolveDf(s, artifact, "edges", HnswEdgesDdl)
         val newLv = hnswLevels(
           batch.withColumn("vn", normalize(col("v")))
             .select(col("vec_id"), col("vn")))

@@ -1,0 +1,218 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-isolated reads for the mutable index artifacts — the
+  * versioned-manifest ("pointer swap") layer that upgrades compaction
+  * from "bounded transient anomaly, priced" to real snapshot isolation
+  * (the Iceberg/Delta discipline at the scale this repo needs: one
+  * tiny text manifest per table, swapped by an atomic rename).
+  *
+  * The problem it closes: compaction's file-grain append-then-remove
+  * left a DUAL window — between move-in and originals-delete a
+  * concurrent reader could see a kept postings row TWICE, and the
+  * serving path ranks with `row_number()` over raw candidates, so the
+  * duplicate occupied two ranks and could transiently displace a true
+  * neighbor from top-k.
+  *
+  * The contract:
+  *
+  *  - A table directory holds three kinds of parquet files:
+  *    (a) plain append files — the initial build's `part-*` and any
+  *        later batch-insert appends; visible as soon as they exist
+  *        (and, for streamed `b{id}-*` files, as soon as their
+  *        StagedCommit marker seals them);
+  *    (b) `gen-*` files — produced ONLY by compaction rewrites;
+  *        visible IFF the current manifest lists them. A crashed
+  *        compaction's half-moved gen files are invisible orphans,
+  *        swept by the next compaction;
+  *    (c) files named by the current manifest's REMOVED set — the
+  *        rewrite's replaced inputs; physically still present (so a
+  *        reader that resolved before the swap keeps reading them)
+  *        but excluded from every view resolved after the swap.
+  *
+  *  - `resolve` = one listing + the manifest filter. No manifest ⇒
+  *    the committed listing, which is exactly the pre-manifest
+  *    behavior — untracked artifacts read unchanged.
+  *
+  *  - Compaction protocol (single maintainer at a time, as before):
+  *      1. `vacuum`: physically delete the CURRENT manifest's removed
+  *         set (excluded from all reads since the previous swap — the
+  *         generation grace) and any orphan gen files;
+  *      2. snapshot `resolve` ONCE; rewrite from exactly that list;
+  *      3. move staged output in as `gen-*` names (invisible);
+  *      4. `commit`: write `v{N+1}` naming carried + new gen files
+  *         and the replaced inputs as removed, then atomically rename
+  *         it into place. Readers resolving before the rename see the
+  *         old view, after it the new one — never a mix.
+  *
+  *  - Physical deletion is deferred one compaction cycle. A reader
+  *    must finish within that grace (hours in production, explicit in
+  *    tests) — the same trade Iceberg's expire-snapshots makes.
+  *
+  * Manifest format (`{table}/_manifest/v{N}`, underscore-prefixed so
+  * Spark's own file index never sees it): text lines, `g <relpath>`
+  * for a live gen file, `r <relpath>` for a removed file. Relative to
+  * the table directory, so artifacts relocate. At 100 TB the listing
+  * itself should live in the manifest too (the full Iceberg shape);
+  * here the per-query listing is the same one spark.read already did.
+  */
+object SnapshotManifest {
+
+  final case class Manifest(version: Long, gen: Set[String],
+                            removed: Set[String])
+
+  private def manifestDir(artifact: String, table: String): Path =
+    new Path(s"$artifact/$table/_manifest")
+
+  private val versionRe = "^v(\\d+)$".r
+
+  def fsOf(s: SparkSession, artifact: String): FileSystem =
+    new Path(artifact)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Newest manifest of the table, None for untracked tables. */
+  def read(fs: FileSystem, artifact: String,
+           table: String): Option[Manifest] = {
+    val dir = manifestDir(artifact, table)
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(_.getPath.getName match {
+        case versionRe(n) => n.toLongOption
+        case _ => None
+      })
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = fs.open(new Path(dir, s"v$v"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    val gen = lines.collect { case l if l.startsWith("g ") => l.drop(2) }
+    val removed = lines.collect { case l if l.startsWith("r ") => l.drop(2) }
+    Some(Manifest(v, gen.toSet, removed.toSet))
+  }
+
+  def isGen(name: String): Boolean = name.startsWith("gen-")
+
+  def genName(n: Int): String =
+    s"gen-${java.util.UUID.randomUUID()}-$n.parquet"
+
+  /** All parquet files under the table dir as (relative, status),
+    * skipping hidden (`_`/`.`) dirs — the manifest's own home among
+    * them. */
+  private def listing(fs: FileSystem, tableDir: Path)
+  : Seq[(String, Path)] = {
+    def walk(p: Path, rel: String): Seq[(String, Path)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) Seq.empty
+        else if (st.isDirectory)
+          walk(st.getPath, if (rel.isEmpty) nm else s"$rel/$nm")
+        else if (nm.endsWith(".parquet"))
+          Seq((if (rel.isEmpty) nm else s"$rel/$nm", st.getPath))
+        else Seq.empty
+      }
+    if (!fs.exists(tableDir)) Seq.empty else walk(tableDir, "")
+  }
+
+  /** The table's LIVE file set: committed files, minus the manifest's
+    * removed set, gen files only when the manifest names them. This is
+    * the one read path every serving and maintenance consumer of a
+    * compactable table must use.
+    */
+  def resolve(s: SparkSession, artifact: String,
+              table: String): Seq[String] =
+    resolveEntries(s, artifact, table).map(_._2)
+
+  /** `resolve` with the table-relative path kept beside the absolute
+    * one — compaction parses partition values out of the relative path
+    * and records replaced files by it.
+    */
+  def resolveEntries(s: SparkSession, artifact: String,
+                     table: String): Seq[(String, String)] = {
+    val fs = fsOf(s, artifact)
+    val committed = StagedCommit.committedView(fs, artifact)
+    val m = read(fs, artifact, table)
+    val gen = m.map(_.gen).getOrElse(Set.empty)
+    val removed = m.map(_.removed).getOrElse(Set.empty)
+    listing(fs, new Path(s"$artifact/$table")).collect {
+      case (rel, p)
+        if !StagedCommit.uncommittedFile(p.getName, committed) &&
+          !removed.contains(rel) &&
+          (!isGen(p.getName) || gen.contains(rel)) => (rel, p.toString)
+    }
+  }
+
+  /** `resolve` as a DataFrame with partition columns inferred under
+    * `basePath`; an empty view reads as an explicit-schema empty frame
+    * (zero paths would throw on schema inference).
+    */
+  def resolveDf(s: SparkSession, artifact: String, table: String,
+                ddl: String): DataFrame = {
+    val files = resolve(s, artifact, table)
+    if (files.isEmpty)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    else s.read.option("basePath", s"$artifact/$table")
+      .parquet(files: _*)
+  }
+
+  /** Step 1 of the compaction protocol: physically delete the current
+    * removed set (excluded from reads for a full generation) and any
+    * orphan gen files a crashed compaction left half-moved. Idempotent.
+    */
+  def vacuum(fs: FileSystem, artifact: String, table: String): Unit = {
+    val tableDir = new Path(s"$artifact/$table")
+    val m = read(fs, artifact, table)
+    val gen = m.map(_.gen).getOrElse(Set.empty)
+    val removed = m.map(_.removed).getOrElse(Set.empty)
+    listing(fs, tableDir).foreach { case (rel, p) =>
+      if (removed.contains(rel) ||
+        (isGen(p.getName) && !gen.contains(rel)))
+        fs.delete(p, false)
+    }
+    // a partition dir whose last file just retired drops (metadata-
+    // only) — the fully-dead-list cleanup, one grace cycle late
+    if (fs.exists(tableDir))
+      fs.listStatus(tableDir).toSeq.foreach { st =>
+        if (st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") &&
+          fs.listStatus(st.getPath).isEmpty)
+          fs.delete(st.getPath, true)
+      }
+    if (m.exists(_.removed.nonEmpty)) {
+      // re-seal the vacuumed state so a crash right here doesn't leave
+      // `removed` naming now-deleted files (harmless to readers, but
+      // the next vacuum would re-delete; keep manifests truthful)
+      commit(fs, artifact, table, gen, Set.empty)
+    }
+  }
+
+  /** Step 4: write `v{current+1}` with the given live-gen and removed
+    * sets (relative paths) and atomically rename it into place.
+    */
+  def commit(fs: FileSystem, artifact: String, table: String,
+             gen: Set[String], removed: Set[String]): Unit = {
+    val dir = manifestDir(artifact, table)
+    fs.mkdirs(dir)
+    val next = read(fs, artifact, table).map(_.version).getOrElse(0L) + 1
+    val tmp = new Path(dir, s".tmp-v$next")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (gen.toSeq.sorted.map(f => s"g $f") ++
+        removed.toSeq.sorted.map(f => s"r $f")).mkString("\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    val dest = new Path(dir, s"v$next")
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"manifest swap failed: $tmp -> $dest")
+    // retire superseded manifest versions beyond a short history
+    val versions = fs.listStatus(dir).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case versionRe(n) => n.toLongOption.map(_ -> st.getPath)
+        case _ => None
+      }).sortBy(_._1)
+    versions.dropRight(3).foreach { case (_, p) => fs.delete(p, false) }
+  }
+}

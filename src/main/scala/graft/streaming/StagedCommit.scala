@@ -35,7 +35,7 @@ object StagedCommit {
     val commits = new Path(s"$artifact/_insert_commits")
     val marker = new Path(commits, s"batch-$batchId")
     val fs = marker.getFileSystem(conf)
-    if (fs.exists(marker)) return
+    if (fs.exists(marker) || batchId <= lowWatermark(fs, artifact)) return
     val staging = new Path(s"$artifact/_insert_staging/batch-$batchId")
     if (fs.exists(staging)) fs.delete(staging, true) // crashed leftovers
     stage(staging.toString)
@@ -86,7 +86,53 @@ object StagedCommit {
       throw new java.io.IOException(s"insert commit move failed: $src -> $to")
   }
 
-  /** Batch ids sealed at this artifact. */
+  /** The committed-batch view: the live marker set PLUS the marker-
+    * prune low-watermark — every id at or below the watermark is
+    * committed even though its marker has been retired. Without the
+    * watermark, pruning a marker whose `b{id}-*` files still sit in
+    * never-rewritten partitions would reclassify those committed files
+    * as uncommitted FOREVER: every later compaction would exclude and
+    * spare them, their tombstoned rows could never be physically
+    * reclaimed, and their tombstones would never retire.
+    */
+  final case class Committed(ids: Set[Long], low: Long) {
+    def contains(id: Long): Boolean = id <= low || ids.contains(id)
+  }
+
+  private def watermarkPath(artifact: String): Path =
+    new Path(s"$artifact/_insert_commits/low-watermark")
+
+  /** Highest marker-pruned batch id (-1 when nothing was ever pruned).
+    * Sound under Spark's single-outstanding-batch replay: a marker for
+    * id N exists only after every id < N committed, so advancing the
+    * watermark to a pruned marker's id never covers a batch that is
+    * genuinely mid-commit.
+    */
+  def lowWatermark(fs: FileSystem, artifact: String): Long = {
+    val p = watermarkPath(artifact)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLongOption.getOrElse(-1L)
+      finally in.close()
+    }
+  }
+
+  /** Advance the watermark (monotone; written BEFORE the markers it
+    * covers are deleted, so a crash between the two leaves ids both
+    * covered and marked — harmless).
+    */
+  def advanceLowWatermark(fs: FileSystem, artifact: String,
+                          id: Long): Unit = {
+    if (id <= lowWatermark(fs, artifact)) return
+    val out = fs.create(watermarkPath(artifact), true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Batch ids sealed at this artifact (live markers only — prefer
+    * `committedView`, which folds in the prune watermark).
+    */
   def committedIds(fs: FileSystem, artifact: String): Set[Long] = {
     val commits = new Path(s"$artifact/_insert_commits")
     if (!fs.exists(commits)) Set.empty
@@ -94,13 +140,17 @@ object StagedCommit {
       .flatMap(_.getPath.getName.stripPrefix("batch-").toLongOption).toSet
   }
 
+  /** Markers + watermark: the view maintenance readers must use. */
+  def committedView(fs: FileSystem, artifact: String): Committed =
+    Committed(committedIds(fs, artifact), lowWatermark(fs, artifact))
+
   private val batchFileRe = "^b(\\d+)-.*".r
 
   /** True for a `b{id}-*` file whose batch is NOT sealed: it is
     * mid-commit and the replay owns it — maintenance readers
     * (compaction, the insert descent itself) must skip AND spare it.
     */
-  def uncommittedFile(name: String, committed: Set[Long]): Boolean =
+  def uncommittedFile(name: String, committed: Committed): Boolean =
     name match {
       case batchFileRe(id) => !committed.contains(id.toLong)
       case _ => false
@@ -115,7 +165,7 @@ object StagedCommit {
     val dir = new Path(s"$artifact/$table")
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return Seq.empty
-    val committed = committedIds(fs, artifact)
+    val committed = committedView(fs, artifact)
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)

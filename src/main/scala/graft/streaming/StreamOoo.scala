@@ -67,6 +67,11 @@ object StreamOoo {
     * every TTL'd session store makes. Feeds whose per-key quiet gaps
     * stay under the horizon match the batch twin exactly (the parity
     * specs); the horizon is a parameter for feeds that need otherwise.
+    * Exception: `sceneAssignments` never fully removes — its expiry
+    * keeps an O(1) tombstone with the scene-id high-water mark,
+    * because restarted scene numbering would COLLIDE with the same
+    * media's earlier ids rather than just restart a chain (see the
+    * expiry branch there).
     */
   val DefaultIdleMs: Long = 30L * 24 * 3600 * 1000
 
@@ -181,7 +186,20 @@ object StreamOoo {
             merge(st.pending, arrivals, st.emTs, st.emId, wmMicro)
           if (arrivals.isEmpty && ready.isEmpty && rest.isEmpty &&
             state.hasTimedOut) {
-            state.remove()
+            // Idle-expiry sheds the buffer but KEEPS a minimal
+            // tombstone carrying the scenes high-water mark and the
+            // emitted frontier. Removing the state outright (the
+            // transition/funnel trade) would restart scene numbering
+            // at 1, and a media resuming past the horizon would emit
+            // scene_ids that COLLIDE with its own earlier scenes —
+            // downstream grouping by (media, scene_id) silently merges
+            // distinct scenes, unlike a restarted chain which merely
+            // loses one edge. lastHash=null forces the resume frame to
+            // open a fresh scene at high-water+1. No timeout re-armed:
+            // the tombstone is payload-bytes O(1) per media ever seen,
+            // the buffers (the unbounded part) are gone.
+            state.update(SceneOooSt(Seq.empty, st.emTs, st.emId, -1L,
+              null, st.scenes))
             Iterator.empty
           } else {
             var lastIdx = st.lastIdx

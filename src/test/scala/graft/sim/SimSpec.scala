@@ -332,13 +332,27 @@ class SimSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     graft.CachedFrames.releaseAll()
     SimQueries.ivfCompact(spark, out, minDead = 1L)
-    assert(!new java.io.File(s"$out/postings/cluster=$victim").exists,
-      "fully-dead list partition directory must be dropped")
+    // the swap is logical-first: the dead list leaves the RESOLVED
+    // view at the manifest swap; its files (and then its empty dir)
+    // are reclaimed by the next vacuum, one generation later
+    assert(graft.streaming.SnapshotManifest
+      .resolveDf(spark, out, "postings", SimQueries.PostingsDdl)
+      .filter(col("cluster").cast("long") === victim).count() === 0L,
+      "fully-dead list still resolves after the manifest swap")
     val after = SimQueries.ivfServeArtifactDeleted(spark, dir, out)
       .collect().map(_.toSeq).toSeq
     graft.CachedFrames.releaseAll()
     assert(after === served)
     assert(after.forall(_(2).asInstanceOf[Long] != victim))
+    graft.streaming.SnapshotManifest.vacuum(
+      graft.streaming.SnapshotManifest.fsOf(spark, out), out, "postings")
+    assert(!new java.io.File(s"$out/postings/cluster=$victim").exists,
+      "fully-dead list partition directory must be dropped by vacuum")
+    spark.catalog.refreshByPath(s"$out/postings")
+    val afterVacuum = SimQueries.ivfServeArtifactDeleted(spark, dir, out)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(afterVacuum === served, "vacuum changed serving")
   }
 
   test("IVF inserts (S32): append-only maintenance — existing postings " +
@@ -690,12 +704,22 @@ class SimSpec extends AnyFunSuite {
     val storm = e.limit(40)
       .select((col("vec_id") + 2000000L).as("vec_id"), col("v"))
     graft.sim.SimQueries.hnswArtifactInsert(spark, art, storm, 1L)
-    def maxDeg = {
-      spark.catalog.refreshByPath(s"$art/edges")
-      spark.read.parquet(s"$art/edges")
-        .groupBy(col("lvl"), col("src")).agg(count(lit(1)).as("d"))
-        .agg(max(col("d"))).head().getLong(0)
+    // logical state reads go through the snapshot-manifest view: after
+    // a compaction the replaced files stay on disk until the next
+    // vacuum (generation grace), so a raw directory read would see them
+    def membersView = {
+      spark.catalog.refreshByPath(s"$art/members")
+      graft.streaming.SnapshotManifest
+        .resolveDf(spark, art, "members", SimQueries.HnswMembersDdl)
     }
+    def edgesView = {
+      spark.catalog.refreshByPath(s"$art/edges")
+      graft.streaming.SnapshotManifest
+        .resolveDf(spark, art, "edges", SimQueries.HnswEdgesDdl)
+    }
+    def maxDeg = edgesView
+      .groupBy(col("lvl"), col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
     assert(maxDeg > SimQueries.GraphM,
       "storm failed to exceed the degree bound — strengthen the fixture")
     // deletes: tombstone every base id ≡ 4 (mod 9); serving masks them
@@ -717,22 +741,19 @@ class SimSpec extends AnyFunSuite {
     assert(servedDeleted === s1, "masked serving is not deterministic")
     graft.CachedFrames.releaseAll()
     // mask-only so far: the dead still route (members intact)
-    spark.catalog.refreshByPath(s"$art/members")
-    assert(spark.read.parquet(s"$art/members")
+    assert(membersView
       .filter(col("vec_id").isin(dead.toSeq: _*)).count() ===
       dead.size.toLong)
-    // compaction: physical removal + degree restore + tombstone retire
+    // compaction: logical removal + degree restore + tombstone retire
     SimQueries.hnswCompact(spark, art)
-    spark.catalog.refreshByPath(s"$art/members")
-    val after = spark.read.parquet(s"$art/members")
+    val after = membersView
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert((after & dead).isEmpty, "compaction left dead members")
     assert(after.size === baseIds.size + 40 - dead.size,
       "compaction lost live members")
     assert(maxDeg <= SimQueries.GraphM,
       s"degree bound not restored: $maxDeg")
-    spark.catalog.refreshByPath(s"$art/edges")
-    val endpoints = spark.read.parquet(s"$art/edges")
+    val endpoints = edgesView
       .select(explode(array(col("src"), col("dst"))).as("v"))
       .filter(col("v").isin(dead.toSeq: _*)).count()
     assert(endpoints === 0L, "an edge still touches a dead node")
@@ -754,6 +775,84 @@ class SimSpec extends AnyFunSuite {
     val s3 = servedDeleted
     graft.CachedFrames.releaseAll()
     assert(s3.nonEmpty, "serving died with the old entry point")
+  }
+
+  test("S36b snapshot isolation: a streamed graph batch committing " +
+    "inside hnswCompact's window (after the rewrite's snapshot, " +
+    "before the manifest swap) survives in members AND edges with " +
+    "exactly one copy, and its replay stays a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-midcommit").toString
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+    val m = SimQueries.InsertMod
+    val r = SimQueries.InsertRem
+    SimQueries.hnswIndexWriteOn(e.filter(col("vec_id") % m =!= r), art)
+    graft.CachedFrames.releaseAll()
+    // tombstone a slice (not the entry) so the rewrite has real work
+    val entry0 = spark.read.parquet(s"$art/entry").head().getLong(0)
+    // ids ≡ 3 (mod 9) are ≡ 0 (mod 3), so they exist in the
+    // m/r-filtered training set (≡ 4 mod 9 would all be held out)
+    val dead = spark.read.parquet(s"$art/members")
+      .filter(col("vec_id") % 9 === 3 && col("vec_id") =!= entry0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(dead.nonEmpty)
+    SimQueries.graphDelete(spark, art, dead.toDF("vec_id"))
+    val batch = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).localCheckpoint(false)
+    val batchIds = batch.select("vec_id").collect()
+      .map(_.getLong(0)).toSeq
+    var committedMid = false
+    SimQueries.hnswCompact(spark, art, onPoint = { pt =>
+      // the lost-batch window the re-list-at-delete design had: the
+      // members rewrite is moved in, the manifest not yet swapped
+      if (pt == "moved-in-members" && !committedMid) {
+        committedMid = true
+        SimQueries.hnswArtifactInsert(spark, art, batch, batchId = 3L)
+      }
+      ()
+    })
+    assert(committedMid, "the moved-in-members point never fired")
+    def membersView() = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "members", SimQueries.HnswMembersDdl)
+    def edgesView() = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "edges", SimQueries.HnswEdgesDdl)
+    val mc = membersView().filter(col("vec_id").isin(batchIds: _*))
+      .groupBy("vec_id").count().collect()
+    assert(mc.length === batchIds.size,
+      "the mid-compaction graph batch lost member rows to the swap")
+    assert(mc.forall(_.getLong(1) === 1L))
+    // its base adjacency survived too (edges committed in the window)
+    val deg = edgesView().filter(col("lvl") === 0 &&
+      col("src").isin(batchIds: _*))
+      .select("src").distinct().count()
+    assert(deg === batchIds.size.toLong,
+      "a mid-compaction batch member lost its base adjacency")
+    // the dead are still gone and no duplicate member exists anywhere
+    assert(membersView().filter(col("vec_id").isin(dead: _*))
+      .count() === 0L)
+    assert(membersView().groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    // replay is a no-op
+    SimQueries.hnswArtifactInsert(spark, art, batch, batchId = 3L)
+    val mc2 = membersView().filter(col("vec_id").isin(batchIds: _*))
+      .groupBy("vec_id").count().collect()
+    assert(mc2.length === batchIds.size && mc2.forall(_.getLong(1) === 1L),
+      "replaying the mid-compaction graph batch duplicated rows")
+    // and the artifact still serves, masking nothing it shouldn't
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+      .localCheckpoint(false)
+    val served = SimQueries.hnswServeArtifactDeleted(spark, q, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served.nonEmpty)
+    assert(served.forall(r => !dead.contains(r(1).asInstanceOf[Long])))
   }
 
   test("graph ANN: deterministic run to run; recall@5 beats the IVF " +

@@ -1553,8 +1553,19 @@ class StreamingSpec extends AnyFunSuite {
     //    alone (they carry no tombstoned rows but live in shared dirs)
     graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L)
     spark.catalog.refreshByPath(s"$art/postings")
-    assert(spark.read.parquet(s"$art/postings")
-      .filter(col("vec_id") % 7 === 3).count() === 0L,
+    // The crashed batch (ids ≡ r mod m) overlaps the tombstone
+    // predicate (ids ≡ 3 mod 7) at ids ≡ 10 mod 21; those rows sit in
+    // the UNCOMMITTED b9-* files, which compaction must leave alone.
+    // Exclude batchIds here exactly as step 3 does — asserting on the
+    // raw modulus made the test depend on listStatus enumeration order
+    // (which staged file moveLimit=1 happened to land). Logical state
+    // reads go through the manifest-resolved view: the replaced files
+    // stay on disk until the next vacuum.
+    def resolvedPostings() = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "postings", graft.sim.SimQueries.PostingsDdl)
+    assert(resolvedPostings()
+      .filter(col("vec_id") % 7 === 3 &&
+        !col("vec_id").isin(batchIds.toSeq: _*)).count() === 0L,
       "compaction failed to remove tombstoned rows")
     // 3. the replay converges: exactly one copy of every batch row
     StreamIvfInsert.insertBatch(spark, art, assign, batch, batchId = 9L)
@@ -1566,8 +1577,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.forall(_.getLong(1) === 1L),
       "replay duplicated insert rows after compaction absorbed the " +
         "crashed attempt")
-    // no resurrected delete: tombstoned ids still absent
-    assert(spark.read.parquet(s"$art/postings")
+    // no resurrected delete: tombstoned ids still absent (resolved view)
+    assert(resolvedPostings()
       .filter(col("vec_id") % 7 === 3 &&
         !col("vec_id").isin(batchIds.toSeq: _*)).count() === 0L)
     // a committed batch id stays a no-op even after compaction pruned
@@ -1697,6 +1708,164 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S31c snapshot isolation: serving at EVERY interleave point of " +
+    "a compaction sees no duplicated candidate and an unchanged " +
+    "answer; a batch committing inside the compaction window (between " +
+    "the snapshot and the manifest swap) survives with exactly one " +
+    "copy and its replay stays a no-op") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp(); val twin = tmp()
+    val e = graft.Tables.embeddings(spark, dir0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+    val m = graft.sim.SimQueries.InsertMod
+    val r = graft.sim.SimQueries.InsertRem
+    val train = e.filter(col("vec_id") % m =!= r)
+      .withColumn("vn", graft.functions.VectorFunctions.normalize(col("v")))
+    graft.sim.SimQueries.ivfIndexWriteOn(train, art)
+    graft.sim.SimQueries.ivfIndexWriteOn(train, twin)
+    graft.CachedFrames.releaseAll()
+    val delIds = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(delIds.nonEmpty)
+    graft.sim.SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    graft.sim.SimQueries.ivfDelete(spark, twin, delIds.toDF("vec_id"))
+    val preServe = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val batch = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1))).toSeq
+      .toDF("vec_id", "v").localCheckpoint(false)
+    val batchIds = batch.select("vec_id").collect()
+      .map(_.getLong(0)).toSeq
+    val assign = graft.sim.SimQueries.ivfAssigner(spark, art)
+    var committedMid = false
+    val seenPoints = scala.collection.mutable.ArrayBuffer[String]()
+    val servedAt = scala.collection.mutable.Map[String, Seq[Seq[Any]]]()
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L,
+      onPoint = { pt =>
+        seenPoints += pt
+        spark.catalog.refreshByPath(s"$art/postings")
+        val view = graft.streaming.SnapshotManifest.resolveDf(
+          spark, art, "postings", graft.sim.SimQueries.PostingsDdl)
+        assert(view.groupBy("vec_id").count()
+          .filter(col("count") > 1).count() === 0L,
+          s"duplicated candidate row in the resolved view at '$pt'")
+        servedAt(pt) = graft.sim.SimQueries
+          .ivfServeArtifactDeleted(spark, dir0, art)
+          .collect().map(_.toSeq).toSeq
+        graft.CachedFrames.releaseAll()
+        // the ADVICE window: a streamed batch seals its commit AFTER
+        // the rewrite moved in but BEFORE the manifest swap — the old
+        // re-list-at-delete design would have destroyed it
+        if (pt == "moved-in" && !committedMid) {
+          committedMid = true
+          StreamIvfInsert.insertBatch(spark, art, assign, batch,
+            batchId = 21L)
+        }
+        ()
+      })
+    assert(committedMid, "the moved-in interleave point never fired")
+    assert(seenPoints.containsSlice(
+      Seq("vacuumed", "resolved", "staged", "moved-in", "committed")),
+      seenPoints.toString)
+    // every pre-swap serve is the pre-compact answer, bit-for-bit
+    Seq("vacuumed", "resolved", "staged", "moved-in").foreach { pt =>
+      assert(servedAt(pt) === preServe,
+        s"serving changed mid-compaction at '$pt'")
+    }
+    // at 'committed' the mid-window batch is visible — equal to the
+    // batch-maintained (never-compacted) twin
+    StreamIvfInsert.insertBatch(spark, twin,
+      graft.sim.SimQueries.ivfAssigner(spark, twin), batch, batchId = 21L)
+    val twinServed = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, twin)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(servedAt("committed") === twinServed,
+      "post-swap serving diverged from the batch-maintained twin")
+    // tombstone retire (after the last point) left serving unchanged
+    val finalServe = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(finalServe === servedAt("committed"))
+    // the mid-compact batch survived with exactly one copy; replay no-op
+    def batchCounts() = graft.streaming.SnapshotManifest.resolveDf(
+      spark, art, "postings", graft.sim.SimQueries.PostingsDdl)
+      .filter(col("vec_id").isin(batchIds: _*))
+      .groupBy("vec_id").count().collect()
+    val c1 = batchCounts()
+    assert(c1.length === batchIds.size,
+      "the mid-compaction commit lost rows to the manifest swap")
+    assert(c1.forall(_.getLong(1) === 1L))
+    StreamIvfInsert.insertBatch(spark, art, assign, batch, batchId = 21L)
+    val c2 = batchCounts()
+    assert(c2.length === batchIds.size && c2.forall(_.getLong(1) === 1L),
+      "replaying the mid-compaction batch duplicated rows")
+  }
+
+  test("StagedCommit low-watermark: pruning a batch's commit marker " +
+    "keeps its surviving b{id}-* files classified COMMITTED — a later " +
+    "compaction reclaims their tombstoned rows, and replaying the " +
+    "pruned id stays a no-op") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val assign = graft.sim.SimQueries.ivfAssigner(spark, art)
+    def mkBatch(off: Long) = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 8)
+      .select((col("vec_id") + off).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    Seq(1L, 2L, 3L).foreach { bid =>
+      StreamIvfInsert.insertBatch(spark, art, assign,
+        mkBatch(6000000L * bid), bid)
+    }
+    val fs = new org.apache.hadoop.fs.Path(art)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sim.SimQueries.pruneInsertMarkers(spark, fs, art,
+      keepNewest = 1)
+    // markers 1 and 2 retired; the watermark covers them
+    val view = StagedCommit.committedView(fs, art)
+    assert(!view.ids.contains(1L) && !view.ids.contains(2L) &&
+      view.ids.contains(3L), view.toString)
+    assert(view.low === 2L)
+    assert(view.contains(1L) && view.contains(2L))
+    assert(!StagedCommit.uncommittedFile("b1-0.parquet", view),
+      "a pruned-but-committed batch file was reclassified uncommitted")
+    assert(StagedCommit.uncommittedFile("b99-0.parquet", view))
+    // replaying a pruned id is STILL a no-op (no duplicate rows)
+    val ids1 = (0L until 8L).map(_ + 6000000L).toSeq
+    StreamIvfInsert.insertBatch(spark, art, assign, mkBatch(6000000L), 1L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    assert(spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id").isin(ids1: _*))
+      .groupBy("vec_id").count().collect()
+      .forall(_.getLong(1) === 1L),
+      "replay of a watermark-covered batch duplicated rows")
+    // the pruned batch's rows are RECLAIMABLE: tombstone them all and
+    // compact — before the watermark, compaction would spare the b1-*
+    // files forever and the tombstones could never retire
+    graft.sim.SimQueries.ivfDelete(spark, art, ids1.toDF("vec_id"))
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    assert(graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "postings", graft.sim.SimQueries.PostingsDdl)
+      .filter(col("vec_id").isin(ids1: _*)).count() === 0L,
+      "compaction spared a marker-pruned batch's tombstoned rows")
+    spark.catalog.refreshByPath(s"$art/tombstones")
+    assert(spark.read.schema("vec_id LONG")
+      .parquet(s"$art/tombstones")
+      .filter(col("vec_id").isin(ids1: _*)).count() === 0L,
+      "tombstones over a marker-pruned batch never retired")
+  }
+
   test("R30+R32+R19b topology: insert, delete, and serving streams " +
     "interleaved against ONE artifact, with a compaction mid-flight — " +
     "final serving equals the batch-maintained twin bit-for-bit") {
@@ -1785,9 +1954,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(finalWave.forall(r => r(1).asInstanceOf[Long] % 7 != 3),
       "a deleted vector surfaced in the final serving wave")
     // compaction mid-flight lost nothing: every surviving posting row
-    // appears exactly once
+    // appears exactly once in the RESOLVED view (the raw directory
+    // legitimately holds the replaced files until the next vacuum)
     spark.catalog.refreshByPath(s"$art/postings")
-    val dup = spark.read.parquet(s"$art/postings")
+    val dup = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "postings", graft.sim.SimQueries.PostingsDdl)
       .groupBy("vec_id").count().filter(col("count") > 1).count()
     assert(dup === 0L, "a postings row is duplicated after the " +
       "compact-under-streams interleaving")
