@@ -482,7 +482,14 @@ object SimQueries {
   private[graft] def serveArtifactDeletedOn(s: SparkSession, q: DataFrame,
       artifact: String, excludeSelf: Boolean): DataFrame = {
     val postings = postingsView(s, artifact)
-    val joined = q.join(postings, Seq("cluster"))
+    // the probed cluster set is |Q|·nprobe-bounded — collect it so the
+    // postings scan partition-prunes to exactly the probed lists (the
+    // S37 discipline); the equi-join alone is data-dependent and would
+    // scan every partition of the deployed index per query batch
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val joined = q.join(
+      postings.filter(col("cluster").isin(probed: _*)), Seq("cluster"))
     val scored =
       (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
        else joined)
@@ -497,42 +504,49 @@ object SimQueries {
   }
 
   /** R19b support: assign arbitrary (q_id, v) query vectors to their
-    * probe cluster with the DEPLOYED codebook — the `queryAssigner`
+    * probe cluster(s) with the DEPLOYED codebook — the `queryAssigner`
     * discipline pointed at the artifact; collects the k rows once,
-    * the returned function is a narrow stream-safe projection.
+    * the returned function is a narrow stream-safe projection. At
+    * `nprobe` > 1 each query emits one row per probed list (ccos-desc,
+    * cluster-asc tie order — rank 1 is exactly the probe-1 argmax), so
+    * the serving core's probe join fans out to the tuned depth the
+    * `ivf_tune` curve picks, the production answer to probe-1's
+    * recall ceiling.
     */
-  private[graft] def ivfQueryAssigner(s: SparkSession, artifact: String)
-  : DataFrame => DataFrame = {
+  private[graft] def ivfQueryAssigner(s: SparkSession, artifact: String,
+      nprobe: Int = 1): DataFrame => DataFrame = {
     val cents = KMeans.collectCodebook(
       s.read.parquet(s"$artifact/centroids"))
-    val best = array_max(array(cents.map { case (c, cv) =>
-      struct(
-        round(dot(col("vn"),
-          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
-          .as("ccos"),
-        lit(-c).as("neg_cluster"))
-    }: _*))
-    (q: DataFrame) =>
-      q.withColumn("vn", normalize(col("v")))
-        .withColumn("cluster", best.getField("neg_cluster") * lit(-1L))
-        .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
+    if (nprobe <= 1) {
+      val best = array_max(array(cents.map { case (c, cv) =>
+        struct(
+          round(dot(col("vn"),
+            typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
+            .as("ccos"),
+          lit(-c).as("neg_cluster"))
+      }: _*))
+      (q: DataFrame) =>
+        q.withColumn("vn", normalize(col("v")))
+          .withColumn("cluster", best.getField("neg_cluster") * lit(-1L))
+          .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
+    } else {
+      val cn = cents.map { case (c, cv) =>
+        (c.toInt, graft.functions.VectorFunctions.normalizeSeq(cv)) }
+      (q: DataFrame) =>
+        q.withColumn("vn", normalize(col("v")))
+          .select(col("q_id"), col("vn"),
+            explode(topProbesCol(cn, nprobe)).as("p"))
+          .select(col("q_id"), col("vn").as("qvn"),
+            col("p.label").cast("long").as("cluster"))
+    }
   }
 
   def ivfServeArtifactDeleted(s: SparkSession, dir: String,
-                              artifact: String): DataFrame = {
-    val cents = KMeans.collectCodebook(
-      s.read.parquet(s"$artifact/centroids"))
-    val best = array_max(array(cents.map { case (c, cv) =>
-      struct(
-        round(dot(col("vn"),
-          typedLit(graft.functions.VectorFunctions.normalizeSeq(cv))), 6)
-          .as("ccos"),
-        lit(-c).as("neg_cluster"))
-    }: _*))
-    val q = vecs(s, dir).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("vn"))
-      .withColumn("cluster", (best.getField("neg_cluster") * lit(-1L)))
-      .select(col("q_id"), col("vn").as("qvn"), col("cluster"))
+                              artifact: String,
+                              nprobe: Int = 1): DataFrame = {
+    val q = ivfQueryAssigner(s, artifact, nprobe)(
+      vecs(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v")))
     serveArtifactDeletedOn(s, q, artifact, excludeSelf = true)
       .orderBy(col("q_id"), col("rank"))
   }
@@ -752,8 +766,8 @@ object SimQueries {
   private val deletedArtifacts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def knnIvfDelete(s: SparkSession, dir: String): DataFrame = {
-    val artifact = deletedArtifacts.computeIfAbsent(dir, _ => {
+  private def deletedArtifactOf(s: SparkSession, dir: String): String =
+    deletedArtifacts.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
         .createTempDirectory("graft-deleted-ivf").toString
       ivfIndexWrite(s, dir, out)
@@ -762,8 +776,23 @@ object SimQueries {
         .select(col("vec_id")))
       out
     })
-    ivfServeArtifactDeleted(s, dir, artifact)
-  }
+
+  def knnIvfDelete(s: SparkSession, dir: String): DataFrame =
+    ivfServeArtifactDeleted(s, dir, deletedArtifactOf(s, dir))
+
+  /** S37b (S37 ∘ S31): MULTI-PROBE serving from the deployed+
+    * tombstoned artifact — the standing production serving core
+    * (R19b's per-trigger body) at the tuned probe depth instead of
+    * probe-1: each query fans out to its NProbe nearest lists through
+    * `ivfQueryAssigner`, the postings scan partition-prunes to the
+    * probed set, and the tombstone anti-join still runs on candidates
+    * only. Same artifact as `knn_ivf_delete` (cached per corpus);
+    * oracle = that gate's rebuilt-without-them SQL with the query
+    * side probing rn ≤ NProbe.
+    */
+  def knnIvfDeleteProbe(s: SparkSession, dir: String): DataFrame =
+    ivfServeArtifactDeleted(s, dir, deletedArtifactOf(s, dir),
+      nprobe = NProbe)
 
   /** S32: INSERTS into the deployed index — the other half of the
     * maintenance story S31 opened (faiss `add` after `train`): a new
@@ -1187,6 +1216,67 @@ object SimQueries {
              round(list_dot_product(q.vn, a.vn), 6) AS cos
       FROM assigned q JOIN assigned a USING (cluster)
       WHERE q.vec_id < $NumQueries AND a.vec_id != q.vec_id
+        AND a.vec_id % $DeleteMod != $DeleteRem),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S37b oracle: `knn_ivf_delete`'s rebuilt-without-them pipeline
+    * with the QUERY side probing its NProbe nearest trained lists
+    * (rn ≤ NProbe, ccos-desc cluster-asc tie order — rank 1 is the
+    * probe-1 assigner exactly). lazy: interpolates NProbe, declared
+    * further down — a strict val would capture the Int zero-default
+    * at object init.
+    */
+  lazy val knnIvfDeleteProbeSql: String = s"""
+    WITH e AS ($vecsSql),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM e)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe),
+    scored AS (
+      SELECT q.q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.qvn, a.vn), 6) AS cos
+      FROM qprobe q JOIN assigned a USING (cluster)
+      WHERE a.vec_id != q.q_id
         AND a.vec_id % $DeleteMod != $DeleteRem),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY q_id
@@ -4736,6 +4826,7 @@ object SimQueries {
     "knn_filtered_delete" -> (knnFilteredDelete _),
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_delete" -> (knnIvfDelete _),
+    "knn_ivf_delete_probe" -> (knnIvfDeleteProbe _),
     "knn_ivf_insert" -> (knnIvfInsert _),
     "knn_ivf_drift" -> (knnIvfDrift _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
@@ -4773,6 +4864,7 @@ object SimQueries {
     "knn_filtered_delete" -> knnFilteredDeleteSql,
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_delete" -> knnIvfDeleteSql,
+    "knn_ivf_delete_probe" -> knnIvfDeleteProbeSql,
     "knn_ivf_insert" -> knnIvfInsertSql,
     "knn_ivf_drift" -> knnIvfDriftSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,

@@ -68,9 +68,9 @@ object StreamAnnServe {
     * the state and lives outside the stream.
     */
   def serveArtifact(s: SparkSession, artifact: String, queries: DataFrame,
-      checkpoint: String, excludeSelf: Boolean = false)
+      checkpoint: String, excludeSelf: Boolean = false, nprobe: Int = 1)
       (sink: DataFrame => Unit): StreamingQuery = {
-    val assign = graft.sim.SimQueries.ivfQueryAssigner(s, artifact)
+    val assign = graft.sim.SimQueries.ivfQueryAssigner(s, artifact, nprobe)
     queries.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch {

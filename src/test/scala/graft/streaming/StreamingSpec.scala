@@ -1915,10 +1915,14 @@ class StreamingSpec extends AnyFunSuite {
         .option("maxFilesPerTrigger", 1).parquet(delDir), tmp())
     val served = new java.util.concurrent.ConcurrentLinkedQueue[
       Seq[Seq[Any]]]()
+    // the standing topology serves at the TUNED probe depth (nprobe=3,
+    // the ivf_tune elbow at this scale), not probe-1 — the batch twin
+    // below serves at the same depth, so the bit-identity claim covers
+    // the multi-probe production core
     val srvQ = StreamAnnServe.serveArtifact(spark, art,
       spark.readStream.schema(spark.read.parquet(qDir).schema)
         .option("maxFilesPerTrigger", 1).parquet(qDir),
-      tmp(), excludeSelf = true) { out =>
+      tmp(), excludeSelf = true, nprobe = 3) { out =>
       val rows = out.collect().map(_.toSeq).toSeq
       if (rows.nonEmpty) { served.add(rows); () }
     }
@@ -1943,7 +1947,7 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     graft.sim.SimQueries.ivfDelete(spark, twin, delIds.toSeq.toDF("vec_id"))
     val twinServed = graft.sim.SimQueries
-      .ivfServeArtifactDeleted(spark, dir0, twin)
+      .ivfServeArtifactDeleted(spark, dir0, twin, nprobe = 3)
       .collect().map(_.toSeq).toSet
     graft.CachedFrames.releaseAll()
     import scala.jdk.CollectionConverters._
