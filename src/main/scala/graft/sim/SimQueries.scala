@@ -4452,6 +4452,89 @@ object SimQueries {
     s.catalog.refreshByPath(s"$artifact/edges")
   }
 
+  /** S38: graph-artifact DRIFT monitor — S33's retrain decision for
+    * the graph family, closing its maintenance loop (deploy S36 →
+    * insert R15b → delete S36c → compact S36b → ... when is the GRAPH
+    * itself stale?). The quality objective is the build's own
+    * selection criterion: each node's BEST base-layer neighbor cosine.
+    * Score the deployed adjacency, run ONE NN-descent refinement round
+    * from it (`refineEdges` — exactly the step a rebuild would
+    * iterate), score again, and recommend refinement iff the round
+    * strictly improves. Refinement ranks over a SUPERSET of the
+    * current edges (originals ∪ 2-hops, rescored), so the refined
+    * per-node best never drops: the gain is ≥ 0 by construction and 0
+    * exactly at the NN-descent fixpoint — the flag prices staleness,
+    * not noise. Both objectives micro-quantize the 6dp cosines and
+    * average as BIGINT integer division (the S33 zero-float-summation
+    * discipline): deterministic and hash-stable. Cost: two edge
+    * rescores (O(edges), shuffle-joined on id against the member
+    * table — never broadcast, it is O(corpus)) — the price of
+    * knowing, paid offline. Rows-only gate: the edge set is the beam
+    * build's, which no SQL oracle can restate (the S12/S13
+    * adjudication); monotonicity, churn-detection, and determinism
+    * are spec'd.
+    */
+  def graphDriftOn(s: SparkSession, artifact: String): DataFrame = {
+    val members = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "members", HnswMembersDdl)
+    val vecById = members
+      .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+      .localCheckpoint(false)
+    val base = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "edges", HnswEdgesDdl)
+      .filter(col("lvl") === 0)
+      .select(col("src"), col("dst")).distinct()
+      .localCheckpoint(false)
+    def bestMicro(edges2: DataFrame): (Long, Long) = {
+      val scored = edges2
+        .join(vecById.select(col("cand").as("src"), col("cvn").as("svn")),
+          Seq("src"))
+        .join(vecById.select(col("cand").as("dst"), col("cvn").as("dvn")),
+          Seq("dst"))
+        .select(col("src"), round(dot(col("svn"), col("dvn")), 6).as("cos"))
+      val best = scored.groupBy(col("src")).agg(max(col("cos")).as("best"))
+      val row = best.agg(
+        expr("sum(cast(round(best * 1e6, 0) as bigint)) div count(1)"),
+        count(lit(1))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (o0, n0) = bestMicro(base)
+    val refined = refineEdges(base, vecById).localCheckpoint(false)
+    val (o1, n1) = bestMicro(refined)
+    require(n0 == n1,
+      s"refinement changed the node set: $n0 -> $n1 (must be impossible" +
+        " — every node keeps its original edges)")
+    import s.implicits._
+    Seq((o0, o1, o1 - o0, n0, o1 > o0))
+      .toDF("obj_deployed_micro", "obj_refined_micro", "gain_micro",
+        "n_nodes", "refine")
+  }
+
+  /** One churned deployment per (JVM, corpus) for the S38 gate: the
+    * S32/S33 scenario on the graph family — deploy the HNSW artifact
+    * built on 2/3 of the corpus, stream-insert the held-out third
+    * (append-only connects, no re-prune), then ask the monitor. The
+    * insert-grown graph provably has refinable edges, so the gate's
+    * recommend flag has signal.
+    */
+  private val driftArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnGraphDrift(s: SparkSession, dir: String): DataFrame = {
+    val artifact = driftArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-graph-drift").toString
+      val e = vecs(s, dir)
+      hnswIndexWriteOn(e.filter(col("vec_id") % InsertMod =!= InsertRem),
+        out)
+      hnswArtifactInsert(s, out,
+        e.filter(col("vec_id") % InsertMod === InsertRem)
+          .select(col("vec_id"), col("v")), batchId = 1L)
+      out
+    })
+    graphDriftOn(s, artifact)
+  }
+
   /** S18: ANN recall-evaluation harness — the operator a serving team
     * runs before choosing an index: every SQL-expressible ANN method
     * in the suite scored against the brute-force truth in ONE query.
@@ -4829,6 +4912,7 @@ object SimQueries {
     "knn_ivf_delete_probe" -> (knnIvfDeleteProbe _),
     "knn_ivf_insert" -> (knnIvfInsert _),
     "knn_ivf_drift" -> (knnIvfDrift _),
+    "knn_graph_drift" -> (knnGraphDrift _),
     "knn_ivf_kmeans" -> (knnIvfKmeans _),
     "knn_lsh" -> (knnLsh _),
     "knn_lsh_probe" -> (knnLshProbe _),

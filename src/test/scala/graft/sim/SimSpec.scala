@@ -855,6 +855,37 @@ class SimSpec extends AnyFunSuite {
     assert(served.forall(r => !dead.contains(r(1).asInstanceOf[Long])))
   }
 
+  test("S38 graph drift monitor: an insert-churned deployment " +
+    "recommends refinement with an exact-integer gain, the decision " +
+    "is deterministic, and refinement is monotone (gain never " +
+    "negative) even on a fresh build") {
+    val d1 = SimQueries.knnGraphDrift(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(d1.length === 1)
+    val r1 = d1.head
+    assert(r1.getAs[Boolean]("refine"),
+      "insert churn must recommend refinement")
+    assert(r1.getAs[Long]("gain_micro") > 0L)
+    assert(r1.getAs[Long]("obj_refined_micro") ===
+      r1.getAs[Long]("obj_deployed_micro") + r1.getAs[Long]("gain_micro"))
+    val d2 = SimQueries.knnGraphDrift(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(d1.map(_.toSeq).toSeq === d2.map(_.toSeq).toSeq,
+      "the drift decision is not deterministic")
+    // monotone on a fresh (near-fixpoint) build: the superset argument
+    // makes a negative gain impossible
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft-drift-fresh").toString
+    SimQueries.hnswIndexWrite(spark, dir, fresh)
+    graft.CachedFrames.releaseAll()
+    val f = SimQueries.graphDriftOn(spark, fresh).head()
+    graft.CachedFrames.releaseAll()
+    assert(f.getAs[Long]("gain_micro") >= 0L,
+      "refinement lowered the per-node best — impossible by superset")
+    // both cover the full corpus (train 2/3 + inserted 1/3 = fresh)
+    assert(f.getAs[Long]("n_nodes") === r1.getAs[Long]("n_nodes"))
+  }
+
   test("graph ANN: deterministic run to run; recall@5 beats the IVF " +
     "probe-1 baseline (beam search escapes the query's own list)") {
     val a = SimQueries.knnGraph(spark, dir).collect().map(_.toSeq).toSeq

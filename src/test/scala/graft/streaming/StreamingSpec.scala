@@ -2050,6 +2050,14 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("vec_id").count().collect()
     assert(counts.length === 2 && counts.forall(_.getLong(1) === 1L),
       "crash-then-replay lost or duplicated members")
+    // S38 closes the loop: the insert-grown graph (append-only
+    // connects, reverse edges never re-pruned) is refinable, and the
+    // drift monitor says so with a positive exact-integer gain
+    val drift = graft.sim.SimQueries.graphDriftOn(spark, art).head()
+    graft.CachedFrames.releaseAll()
+    assert(drift.getAs[Boolean]("refine"),
+      "the monitor failed to flag the insert-churned graph")
+    assert(drift.getAs[Long]("gain_micro") > 0L)
   }
 
   test("R20: streamed scene detection equals the batch M9 ledger " +
