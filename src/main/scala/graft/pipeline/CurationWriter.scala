@@ -55,4 +55,30 @@ object CurationWriter {
     out.write.mode("overwrite").partitionBy("source").parquet(outDir)
     s.read.parquet(outDir).count()
   }
+
+  /** `write` with the T29 token-ID sequences materialized alongside
+    * the text — the layout a training loader actually streams (ids in
+    * order under the trained tokenizer, T29's dense symbol ranks):
+    * curated docs LEFT-join the sequence table (a doc the tokenizer
+    * produced no tokens for — empty text — carries an empty array, not
+    * a dropped row), same source-partitioned doc_id-sorted layout.
+    * Returns (rows written, total tokens written) — the bill P13's
+    * budget accounting reconciles against.
+    */
+  def writeTokenized(s: SparkSession, dir: String, outDir: String,
+                     filesPerSource: Int = 1): (Long, Long) = {
+    val plan = graft.dedup.DedupQueries.dedupPurgePlan(s, dir)
+    val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
+    val out = curated(Tables.documents(s, dir), plan)
+      .join(seqs, Seq("doc_id"), "left")
+      .withColumn("token_ids", coalesce(col("token_ids"),
+        expr("cast(array() as array<bigint>)")))
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .repartition(filesPerSource, col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+    out.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    val back = s.read.parquet(outDir)
+    (back.count(),
+      back.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
+  }
 }

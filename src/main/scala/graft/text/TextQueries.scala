@@ -1687,6 +1687,99 @@ object TextQueries {
     FROM dw JOIN encoded USING (word)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** T29 (T17's missing half): MATERIALIZED token-ID sequences — what
+    * a training run actually reads. T17 bills token COUNTS (what a
+    * budget spends); the loader needs the ids in order. Token ids are
+    * dense ranks over the trained tokenizer's distinct subword symbols
+    * (sym-ascending — both engines restate it exactly); each corpus
+    * word flattens to its ordered subword-id list through ONE
+    * dimension join against the trained vocabulary (the frozen-
+    * tokenizer-as-dimension-table shape production pipelines use),
+    * and each document reassembles its sequence by (word position,
+    * subword position). Scale shape: the T17 word-stream shuffle plus
+    * one per-doc aggregate whose state is the document's own token
+    * sequence — the OUTPUT, so materializing it is the floor, not
+    * overhead. The symbol-id window is a one-partition rank over the
+    * tokenizer's symbol table (vocab-scale, the T16d altitude
+    * adjudication — bounded by merges + alphabet, never the corpus).
+    */
+  private[graft] def bpeTokenSequences(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val docsWords = graft.CachedFrames.persist(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0))
+    val vocab0 = docsWords.groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val (_, vocabR) = bpeTrain(vocab0, BpeRounds)
+    val wordSyms = vocabR.select(col("word"),
+      filter(split(col("wstr"), BpeSep),
+        s0 => length(s0) > lit(0)).as("syms"))
+    val symIds = wordSyms
+      .select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
+        .cast("long"))
+    val wordIds = wordSyms
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(symIds, Seq("sym"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(col("spos"), col("tok_id"))))
+        .as("ps"))
+      .select(col("word"), expr("transform(ps, p -> p.tok_id)").as("ids"))
+    // word→ids is RAW-vocabulary-scale (Heaps'-law growth): pinned
+    // SHUFFLE_HASH per the T9/T13 discipline
+    docsWords.join(wordIds.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("ids"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        flatten(expr("transform(ws, w -> w.ids)")).as("token_ids"))
+      .withColumn("n_tokens", size(col("token_ids")).cast("long"))
+  }
+
+  /** The T29 gate: the sequence rendered as a '-'-joined string so the
+    * driver's scalar-cell hasher checks it exactly (list cells sort
+    * unreliably through pandas); the array face above is what P29's
+    * tokenized writer consumes.
+    */
+  def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    bpeTokenSequences(s, dir)
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(col("token_ids"), "-").as("token_str"))
+      .orderBy(col("doc_id"))
+
+  val textBpeTokensSql: String = s"""
+    WITH $bpeChainSql,
+    wsyms AS (
+      SELECT word, list_filter(string_split(wstr, chr(31)),
+               s -> len(s) > 0) AS syms
+      FROM v$BpeRounds),
+    sym_ids AS (
+      SELECT sym, row_number() OVER (ORDER BY sym)::BIGINT AS tok_id
+      FROM (SELECT DISTINCT unnest(syms) AS sym FROM wsyms)),
+    wexp AS (
+      SELECT word, unnest(syms) AS sym,
+             unnest(range(1, 1 + len(syms))) AS spos
+      FROM wsyms),
+    word_ids AS (
+      SELECT word, list(tok_id ORDER BY spos) AS ids
+      FROM wexp JOIN sym_ids USING (sym)
+      GROUP BY word),
+    dw AS (
+      SELECT doc_id, word, wpos FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               unnest(range(1, 1 + len(string_split(text, ' ')))) AS wpos
+        FROM documents)
+      WHERE len(word) > 0),
+    flat AS (
+      SELECT doc_id, wpos, unnest(ids) AS tok_id,
+             unnest(range(1, 1 + len(ids))) AS spos
+      FROM dw JOIN word_ids USING (word))
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           array_to_string(list(tok_id ORDER BY wpos, spos), '-')
+             AS token_str
+    FROM flat GROUP BY doc_id ORDER BY doc_id"""
+
   /** T27: tokenizer FERTILITY per source — the report every corpus
     * card carries (tokens-per-word and chars-per-token under the
     * trained tokenizer, per source): fertility prices how expensively
@@ -2051,6 +2144,7 @@ object TextQueries {
     "text_bpe_deep_encode" -> (textBpeDeepEncode _),
     "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
+    "text_bpe_tokens" -> (textBpeTokens _),
     "text_fertility" -> (textFertility _),
     "text_kl_drift" -> (textKlDrift _),
     "hybrid_search" -> (hybridSearch _),
@@ -2080,6 +2174,7 @@ object TextQueries {
     "text_bpe_deep_ckpt_prefix" -> textBpeDeepCkptPrefixSql,
     "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_tokens" -> textBpeTokensSql,
     "text_fertility" -> textFertilitySql,
     "text_kl_drift" -> textKlDriftSql,
     "hybrid_search" -> hybridSearchSql,

@@ -423,4 +423,34 @@ class PipelineSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
     assert(n2 === n)
   }
+
+  test("P29b: the tokenized writer materializes T29's token-id " +
+    "sequences beside the curated text — same keep set, every row's " +
+    "ids sized to its n_tokens, and the token bill reconciles with " +
+    "the per-doc encode over exactly the kept docs") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-curated-tok").toString
+    val (n, totalToks) = CurationWriter.writeTokenized(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val plan = graft.dedup.DedupQueries.dedupPurgePlan(spark, dir)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    val expectedKeep = plan.filter(_.getString(2) != "drop_neardup")
+      .map(_.getLong(0)).toSet
+    assert(n === expectedKeep.size.toLong)
+    val written = spark.read.parquet(out)
+    assert(written.select("doc_id").collect().map(_.getLong(0)).toSet
+      === expectedKeep)
+    // per-row: the array is exactly n_tokens long
+    assert(written
+      .filter(size(col("token_ids")).cast("long") =!= col("n_tokens"))
+      .count() === 0L)
+    // the written token bill == the T17 encode summed over kept docs
+    val bill = graft.text.TextQueries.textBpeEncode(spark, dir).collect()
+      .filter(r => expectedKeep.contains(r.getLong(0)))
+      .map(_.getLong(2)).sum
+    graft.CachedFrames.releaseAll()
+    assert(totalToks === bill,
+      s"writer billed $totalToks tokens, the encode says $bill")
+  }
 }

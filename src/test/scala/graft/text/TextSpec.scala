@@ -415,6 +415,39 @@ class TextSpec extends AnyFunSuite {
       "32k merges compressed nothing beyond 8 rounds")
   }
 
+  test("T29 token-id sequences: per-doc sizes equal T17's token bill, " +
+    "ids are dense ranks of the trained symbol table, order is the " +
+    "document's own, and the materialization is deterministic") {
+    import org.apache.spark.sql.functions._
+    val seqs = TextQueries.bpeTokenSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    graft.CachedFrames.releaseAll()
+    val bill = TextQueries.textBpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    graft.CachedFrames.releaseAll()
+    assert(seqs.nonEmpty)
+    seqs.foreach { case (docId, ids, n) =>
+      assert(ids.size.toLong === n)
+      assert(n === bill(docId),
+        s"doc $docId: sequence length != T17's n_bpe_tokens")
+      assert(ids.forall(_ >= 1L), "ids must be 1-based dense ranks")
+    }
+    assert(seqs.map(_._1).toSet === bill.keySet,
+      "sequence table covers a different doc set than the encode bill")
+    // dense: every symbol lives in some corpus word and every word in
+    // some document, so ids 1..K are all used — max id == distinct count
+    val allIds = seqs.flatMap(_._2).distinct
+    assert(allIds.max === allIds.size.toLong,
+      s"id space not dense: max ${allIds.max} over ${allIds.size} ids")
+    // deterministic
+    val again = TextQueries.bpeTokenSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    graft.CachedFrames.releaseAll()
+    assert(again === seqs.sortBy(_._1),
+      "token sequences changed between runs")
+  }
+
   test("BPE gate: full round table, deterministic across runs") {
     val a = TextQueries.textBpe(spark, dir).collect()
     val b = TextQueries.textBpe(spark, dir).collect()
