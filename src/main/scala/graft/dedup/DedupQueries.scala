@@ -1846,6 +1846,104 @@ object DedupQueries {
     FROM spans GROUP BY span_md5 HAVING count(DISTINCT doc_id) >= 2
     ORDER BY span_md5"""
 
+  /** D34: exact repeated substrings at ANY alignment — the sub-tile
+    * grain D7/T19 miss (Lee et al.'s suffix-array dedup catches every
+    * ≥k-token repeat; D7's disjoint 10-word tiles under-count a quote
+    * that straddles a tile boundary). Relational approximation with
+    * the same guarantee for runs of whole words: STRIDE-1 positional
+    * k-shingles (k=10) per doc, df-capped (the D8 anti-join — pair
+    * mass stays O(occ²) per hash bucket however hot the boilerplate),
+    * one hash self-join for cross-doc matches, then RUN-MERGING by
+    * gaps-and-islands on each (doc_a, doc_b, diagonal): consecutive
+    * stride-1 matches on one diagonal ARE one maximal repeat, so a
+    * run of r matches reports a single shared substring of r+k−1
+    * words with both 1-based start positions. Every cross-doc
+    * verbatim repeat of ≥ k words at any offset appears as exactly
+    * one row — including the boundary-straddling quote the tile gate
+    * provably misses (spec'd on planted docs). Scale shape: the
+    * shingle shuffle D2/D3 already pay (stride-1 is ×k rows of
+    * 16-byte hashes — text never shuffles), one SHUFFLE_HASH
+    * self-join, one window over per-pair-diagonal groups (each
+    * bounded by the shorter doc's length).
+    */
+  val SubstringK = 10
+
+  def dedupSubstrings(s: SparkSession, dir: String): DataFrame =
+    substringRunsOn(Tables.documents(s, dir))
+
+  /** The D34 core over an explicit (doc_id, text) frame — factored so
+    * the boundary-straddle spec can plant its own corpus. */
+  private[graft] def substringRunsOn(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SubstringK)
+    val sh = w.select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - $SubstringK + 1), " +
+          s"k -> struct(cast(k as bigint) as pos, " +
+          s"md5(concat_ws(' ', slice(w, k, $SubstringK))) as h))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+    val indexed = graft.CachedFrames.persist(sh)
+    // df cap keyed on the positional hash — the Shingling.cappedShingles
+    // discipline verbatim (shuffled anti-join, never a broadcast of the
+    // stop set)
+    val stop = indexed.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Shingling.MaxShingleDf)
+      .select(col("h"))
+    val kept = graft.CachedFrames.persist(indexed.hint("shuffle_hash")
+      .join(stop.hint("shuffle_hash"), Seq("h"), "left_anti"))
+    val m = kept.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("h")).hint("shuffle_hash")
+      .join(kept.select(col("doc_id").as("doc_b"),
+        col("pos").as("pos_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"))
+    val runs = m.withColumn("diag", col("pos_b") - col("pos_a"))
+      .withColumn("run_id",
+        col("pos_a") - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+            .orderBy(col("pos_a"))))
+    runs.groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run_id"))
+      .agg(min(col("pos_a")).as("start_a"),
+        (min(col("pos_a")) + col("diag")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + SubstringK)
+          .as("len_words"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        col("start_b"), col("len_words"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
+  val dedupSubstringsSql: String = s"""
+    WITH dw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= $SubstringK),
+    sh AS (
+      SELECT doc_id, k::BIGINT AS pos,
+             md5(array_to_string(
+               list_slice(w, k, k + $SubstringK - 1), ' ')) AS h
+      FROM dw, unnest(range(1, len(w) - $SubstringK + 2)) AS u(k)),
+    kept AS (
+      SELECT doc_id, pos, h FROM sh
+      QUALIFY count(*) OVER (PARTITION BY h) <= ${Shingling.MaxShingleDf}),
+    m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b
+      FROM kept a JOIN kept b ON a.h = b.h
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_b - pos_a
+               ORDER BY pos_a) AS run_id
+      FROM m)
+    SELECT doc_a, doc_b,
+           min(pos_a)::BIGINT AS start_a,
+           (min(pos_a) + diag)::BIGINT AS start_b,
+           (max(pos_a) - min(pos_a) + $SubstringK)::BIGINT AS len_words
+    FROM runs GROUP BY doc_a, doc_b, diag, run_id
+    ORDER BY doc_a, doc_b, start_a, start_b"""
+
   /** D10: incremental-ingest dedup ledger — per arrival day: events,
     * distinct payloads, and payloads seen for the FIRST time that day.
     * The production question a continuously-recorded archive asks
@@ -2173,6 +2271,7 @@ object DedupQueries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_spans" -> (dedupSpans _),
+    "dedup_substrings" -> (dedupSubstrings _),
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
@@ -2205,5 +2304,6 @@ object DedupQueries {
     "dedup_embedding" -> dedupEmbeddingSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_substrings" -> dedupSubstringsSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

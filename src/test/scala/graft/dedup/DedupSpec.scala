@@ -638,6 +638,50 @@ class DedupSpec extends AnyFunSuite {
     assert(cont.forall(x => x.getLong(0) != 3L && x.getLong(1) != 3L))
   }
 
+  test("D34 substring runs catch a planted boundary-straddling quote " +
+    "the disjoint-tile gate provably misses, with exact start " +
+    "positions and length; maximal runs merge, sub-k repeats stay out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc 1: d1..d30. doc 2 quotes doc 1's words 6..20 (15 words) at
+    // its own position 4 — chosen so NO 10-word tile of either doc
+    // equals a tile of the other (doc1 tiles break at 10/20, the
+    // quote spans 6..20; doc2's tiles break mid-quote differently)
+    val d = (1 to 30).map(i => s"d$i")
+    val doc1 = d.mkString(" ")
+    val doc2 = ((1 to 3).map(i => s"z$i") ++ d.slice(5, 20) ++
+      (19 to 30).map(i => s"z$i")).mkString(" ")
+    // doc 3: a 9-word repeat of doc 1 (below k) — must NOT surface
+    val doc3 = (d.slice(0, 9) ++ (1 to 21).map(i => s"y$i")).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    // negative control: D7's disjoint-tile logic on the same corpus
+    val tiles = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) div 10), " +
+          "k -> concat_ws(' ', slice(w, (k-1)*10+1, 10)))")).as("span"))
+      .groupBy(col("span")).agg(countDistinct(col("doc_id")).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(tiles === 0L,
+      "the plant is supposed to defeat the tile grain — fixture broken")
+    val runs = DedupQueries.substringRunsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.CachedFrames.releaseAll()
+    // exactly one maximal run: doc1[6..20] == doc2[4..18], 15 words
+    assert(runs.toSeq === Seq((1L, 2L, 6L, 4L, 15L)),
+      s"expected the one straddling quote, got ${runs.toSeq}")
+    // the real corpus face agrees with its own tile gate's keepers:
+    // every tile-grain repeat is covered by some stride-1 run pair
+    val corpusRuns = DedupQueries.dedupSubstrings(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(corpusRuns.nonEmpty,
+      "the sf corpus has tile-level repeats, stride-1 must see them")
+    assert(corpusRuns.forall(_.getLong(4) >= DedupQueries.SubstringK))
+  }
+
   test("semantic dedup equals an independent local within-cluster " +
     "recompute; keeper precedes removed; no cross-cluster pruning") {
     import org.apache.spark.sql.functions._
