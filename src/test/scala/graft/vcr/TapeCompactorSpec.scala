@@ -439,4 +439,83 @@ class TapeCompactorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(missing("2024-06-03") === "missing_b")
   }
+
+  test("R33 standing retention: the frontier-relative policy expires " +
+    "exactly the aged-out days through the stream face, prunes their " +
+    "manifest rows, never LISTs a retained day, replays as a no-op, " +
+    "and dry-run deletes nothing") {
+    import graft.streaming.StreamExpire
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.counting.impl", classOf[CountingFileSystem].getName)
+    val local = Files.createTempDirectory("graft-stream-expire").toString
+    val root = s"counting:$local"
+    val tapeDir = s"$local/s"
+    val days = (1 to 8).map(d => f"2024-07-$d%02d")
+    days.zipWithIndex.foreach { case (dt, di) =>
+      val dir = new java.io.File(s"$tapeDir/dt=$dt"); dir.mkdirs()
+      (0 until 20).foreach { i =>
+        val seq = di * 100 + i
+        Files.write(new java.io.File(dir, s"$seq-$seq.txt").toPath,
+          "AA==\n".getBytes(UTF_8))
+      }
+    }
+    TapeManifest.write(spark, root, "s")
+    assert(TapeManifest.load(spark, root, "s").count() === 160L)
+    def dayExists(dt: String) = new java.io.File(s"$tapeDir/dt=$dt").exists
+    // dry-run pass: reports the 5 aged-out days, deletes nothing
+    val dry = StreamExpire.expireOnce(spark, root, "s",
+      StreamExpire.RetentionPolicy(3, dryRun = true))
+    assert(dry.daysDeleted === 5 &&
+      dry.days.toSet === days.take(5).toSet)
+    assert(days.forall(dayExists))
+    // the standing face: one tick = one pass; retain the newest 3 days
+    import spark.implicits._
+    val tdir = Files.createTempDirectory("graft-ticks").toString
+    def tick(n: Int): Unit = {
+      val stage = Files.createTempDirectory("graft-tick-stage").toString
+      Seq(n.toLong).toDF("tick").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(tdir, f"tick$n%02d.parquet"))
+    }
+    tick(0)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      TapeCompactor.ExpireResult]()
+    CountingFileSystem.reset()
+    val sq = StreamExpire.start(spark, root, "s",
+      StreamExpire.RetentionPolicy(3),
+      spark.readStream.schema("tick LONG")
+        .option("maxFilesPerTrigger", 1).parquet(tdir),
+      Files.createTempDirectory("graft-exp-ckpt").toString) { r =>
+      results.add(r); ()
+    }
+    sq.processAllAvailable()
+    // THE single-day contract: only EXPIRED day dirs were ever listed
+    // (deletion accounting) — no retained day, and the manifest
+    // reconcile's missing-dir branch listed nothing extra
+    assert(CountingFileSystem.dayDirsListed(tapeDir).subsetOf(
+      days.take(5).map(d => s"dt=$d").toSet),
+      s"retention listed retained days: ${CountingFileSystem.dayDirsListed(tapeDir)}")
+    // replay tick: a second pass finds nothing to do
+    tick(1)
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val rs = results.asScala.toSeq
+    assert(rs.map(_.daysDeleted) === Seq(5, 0),
+      s"expected one real pass then a no-op, got ${rs.map(_.daysDeleted)}")
+    assert(rs.head.filesDeleted === 100L)
+    assert(days.take(5).forall(d => !dayExists(d)))
+    assert(days.drop(5).forall(dayExists))
+    // manifest pruned to exactly the retained days, still audit-clean
+    spark.catalog.refreshByPath(s"$root/s")
+    val m = TapeManifest.load(spark, root, "s")
+    assert(m.count() === 60L)
+    assert(m.select("dt").distinct().collect().map(_.getString(0)).toSet
+      === days.drop(5).toSet)
+    assert(TapeManifest.load(spark, root, "s").collect().map(_.toSeq).toSet
+      === TapeManifest.build(spark, root, "s").collect().map(_.toSeq).toSet)
+  }
 }
