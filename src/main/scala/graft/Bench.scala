@@ -71,12 +71,29 @@ object Bench {
     val samples = perQuery.map { case (name, ss) =>
       "\"" + name + "\":[" + ss.mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // per-FAMILY subtotals beside the per-query medians: §8f showed
+    // sub-second medians vary 1.2-2.5x run to run on this host, so the
+    // round-over-round diff should read a handful of stable family
+    // numbers first and descend to per-query only on a family-level
+    // regression (errored queries are excluded from their family sum
+    // and counted separately so a -1 can't masquerade as a speedup)
+    val fams = SparkEntry.families
+    val byFamily = results.toSeq
+      .groupBy { case (n, _) => fams.getOrElse(n, "other") }
+      .toSeq.sortBy(_._1)
+      .map { case (fam, rs) =>
+        val ok = rs.map(_._2).filter(_ >= 0)
+        val errs = rs.size - ok.size
+        "\"" + fam + "\":{\"sec\":" + ok.sum + ",\"n\":" + rs.size +
+          ",\"errors\":" + errs + "}"
+      }.mkString("{", ",", "}")
     // an isolated re-measurement must not clobber the full sweep's
     // artifact the judge diffs round over round
     val artifact =
       if (benchOnly.isDefined) "bench_isolated.json" else "bench_full.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact),
-      s"""{"total_sec":$total,"sf":"$sfDir","medians":$qs,"samples":$samples}\n""")
+      s"""{"total_sec":$total,"sf":"$sfDir","families":$byFamily,""" +
+        s""""medians":$qs,"samples":$samples}\n""")
     spark.stop()
   }
 }

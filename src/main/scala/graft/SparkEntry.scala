@@ -13,6 +13,20 @@ object SparkEntry {
       text.TextQueries.all ++ media.MediaQueries.all ++
       pipeline.PipelineQueries.all
 
+  /** Query name → family (the source module) — the grain the bench
+    * artifact subtotals on: §8f established that sub-second per-query
+    * medians are host-variance-dominated, so round-over-round diffs
+    * should read six stable family numbers, not 200 noisy ones. */
+  def families: Map[String, String] = Seq(
+    analytics.AnalyticsQueries.all.keys.map(_ -> "analytics"),
+    vcr.VcrQueries.all.keys.map(_ -> "vcr"),
+    dedup.DedupQueries.all.keys.map(_ -> "dedup"),
+    sim.SimQueries.all.keys.map(_ -> "sim"),
+    text.TextQueries.all.keys.map(_ -> "text"),
+    media.MediaQueries.all.keys.map(_ -> "media"),
+    pipeline.PipelineQueries.all.keys.map(_ -> "pipeline"),
+  ).flatten.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
