@@ -174,6 +174,17 @@ class PlanSpec extends AnyFunSuite {
     assert(prunedPostings,
       s"S37 postings scan lost its cluster partition pruning:\n$p37")
     graft.CachedFrames.releaseAll()
+    // S37b: the TOMBSTONED multi-probe serving core carries the same
+    // discipline — the probed-cluster collect must prune the
+    // manifest-resolved postings scan (round 10; this is the R19b
+    // streamed topology's per-trigger plan)
+    val p37b = plan("knn_ivf_delete_probe")
+    val prunedDeleted = p37b.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cluster") &&
+        !l.contains("PartitionFilters: []"))
+    assert(prunedDeleted,
+      s"S37b tombstoned postings scan lost its partition pruning:\n$p37b")
+    graft.CachedFrames.releaseAll()
   }
 
   test("the O(corpus) index joins stay shuffled — no broadcast of the " +
