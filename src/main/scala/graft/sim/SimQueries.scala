@@ -1285,6 +1285,150 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S22b: the tune ladder run against the DEPLOYED + TOMBSTONED
+    * serving core — the nprobe decision a STANDING topology (R19b)
+    * actually consults, where S22's `ivf_tune` prices the in-memory
+    * trainer. Truth is brute top-k over the LIVE (un-tombstoned)
+    * corpus — the serving universe, so recall measures what a user of
+    * the deployed index can possibly get back; every rung re-serves
+    * through `ivfQueryAssigner` + `serveArtifactDeletedOn`, the
+    * production path itself, so the chosen depth prices the deployed
+    * codebook, the tombstone mask, and the partition-pruned scan
+    * exactly as serving pays them. Same elbow rule as S22 (smallest
+    * nprobe within 90% of the best rung's recall, exact integer
+    * arithmetic); S37b serves at whatever this picks.
+    */
+  def ivfTuneDeployed(s: SparkSession, dir: String): DataFrame = {
+    val artifact = deletedArtifactOf(s, dir)
+    val e = vecs(s, dir)
+    val qSeq: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val scored = e
+      .filter(col("vec_id") % DeleteMod =!= DeleteRem)
+      .select(col("vec_id").as("neighbor"), col("vn"),
+        explode(typedLit(qSeq)).as("q"))
+      .filter(col("q._1") =!= col("neighbor"))
+      .select(col("q._1").as("q_id"), col("neighbor"),
+        round(dot(col("q._2"), col("vn")), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("neighbor"))
+    val truth = graft.CachedFrames.persist(
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("q_id"), col("neighbor")))
+    val nTruth = NumQueries.toLong * TopK
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v")).localCheckpoint(false)
+    val rows = TuneProbes.map { p =>
+      val served = serveArtifactDeletedOn(s,
+        ivfQueryAssigner(s, artifact, p)(queries), artifact,
+        excludeSelf = true)
+        .select(col("q_id"), col("neighbor"))
+      val n = served.count()
+      val hits = served.join(truth, Seq("q_id", "neighbor")).count()
+      (p, n, hits, nTruth, hits * 1000000L / nTruth)
+    }
+    val maxR = rows.map(_._5).max
+    val chosen = rows.filter(_._5 * 10 >= maxR * 9).map(_._1).min
+    import s.implicits._
+    rows.toDF("nprobe", "n_pairs", "hits", "n_truth", "recall_micro")
+      .withColumn("chosen", col("nprobe") === lit(chosen))
+      .orderBy(col("nprobe"))
+  }
+
+  /** S22b oracle: the delete gate's trained-codebook chain, the tune
+    * rungs probing rn ≤ p under it with tombstoned candidates
+    * excluded, truth = brute over the live corpus, the S22 elbow.
+    * lazy: interpolates NProbe-family constants declared further down.
+    */
+  lazy val ivfTuneDeployedSql: String = {
+    val nTruth = NumQueries.toLong * TopK
+    def rung(p: Int) = s"""
+    qp_$p AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb WHERE e.vec_id < $NumQueries) WHERE rn <= $p),
+    mk_$p AS (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor) AS rank
+        FROM (SELECT q.q_id, a.vec_id AS neighbor,
+                     round(list_dot_product(q.qvn, a.vn), 6) AS cos
+              FROM qp_$p q JOIN assigned a USING (cluster)
+              WHERE a.vec_id != q.q_id
+                AND a.vec_id % $DeleteMod != $DeleteRem))
+      WHERE rank <= $TopK),
+    t_$p AS (
+      SELECT CAST($p AS INTEGER) AS nprobe, count(*)::BIGINT AS n_pairs,
+             coalesce(sum(CASE WHEN b.neighbor IS NOT NULL THEN 1 END),
+               0)::BIGINT AS hits
+      FROM mk_$p m LEFT JOIN btruth b
+        ON m.q_id = b.q_id AND m.neighbor = b.neighbor)"""
+    s"""
+    WITH e AS ($vecsSql),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM e)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    btruth AS MATERIALIZED (
+      SELECT q_id, neighbor FROM (
+        SELECT q_id, neighbor,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, neighbor) AS rank
+        FROM (SELECT q.vec_id AS q_id, e2.vec_id AS neighbor,
+                     round(list_dot_product(q.vn, e2.vn), 6) AS cos
+              FROM e q JOIN e e2 ON e2.vec_id != q.vec_id
+              WHERE q.vec_id < $NumQueries
+                AND e2.vec_id % $DeleteMod != $DeleteRem))
+      WHERE rank <= $TopK),
+    ${TuneProbes.map(rung).mkString(",")},
+    tt AS (
+      SELECT nprobe, n_pairs, hits, CAST($nTruth AS BIGINT) AS n_truth,
+             (hits * 1000000 // $nTruth)::BIGINT AS recall_micro
+      FROM (${TuneProbes.map(p => s"SELECT * FROM t_$p")
+        .mkString(" UNION ALL ")})),
+    mx AS (SELECT max(recall_micro) AS m FROM tt),
+    ch AS (SELECT min(nprobe) AS cn FROM tt, mx
+           WHERE recall_micro * 10 >= m * 9)
+    SELECT nprobe, n_pairs, hits, n_truth, recall_micro,
+           nprobe = cn AS chosen
+    FROM tt, ch ORDER BY nprobe"""
+  }
+
   /** S32 oracle: the `knn_ivf_kmeans` pipeline with the CODEBOOK
     * chain (seed → one Lloyd step) computed over the training rows
     * only and the FULL corpus assigned under it — the
@@ -4910,6 +5054,7 @@ object SimQueries {
     "ivf_tune" -> (ivfTune _),
     "knn_ivf_delete" -> (knnIvfDelete _),
     "knn_ivf_delete_probe" -> (knnIvfDeleteProbe _),
+    "ivf_tune_deployed" -> (ivfTuneDeployed _),
     "knn_ivf_insert" -> (knnIvfInsert _),
     "knn_ivf_drift" -> (knnIvfDrift _),
     "knn_graph_drift" -> (knnGraphDrift _),
@@ -4949,6 +5094,7 @@ object SimQueries {
     "ivf_tune" -> ivfTuneSql,
     "knn_ivf_delete" -> knnIvfDeleteSql,
     "knn_ivf_delete_probe" -> knnIvfDeleteProbeSql,
+    "ivf_tune_deployed" -> ivfTuneDeployedSql,
     "knn_ivf_insert" -> knnIvfInsertSql,
     "knn_ivf_drift" -> knnIvfDriftSql,
     "knn_ivf_kmeans" -> knnIvfKmeansSql,

@@ -855,6 +855,24 @@ class SimSpec extends AnyFunSuite {
     assert(served.forall(r => !dead.contains(r(1).asInstanceOf[Long])))
   }
 
+  test("S22b deployed tuner: recall is monotone in probe depth on the " +
+    "production serving core, and chosen is the 90%-of-best elbow") {
+    val t = SimQueries.ivfTuneDeployed(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    graft.CachedFrames.releaseAll()
+    assert(t.map(_._1).toSeq === SimQueries.TuneProbes)
+    // deeper probes only add candidate lists — recall cannot drop
+    t.sliding(2).foreach { case Array((p1, r1, _), (p2, r2, _)) =>
+      assert(r2 >= r1, s"recall dropped from nprobe=$p1 to $p2")
+    }
+    val maxR = t.map(_._2).max
+    val expected = t.filter(x => x._2 * 10 >= maxR * 9).map(_._1).min
+    assert(t.count(_._3) === 1)
+    assert(t.find(_._3).get._1 === expected,
+      "chosen is not the smallest rung within 90% of the best recall")
+  }
+
   test("S38 graph drift monitor: an insert-churned deployment " +
     "recommends refinement with an exact-integer gain, the decision " +
     "is deterministic, and refinement is monotone (gain never " +
