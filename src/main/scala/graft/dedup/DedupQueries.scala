@@ -1914,6 +1914,56 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
   }
 
+  /** D34b: per-pair duplicated MASS — D34's runs rolled up to the
+    * verdict grain a purge/quality pass consumes: for each doc pair,
+    * how many words of verbatim overlap (sum over maximal runs), the
+    * longest single run, and the run count. This is the containment
+    * signal (D21) at EXACT-substring grain: a pair with high
+    * `dup_words` but modest jaccard is a quotation/boilerplate
+    * relationship, the Lee-et-al case tile gates under-bill. Pure
+    * rollup of D34 — same bounded pair mass, one extra aggregate.
+    */
+  def dedupSubstringMass(s: SparkSession, dir: String): DataFrame =
+    substringRunsOn(Tables.documents(s, dir))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("len_words")).as("dup_words"),
+        max(col("len_words")).as("longest_run"),
+        count(lit(1)).as("n_runs"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  val dedupSubstringMassSql: String = s"""
+    WITH dw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= $SubstringK),
+    sh AS (
+      SELECT doc_id, k::BIGINT AS pos,
+             md5(array_to_string(
+               list_slice(w, k, k + $SubstringK - 1), ' ')) AS h
+      FROM dw, unnest(range(1, len(w) - $SubstringK + 2)) AS u(k)),
+    kept AS (
+      SELECT doc_id, pos, h FROM sh
+      QUALIFY count(*) OVER (PARTITION BY h) <= ${Shingling.MaxShingleDf}),
+    m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b
+      FROM kept a JOIN kept b ON a.h = b.h
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_b - pos_a
+               ORDER BY pos_a) AS run_id
+      FROM m),
+    spans AS (
+      SELECT doc_a, doc_b,
+             (max(pos_a) - min(pos_a) + $SubstringK)::BIGINT AS len_words
+      FROM runs GROUP BY doc_a, doc_b, diag, run_id)
+    SELECT doc_a, doc_b, sum(len_words)::BIGINT AS dup_words,
+           max(len_words)::BIGINT AS longest_run,
+           count(*)::BIGINT AS n_runs
+    FROM spans GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b"""
+
   val dedupSubstringsSql: String = s"""
     WITH dw AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2272,6 +2322,7 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_spans" -> (dedupSpans _),
     "dedup_substrings" -> (dedupSubstrings _),
+    "dedup_substring_mass" -> (dedupSubstringMass _),
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
@@ -2305,5 +2356,6 @@ object DedupQueries {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_substrings" -> dedupSubstringsSql,
+    "dedup_substring_mass" -> dedupSubstringMassSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

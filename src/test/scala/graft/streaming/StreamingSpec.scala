@@ -2060,6 +2060,100 @@ class StreamingSpec extends AnyFunSuite {
     assert(drift.getAs[Long]("gain_micro") > 0L)
   }
 
+  test("R15b+R32+S36b graph topology: insert and delete streams " +
+    "interleaved against ONE hnsw artifact with a compaction " +
+    "mid-flight — masked serving equals the batch-sequential twin " +
+    "bit-for-bit, no member duplicated, nothing deleted served") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp(); val twin = tmp()
+    val e = graft.Tables.embeddings(spark, dir0)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+    val m = graft.sim.SimQueries.InsertMod
+    val r = graft.sim.SimQueries.InsertRem
+    val train = e.filter(col("vec_id") % m =!= r)
+    graft.sim.SimQueries.hnswIndexWriteOn(train, art)
+    graft.sim.SimQueries.hnswIndexWriteOn(train, twin)
+    graft.CachedFrames.releaseAll()
+    val heldOut = e.filter(col("vec_id") % m === r)
+      .select(col("vec_id"), col("v")).collect()
+      .map(x => (x.getLong(0), x.getSeq[Double](1))).sortBy(_._1)
+    val delIds = train.select("vec_id").collect().map(_.getLong(0))
+      .filter(_ % 9 == 3).sorted
+    assert(delIds.nonEmpty)
+    val insWaves = heldOut.grouped(heldOut.length / 2 + 1).toSeq
+    val delWaves = delIds.grouped(delIds.length / 2 + 1).toSeq
+    def stageFile(df: org.apache.spark.sql.DataFrame, dirOut: String,
+                  name: String): Unit = {
+      val stage = tmp()
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, java.nio.file.Paths.get(dirOut, name))
+    }
+    val insDir = tmp(); val delDir = tmp()
+    stageFile(insWaves.head.toSeq.toDF("vec_id", "v"), insDir, "w0.parquet")
+    stageFile(delWaves.head.toSeq.toDF("vec_id"), delDir, "w0.parquet")
+    val insQ = StreamGraphInsert.start(spark, art,
+      spark.readStream.schema(spark.read.parquet(insDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(insDir), tmp())
+    val delQ = StreamIvfDelete.start(spark, art,
+      spark.readStream.schema(spark.read.parquet(delDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(delDir), tmp())
+    // interleave: ins1 → del1 → COMPACT → ins2 → del2; the twin
+    // replays the identical schedule batch-side (graph compaction is
+    // NOT serving-invariant — it trades the dead's routing away — so
+    // the twin must compact at the same logical point)
+    insQ.processAllAvailable(); delQ.processAllAvailable()
+    graft.sim.SimQueries.hnswCompact(spark, art)
+    stageFile(insWaves(1).toSeq.toDF("vec_id", "v"), insDir, "w1.parquet")
+    insQ.processAllAvailable()
+    stageFile(delWaves(1).toSeq.toDF("vec_id"), delDir, "w1.parquet")
+    delQ.processAllAvailable()
+    insQ.stop(); delQ.stop()
+    graft.sim.SimQueries.hnswArtifactInsert(spark, twin,
+      insWaves.head.toSeq.toDF("vec_id", "v"), batchId = 0L)
+    graft.sim.SimQueries.graphDelete(spark, twin,
+      delWaves.head.toSeq.toDF("vec_id"))
+    graft.sim.SimQueries.hnswCompact(spark, twin)
+    graft.sim.SimQueries.hnswArtifactInsert(spark, twin,
+      insWaves(1).toSeq.toDF("vec_id", "v"), batchId = 1L)
+    graft.sim.SimQueries.graphDelete(spark, twin,
+      delWaves(1).toSeq.toDF("vec_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+      .localCheckpoint(false)
+    val served = graft.sim.SimQueries
+      .hnswServeArtifactDeleted(spark, q, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val twinServed = graft.sim.SimQueries
+      .hnswServeArtifactDeleted(spark, q, twin)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === twinServed,
+      "stream-maintained graph serves differently from the " +
+        "batch-sequential twin")
+    assert(served.nonEmpty)
+    val delSet = delIds.toSet
+    assert(served.forall(r => !delSet.contains(r(1).asInstanceOf[Long])),
+      "a deleted vector surfaced after the graph topology run")
+    // resolved members: full corpus minus the compacted first delete
+    // wave (wave-2 tombstones are mask-only until the next compaction),
+    // exactly once each
+    val members = graft.streaming.SnapshotManifest.resolveDf(
+      spark, art, "members", graft.sim.SimQueries.HnswMembersDdl)
+    assert(members.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L,
+      "a member row is duplicated after the compact-under-streams run")
+    val expectedMembers = e.count() - delWaves.head.length
+    assert(members.count() === expectedMembers)
+  }
+
   test("R20: streamed scene detection equals the batch M9 ledger " +
     "scene-for-scene when frames arrive split across triggers") {
     import spark.implicits._
