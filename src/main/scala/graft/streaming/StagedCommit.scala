@@ -168,9 +168,12 @@ object StagedCommit {
     val committed = committedView(fs, artifact)
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet") &&
-          !uncommittedFile(st.getPath.getName, committed))
+        val nm = st.getPath.getName
+        // hidden dirs (`_manifest`, staging) are metadata, not data
+        if (nm.startsWith("_") || nm.startsWith(".")) Seq.empty
+        else if (st.isDirectory) walk(st.getPath)
+        else if (nm.endsWith(".parquet") &&
+          !uncommittedFile(nm, committed))
           Seq(st.getPath)
         else Seq.empty
       }

@@ -1809,6 +1809,77 @@ class StreamingSpec extends AnyFunSuite {
       "replaying the mid-compaction batch duplicated rows")
   }
 
+  test("E31 crash convergence: a compaction killed between move-in " +
+    "and the manifest swap leaves serving EXACTLY as before (orphan " +
+    "gen files are invisible), and the next compaction sweeps the " +
+    "orphans and completes — no duplicate, no loss") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val delIds = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    graft.sim.SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    val preServe = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    // kill the compaction right after the gen files moved in — the
+    // window a crashed process leaves on a real cluster
+    final class Killed extends RuntimeException
+    intercept[Killed] {
+      graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L,
+        onPoint = pt => if (pt == "moved-in") throw new Killed)
+    }
+    spark.catalog.refreshByPath(s"$art/postings")
+    // orphan gen files are physically present but resolve to NOTHING
+    val genOnDisk = graft.streaming.StagedCommit
+      .committedParquet(spark, art, "postings")
+      .count(f => new org.apache.hadoop.fs.Path(f).getName
+        .startsWith("gen-"))
+    assert(genOnDisk > 0, "the kill landed before any gen file moved in")
+    val view = graft.streaming.SnapshotManifest
+      .resolve(spark, art, "postings")
+    assert(!view.exists(f =>
+      new org.apache.hadoop.fs.Path(f).getName.startsWith("gen-")),
+      "an orphan gen file leaked into the resolved view")
+    val afterCrash = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(afterCrash === preServe,
+      "a crashed (pre-swap) compaction changed serving")
+    // the restart converges: vacuum sweeps the orphans, the rewrite
+    // completes, serving is still identical, nothing duplicated
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    val afterRetry = graft.sim.SimQueries
+      .ivfServeArtifactDeleted(spark, dir0, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(afterRetry === preServe, "the retried compaction changed serving")
+    val resolved = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "postings", graft.sim.SimQueries.PostingsDdl)
+    assert(resolved.groupBy("vec_id").count()
+      .filter(col("count") > 1).count() === 0L)
+    assert(resolved.filter(col("vec_id").isin(delIds: _*)).count() === 0L,
+      "the retried compaction failed to remove tombstoned rows")
+    // and the crash's orphans are gone from disk (vacuumed on retry):
+    // every surviving gen file is referenced by the current manifest
+    val manifest = graft.streaming.SnapshotManifest
+      .read(graft.streaming.SnapshotManifest.fsOf(spark, art), art,
+        "postings").get
+    val genNow = graft.streaming.StagedCommit
+      .committedParquet(spark, art, "postings")
+      .map(f => new org.apache.hadoop.fs.Path(f))
+      .filter(_.getName.startsWith("gen-"))
+    assert(genNow.nonEmpty)
+    assert(genNow.forall(p => manifest.gen.exists(_.endsWith(p.getName))),
+      "an unreferenced gen orphan survived the retry's vacuum")
+  }
+
   test("StagedCommit low-watermark: pruning a batch's commit marker " +
     "keeps its surviving b{id}-* files classified COMMITTED — a later " +
     "compaction reclaims their tombstoned rows, and replaying the " +
