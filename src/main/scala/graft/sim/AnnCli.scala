@@ -1,0 +1,108 @@
+package graft.sim
+
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.{SnapshotManifest, StagedCommit}
+
+/** CLI surface for the DEPLOYED-index maintenance story — the VcrCli
+  * discipline applied to the ANN artifacts: the operations an index
+  * operator runs against a standing deployment (S27/S36 artifacts
+  * under R30/R32/R15b streams) without touching the serving code.
+  *
+  * {{{
+  * sbt "runMain graft.sim.AnnCli status  /indexes/products"
+  * sbt "runMain graft.sim.AnnCli compact /indexes/products [minDead]"
+  * sbt "runMain graft.sim.AnnCli vacuum  /indexes/products"
+  * sbt "runMain graft.sim.AnnCli drift   /indexes/catalog-graph"
+  * }}}
+  *
+  * Artifact kind is detected from its tables: `postings` → IVF
+  * (compact = `ivfCompact`), `members`+`edges` → layered graph
+  * (compact = `hnswCompact`, drift = the S38 monitor). `vacuum` runs
+  * the E31 grace deletion explicitly — compaction already vacuums on
+  * entry, but an operator retiring a deployment wants the reclaim
+  * without paying a rewrite (the expire-snapshots verb).
+  */
+object AnnCli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-annctl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args)
+    finally spark.stop()
+  }
+
+  private def tablesOf(fs: org.apache.hadoop.fs.FileSystem,
+                       artifact: String): Set[String] =
+    Seq("postings", "members", "edges", "tombstones", "centroids")
+      .filter(t => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$artifact/$t"))).toSet
+
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    val artifact = args.lift(1).getOrElse(
+      throw new IllegalArgumentException(
+        s"usage: <status|compact|vacuum|drift> <artifact> [args]"))
+    val fs = SnapshotManifest.fsOf(spark, artifact)
+    val tables = tablesOf(fs, artifact)
+    if (tables.isEmpty)
+      throw new IllegalArgumentException(
+        s"$artifact holds no index tables (postings/members/edges)")
+    args.headOption match {
+      case Some("status") =>
+        val committed = StagedCommit.committedView(fs, artifact)
+        println(s"Artifact $artifact " +
+          s"(${if (tables("postings")) "ivf" else "graph"})")
+        tables.toSeq.sorted.foreach { t =>
+          val files = SnapshotManifest.resolve(spark, artifact, t)
+          val m = SnapshotManifest.read(fs, artifact, t)
+          val v = m.map(_.version.toString).getOrElse("-")
+          val removed = m.map(_.removed.size).getOrElse(0)
+          println(f"  $t%-10s live_files=${files.size}%-5d " +
+            f"manifest=v$v%-4s awaiting_vacuum=$removed%d")
+        }
+        println(s"  committed_batches=${committed.ids.size} " +
+          s"low_watermark=${committed.low}")
+        if (tables("tombstones")) {
+          val n = spark.read.schema("vec_id LONG")
+            .parquet(s"$artifact/tombstones").distinct().count()
+          println(s"  live_tombstones=$n")
+        }
+      case Some("compact") =>
+        if (tables("postings")) {
+          val minDead = args.lift(2).map(_.toLong).getOrElse(1L)
+          SimQueries.ivfCompact(spark, artifact, minDead)
+          println(s"Compacted IVF artifact $artifact (minDead=$minDead)")
+        } else {
+          SimQueries.hnswCompact(spark, artifact)
+          println(s"Compacted graph artifact $artifact")
+        }
+      case Some("vacuum") =>
+        val dataTables = tables intersect Set("postings", "members", "edges")
+        dataTables.toSeq.sorted.foreach { t =>
+          SnapshotManifest.vacuum(fs, artifact, t)
+          spark.catalog.refreshByPath(s"$artifact/$t")
+        }
+        println(s"Vacuumed ${dataTables.toSeq.sorted.mkString(", ")} " +
+          s"of $artifact")
+      case Some("drift") =>
+        if (!tables("members"))
+          throw new IllegalArgumentException(
+            "drift monitors the graph family; IVF drift needs the " +
+              "corpus (see knn_ivf_drift)")
+        val r = SimQueries.graphDriftOn(spark, artifact).head()
+        println(s"obj_deployed_micro=${r.getLong(0)} " +
+          s"obj_refined_micro=${r.getLong(1)} gain_micro=${r.getLong(2)} " +
+          s"n_nodes=${r.getLong(3)} refine=${r.getBoolean(4)}")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown verb $other: expected status|compact|vacuum|drift")
+    }
+  }
+}

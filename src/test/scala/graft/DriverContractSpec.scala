@@ -40,10 +40,12 @@ class DriverContractSpec extends AnyFunSuite {
     // against the in-memory builds), and the deep-BPE checkpoint/encode
     // gates (no SQL oracle can restate 32k chained merge rounds;
     // reference-trainer-spec'd in TextSpec, fold mechanism
-    // oracle-pinned by text_bpe_deep_ckpt_prefix)
+    // oracle-pinned by text_bpe_deep_ckpt_prefix), and the graph
+    // drift monitor (its input is the beam build's edge set — same
+    // S12/S13 adjudication; monotonicity/churn/determinism spec'd)
     assert((qs -- os) === Set("media_decode", "knn_graph",
       "knn_graph_hnsw", "knn_graph_artifact", "knn_graph_hnsw_artifact",
-      "text_bpe_deep_ckpt", "text_bpe_deep_encode"))
+      "text_bpe_deep_ckpt", "text_bpe_deep_encode", "knn_graph_drift"))
   }
 
   test("VcrCli validates commands and arguments like the reference") {

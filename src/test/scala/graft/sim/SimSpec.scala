@@ -855,6 +855,54 @@ class SimSpec extends AnyFunSuite {
     assert(served.forall(r => !dead.contains(r(1).asInstanceOf[Long])))
   }
 
+  test("AnnCli: the maintenance verbs operate a deployed artifact " +
+    "(compact reclaims, vacuum reconciles disk to the manifest, " +
+    "status and drift answer) and bad invocations fail loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-annctl").toString
+    SimQueries.ivfIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    val delIds = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    AnnCli.run(spark, Array("status", art)) // answers without throwing
+    AnnCli.run(spark, Array("compact", art))
+    spark.catalog.refreshByPath(s"$art/postings")
+    val resolved = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "postings", SimQueries.PostingsDdl)
+    assert(resolved.filter(col("vec_id").isin(delIds: _*)).count() === 0L)
+    // before vacuum the replaced files are still on disk (grace)...
+    val rawBefore = graft.streaming.StagedCommit
+      .committedParquet(spark, art, "postings").size
+    AnnCli.run(spark, Array("vacuum", art))
+    // ...after it, disk == the manifest's live view exactly
+    val rawAfter = graft.streaming.StagedCommit
+      .committedParquet(spark, art, "postings").toSet
+    assert(rawAfter.size < rawBefore,
+      "vacuum reclaimed nothing — grace deletion broken")
+    assert(rawAfter === graft.streaming.SnapshotManifest
+      .resolve(spark, art, "postings").toSet)
+    AnnCli.run(spark, Array("status", art))
+    // drift answers on a graph artifact, refuses an IVF one
+    val gart = java.nio.file.Files
+      .createTempDirectory("graft-annctl-g").toString
+    SimQueries.hnswIndexWrite(spark, dir, gart)
+    graft.CachedFrames.releaseAll()
+    AnnCli.run(spark, Array("drift", gart))
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("drift", art)))
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("bogus", art)))
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("status", java.nio.file.Files
+        .createTempDirectory("graft-annctl-empty").toString)))
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("status")))
+  }
+
   test("S22b deployed tuner: recall is monotone in probe depth on the " +
     "production serving core, and chosen is the 90%-of-best elbow") {
     val t = SimQueries.ivfTuneDeployed(spark, dir).collect()
