@@ -451,6 +451,7 @@ object SimQueries {
   private[graft] val GraphEdgesDdl = "src BIGINT, dst BIGINT, bucket INT"
   private[graft] val HnswEdgesDdl = "src BIGINT, dst BIGINT, lvl INT, bucket INT"
   private[graft] val HnswMembersDdl = "vec_id BIGINT, vn ARRAY<DOUBLE>, lvl INT"
+  private[graft] val HnswEntryDdl = "vec_id BIGINT, vn ARRAY<DOUBLE>"
 
   /** The SNAPSHOT-ISOLATED postings read every IVF serving and
     * maintenance path uses: the manifest-resolved live file set (see
@@ -4283,7 +4284,8 @@ object SimQueries {
     */
   private def hnswDescend(s: SparkSession, q: DataFrame,
                           artifact: String): DataFrame = {
-    val entryRow = s.read.parquet(s"$artifact/entry").head()
+    val entryRow = graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "entry", HnswEntryDdl).head()
     val entryId = entryRow.getLong(0)
     val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
     // manifest-resolved reads: a mid-flight hnswCompact's moved-in gen
@@ -4333,6 +4335,7 @@ object SimQueries {
     // crashed rewrite's orphan gen files (see ivfCompact's note)
     graft.streaming.SnapshotManifest.vacuum(fs, artifact, "members")
     graft.streaming.SnapshotManifest.vacuum(fs, artifact, "edges")
+    graft.streaming.SnapshotManifest.vacuum(fs, artifact, "entry")
     onPoint("vacuumed")
     val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     val tombFiles =
@@ -4352,10 +4355,10 @@ object SimQueries {
     // rewrite — and since its marker already exists, replay is a
     // no-op: the batch would be permanently lost.
     val snapEntries: Map[String, Seq[(String, String)]] =
-      Seq("members", "edges").map(t => t ->
+      Seq("members", "edges", "entry").map(t => t ->
         graft.streaming.SnapshotManifest.resolveEntries(s, artifact, t))
         .toMap
-    val gen0: Map[String, Set[String]] = Seq("members", "edges")
+    val gen0: Map[String, Set[String]] = Seq("members", "edges", "entry")
       .map(t => t -> graft.streaming.SnapshotManifest
         .read(fs, artifact, t).map(_.gen).getOrElse(Set.empty[String]))
       .toMap
@@ -4438,21 +4441,15 @@ object SimQueries {
     }
     swap("members", live, Seq.empty)
     swap("edges", pruned, Seq("bucket"))
-    // entry point: recompute if the incumbent died
-    val entryPath = new org.apache.hadoop.fs.Path(s"$artifact/entry")
-    val entryRow = s.read.parquet(entryPath.toString).head()
+    // entry point: recompute if the incumbent died — through the SAME
+    // manifest swap as the big tables (the old delete-then-rename left
+    // a missing-directory instant a concurrent reader could hit)
+    val entryRow = snapshotRead("entry", HnswEntryDdl).head()
     val entryDead = tomb.filter(col("vec_id") === entryRow.getLong(0))
       .limit(1).count() > 0L
     if (entryDead) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$artifact/_entry_compacting")
-      live.orderBy(col("lvl").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id"), col("vn"))
-        .write.mode("overwrite").parquet(tmp.toString)
-      fs.delete(entryPath, true)
-      if (!fs.rename(tmp, entryPath))
-        throw new java.io.IOException(
-          s"entry swap failed: $tmp -> $entryPath")
-      s.catalog.refreshByPath(entryPath.toString)
+      swap("entry", live.orderBy(col("lvl").desc, col("vec_id").asc)
+        .limit(1).select(col("vec_id"), col("vn")), Seq.empty)
     }
     // retire the covered tombstones: everything in the snapshot is now
     // gone from the RESOLVED members view (the raw directory still
@@ -4536,7 +4533,8 @@ object SimQueries {
           batch.withColumn("vn", normalize(col("v")))
             .select(col("vec_id"), col("vn")))
           .localCheckpoint(false)
-        val entryRow = s.read.parquet(s"$artifact/entry").head()
+        val entryRow = graft.streaming.SnapshotManifest
+          .resolveDf(s, artifact, "entry", HnswEntryDdl).head()
         val entryId = entryRow.getLong(0)
         val entryVn: Seq[Double] = entryRow.getSeq[Double](1).toVector
         val q = newLv.select(col("vec_id").as("q_id"), col("vn").as("qvn"))

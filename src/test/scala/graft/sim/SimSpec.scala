@@ -766,11 +766,14 @@ class SimSpec extends AnyFunSuite {
     assert(s2.nonEmpty)
     assert(s2.forall(r => !dead.contains(r(1).asInstanceOf[Long])))
     // entry death: tombstone the incumbent entry, compact, re-elected
-    val entry0 = spark.read.parquet(s"$art/entry").head().getLong(0)
+    def entryId = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "entry", SimQueries.HnswEntryDdl)
+      .head().getLong(0)
+    val entry0 = entryId
     SimQueries.graphDelete(spark, art, Seq(entry0).toDF("vec_id"))
     SimQueries.hnswCompact(spark, art)
     spark.catalog.refreshByPath(s"$art/entry")
-    val entry1 = spark.read.parquet(s"$art/entry").head().getLong(0)
+    val entry1 = entryId
     assert(entry1 !== entry0, "dead entry point was not re-elected")
     val s3 = servedDeleted
     graft.CachedFrames.releaseAll()
@@ -795,7 +798,9 @@ class SimSpec extends AnyFunSuite {
     SimQueries.hnswIndexWriteOn(e.filter(col("vec_id") % m =!= r), art)
     graft.CachedFrames.releaseAll()
     // tombstone a slice (not the entry) so the rewrite has real work
-    val entry0 = spark.read.parquet(s"$art/entry").head().getLong(0)
+    val entry0 = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "entry", SimQueries.HnswEntryDdl)
+      .head().getLong(0)
     // ids ≡ 3 (mod 9) are ≡ 0 (mod 3), so they exist in the
     // m/r-filtered training set (≡ 4 mod 9 would all be held out)
     val dead = spark.read.parquet(s"$art/members")
