@@ -290,6 +290,68 @@ object PipelineQueries {
           FROM documents)
     ORDER BY doc_id"""
 
+  /** P32: pack the REAL token-ID stream into fixed-size training
+    * blocks — the step a pretraining loader actually consumes (GPT-
+    * style continuous packing: the corpus token stream in doc_id
+    * order, cut every `PackBlock` tokens, documents crossing block
+    * boundaries — zero padding waste). P4 shards on token COUNTS;
+    * this materializes the blocks themselves off T29's sequences and
+    * fingerprints each block's exact id string, so the oracle pins
+    * every token's block assignment AND position. Scale shape: doc
+    * offsets by the P4 two-phase prefix sum (bucket totals + one
+    * bounded window over buckets, broadcast back — never a
+    * single-partition window over the corpus), then the token explode
+    * (O(total tokens) rows of (block, id) — the OUTPUT grain) and one
+    * groupBy(block). The md5 fold inside each block is
+    * collect_list-bounded by the block size — a constant.
+    */
+  val PackBlock = 64L
+
+  def dataPackTokens(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val BucketWidth = 100
+    val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
+      .withColumn("bucket", expr(s"doc_id div $BucketWidth"))
+    val bucketTotals = seqs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bt"))
+    val offsets = bucketTotals.withColumn("offset",
+      coalesce(sum(col("bt")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    val within = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stream = seqs.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("doc_off",
+        col("offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("doc_id"), col("doc_off"),
+        posexplode(col("token_ids")).as(Seq("spos", "tok")))
+      .withColumn("gpos", col("doc_off") + col("spos"))
+      .withColumn("block_id", expr(s"gpos div $PackBlock"))
+    stream.groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(gpos, tok))), " +
+            "p -> cast(p.tok as string))"))).as("token_md5"))
+      .orderBy(col("block_id"))
+  }
+
+  // lazy: forces TextQueries' lazily-built oracle scaffolding only on
+  // first use (the object-init-order discipline)
+  lazy val dataPackTokensSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    g AS (
+      SELECT doc_id, tok_id,
+             row_number() OVER (ORDER BY doc_id, wpos, spos) - 1 AS gpos
+      FROM flat)
+    SELECT gpos // $PackBlock AS block_id, count(*)::BIGINT AS n_tokens,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc,
+           md5(array_to_string(list(tok_id ORDER BY gpos), '-'))
+             AS token_md5
+    FROM g GROUP BY 1 ORDER BY block_id"""
+
   /** P5: weighted corpus mixing — per-source sampling rates (keep all
     * of even-numbered sources, 25% of odd ones: "upweight curated,
     * downsample crawl"), decided by a salted md5 bucket per doc so the
@@ -1833,6 +1895,7 @@ object PipelineQueries {
     "text_filter_chain" -> (textFilterChain _),
     "text_decontam" -> (textDecontam _),
     "data_pack" -> (dataPack _),
+    "data_pack_tokens" -> (dataPackTokens _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
     "source_overlap" -> (sourceOverlap _),
@@ -1870,6 +1933,7 @@ object PipelineQueries {
     "text_filter_chain" -> textFilterChainSql,
     "text_decontam" -> textDecontamSql,
     "data_pack" -> dataPackSql,
+    "data_pack_tokens" -> dataPackTokensSql,
     "data_mix" -> dataMixSql,
     "text_unigram_lm" -> textUnigramLmSql)
 }

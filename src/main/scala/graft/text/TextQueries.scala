@@ -1748,8 +1748,9 @@ object TextQueries {
         array_join(col("token_ids"), "-").as("token_str"))
       .orderBy(col("doc_id"))
 
-  val textBpeTokensSql: String = s"""
-    WITH $bpeChainSql,
+  /** The T29 oracle scaffolding up to the per-token `flat` relation —
+    * shared by the sequence gate and P32's block packer. */
+  private[graft] lazy val bpeTokenFlatSql: String = s"""$bpeChainSql,
     wsyms AS (
       SELECT word, list_filter(string_split(wstr, chr(31)),
                s -> len(s) > 0) AS syms
@@ -1774,7 +1775,10 @@ object TextQueries {
     flat AS (
       SELECT doc_id, wpos, unnest(ids) AS tok_id,
              unnest(range(1, 1 + len(ids))) AS spos
-      FROM dw JOIN word_ids USING (word))
+      FROM dw JOIN word_ids USING (word))"""
+
+  lazy val textBpeTokensSql: String = s"""
+    WITH $bpeTokenFlatSql
     SELECT doc_id, count(*)::BIGINT AS n_tokens,
            array_to_string(list(tok_id ORDER BY wpos, spos), '-')
              AS token_str

@@ -424,6 +424,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(n2 === n)
   }
 
+  test("P32 token packing: every block but the last holds exactly " +
+    "PackBlock tokens, block ids are contiguous from 0, the stream " +
+    "conserves the corpus token count, and boundary-crossing docs " +
+    "are real (zero padding waste)") {
+    val blocks = PipelineQueries.dataPackTokens(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    graft.CachedFrames.releaseAll()
+    assert(blocks.nonEmpty)
+    assert(blocks.map(_._1).toSeq === (0L until blocks.length).toSeq,
+      "block ids must be contiguous from 0")
+    blocks.dropRight(1).foreach { case (b, n, _, _) =>
+      assert(n === PipelineQueries.PackBlock,
+        s"block $b is not full — continuous packing never pads")
+    }
+    assert(blocks.last._2 <= PipelineQueries.PackBlock)
+    val total = graft.text.TextQueries.bpeTokenSequences(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    graft.CachedFrames.releaseAll()
+    assert(blocks.map(_._2).sum === total,
+      "packing lost or duplicated tokens")
+    // docs genuinely cross boundaries: some block holds >1 doc and
+    // some doc spans blocks (first_doc repeats across blocks)
+    assert(blocks.exists(_._3 > 1L), "no block holds two docs?")
+    assert(blocks.map(_._4).distinct.length < blocks.length,
+      "no document crosses a block boundary at this block size?")
+  }
+
   test("P29b: the tokenized writer materializes T29's token-id " +
     "sequences beside the curated text — same keep set, every row's " +
     "ids sized to its n_tokens, and the token bill reconciles with " +
