@@ -352,6 +352,53 @@ object PipelineQueries {
              AS token_md5
     FROM g GROUP BY 1 ORDER BY block_id"""
 
+  /** P33: reproducible EPOCH ORDERING over P32's blocks — the last
+    * decision between packed data and the training loop: each epoch
+    * visits every block exactly once in a deterministic pseudo-random
+    * order (md5 over epoch:block — the suite's split/mix salt
+    * discipline, so order is independent of the pack hash and
+    * re-derivable on any worker from the key alone; no stored
+    * permutation, no RNG state to checkpoint). Emits two epochs so the
+    * gate pins cross-epoch independence; cost is one rank window per
+    * epoch over block STATS (corpus/PackBlock rows — the block table,
+    * not the tokens).
+    */
+  val PackEpochs = 2
+
+  def dataEpochOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val blocks = dataPackTokens(s, dir).select(col("block_id"))
+    val epochs = (0 until PackEpochs).map(e =>
+      blocks.withColumn("epoch", lit(e)))
+      .reduce(_.unionByName(_))
+    epochs
+      .withColumn("k",
+        md5(concat_ws(":", col("epoch"), col("block_id"))))
+      .withColumn("position", row_number().over(
+        Window.partitionBy(col("epoch"))
+          .orderBy(col("k"), col("block_id"))).cast("long"))
+      .select(col("epoch"), col("position"), col("block_id"))
+      .orderBy(col("epoch"), col("position"))
+  }
+
+  lazy val dataEpochOrderSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    g AS (
+      SELECT doc_id, tok_id,
+             row_number() OVER (ORDER BY doc_id, wpos, spos) - 1 AS gpos
+      FROM flat),
+    blocks AS (SELECT DISTINCT gpos // $PackBlock AS block_id FROM g),
+    ep AS (SELECT unnest(range(0, $PackEpochs)) AS epoch),
+    keyed AS (
+      SELECT epoch, block_id,
+             md5(epoch || ':' || block_id) AS k
+      FROM blocks, ep)
+    SELECT epoch::INTEGER AS epoch,
+           row_number() OVER (PARTITION BY epoch ORDER BY k, block_id)
+             ::BIGINT AS position,
+           block_id
+    FROM keyed ORDER BY epoch, position"""
+
   /** P5: weighted corpus mixing — per-source sampling rates (keep all
     * of even-numbered sources, 25% of odd ones: "upweight curated,
     * downsample crawl"), decided by a salted md5 bucket per doc so the
@@ -1896,6 +1943,7 @@ object PipelineQueries {
     "text_decontam" -> (textDecontam _),
     "data_pack" -> (dataPack _),
     "data_pack_tokens" -> (dataPackTokens _),
+    "data_epoch_order" -> (dataEpochOrder _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
     "source_overlap" -> (sourceOverlap _),
@@ -1934,6 +1982,7 @@ object PipelineQueries {
     "text_decontam" -> textDecontamSql,
     "data_pack" -> dataPackSql,
     "data_pack_tokens" -> dataPackTokensSql,
+    "data_epoch_order" -> dataEpochOrderSql,
     "data_mix" -> dataMixSql,
     "text_unigram_lm" -> textUnigramLmSql)
 }

@@ -452,6 +452,36 @@ class PipelineSpec extends AnyFunSuite {
       "no document crosses a block boundary at this block size?")
   }
 
+  test("P33 epoch ordering: each epoch is a true permutation of the " +
+    "block set, the two epochs genuinely differ, and the order is " +
+    "deterministic with no stored state") {
+    val ord = PipelineQueries.dataEpochOrder(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    graft.CachedFrames.releaseAll()
+    val blocks = PipelineQueries.dataPackTokens(spark, dir)
+      .select("block_id").collect().map(_.getLong(0)).toSet
+    graft.CachedFrames.releaseAll()
+    val byEpoch = ord.groupBy(_._1)
+    assert(byEpoch.keySet === (0 until PipelineQueries.PackEpochs).toSet)
+    byEpoch.foreach { case (e, rows) =>
+      assert(rows.map(_._3).toSet === blocks,
+        s"epoch $e is not a permutation of the block set")
+      assert(rows.map(_._2).sorted.toSeq ===
+        (1L to blocks.size.toLong).toSeq,
+        s"epoch $e positions are not dense 1..N")
+    }
+    val seq0 = byEpoch(0).sortBy(_._2).map(_._3).toSeq
+    val seq1 = byEpoch(1).sortBy(_._2).map(_._3).toSeq
+    assert(seq0 !== seq1, "epochs 0 and 1 drew the same order")
+    assert(seq0 !== seq0.sorted, "epoch 0 is the identity order — " +
+      "the shuffle shuffled nothing")
+    val again = PipelineQueries.dataEpochOrder(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    graft.CachedFrames.releaseAll()
+    assert(again.sorted.toSeq === ord.sorted.toSeq,
+      "epoch ordering is not deterministic")
+  }
+
   test("P29b: the tokenized writer materializes T29's token-id " +
     "sequences beside the curated text — same keep set, every row's " +
     "ids sized to its n_tokens, and the token bill reconciles with " +
