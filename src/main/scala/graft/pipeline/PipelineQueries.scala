@@ -359,9 +359,19 @@ object PipelineQueries {
     * discipline, so order is independent of the pack hash and
     * re-derivable on any worker from the key alone; no stored
     * permutation, no RNG state to checkpoint). Emits two epochs so the
-    * gate pins cross-epoch independence; cost is one rank window per
-    * epoch over block STATS (corpus/PackBlock rows — the block table,
-    * not the tokens).
+    * gate pins cross-epoch independence.
+    *
+    * Scale shape: the block table is corpus_tokens/PackBlock rows —
+    * DATA-sized, so ranking it through a per-epoch window would funnel
+    * each epoch's entire block set into one task (the §5 "ranking axis
+    * is NOT bounded" trap). Instead the rank is TWO-PHASE over the md5
+    * key's leading hex byte: md5 is uniform by construction, so the
+    * 256 buckets balance with no skew case at all, and because the
+    * bucket IS a prefix of the sort key, within-bucket order ⊕ bucket
+    * offsets ≡ the global (k, block_id) order exactly — same rows,
+    * same hash. Per (epoch, bucket): rank locally; the offsets come
+    * from one window over the 256·epochs bucket-count rows (bounded
+    * whatever the corpus), broadcast back.
     */
   val PackEpochs = 2
 
@@ -371,12 +381,22 @@ object PipelineQueries {
     val epochs = (0 until PackEpochs).map(e =>
       blocks.withColumn("epoch", lit(e)))
       .reduce(_.unionByName(_))
-    epochs
+    val keyed = epochs
       .withColumn("k",
         md5(concat_ws(":", col("epoch"), col("block_id"))))
-      .withColumn("position", row_number().over(
-        Window.partitionBy(col("epoch"))
-          .orderBy(col("k"), col("block_id"))).cast("long"))
+      .withColumn("kb", substring(col("k"), 1, 2))
+    val bucketCounts = keyed.groupBy(col("epoch"), col("kb"))
+      .agg(count(lit(1)).as("bc"))
+    val offsets = bucketCounts.withColumn("off",
+      coalesce(sum(col("bc")).over(Window.partitionBy(col("epoch"))
+        .orderBy(col("kb")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("epoch"), col("kb"), col("off"))
+    keyed.join(broadcast(offsets), Seq("epoch", "kb"))
+      .withColumn("position",
+        col("off") + row_number().over(
+          Window.partitionBy(col("epoch"), col("kb"))
+            .orderBy(col("k"), col("block_id"))).cast("long"))
       .select(col("epoch"), col("position"), col("block_id"))
       .orderBy(col("epoch"), col("position"))
   }

@@ -402,6 +402,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("data_epoch_order ranks its block-scale frame TWO-PHASE: every " +
+    "rank window partitions on the md5-prefix bucket, never on epoch " +
+    "alone (round-10 P33 de-weak guard)") {
+    // the block table is corpus_tokens/PackBlock rows — data-sized. A
+    // row_number() window partitioned only by epoch funnels each
+    // epoch's whole block set through ONE task; the two-phase form
+    // ranks within 256 uniform md5-prefix buckets and adds bounded
+    // bucket offsets (the P4/P26 discipline). Guard: any rank window
+    // that orders block rows must carry the bucket in its partition
+    // spec.
+    val p = plan("data_epoch_order")
+    val blockRanks = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("block_id")).toList
+    assert(blockRanks.nonEmpty,
+      s"data_epoch_order lost its rank window entirely:\n$p")
+    blockRanks.foreach(l => assert(l.contains("kb#"),
+      s"block rank window lost its md5-prefix bucket partition:\n$l"))
+    graft.CachedFrames.releaseAll()
+  }
+
   test("approx_percentile lands near the exact percentile (scale path)") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")

@@ -67,6 +67,11 @@ def main():
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     with open(os.path.join(outdir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    # optional 3rd arg: comma-separated query names (local iteration,
+    # pairs with Verify's SPARK_GRAFT_ONLY); absent = all, as the driver
+    if len(sys.argv) > 3:
+        only = set(sys.argv[3].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name in sorted(oracle):
         spark_glob = os.path.join(outdir, name, "*.parquet")
