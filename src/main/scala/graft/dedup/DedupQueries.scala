@@ -1858,9 +1858,16 @@ object DedupQueries {
     * stride-1 matches on one diagonal ARE one maximal repeat, so a
     * run of r matches reports a single shared substring of r+k−1
     * words with both 1-based start positions. Every cross-doc
-    * verbatim repeat of ≥ k words at any offset appears as exactly
-    * one row — including the boundary-straddling quote the tile gate
-    * provably misses (spec'd on planted docs). Scale shape: the
+    * verbatim repeat of ≥ k words at any offset whose constituent
+    * shingles all survive the df cap appears as exactly one row —
+    * including the boundary-straddling quote the tile gate provably
+    * misses (spec'd on planted docs). A repeat containing a
+    * hotter-than-`MaxShingleDf` positional shingle is the exception
+    * the cap buys its bounded pair mass with: the hot shingle's
+    * matches drop, so that repeat splits into the surviving runs on
+    * either side (or drops entirely when every shingle is hot) —
+    * corpus-wide boilerplate under-bills, pairwise quotes don't.
+    * Scale shape: the
     * shingle shuffle D2/D3 already pay (stride-1 is ×k rows of
     * 16-byte hashes — text never shuffles), one SHUFFLE_HASH
     * self-join, one window over per-pair-diagonal groups (each

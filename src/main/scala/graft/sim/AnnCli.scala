@@ -14,14 +14,21 @@ import graft.streaming.{SnapshotManifest, StagedCommit}
   * sbt "runMain graft.sim.AnnCli compact /indexes/products [minDead]"
   * sbt "runMain graft.sim.AnnCli vacuum  /indexes/products"
   * sbt "runMain graft.sim.AnnCli drift   /indexes/catalog-graph"
+  * sbt "runMain graft.sim.AnnCli drift   /indexes/products /data/sf1"
   * }}}
   *
   * Artifact kind is detected from its tables: `postings` → IVF
   * (compact = `ivfCompact`), `members`+`edges` → layered graph
-  * (compact = `hnswCompact`, drift = the S38 monitor). `vacuum` runs
-  * the E31 grace deletion explicitly — compaction already vacuums on
-  * entry, but an operator retiring a deployment wants the reclaim
-  * without paying a rewrite (the expire-snapshots verb).
+  * (compact = `hnswCompact`). `drift` runs the family's retrain
+  * monitor: the S38 graph monitor needs only the artifact; the S33
+  * IVF monitor prices the deployed codebook against the CURRENT
+  * corpus, so it takes the corpus dir as a third argument (refused
+  * loudly without it). `vacuum` runs the E31 grace deletion
+  * explicitly — compaction already vacuums on entry, but an operator
+  * retiring a deployment wants the reclaim without paying a rewrite
+  * (the expire-snapshots verb); it takes the same single-maintainer
+  * `_maintenance` lock the compactors hold, so it can never race a
+  * mid-flight compact.
   */
 object AnnCli {
 
@@ -41,7 +48,8 @@ object AnnCli {
 
   private def tablesOf(fs: org.apache.hadoop.fs.FileSystem,
                        artifact: String): Set[String] =
-    Seq("postings", "members", "edges", "tombstones", "centroids")
+    Seq("postings", "members", "edges", "entry", "tombstones",
+      "centroids")
       .filter(t => fs.exists(
         new org.apache.hadoop.fs.Path(s"$artifact/$t"))).toSet
 
@@ -84,22 +92,39 @@ object AnnCli {
           println(s"Compacted graph artifact $artifact")
         }
       case Some("vacuum") =>
-        val dataTables = tables intersect Set("postings", "members", "edges")
-        dataTables.toSeq.sorted.foreach { t =>
-          SnapshotManifest.vacuum(fs, artifact, t)
-          spark.catalog.refreshByPath(s"$artifact/$t")
+        // the standalone verb takes the same single-maintainer lock
+        // the compactors hold: vacuuming while a compact is mid-flight
+        // would delete its just-moved-in gen files before the swap
+        val dataTables = tables intersect
+          Set("postings", "members", "edges", "entry")
+        SnapshotManifest.withMaintenanceLock(fs, artifact) {
+          dataTables.toSeq.sorted.foreach { t =>
+            SnapshotManifest.vacuum(fs, artifact, t)
+            spark.catalog.refreshByPath(s"$artifact/$t")
+          }
         }
         println(s"Vacuumed ${dataTables.toSeq.sorted.mkString(", ")} " +
           s"of $artifact")
       case Some("drift") =>
-        if (!tables("members"))
-          throw new IllegalArgumentException(
-            "drift monitors the graph family; IVF drift needs the " +
-              "corpus (see knn_ivf_drift)")
-        val r = SimQueries.graphDriftOn(spark, artifact).head()
-        println(s"obj_deployed_micro=${r.getLong(0)} " +
-          s"obj_refined_micro=${r.getLong(1)} gain_micro=${r.getLong(2)} " +
-          s"n_nodes=${r.getLong(3)} refine=${r.getBoolean(4)}")
+        if (tables("members")) {
+          val r = SimQueries.graphDriftOn(spark, artifact).head()
+          println(s"obj_deployed_micro=${r.getLong(0)} " +
+            s"obj_refined_micro=${r.getLong(1)} gain_micro=${r.getLong(2)} " +
+            s"n_nodes=${r.getLong(3)} refine=${r.getBoolean(4)}")
+        } else {
+          // IVF drift prices the DEPLOYED codebook against the CURRENT
+          // corpus (S33) — the codebook alone can't know it's stale,
+          // so the corpus path is required
+          val corpus = args.lift(2).getOrElse(
+            throw new IllegalArgumentException(
+              "drift on an IVF artifact needs the current corpus: " +
+                "drift <artifact> <corpusDir> (see knn_ivf_drift)"))
+          val r = SimQueries.ivfDriftOn(spark, artifact, corpus).head()
+          println(s"obj_deployed_micro=${r.getLong(0)} " +
+            s"obj_retrained_micro=${r.getLong(1)} " +
+            s"gain_micro=${r.getLong(2)} " +
+            s"n_vectors=${r.getLong(3)} retrain=${r.getBoolean(4)}")
+        }
       case other =>
         throw new IllegalArgumentException(
           s"unknown verb $other: expected status|compact|vacuum|drift")

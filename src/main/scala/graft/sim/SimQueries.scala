@@ -575,20 +575,39 @@ object SimQueries {
     * insert, no duplicated batch, no resurrected delete (spec'd under
     * a crash-compact-replay interleaving in StreamingSpec).
     *
-    * Priced residual: append-then-remove has a DUAL window — between
-    * move-in and originals-delete a reader can transiently see a kept
-    * postings row twice (tombstones are immune: their reads
-    * `distinct()`). That bounded double-read replaces the two strictly
-    * worse windows the old design had (a no-tombstone-table gap that
-    * served deleted vectors, and committer-dependent dynamic overwrite
-    * that could corrupt under direct-write committers). Durable state
-    * is exact at every crash point (the sweep spec); full read
-    * snapshot isolation would need a manifest/pointer layer over the
-    * artifact — the V13 shape, the noted production upgrade path.
+    * The postings rewrite is SNAPSHOT-ISOLATED through the versioned
+    * manifest ([[graft.streaming.SnapshotManifest]], E31): staged kept
+    * rows move in under `gen-*` names (invisible until the manifest
+    * swap), one atomic rename publishes (carried + new gen, removed =
+    * replaced inputs), and physical deletion of the replaced files
+    * waits for the NEXT compaction's vacuum (generation grace). A
+    * reader resolving before the swap sees exactly the old view, after
+    * it exactly the new one — the old append-then-remove double-read
+    * window no longer exists on the postings path. Tombstone retire
+    * keeps the simpler append-then-remove file swap: its readers
+    * `distinct()`, so the transient superset is invisible by
+    * construction. Residual trade: an in-flight reader must finish
+    * within one compaction cycle (Iceberg's expire-snapshots trade),
+    * and maintenance remains single-maintainer — enforced by the
+    * `_maintenance` lock vacuum and the compactors share.
     */
   def ivfCompact(s: SparkSession, artifact: String,
                  minDead: Long = 1L,
                  onPoint: String => Unit = _ => ()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$artifact/tombstones")))
+      return
+    // single-maintainer, ENFORCED: a concurrent vacuum would delete
+    // this pass's moved-in gen files before the swap
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+      ivfCompactBody(s, artifact, minDead, onPoint)
+    }
+  }
+
+  private def ivfCompactBody(s: SparkSession, artifact: String,
+                             minDead: Long,
+                             onPoint: String => Unit): Unit = {
     val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/postings")
     val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
@@ -882,6 +901,25 @@ object SimQueries {
     val cb0 = KMeans.train(
       e.filter(col("vec_id") % InsertMod =!= InsertRem)
         .select(col("vec_id"), col("v"), col("label")), iterations = 1)
+    ivfDriftFrom(s, e, cb0)
+  }
+
+  /** S33 pointed at a DEPLOYED artifact: score the given corpus under
+    * the artifact's persisted codebook (`{artifact}/centroids` — the
+    * ivfIndexWrite layout), run one Lloyd refit, recommend retraining
+    * iff the refit strictly improves. This is what
+    * `AnnCli drift <ivf-artifact> <corpusDir>` runs — the monitor
+    * needs the CURRENT corpus (the codebook alone can't price its own
+    * staleness), which is why the verb requires the corpus argument
+    * for the IVF family.
+    */
+  def ivfDriftOn(s: SparkSession, artifact: String,
+                 corpusDir: String): DataFrame =
+    ivfDriftFrom(s, vecs(s, corpusDir),
+      s.read.parquet(s"$artifact/centroids"))
+
+  private def ivfDriftFrom(s: SparkSession, e: DataFrame,
+                           cb0: DataFrame): DataFrame = {
     val a1 = KMeans.assign(e.select(col("vec_id"), col("v")), cb0)
     val cb1 = KMeans.meanByKey(a1.select(col("cluster"), col("v")),
       "cluster")
@@ -4331,6 +4369,16 @@ object SimQueries {
                   onPoint: String => Unit = _ => ()): Unit = {
     val fs = new org.apache.hadoop.fs.Path(artifact)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // single-maintainer, ENFORCED (see ivfCompact)
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+      hnswCompactBody(s, artifact, onPoint)
+    }
+  }
+
+  private def hnswCompactBody(s: SparkSession, artifact: String,
+                              onPoint: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     // grace deletion of the PREVIOUS rewrite's replaced files + any
     // crashed rewrite's orphan gen files (see ivfCompact's note)
     graft.streaming.SnapshotManifest.vacuum(fs, artifact, "members")
@@ -4638,9 +4686,15 @@ object SimQueries {
       val row = best.agg(
         expr("sum(cast(round(best * 1e6, 0) as bigint)) div count(1)"),
         count(lit(1))).head()
-      (row.getLong(0), row.getLong(1))
+      // the sum aggregate is NULL over zero rows — surface the
+      // degenerate deployment as a clean error below, not an NPE here
+      (if (row.isNullAt(0)) 0L else row.getLong(0), row.getLong(1))
     }
     val (o0, n0) = bestMicro(base)
+    if (n0 == 0L)
+      throw new IllegalArgumentException(
+        s"graph drift monitor: artifact $artifact has no scoreable " +
+          "base-layer edges (empty or degenerate deployment)")
     val refined = refineEdges(base, vecById).localCheckpoint(false)
     val (o1, n1) = bestMicro(refined)
     require(n0 == n1,

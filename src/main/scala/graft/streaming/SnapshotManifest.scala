@@ -63,6 +63,43 @@ object SnapshotManifest {
   final case class Manifest(version: Long, gen: Set[String],
                             removed: Set[String])
 
+  /** Single-maintainer guard shared by the compactors and the
+    * standalone vacuum verb (`AnnCli vacuum`). The protocol is
+    * single-maintainer by contract — a vacuum running concurrently
+    * with an in-flight compact would delete the compaction's just-
+    * moved-in gen files between move-in and the manifest swap, and the
+    * subsequent commit would publish a manifest naming missing files —
+    * and this lock ENFORCES it: an atomic-create `_maintenance` marker
+    * under the artifact, held for the whole maintenance pass, released
+    * on exit (normal or thrown). A marker older than `staleMs` is
+    * treated as a crashed maintainer's leftover and broken (the
+    * creating process never releases across a crash); in-process
+    * failures release through the finally, so staleness only matters
+    * after a hard kill.
+    */
+  def withMaintenanceLock[T](fs: FileSystem, artifact: String,
+                             staleMs: Long = 60L * 60 * 1000)
+                            (body: => T): T = {
+    val lock = new Path(s"$artifact/_maintenance")
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val heldSince =
+        try Some(fs.getFileStatus(lock).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      val stale = heldSince
+        .forall(t => System.currentTimeMillis() - t > staleMs)
+      if (!stale || { fs.delete(lock, false); !tryAcquire() })
+        throw new IllegalStateException(
+          s"maintenance already in flight at $artifact " +
+            s"(lock $lock held${heldSince.fold("")(t => s" since $t")}): " +
+            "vacuum and compaction are single-maintainer — retry after " +
+            "the running pass finishes")
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   private def manifestDir(artifact: String, table: String): Path =
     new Path(s"$artifact/$table/_manifest")
 

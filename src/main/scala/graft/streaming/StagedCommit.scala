@@ -99,35 +99,55 @@ object StagedCommit {
     def contains(id: Long): Boolean = id <= low || ids.contains(id)
   }
 
-  private def watermarkPath(artifact: String): Path =
-    new Path(s"$artifact/_insert_commits/low-watermark")
+  private def commitsDir(artifact: String): Path =
+    new Path(s"$artifact/_insert_commits")
+
+  private val watermarkRe = "^low-watermark-(\\d+)$".r
 
   /** Highest marker-pruned batch id (-1 when nothing was ever pruned).
     * Sound under Spark's single-outstanding-batch replay: a marker for
     * id N exists only after every id < N committed, so advancing the
     * watermark to a pruned marker's id never covers a batch that is
     * genuinely mid-commit.
+    *
+    * The value lives in the marker file's NAME (`low-watermark-{id}`,
+    * max wins), never in its content: an in-place content overwrite
+    * could crash mid-write and leave an empty file, silently resetting
+    * the watermark to -1 and permanently reclassifying batches whose
+    * markers were pruned in EARLIER runs as uncommitted — exactly the
+    * misclassification the watermark exists to prevent. A named marker
+    * either exists or it doesn't; there is no torn state.
     */
   def lowWatermark(fs: FileSystem, artifact: String): Long = {
-    val p = watermarkPath(artifact)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim.toLongOption.getOrElse(-1L)
-      finally in.close()
-    }
+    val dir = commitsDir(artifact)
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).toSeq
+      .flatMap(_.getPath.getName match {
+        case watermarkRe(id) => id.toLongOption
+        case _ => None
+      })
+      .foldLeft(-1L)(math.max)
   }
 
   /** Advance the watermark (monotone; written BEFORE the markers it
     * covers are deleted, so a crash between the two leaves ids both
-    * covered and marked — harmless).
+    * covered and marked — harmless). Atomic by construction: create
+    * the new named marker first, then retire superseded ones — a
+    * crash at any point leaves the max intact.
     */
   def advanceLowWatermark(fs: FileSystem, artifact: String,
                           id: Long): Unit = {
     if (id <= lowWatermark(fs, artifact)) return
-    val out = fs.create(watermarkPath(artifact), true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    val dir = commitsDir(artifact)
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, s"low-watermark-$id"), true).close()
+    fs.listStatus(dir).toSeq.foreach { st =>
+      st.getPath.getName match {
+        case watermarkRe(old) if old.toLongOption.exists(_ < id) =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
   }
 
   /** Batch ids sealed at this artifact (live markers only — prefer

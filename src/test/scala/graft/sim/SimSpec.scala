@@ -908,6 +908,99 @@ class SimSpec extends AnyFunSuite {
       AnnCli.run(spark, Array("status")))
   }
 
+  test("AnnCli drift on an IVF artifact: the deployed-codebook " +
+    "monitor equals the knn_ivf_drift gate bit-for-bit (same " +
+    "codebook, same refit), drives through the CLI verb, and " +
+    "refuses loudly without a corpus") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-annctl-ivfdrift").toString
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+    // the S32/S33 scenario: deploy a codebook trained on 2/3 of the
+    // corpus, then ask the monitor with the FULL corpus as current
+    SimQueries.ivfIndexWriteOn(
+      e.filter(col("vec_id") % SimQueries.InsertMod =!=
+        SimQueries.InsertRem), art)
+    graft.CachedFrames.releaseAll()
+    val cli = SimQueries.ivfDriftOn(spark, art, dir).collect()
+    graft.CachedFrames.releaseAll()
+    val gate = SimQueries.knnIvfDrift(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(cli.map(_.toSeq).toSeq === gate.map(_.toSeq).toSeq,
+      "artifact-read codebook drifted from the gate's trained one")
+    assert(cli.head.getAs[Boolean]("retrain"),
+      "the churned deployment must have retrain signal")
+    AnnCli.run(spark, Array("drift", art, dir)) // the verb itself
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("drift", art))) // corpus required
+  }
+
+  test("E31 maintenance lock: a held lock refuses a second " +
+    "maintainer, releases on normal exit AND on a thrown pass, and " +
+    "a stale lock from a hard-killed maintainer is broken") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-mlock").toString
+    SimQueries.ivfIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    val delIds = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    val lock = new org.apache.hadoop.fs.Path(s"$art/_maintenance")
+    // while one maintainer holds the lock, compaction AND the
+    // standalone vacuum verb both refuse — the race ADVICE named
+    // (vacuum deleting a mid-compact's moved-in gen files) can't start
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+      assert(fs.exists(lock))
+      intercept[IllegalStateException](
+        SimQueries.ivfCompact(spark, art))
+      intercept[IllegalStateException](
+        AnnCli.run(spark, Array("vacuum", art)))
+    }
+    assert(!fs.exists(lock), "lock survived a normal exit")
+    // released: the real pass runs now
+    SimQueries.ivfCompact(spark, art)
+    spark.catalog.refreshByPath(s"$art/postings")
+    assert(graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "postings", SimQueries.PostingsDdl)
+      .filter(col("vec_id").isin(delIds: _*)).count() === 0L)
+    // a thrown pass still releases (in-process failure ≠ hard kill)
+    intercept[RuntimeException](
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+        throw new RuntimeException("boom")
+      })
+    assert(!fs.exists(lock), "lock survived a thrown pass")
+    // a hard-killed maintainer's leftover is broken once stale
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    var ran = false
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+      ran = true
+    }
+    assert(ran, "a stale lock blocked maintenance forever")
+    assert(!fs.exists(lock))
+  }
+
+  test("S38 drift monitor on a degenerate deployment (no scoreable " +
+    "base edges) fails with a clean error naming the artifact, not " +
+    "an NPE") {
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-drift-empty").toString
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$art/members"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$art/edges"))
+    val ex = intercept[IllegalArgumentException](
+      SimQueries.graphDriftOn(spark, art).collect())
+    assert(ex.getMessage.contains(art))
+  }
+
   test("S22b deployed tuner: recall is monotone in probe depth on the " +
     "production serving core, and chosen is the 90%-of-best elbow") {
     val t = SimQueries.ivfTuneDeployed(spark, dir).collect()

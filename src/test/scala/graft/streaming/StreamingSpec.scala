@@ -1937,6 +1937,38 @@ class StreamingSpec extends AnyFunSuite {
       "tombstones over a marker-pruned batch never retired")
   }
 
+  test("StagedCommit watermark is crash-atomic: the id lives in the " +
+    "marker NAME (create-then-retire, max wins), so no crash point " +
+    "can tear it back to -1 and reclassify pruned batches") {
+    val art = tmp()
+    val fs = new org.apache.hadoop.fs.Path(art)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StagedCommit.lowWatermark(fs, art) === -1L)
+    StagedCommit.advanceLowWatermark(fs, art, 2L)
+    assert(StagedCommit.lowWatermark(fs, art) === 2L)
+    StagedCommit.advanceLowWatermark(fs, art, 5L)
+    assert(StagedCommit.lowWatermark(fs, art) === 5L)
+    // monotone: a lower advance is a no-op
+    StagedCommit.advanceLowWatermark(fs, art, 3L)
+    assert(StagedCommit.lowWatermark(fs, art) === 5L)
+    // exactly one named marker survives retirement
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$art/_insert_commits")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("low-watermark"))
+    assert(markers === Seq("low-watermark-5"))
+    // the crash-atomicity argument made literal: simulate the worst
+    // interleaving (new marker created, old not yet retired) — the
+    // reader's max-wins still answers 5, never -1, never 2
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$art/_insert_commits/low-watermark-2"), true).close()
+    assert(StagedCommit.lowWatermark(fs, art) === 5L)
+    // and batch markers don't confuse the parse
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$art/_insert_commits/batch-99"), true).close()
+    assert(StagedCommit.lowWatermark(fs, art) === 5L)
+    assert(StagedCommit.committedView(fs, art).ids === Set(99L))
+  }
+
   test("R30+R32+R19b topology: insert, delete, and serving streams " +
     "interleaved against ONE artifact, with a compaction mid-flight — " +
     "final serving equals the batch-maintained twin bit-for-bit") {
