@@ -394,6 +394,10 @@ object SimQueries {
       (best.getField("neg_cluster") * lit(-1L)).as("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$out/postings")
+    // flip to LISTING-HELD at birth: this one walk is the last data-dir
+    // listing the serving path ever pays — every later resolve reads
+    // only the manifest (see SnapshotManifest's held-listings contract)
+    graft.streaming.SnapshotManifest.track(e.sparkSession, out, "postings")
   }
 
   def ivfServeArtifact(s: SparkSession, dir: String,
@@ -856,10 +860,48 @@ object SimQueries {
   private[graft] def ivfInserter(s: SparkSession, artifact: String)
   : DataFrame => Unit = {
     val assign = ivfAssigner(s, artifact)
-    (newVecs: DataFrame) =>
+    (newVecs: DataFrame) => {
+      // stage → move-in → register (not a bare directory append): on a
+      // listing-held artifact the inserted files must enter the
+      // manifest's tracked set or no serve would ever see them — and
+      // they become VISIBLE atomically at the manifest swap instead of
+      // file-by-file. On an untracked artifact register is a no-op and
+      // this is the old append with explicit names. Crash before
+      // register leaves unregistered `add-*` orphans; vacuum's audit
+      // walk reclaims them.
+      val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/postings")
+      val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$artifact/_postings_inserting")
       assign(newVecs)
-        .write.mode("append").partitionBy("cluster")
-        .parquet(s"$artifact/postings")
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(staging.toString)
+      val movedRels = scala.collection.mutable.ArrayBuffer[String]()
+      val batch = java.util.UUID.randomUUID()
+      fs.listStatus(staging).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+        .sortBy(_.getPath.getName)
+        .foreach { cd =>
+          val dest = new org.apache.hadoop.fs.Path(
+            postingsPath, cd.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(cd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (st, i) =>
+              val nm = s"add-$batch-$i.parquet"
+              val to = new org.apache.hadoop.fs.Path(dest, nm)
+              if (!fs.rename(st.getPath, to))
+                throw new java.io.IOException(
+                  s"postings insert move failed: ${st.getPath} -> $to")
+              movedRels += s"${cd.getPath.getName}/$nm"
+            }
+        }
+      fs.delete(staging, true)
+      graft.streaming.SnapshotManifest
+        .register(fs, artifact, "postings", movedRels.toSeq)
+      s.catalog.refreshByPath(postingsPath.toString)
+    }
   }
 
   /** One build per (JVM, corpus) for the S32 gate: deploy the index
@@ -1762,6 +1804,7 @@ object SimQueries {
       bestClusterCol(cents).as("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$out/postings")
+    graft.streaming.SnapshotManifest.track(s, out, "postings")
   }
 
   /** S21∘S27: FILTERED serving from the PERSISTED artifact — the
@@ -4162,6 +4205,8 @@ object SimQueries {
       .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$out/edges")
+    graft.streaming.SnapshotManifest.track(s, out, "postings")
+    graft.streaming.SnapshotManifest.track(s, out, "edges")
   }
 
   /** One beam round against the PERSISTED edge list: the frontier is
@@ -4272,6 +4317,8 @@ object SimQueries {
     lv.orderBy(col("lvl").desc, col("vec_id").asc).limit(1)
       .select(col("vec_id"), col("vn"))
       .write.mode("overwrite").parquet(s"$out/entry")
+    Seq("members", "edges", "entry").foreach(t =>
+      graft.streaming.SnapshotManifest.track(e.sparkSession, out, t))
   }
 
   /** S36 serving: the S13 descent fed from the artifact — entry row,

@@ -53,15 +53,53 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Manifest format (`{table}/_manifest/v{N}`, underscore-prefixed so
   * Spark's own file index never sees it): text lines, `g <relpath>`
-  * for a live gen file, `r <relpath>` for a removed file. Relative to
-  * the table directory, so artifacts relocate. At 100 TB the listing
-  * itself should live in the manifest too (the full Iceberg shape);
-  * here the per-query listing is the same one spark.read already did.
+  * for a live gen file, `r <relpath>` for a removed file, and — for a
+  * LISTING-HELD table — a `held` header plus one `f <relpath>` line
+  * per tracked plain data file. Paths are relative to the table
+  * directory, so artifacts relocate.
+  *
+  * == Held listings (the full Iceberg shape) ==
+  *
+  * For an untracked or legacy manifest, `resolve` = one `listStatus`
+  * walk + the manifest filter. At 100 TB that walk is the V13 story
+  * all over again: millions of postings files enumerated per query.
+  * A `held` manifest closes it — the manifest itself names every live
+  * plain file, and `resolve` reads NOTHING under the data directory:
+  * one `_manifest` read + one `_insert_commits` listing (bounded by
+  * the marker prune at ~100 entries), zero data-dir LISTs
+  * (counting-FS spec'd). Registration paths:
+  *
+  *  - the index builders (`ivfIndexWrite` and friends) `track` the
+  *    table right after writing it — one listing, at build time;
+  *  - `StagedCommit.commit` registers every `b{id}-*` file it moves,
+  *    BEFORE sealing the batch marker (a crash in between leaves
+  *    registered-but-unsealed names, which `resolve` excludes via the
+  *    committed view and the replay re-moves deterministically — the
+  *    walk is name-sorted — so the registered names stay truthful);
+  *  - the batch insert path moves its files in from staging and
+  *    registers them;
+  *  - compaction's `commit` carries `files -- removed` forward, so
+  *    replaced plain files leave the tracked set exactly when they
+  *    leave the view.
+  *
+  * The directory listing remains the explicit audit/recovery path:
+  * `vacuum` still walks the data dir (that IS the audit — it must see
+  * orphans the manifest doesn't know), and `track` re-derives the
+  * tracked set from disk. A plain data file appended OUTSIDE these
+  * paths is invisible on a held table by design — held mode trades
+  * open-directory appends for O(1)-metadata serving, the same trade
+  * Iceberg makes.
   */
 object SnapshotManifest {
 
+  /** @param files Some(tracked plain files) for a listing-held table
+    *              (`held` header present), None for a legacy
+    *              listing-filtered one. */
   final case class Manifest(version: Long, gen: Set[String],
-                            removed: Set[String])
+                            removed: Set[String],
+                            files: Option[Set[String]] = None) {
+    def held: Boolean = files.isDefined
+  }
 
   /** Single-maintainer guard shared by the compactors and the
     * standalone vacuum verb (`AnnCli vacuum`). The protocol is
@@ -127,7 +165,12 @@ object SnapshotManifest {
       finally in.close()
     val gen = lines.collect { case l if l.startsWith("g ") => l.drop(2) }
     val removed = lines.collect { case l if l.startsWith("r ") => l.drop(2) }
-    Some(Manifest(v, gen.toSet, removed.toSet))
+    val files =
+      if (lines.contains("held"))
+        Some(lines.collect { case l if l.startsWith("f ") => l.drop(2) }
+          .toSet)
+      else None
+    Some(Manifest(v, gen.toSet, removed.toSet, files))
   }
 
   def isGen(name: String): Boolean = name.startsWith("gen-")
@@ -165,6 +208,12 @@ object SnapshotManifest {
   /** `resolve` with the table-relative path kept beside the absolute
     * one — compaction parses partition values out of the relative path
     * and records replaced files by it.
+    *
+    * For a listing-held table the serving path reads NO data-dir
+    * listing at all: live set = (tracked plain files ∪ manifest gen)
+    * − removed, with unsealed `b{id}-*` names excluded through the
+    * committed view (one `_insert_commits` listing, bounded by the
+    * marker prune). Legacy/untracked tables keep the walk + filter.
     */
   def resolveEntries(s: SparkSession, artifact: String,
                      table: String): Seq[(String, String)] = {
@@ -173,13 +222,62 @@ object SnapshotManifest {
     val m = read(fs, artifact, table)
     val gen = m.map(_.gen).getOrElse(Set.empty)
     val removed = m.map(_.removed).getOrElse(Set.empty)
-    listing(fs, new Path(s"$artifact/$table")).collect {
-      case (rel, p)
-        if !StagedCommit.uncommittedFile(p.getName, committed) &&
-          !removed.contains(rel) &&
-          (!isGen(p.getName) || gen.contains(rel)) => (rel, p.toString)
+    m.flatMap(_.files) match {
+      case Some(tracked) =>
+        ((tracked ++ gen) -- removed).toSeq.sorted.collect {
+          case rel
+            if !StagedCommit.uncommittedFile(
+              rel.substring(rel.lastIndexOf('/') + 1), committed) =>
+            // fs-qualified so held and legacy resolves are
+            // byte-identical path strings (file:/… on local)
+            (rel, fs.makeQualified(
+              new Path(s"$artifact/$table/$rel")).toString)
+        }
+      case None =>
+        listing(fs, new Path(s"$artifact/$table")).collect {
+          case (rel, p)
+            if !StagedCommit.uncommittedFile(p.getName, committed) &&
+              !removed.contains(rel) &&
+              (!isGen(p.getName) || gen.contains(rel)) => (rel, p.toString)
+        }
     }
   }
+
+  /** Flip a table into LISTING-HELD mode: one audit walk of the data
+    * directory (this is the last listing the serving path ever pays)
+    * snapshots every live plain file into the manifest's tracked set,
+    * carrying the current gen/removed sets unchanged. Unsealed
+    * `b{id}-*` files are tracked too — their visibility stays gated on
+    * the commit marker, and the replay re-registers the same sorted
+    * names. Idempotent; also the recovery path if the tracked set is
+    * ever doubted (re-track ≡ re-derive from disk).
+    */
+  def track(s: SparkSession, artifact: String, table: String): Unit = {
+    val fs = fsOf(s, artifact)
+    val m = read(fs, artifact, table)
+    val gen = m.map(_.gen).getOrElse(Set.empty)
+    val removed = m.map(_.removed).getOrElse(Set.empty)
+    val plain = listing(fs, new Path(s"$artifact/$table")).collect {
+      case (rel, p) if !isGen(p.getName) && !removed.contains(rel) => rel
+    }.toSet
+    write(fs, artifact, table, gen, removed, Some(plain))
+  }
+
+  /** Register newly-moved-in plain data files on a held table (no-op
+    * on untracked/legacy tables — the listing discovers their files).
+    * Idempotent: re-registering an already-tracked name writes no new
+    * version.
+    */
+  def register(fs: FileSystem, artifact: String, table: String,
+               rels: Seq[String]): Unit =
+    read(fs, artifact, table) match {
+      case Some(m) if m.held =>
+        val add = rels.toSet -- m.files.get
+        if (add.nonEmpty)
+          write(fs, artifact, table, m.gen, m.removed,
+            Some(m.files.get ++ add))
+      case _ => ()
+    }
 
   /** `resolve` as a DataFrame with partition columns inferred under
     * `basePath`; an empty view reads as an explicit-schema empty frame
@@ -197,16 +295,27 @@ object SnapshotManifest {
 
   /** Step 1 of the compaction protocol: physically delete the current
     * removed set (excluded from reads for a full generation) and any
-    * orphan gen files a crashed compaction left half-moved. Idempotent.
+    * orphan gen files a crashed compaction left half-moved. On a
+    * listing-held table the walk below IS the audit path (the one
+    * place that must see what the manifest doesn't): it additionally
+    * reclaims untracked plain files a crashed batch-insert left
+    * half-moved — but never `b{id}-*` files, whose unsealed ones the
+    * replay owns and whose sealed ones are registered by protocol.
+    * Idempotent.
     */
   def vacuum(fs: FileSystem, artifact: String, table: String): Unit = {
     val tableDir = new Path(s"$artifact/$table")
     val m = read(fs, artifact, table)
     val gen = m.map(_.gen).getOrElse(Set.empty)
     val removed = m.map(_.removed).getOrElse(Set.empty)
+    val tracked = m.flatMap(_.files)
     listing(fs, tableDir).foreach { case (rel, p) =>
+      val nm = p.getName
+      val orphanPlain = tracked.exists(f =>
+        !isGen(nm) && !nm.matches("^b\\d+-.*") && !f.contains(rel) &&
+          !removed.contains(rel))
       if (removed.contains(rel) ||
-        (isGen(p.getName) && !gen.contains(rel)))
+        (isGen(nm) && !gen.contains(rel)) || orphanPlain)
         fs.delete(p, false)
     }
     // a partition dir whose last file just retired drops (metadata-
@@ -227,17 +336,30 @@ object SnapshotManifest {
   }
 
   /** Step 4: write `v{current+1}` with the given live-gen and removed
-    * sets (relative paths) and atomically rename it into place.
+    * sets (relative paths) and atomically rename it into place. On a
+    * listing-held table the tracked plain-file set carries forward
+    * minus `removed` — a rewrite's replaced plain inputs leave the
+    * tracked set exactly when they leave the view.
     */
   def commit(fs: FileSystem, artifact: String, table: String,
              gen: Set[String], removed: Set[String]): Unit = {
+    val files = read(fs, artifact, table)
+      .flatMap(_.files).map(_ -- removed)
+    write(fs, artifact, table, gen, removed, files)
+  }
+
+  private def write(fs: FileSystem, artifact: String, table: String,
+                    gen: Set[String], removed: Set[String],
+                    files: Option[Set[String]]): Unit = {
     val dir = manifestDir(artifact, table)
     fs.mkdirs(dir)
     val next = read(fs, artifact, table).map(_.version).getOrElse(0L) + 1
     val tmp = new Path(dir, s".tmp-v$next")
     val out = fs.create(tmp, true)
     try {
-      val body = (gen.toSeq.sorted.map(f => s"g $f") ++
+      val body = (files.toSeq.flatMap(_ => Seq("held")) ++
+        files.getOrElse(Set.empty).toSeq.sorted.map(f => s"f $f") ++
+        gen.toSeq.sorted.map(f => s"g $f") ++
         removed.toSeq.sorted.map(f => s"r $f")).mkString("\n")
       out.write(body.getBytes("UTF-8"))
     } finally out.close()

@@ -40,15 +40,28 @@ object StagedCommit {
     if (fs.exists(staging)) fs.delete(staging, true) // crashed leftovers
     stage(staging.toString)
     var moved = 0
+    // (table, rel-under-table) of every file this commit moved in —
+    // registered on listing-held tables below, BEFORE the marker
+    val movedRels = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // the walk is NAME-SORTED so a replay reproduces the exact
+    // (staged file → b{id}-{n} destination) mapping of the crashed
+    // attempt — the registered names stay truthful across replays
     def walk(src: Path, relDir: String): Unit = {
-      fs.listStatus(src).foreach { st =>
+      fs.listStatus(src).sortBy(_.getPath.getName).foreach { st =>
         val name = st.getPath.getName
         if (st.isDirectory) walk(st.getPath,
           if (relDir.isEmpty) name else s"$relDir/$name")
         else if (name.endsWith(".parquet")) {
           val dest = new Path(s"$artifact/$relDir")
           fs.mkdirs(dest)
-          moveInto(fs, st.getPath, dest, batchId, moved)
+          val destName = moveInto(fs, st.getPath, dest, batchId, moved)
+          val cut = relDir.indexOf('/')
+          if (relDir.nonEmpty) {
+            val table = if (cut < 0) relDir else relDir.take(cut)
+            val rel = if (cut < 0) destName
+              else s"${relDir.drop(cut + 1)}/$destName"
+            movedRels += (table -> rel)
+          }
           moved += 1
           if (moveLimit >= 0 && moved >= moveLimit)
             throw new java.io.IOException(
@@ -75,15 +88,25 @@ object StagedCommit {
     sweep(staging, "")
     walk(staging, "")
     fs.delete(staging, true)
+    // register-THEN-seal on listing-held tables: a crash in between
+    // leaves registered-but-unsealed names, which every resolve
+    // excludes through the committed view, and the replay re-moves
+    // the identical sorted names — so registration is idempotent and
+    // never points at a file the replay won't recreate
+    movedRels.groupBy(_._1).foreach { case (table, rels) =>
+      SnapshotManifest.register(fs, artifact, table, rels.map(_._2).toSeq)
+    }
     fs.mkdirs(commits)
     fs.create(marker, true).close()
   }
 
   private def moveInto(fs: FileSystem, src: Path, destDir: Path,
-                       batchId: Long, n: Int): Unit = {
-    val to = new Path(destDir, s"b$batchId-$n.parquet")
+                       batchId: Long, n: Int): String = {
+    val name = s"b$batchId-$n.parquet"
+    val to = new Path(destDir, name)
     if (!fs.rename(src, to))
       throw new java.io.IOException(s"insert commit move failed: $src -> $to")
+    name
   }
 
   /** The committed-batch view: the live marker set PLUS the marker-

@@ -2925,4 +2925,169 @@ class StreamingSpec extends AnyFunSuite {
       "streamed token accounting diverged from the batch encoder")
     graft.CachedFrames.releaseAll()
   }
+
+  test("E31 held listings: a deployed artifact serves with ZERO " +
+    "data-directory LISTs — resolve reads only the manifest and the " +
+    "commit markers — and batch inserts, streamed batches, crash " +
+    "replay, and compaction all keep the tracked set truthful") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    spark.sparkContext.hadoopConfiguration.set("fs.counting.impl",
+      classOf[graft.vcr.CountingFileSystem].getName)
+    val base = tmp()
+    val art = s"counting://$base"
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    val m0 = graft.streaming.SnapshotManifest
+      .read(fs, art, "postings").get
+    assert(m0.held, "the builder did not flip the table to held mode")
+    assert(m0.files.get.nonEmpty)
+    // the counting-FS contract: a serve does NO directory enumeration
+    // under the postings table (its _manifest home excepted — that IS
+    // the read path; `_insert_commits` sits at artifact root)
+    def postingsDirScans(): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      graft.vcr.CountingFileSystem.listedDirs.asScala.toSeq
+        .filter(p => p.startsWith(s"$base/postings") &&
+          !p.contains("_manifest"))
+    }
+    def serveIds(): Set[Long] = {
+      val q = graft.Tables.embeddings(spark, dir0)
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val r = graft.sim.SimQueries.serveArtifactDeletedOn(spark,
+        graft.sim.SimQueries.ivfQueryAssigner(spark, art)(q),
+        art, excludeSelf = true)
+      val out = r.select("neighbor").collect().map(_.getLong(0)).toSet
+      graft.CachedFrames.releaseAll()
+      out
+    }
+    spark.catalog.refreshByPath(s"$art/postings")
+    graft.vcr.CountingFileSystem.reset()
+    val served0 = serveIds()
+    assert(served0.nonEmpty)
+    assert(postingsDirScans() === Seq.empty,
+      s"the serve enumerated the data dir: ${postingsDirScans()}")
+    // BATCH insert: moved in from staging and REGISTERED — visible on
+    // the next serve, still without a single data-dir enumeration
+    val insIds = (9000000L until 9000008L)
+    graft.sim.SimQueries.ivfInsert(spark, art,
+      graft.Tables.embeddings(spark, dir0).filter(col("vec_id") < 8)
+        .select((col("vec_id") + 9000000L).as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("vn",
+          graft.functions.VectorFunctions.normalize(col("v"))))
+    val m1 = graft.streaming.SnapshotManifest
+      .read(fs, art, "postings").get
+    assert((m1.files.get -- m0.files.get)
+      .forall(_.matches("cluster=\\d+/add-.*\\.parquet")))
+    assert((m1.files.get -- m0.files.get).nonEmpty)
+    graft.vcr.CountingFileSystem.reset()
+    val served1 = serveIds()
+    assert(insIds.exists(served1.contains),
+      "an inserted near-duplicate never surfaced as a neighbor")
+    assert(postingsDirScans() === Seq.empty)
+    // STREAMED batch: b{id}-* files registered BEFORE the marker; a
+    // crash in between leaves them excluded (unsealed), and the replay
+    // re-moves the same sorted names — the tracked set stays truthful
+    val assign = graft.sim.SimQueries.ivfAssigner(spark, art)
+    def mkBatch() = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 8)
+      .select((col("vec_id") + 7000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    intercept[java.io.IOException](StreamIvfInsert.insertBatch(
+      spark, art, assign, mkBatch(), batchId = 1L, moveLimit = 1))
+    val mCrash = graft.streaming.SnapshotManifest
+      .read(fs, art, "postings").get
+    // the crashed attempt may or may not have reached registration —
+    // either way nothing unsealed resolves
+    assert(graft.streaming.SnapshotManifest
+      .resolve(spark, art, "postings")
+      .forall(!_.contains("b1-")), "an unsealed batch file resolved")
+    StreamIvfInsert.insertBatch(spark, art, assign, mkBatch(), 1L)
+    val mSealed = graft.streaming.SnapshotManifest
+      .read(fs, art, "postings").get
+    val b1 = mSealed.files.get.filter(_.matches(".*/b1-\\d+\\.parquet"))
+    assert(b1.nonEmpty, "the sealed batch's files were never registered")
+    // every registered b1 name exists on disk exactly once
+    b1.foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$art/postings/$rel")),
+        s"registered name $rel missing on disk after replay")
+    }
+    graft.vcr.CountingFileSystem.reset()
+    val served2 = serveIds()
+    assert((7000000L until 7000008L).exists(served2.contains),
+      "a streamed insert never surfaced")
+    assert(postingsDirScans() === Seq.empty)
+    // COMPACTION: replaced plain files leave the tracked set with the
+    // same swap that publishes the gen rewrite; serving stays LIST-free
+    val delIds = (7000000L until 7000008L) ++ insIds
+    graft.sim.SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    graft.sim.SimQueries.ivfCompact(spark, art, minDead = 1L)
+    spark.catalog.refreshByPath(s"$art/postings")
+    val m2 = graft.streaming.SnapshotManifest
+      .read(fs, art, "postings").get
+    assert(m2.held)
+    assert(m2.removed.forall(r => !m2.files.get.contains(r)),
+      "a replaced plain file stayed in the tracked set")
+    graft.vcr.CountingFileSystem.reset()
+    val served3 = serveIds()
+    assert(delIds.forall(i => !served3.contains(i)),
+      "a tombstoned vector served after compaction")
+    assert(postingsDirScans() === Seq.empty)
+    // vacuum is the AUDIT path (it may and must walk): plant a
+    // crashed-batch-insert orphan; the walk reclaims it, tracked and
+    // registered files survive
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$art/postings/cluster=1/add-deadbeef-0.parquet")
+    fs.create(orphan, true).close()
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+      graft.streaming.SnapshotManifest.vacuum(fs, art, "postings")
+    }
+    assert(!fs.exists(orphan), "vacuum's audit walk spared the orphan")
+    val liveAfter = graft.streaming.SnapshotManifest
+      .resolve(spark, art, "postings")
+    liveAfter.foreach(f => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(f)),
+      s"vacuum deleted a live tracked file: $f"))
+    spark.catalog.refreshByPath(s"$art/postings")
+    assert(serveIds() === served3,
+      "vacuum changed the served answer")
+  }
+
+  test("E31 held listings on the graph family: members/edges/entry " +
+    "all serve manifest-only (zero data-dir enumerations)") {
+    spark.sparkContext.hadoopConfiguration.set("fs.counting.impl",
+      classOf[graft.vcr.CountingFileSystem].getName)
+    val dir0 = "/root/testdata/sf0.01"
+    val base = tmp()
+    val art = s"counting://$base"
+    graft.sim.SimQueries.hnswIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    Seq("members", "edges", "entry").foreach { t =>
+      assert(graft.streaming.SnapshotManifest.read(fs, art, t)
+        .exists(_.held), s"$t not held")
+    }
+    val q = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        graft.functions.VectorFunctions
+          .normalize(col("embedding").cast("array<double>")).as("qvn"))
+      .localCheckpoint(false)
+    graft.vcr.CountingFileSystem.reset()
+    val served = graft.sim.SimQueries
+      .hnswServeArtifactDeleted(spark, q, art).collect()
+    graft.CachedFrames.releaseAll()
+    assert(served.nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val scans = graft.vcr.CountingFileSystem.listedDirs.asScala.toSeq
+      .filter(p => (p.startsWith(s"$base/members") ||
+        p.startsWith(s"$base/edges") || p.startsWith(s"$base/entry")) &&
+        !p.contains("_manifest"))
+    assert(scans === Seq.empty,
+      s"the graph serve enumerated a data dir: $scans")
+  }
 }

@@ -18,6 +18,8 @@ class CountingFileSystem extends RawLocalFileSystem {
   override def getUri: URI = URI.create("counting:///")
   override def listStatus(f: Path): Array[FileStatus] = {
     CountingFileSystem.listed.add(f.toUri.getPath)
+    if (new java.io.File(f.toUri.getPath).isDirectory)
+      CountingFileSystem.listedDirs.add(f.toUri.getPath)
     super.listStatus(f)
   }
 }
@@ -25,7 +27,13 @@ class CountingFileSystem extends RawLocalFileSystem {
 object CountingFileSystem {
   val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
-  def reset(): Unit = listed.clear()
+  /** DIRECTORY enumerations only — `listStatus` on a named file is a
+    * stat (O(1), what Spark's file index does per explicit leaf file),
+    * not a scan; the scoped-listing contracts care about scans.
+    */
+  val listedDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  def reset(): Unit = { listed.clear(); listedDirs.clear() }
 
   /** The tape DAY directories (`.../dt=<d>`) listed since reset —
     * manifest-side listings (`_manifest/...`) and root walks are
