@@ -1938,6 +1938,112 @@ object DedupQueries {
         count(lit(1)).as("n_runs"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** P34: EXACT-substring decontamination — D34's sub-tile grain
+    * pointed CROSS-SIDED at the eval split (Lee et al.'s exact rung
+    * applied to decontamination): every verbatim ≥k-word overlap
+    * between a training doc and an eval doc is caught at ANY
+    * alignment. This is the rung both existing decontamination gates
+    * provably leave gaps in: P3's contamination ratio misses a short
+    * quote inside a long training doc (the quote never reaches 20% of
+    * the doc's OWN shingle count), and P25's banded MinHash misses
+    * low-jaccard quotation (a 12-word quote in a 200-word doc is far
+    * below any useful band threshold) — the planted-quote spec shows
+    * both misses while this gate reports the quote with exact offsets.
+    *
+    * Shape: stride-1 positional k-shingles on both sides; the EVAL
+    * side is the broadcast build side (the P25 asymmetry — a benchmark
+    * suite is fixed-size in production; the %20 split is the test
+    * stand-in), the train side is df-capped (the D8 anti-join) so
+    * corpus-wide boilerplate that also appears in an eval doc can't
+    * explode the probe fanout; matches run-merge by gaps-and-islands
+    * per (train, eval, diagonal), so each maximal quote reports
+    * exactly once with both 1-based word offsets (same df-cap caveat
+    * as D34). Train-side shingles shuffle as 16-byte hashes; text
+    * never moves.
+    */
+  def decontamSubstrings(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    decontamSubstringsOn(docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  private def positionalShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= SubstringK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - $SubstringK + 1), " +
+          s"k -> struct(cast(k as bigint) as pos, " +
+          s"md5(concat_ws(' ', slice(w, k, $SubstringK))) as h))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+
+  /** The P34 core over explicit (doc_id, text) train and eval frames —
+    * factored so the planted-quote spec can drive its own corpus. */
+  private[graft] def decontamSubstringsOn(train: DataFrame,
+                                          ev: DataFrame): DataFrame = {
+    val trSh = graft.CachedFrames.persist(positionalShingles(train))
+    val stop = trSh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > Shingling.MaxShingleDf)
+      .select(col("h"))
+    val kept = trSh.hint("shuffle_hash")
+      .join(stop.hint("shuffle_hash"), Seq("h"), "left_anti")
+    val m = kept
+      .select(col("doc_id").as("train_id"), col("pos").as("pos_t"),
+        col("h"))
+      .join(broadcast(positionalShingles(ev)
+        .select(col("doc_id").as("eval_id"), col("pos").as("pos_e"),
+          col("h"))), Seq("h"))
+      .select(col("train_id"), col("pos_t"), col("eval_id"),
+        col("pos_e"))
+    val runs = m.withColumn("diag", col("pos_e") - col("pos_t"))
+      .withColumn("run_id",
+        col("pos_t") - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("train_id"), col("eval_id"), col("diag"))
+            .orderBy(col("pos_t"))))
+    runs.groupBy(col("train_id"), col("eval_id"), col("diag"),
+        col("run_id"))
+      .agg(min(col("pos_t")).as("start_train"),
+        (min(col("pos_t")) + col("diag")).as("start_eval"),
+        (max(col("pos_t")) - min(col("pos_t")) + SubstringK)
+          .as("len_words"))
+      .select(col("train_id"), col("eval_id"), col("start_train"),
+        col("start_eval"), col("len_words"))
+      .orderBy(col("train_id"), col("eval_id"), col("start_train"),
+        col("start_eval"))
+  }
+
+  val decontamSubstringsSql: String = s"""
+    WITH sdw AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE len(string_split(text, ' ')) >= $SubstringK),
+    ssh AS (
+      SELECT doc_id, k::BIGINT AS pos,
+             md5(array_to_string(
+               list_slice(w, k, k + $SubstringK - 1), ' ')) AS h
+      FROM sdw, unnest(range(1, len(w) - $SubstringK + 2)) AS u(k)),
+    str AS (SELECT doc_id, pos, h FROM ssh WHERE doc_id % 20 != 0),
+    sev AS (SELECT doc_id, pos, h FROM ssh WHERE doc_id % 20 = 0),
+    skept AS (
+      SELECT doc_id, pos, h FROM str
+      QUALIFY count(*) OVER (PARTITION BY h) <= ${Shingling.MaxShingleDf}),
+    sm AS (
+      SELECT t.doc_id AS train_id, t.pos AS pos_t,
+             e.doc_id AS eval_id, e.pos AS pos_e
+      FROM skept t JOIN sev e ON t.h = e.h),
+    sruns AS (
+      SELECT train_id, eval_id, pos_e - pos_t AS diag, pos_t,
+             pos_t - row_number() OVER (
+               PARTITION BY train_id, eval_id, pos_e - pos_t
+               ORDER BY pos_t) AS run_id
+      FROM sm)
+    SELECT train_id, eval_id,
+           min(pos_t)::BIGINT AS start_train,
+           (min(pos_t) + diag)::BIGINT AS start_eval,
+           (max(pos_t) - min(pos_t) + $SubstringK)::BIGINT AS len_words
+    FROM sruns GROUP BY train_id, eval_id, diag, run_id
+    ORDER BY train_id, eval_id, start_train, start_eval"""
+
   val dedupSubstringMassSql: String = s"""
     WITH dw AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2330,6 +2436,7 @@ object DedupQueries {
     "dedup_spans" -> (dedupSpans _),
     "dedup_substrings" -> (dedupSubstrings _),
     "dedup_substring_mass" -> (dedupSubstringMass _),
+    "decontam_substrings" -> (decontamSubstrings _),
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
@@ -2364,5 +2471,6 @@ object DedupQueries {
     "dedup_spans" -> dedupSpansSql,
     "dedup_substrings" -> dedupSubstringsSql,
     "dedup_substring_mass" -> dedupSubstringMassSql,
+    "decontam_substrings" -> decontamSubstringsSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -180,17 +180,20 @@ object PipelineQueries {
       .filter(col("contamination") >= 0.2)
 
   /** P28: decontamination method reconciliation — P3 (exact shingle
-    * overlap) and P25 (cross-sided MinHash-LSH) each flag training
-    * docs; this FULL OUTER joins their verdicts per doc (the A30/M10
+    * overlap ratio), P25 (cross-sided MinHash-LSH), and P34 (exact
+    * ≥k-word substring runs, round 11) each flag training docs; this
+    * FULL OUTER joins all three verdicts per doc (the A30/M10
     * reconciliation discipline applied to the decontamination
-    * decision): 'both' is the remove-with-confidence list, exact-only
-    * marks verbatim quotation below near-dup similarity (a doc that
-    * QUOTES an eval item inside much larger text — high overlap of
-    * ITS shingles, low symmetric jaccard), fuzzy-only marks
-    * similarity without threshold-crossing overlap. A curator reads
-    * the one-sided lists before trusting either method alone. Cost:
-    * the two pipelines' shared frames (shingle stream, band index)
-    * persist once via CachedFrames.
+    * decision): the `verdict` column names the flagging methods
+    * ('exact+fuzzy+substr' is the remove-with-confidence list);
+    * exact-without-fuzzy marks verbatim quotation below near-dup
+    * similarity, fuzzy-without-exact marks similarity without
+    * threshold-crossing overlap, and substr-only is P34's unique
+    * catch — a short verbatim eval quote inside a long doc, invisible
+    * to both ratio-threshold methods. A curator reads the one-sided
+    * lists before trusting any method alone. Cost: the pipelines'
+    * shared frames (shingle stream, band index) persist once via
+    * CachedFrames.
     */
   def decontamReport(s: SparkSession, dir: String): DataFrame = {
     val exact = textDecontam(s, dir)
@@ -198,14 +201,18 @@ object PipelineQueries {
     val fuzzy = graft.dedup.DedupQueries.decontamFuzzy(s, dir)
       .groupBy(col("train_id").as("doc_id"))
       .agg(max(col("jaccard")).as("fuzzy_jaccard"))
+    val substr = graft.dedup.DedupQueries.decontamSubstrings(s, dir)
+      .groupBy(col("train_id").as("doc_id"))
+      .agg(sum(col("len_words")).as("substr_words"),
+        max(col("len_words")).as("substr_longest"))
     exact.join(fuzzy, Seq("doc_id"), "full_outer")
-      .withColumn("verdict",
-        when(col("contamination").isNotNull &&
-          col("fuzzy_jaccard").isNotNull, "both")
-          .when(col("contamination").isNotNull, "exact_only")
-          .otherwise("fuzzy_only"))
+      .join(substr, Seq("doc_id"), "full_outer")
+      .withColumn("verdict", concat_ws("+",
+        when(col("contamination").isNotNull, "exact"),
+        when(col("fuzzy_jaccard").isNotNull, "fuzzy"),
+        when(col("substr_words").isNotNull, "substr")))
       .select(col("doc_id"), col("contamination"), col("fuzzy_jaccard"),
-        col("verdict"))
+        col("substr_words"), col("substr_longest"), col("verdict"))
       .orderBy(col("doc_id"))
   }
 
@@ -232,14 +239,21 @@ object PipelineQueries {
       SELECT doc_id,
              round(coalesce(n_overlap, 0) / n_shingles, 6) AS contamination
       FROM totals LEFT JOIN ov USING (doc_id)
-      WHERE round(coalesce(n_overlap, 0) / n_shingles, 6) >= 0.2)
-    SELECT coalesce(ex.doc_id, fz.doc_id) AS doc_id,
+      WHERE round(coalesce(n_overlap, 0) / n_shingles, 6) >= 0.2),
+    sb0 AS (${graft.dedup.DedupQueries.decontamSubstringsSql}),
+    sb AS (
+      SELECT train_id AS doc_id, sum(len_words)::BIGINT AS substr_words,
+             max(len_words)::BIGINT AS substr_longest
+      FROM sb0 GROUP BY train_id)
+    SELECT coalesce(ex.doc_id, fz.doc_id, sb.doc_id) AS doc_id,
            ex.contamination, fz.fuzzy_jaccard,
-           CASE WHEN ex.doc_id IS NOT NULL AND fz.doc_id IS NOT NULL
-                  THEN 'both'
-                WHEN ex.doc_id IS NOT NULL THEN 'exact_only'
-                ELSE 'fuzzy_only' END AS verdict
+           sb.substr_words, sb.substr_longest,
+           concat_ws('+',
+             CASE WHEN ex.doc_id IS NOT NULL THEN 'exact' END,
+             CASE WHEN fz.doc_id IS NOT NULL THEN 'fuzzy' END,
+             CASE WHEN sb.doc_id IS NOT NULL THEN 'substr' END) AS verdict
     FROM ex FULL OUTER JOIN fz ON ex.doc_id = fz.doc_id
+    FULL OUTER JOIN sb ON coalesce(ex.doc_id, fz.doc_id) = sb.doc_id
     ORDER BY doc_id"""
 
   /** P4: token-budget sequence packing — assign documents (in stable
@@ -344,6 +358,69 @@ object PipelineQueries {
     g AS (
       SELECT doc_id, tok_id,
              row_number() OVER (ORDER BY doc_id, wpos, spos) - 1 AS gpos
+      FROM flat)
+    SELECT gpos // $PackBlock AS block_id, count(*)::BIGINT AS n_tokens,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc,
+           md5(array_to_string(list(tok_id ORDER BY gpos), '-'))
+             AS token_md5
+    FROM g GROUP BY 1 ORDER BY block_id"""
+
+  /** P35: SHUFFLED packing order — P32 packs the token stream in
+    * doc_id order, which at corpus scale makes each training block a
+    * corpus-order run of one source (the loader then sees long
+    * single-source stretches per step). Production loaders shuffle
+    * DOCUMENTS before packing; this gate packs the same T29 stream in
+    * a salted-md5 document order (the P5 salt discipline:
+    * deterministic, re-derivable on any worker from the key alone,
+    * independent of the split/mix salts — no stored permutation, no
+    * RNG state), and P33's epoch ordering composes unchanged on top
+    * of the resulting blocks. Scale shape: the doc-offset prefix sum
+    * buckets by the order key's leading hex byte (uniform by
+    * construction — the P33 two-phase discipline, no skew case), one
+    * bounded window over the 256 bucket totals, within-bucket windows
+    * keyed by the full order key; the bucket is a prefix of the sort
+    * key, so the assembled order IS the global (k, doc_id) order.
+    * Everything downstream (explode, block groupBy, md5 fold) is
+    * P32's shape verbatim.
+    */
+  def dataPackShuffled(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
+      .withColumn("k", md5(concat_ws(":", lit("pack"), col("doc_id"))))
+      .withColumn("kb", substring(col("k"), 1, 2))
+    val bucketTotals = seqs.groupBy(col("kb"))
+      .agg(sum(col("n_tokens")).as("bt"))
+    val offsets = bucketTotals.withColumn("offset",
+      coalesce(sum(col("bt")).over(Window.orderBy(col("kb"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("kb"), col("offset"))
+    val within = Window.partitionBy(col("kb"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stream = seqs.join(broadcast(offsets), Seq("kb"))
+      .withColumn("doc_off",
+        col("offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+      .select(col("doc_id"), col("doc_off"),
+        posexplode(col("token_ids")).as(Seq("spos", "tok")))
+      .withColumn("gpos", col("doc_off") + col("spos"))
+      .withColumn("block_id", expr(s"gpos div $PackBlock"))
+    stream.groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(gpos, tok))), " +
+            "p -> cast(p.tok as string))"))).as("token_md5"))
+      .orderBy(col("block_id"))
+  }
+
+  lazy val dataPackShuffledSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    g AS (
+      SELECT doc_id, tok_id,
+             row_number() OVER (ORDER BY md5('pack:' || doc_id),
+               doc_id, wpos, spos) - 1 AS gpos
       FROM flat)
     SELECT gpos // $PackBlock AS block_id, count(*)::BIGINT AS n_tokens,
            count(DISTINCT doc_id)::BIGINT AS n_docs,
@@ -1963,6 +2040,7 @@ object PipelineQueries {
     "text_decontam" -> (textDecontam _),
     "data_pack" -> (dataPack _),
     "data_pack_tokens" -> (dataPackTokens _),
+    "data_pack_shuffled" -> (dataPackShuffled _),
     "data_epoch_order" -> (dataEpochOrder _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
@@ -2002,6 +2080,7 @@ object PipelineQueries {
     "text_decontam" -> textDecontamSql,
     "data_pack" -> dataPackSql,
     "data_pack_tokens" -> dataPackTokensSql,
+    "data_pack_shuffled" -> dataPackShuffledSql,
     "data_epoch_order" -> dataEpochOrderSql,
     "data_mix" -> dataMixSql,
     "text_unigram_lm" -> textUnigramLmSql)

@@ -422,6 +422,24 @@ class PlanSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("data_pack_shuffled computes its doc offsets TWO-PHASE: every " +
+    "window over the doc-axis token counts carries the md5-prefix " +
+    "bucket partition (the P33 discipline applied to the pack order)") {
+    // the sequence table is corpus-sized; a prefix-sum window ordered
+    // by the salted key WITHOUT the bucket partition would funnel the
+    // whole corpus through one task. The bounded window over the 256
+    // bucket totals aggregates `bt`, not `n_tokens`, so the filter
+    // below isolates exactly the doc-axis windows.
+    val p = plan("data_pack_shuffled")
+    val docWindows = p.linesIterator.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("n_tokens#")).toList
+    assert(docWindows.nonEmpty,
+      s"data_pack_shuffled lost its doc-offset window entirely:\n$p")
+    docWindows.foreach(l => assert(l.contains("kb#"),
+      s"doc-offset window lost its md5-prefix bucket partition:\n$l"))
+    graft.CachedFrames.releaseAll()
+  }
+
   test("approx_percentile lands near the exact percentile (scale path)") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")

@@ -682,6 +682,45 @@ class DedupSpec extends AnyFunSuite {
     assert(corpusRuns.forall(_.getLong(4) >= DedupQueries.SubstringK))
   }
 
+  test("P34 exact-substring decontamination catches a planted short " +
+    "verbatim eval quote that BOTH ratio gates provably miss (P3's " +
+    "contamination threshold and P25's jaccard band floor), with " +
+    "exact offsets; sub-k repeats stay out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // eval doc: e1..e40. train doc 1: 200 words with eval words
+    // 11..22 (a 12-word verbatim quote) planted at position 101.
+    // train doc 2: only a 9-word (< k) eval repeat — control.
+    val e = (1 to 40).map(i => s"e$i")
+    val evalDoc = e.mkString(" ")
+    val quote = e.slice(10, 22) // e11..e22, 12 words
+    val train1 = ((1 to 100).map(i => s"t$i") ++ quote ++
+      (101 to 188).map(i => s"t$i")).mkString(" ")
+    val train2 = ((1 to 50).map(i => s"u$i") ++ e.slice(0, 9) ++
+      (51 to 80).map(i => s"u$i")).mkString(" ")
+    val train = Seq((1L, train1), (2L, train2)).toDF("doc_id", "text")
+    val ev = Seq((20L, evalDoc)).toDF("doc_id", "text")
+    // P3 misses: the quote's 10 shared 3-grams are ~5% of the train
+    // doc's 198 shingles — far under the 20% contamination threshold
+    val evalShingles = e.sliding(3).map(_.mkString(" ")).toSeq
+    val p3 = graft.pipeline.PipelineQueries
+      .decontamAnnotate(train, evalShingles).collect()
+    assert(p3.isEmpty,
+      s"the plant is supposed to sit under P3's threshold: ${p3.toSeq}")
+    // P25 misses: token-set jaccard 12/228 ≈ 0.05 — under any useful
+    // band threshold (the gate's floor is 0.4)
+    val j = quote.toSet.size.toDouble /
+      (train1.split(" ").toSet ++ e.toSet).size
+    assert(j < 0.4, s"fixture broken: jaccard $j not under the floor")
+    // P34 reports exactly the quote, with both 1-based offsets
+    val runs = DedupQueries.decontamSubstringsOn(train, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.CachedFrames.releaseAll()
+    assert(runs.toSeq === Seq((1L, 20L, 101L, 11L, 12L)),
+      s"expected the one planted quote, got ${runs.toSeq}")
+  }
+
   test("semantic dedup equals an independent local within-cluster " +
     "recompute; keeper precedes removed; no cross-cluster pruning") {
     import org.apache.spark.sql.functions._

@@ -482,6 +482,51 @@ class PipelineSpec extends AnyFunSuite {
       "epoch ordering is not deterministic")
   }
 
+  test("P35 shuffled packing: same conservation laws as P32 (full " +
+    "blocks, contiguous ids, token count conserved, boundary " +
+    "crossings), the document order genuinely differs from doc_id " +
+    "order, and the shuffle is deterministic") {
+    val shuffled = PipelineQueries.dataPackShuffled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(_._1)
+    graft.CachedFrames.releaseAll()
+    val plain = PipelineQueries.dataPackTokens(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .sortBy(_._1)
+    graft.CachedFrames.releaseAll()
+    assert(shuffled.nonEmpty)
+    assert(shuffled.map(_._1).toSeq ===
+      (0L until shuffled.length).toSeq)
+    shuffled.dropRight(1).foreach { case (b, n, _, _, _) =>
+      assert(n === PipelineQueries.PackBlock,
+        s"shuffled block $b is not full — packing must never pad")
+    }
+    // same corpus, same block size → identical block count and the
+    // identical multiset of block sizes (only the ORDER moved)
+    assert(shuffled.length === plain.length)
+    assert(shuffled.map(_._2).sum === plain.map(_._2).sum,
+      "the shuffle lost or duplicated tokens")
+    // the document order genuinely differs: first_doc per block is no
+    // longer monotone (doc_id-order packing makes it monotone)
+    val firstDocs = shuffled.map(_._4).toSeq
+    assert(firstDocs !== firstDocs.sorted,
+      "salted order degenerated to doc_id order — shuffle inert")
+    assert(plain.map(_._3).toSeq === plain.map(_._3).toSeq.sorted,
+      "P32's doc_id-order packing lost its monotone first_doc — " +
+        "fixture assumption broken")
+    // boundary crossings survive the shuffle (zero padding waste)
+    assert(shuffled.exists(_._3 > 1L))
+    // deterministic, no RNG state: a second run is bit-identical
+    val again = PipelineQueries.dataPackShuffled(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(_._1)
+    graft.CachedFrames.releaseAll()
+    assert(again.toSeq === shuffled.toSeq,
+      "shuffled packing is not deterministic")
+  }
+
   test("P29b: the tokenized writer materializes T29's token-id " +
     "sequences beside the curated text — same keep set, every row's " +
     "ids sized to its n_tokens, and the token bill reconciles with " +
