@@ -496,6 +496,67 @@ object PipelineQueries {
            block_id
     FROM keyed ORDER BY epoch, position"""
 
+  /** P36: worker SHARD MANIFEST — the final loader handoff after
+    * T29 → P32/P35 → P33: a data-parallel training job with W ranks
+    * needs each epoch's block order SPLIT across workers so every
+    * block is consumed exactly once per epoch and every rank can
+    * derive its own shard without coordination. Round-robin on the
+    * epoch position (rank r takes positions ≡ r mod W — the
+    * torch-DistributedSampler contract: balanced to ±1 block per
+    * rank by construction, order within a rank = the epoch order
+    * restricted to its positions). Emits per (epoch, worker): block
+    * count, token count, and the md5 of the ordered block-id list —
+    * the manifest a loader shard checks itself against. Scale shape:
+    * P33's two-phase rank supplies positions; the size join is
+    * block-scale×block-scale (SHUFFLE_HASH pinned); the md5 fold per
+    * shard group is blocks/W-bounded per group and never collects to
+    * the driver.
+    */
+  val LoaderWorkers = 4
+
+  def dataShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val ord = dataEpochOrder(s, dir)
+    val sizes = dataPackTokens(s, dir)
+      .select(col("block_id"), col("n_tokens"))
+    ord.withColumn("worker", expr(s"(position - 1) % $LoaderWorkers"))
+      .hint("shuffle_hash")
+      .join(sizes.hint("shuffle_hash"), Seq("block_id"))
+      .groupBy(col("epoch"), col("worker"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("n_tokens")).as("n_tokens"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(position, block_id))), " +
+            "p -> cast(p.block_id as string))"))).as("blocks_md5"))
+      .orderBy(col("epoch"), col("worker"))
+  }
+
+  lazy val dataShardManifestSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    g AS (
+      SELECT doc_id, tok_id,
+             row_number() OVER (ORDER BY doc_id, wpos, spos) - 1 AS gpos
+      FROM flat),
+    bs AS (
+      SELECT gpos // $PackBlock AS block_id, count(*)::BIGINT AS n_tokens
+      FROM g GROUP BY 1),
+    ep AS (SELECT unnest(range(0, $PackEpochs)) AS epoch),
+    keyed AS (
+      SELECT epoch, block_id, md5(epoch || ':' || block_id) AS k
+      FROM bs, ep),
+    ordered AS (
+      SELECT epoch, block_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, block_id)
+               AS position
+      FROM keyed)
+    SELECT epoch::INTEGER AS epoch,
+           ((position - 1) % $LoaderWorkers)::BIGINT AS worker,
+           count(*)::BIGINT AS n_blocks,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           md5(array_to_string(list(block_id ORDER BY position), '-'))
+             AS blocks_md5
+    FROM ordered JOIN bs USING (block_id)
+    GROUP BY 1, 2 ORDER BY epoch, worker"""
+
   /** P5: weighted corpus mixing — per-source sampling rates (keep all
     * of even-numbered sources, 25% of odd ones: "upweight curated,
     * downsample crawl"), decided by a salted md5 bucket per doc so the
@@ -2041,6 +2102,7 @@ object PipelineQueries {
     "data_pack" -> (dataPack _),
     "data_pack_tokens" -> (dataPackTokens _),
     "data_pack_shuffled" -> (dataPackShuffled _),
+    "data_shard_manifest" -> (dataShardManifest _),
     "data_epoch_order" -> (dataEpochOrder _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
@@ -2081,6 +2143,7 @@ object PipelineQueries {
     "data_pack" -> dataPackSql,
     "data_pack_tokens" -> dataPackTokensSql,
     "data_pack_shuffled" -> dataPackShuffledSql,
+    "data_shard_manifest" -> dataShardManifestSql,
     "data_epoch_order" -> dataEpochOrderSql,
     "data_mix" -> dataMixSql,
     "text_unigram_lm" -> textUnigramLmSql)

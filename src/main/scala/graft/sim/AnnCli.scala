@@ -13,6 +13,7 @@ import graft.streaming.{SnapshotManifest, StagedCommit}
   * sbt "runMain graft.sim.AnnCli status  /indexes/products"
   * sbt "runMain graft.sim.AnnCli compact /indexes/products [minDead]"
   * sbt "runMain graft.sim.AnnCli vacuum  /indexes/products"
+  * sbt "runMain graft.sim.AnnCli track   /indexes/products"
   * sbt "runMain graft.sim.AnnCli drift   /indexes/catalog-graph"
   * sbt "runMain graft.sim.AnnCli drift   /indexes/products /data/sf1"
   * }}}
@@ -56,7 +57,7 @@ object AnnCli {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val artifact = args.lift(1).getOrElse(
       throw new IllegalArgumentException(
-        s"usage: <status|compact|vacuum|drift> <artifact> [args]"))
+        s"usage: <status|compact|vacuum|track|drift> <artifact> [args]"))
     val fs = SnapshotManifest.fsOf(spark, artifact)
     val tables = tablesOf(fs, artifact)
     if (tables.isEmpty)
@@ -90,6 +91,23 @@ object AnnCli {
         } else {
           SimQueries.hnswCompact(spark, artifact)
           println(s"Compacted graph artifact $artifact")
+        }
+      case Some("track") =>
+        // migrate a LEGACY artifact to manifest-held listings (E33):
+        // one audit walk per table — the last data-dir listing its
+        // serving path ever pays. Idempotent; also the recovery verb
+        // if a held manifest is ever doubted (re-derives from disk).
+        val dataTables = tables intersect
+          Set("postings", "members", "edges", "entry")
+        SnapshotManifest.withMaintenanceLock(fs, artifact) {
+          dataTables.toSeq.sorted.foreach { t =>
+            SnapshotManifest.track(spark, artifact, t)
+          }
+        }
+        dataTables.toSeq.sorted.foreach { t =>
+          val m = SnapshotManifest.read(fs, artifact, t).get
+          println(s"  $t tracked: ${m.files.map(_.size).getOrElse(0)} " +
+            s"files held at v${m.version}")
         }
       case Some("vacuum") =>
         // the standalone verb takes the same single-maintainer lock
@@ -127,7 +145,7 @@ object AnnCli {
         }
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb $other: expected status|compact|vacuum|drift")
+          s"unknown verb $other: expected status|compact|vacuum|track|drift")
     }
   }
 }

@@ -1703,8 +1703,11 @@ object TextQueries {
     * tokenizer's symbol table (vocab-scale, the T16d altitude
     * adjudication — bounded by merges + alphabet, never the corpus).
     */
-  private[graft] def bpeTokenSequences(s: SparkSession,
-                                       dir: String): DataFrame = {
+  /** The frozen-tokenizer frames T29/T30 share: the per-doc word
+    * stream, the word → token-id map (raw-vocabulary-scale), and the
+    * bounded symbol ↔ id table. */
+  private def bpeTokenizerFrames(s: SparkSession, dir: String)
+  : (DataFrame, DataFrame, DataFrame) = {
     val docsWords = graft.CachedFrames.persist(Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("wpos", "word")))
@@ -1726,6 +1729,12 @@ object TextQueries {
       .agg(sort_array(collect_list(struct(col("spos"), col("tok_id"))))
         .as("ps"))
       .select(col("word"), expr("transform(ps, p -> p.tok_id)").as("ids"))
+    (docsWords, wordIds, symIds)
+  }
+
+  private[graft] def bpeTokenSequences(s: SparkSession,
+                                       dir: String): DataFrame = {
+    val (docsWords, wordIds, _) = bpeTokenizerFrames(s, dir)
     // word→ids is RAW-vocabulary-scale (Heaps'-law growth): pinned
     // SHUFFLE_HASH per the T9/T13 discipline
     docsWords.join(wordIds.hint("shuffle_hash"), Seq("word"))
@@ -1736,6 +1745,76 @@ object TextQueries {
         flatten(expr("transform(ws, w -> w.ids)")).as("token_ids"))
       .withColumn("n_tokens", size(col("token_ids")).cast("long"))
   }
+
+  /** T30: BPE DECODE — the tokenizer ROUND-TRIP, closing the loader
+    * loop T29 opened (a training pipeline that can only encode is
+    * half a tokenizer: eval harnesses, data inspection, and generation
+    * all decode). Reconstructs each document from NOTHING but the
+    * flat token-id stream and the bounded symbol table: ids map back
+    * to symbol strings, the concatenation splits on the end-of-word
+    * mark (each word's last symbol carries `BpeMark` — BPE merges
+    * never cross it, so word boundaries survive flattening), and the
+    * words rejoin with single spaces. `is_match` compares against the
+    * identically-normalized source text (split-filter-join — the same
+    * whitespace normalization the encoder applied), so a TRUE row is
+    * a proved lossless round-trip, not a heuristic. One narrow join
+    * to the bounded symbol table + one per-doc aggregate — no window,
+    * no corpus-scale broadcast (the symbol table is
+    * tokenizer-vocab-sized and broadcasts by design).
+    */
+  def textBpeDecode(s: SparkSession, dir: String): DataFrame = {
+    val (docsWords, wordIds, symIds) = bpeTokenizerFrames(s, dir)
+    val seqs = docsWords.join(wordIds.hint("shuffle_hash"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("wpos"), col("ids"))))
+        .as("ws"))
+      .select(col("doc_id"),
+        flatten(expr("transform(ws, w -> w.ids)")).as("token_ids"))
+    val stream = seqs
+      .select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("spos", "tok")))
+      .join(broadcast(symIds.select(col("tok_id").as("tok"), col("sym"))),
+        Seq("tok"))
+    val decoded = stream.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws("", expr(
+          "transform(sort_array(collect_list(struct(spos, sym))), " +
+            "p -> p.sym)")).as("allsym"))
+      .select(col("doc_id"), col("n_tokens"),
+        array_join(filter(split(col("allsym"), BpeMark),
+          w => length(w) > lit(0)), " ").as("decoded"))
+    val orig = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          w => length(w) > lit(0)), " ").as("norm"))
+    decoded.join(orig, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        md5(col("decoded")).as("decoded_md5"),
+        (col("decoded") === col("norm")).as("is_match"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val textBpeDecodeSql: String = s"""
+    WITH $bpeTokenFlatSql,
+    dec AS (
+      SELECT f.doc_id,
+             count(*)::BIGINT AS n_tokens,
+             string_agg(s.sym, '' ORDER BY f.wpos, f.spos) AS allsym
+      FROM flat f JOIN sym_ids s USING (tok_id) GROUP BY f.doc_id),
+    d2 AS (
+      SELECT doc_id, n_tokens,
+             array_to_string(list_filter(
+               string_split(allsym, chr(4)), w -> len(w) > 0), ' ')
+               AS decoded
+      FROM dec),
+    orig AS (
+      SELECT doc_id,
+             array_to_string(list_filter(
+               string_split(text, ' '), w -> len(w) > 0), ' ') AS norm
+      FROM documents)
+    SELECT doc_id, n_tokens, md5(decoded) AS decoded_md5,
+           (decoded = norm) AS is_match
+    FROM d2 JOIN orig USING (doc_id) ORDER BY doc_id"""
 
   /** The T29 gate: the sequence rendered as a '-'-joined string so the
     * driver's scalar-cell hasher checks it exactly (list cells sort
@@ -2149,6 +2228,7 @@ object TextQueries {
     "text_rake" -> (textRake _),
     "text_bpe_encode" -> (textBpeEncode _),
     "text_bpe_tokens" -> (textBpeTokens _),
+    "text_bpe_decode" -> (textBpeDecode _),
     "text_fertility" -> (textFertility _),
     "text_kl_drift" -> (textKlDrift _),
     "hybrid_search" -> (hybridSearch _),
@@ -2179,6 +2259,7 @@ object TextQueries {
     "text_rake" -> textRakeSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_tokens" -> textBpeTokensSql,
+    "text_bpe_decode" -> textBpeDecodeSql,
     "text_fertility" -> textFertilitySql,
     "text_kl_drift" -> textKlDriftSql,
     "hybrid_search" -> hybridSearchSql,

@@ -527,6 +527,55 @@ class PipelineSpec extends AnyFunSuite {
       "shuffled packing is not deterministic")
   }
 
+  test("P36 shard manifest: every epoch's blocks split round-robin " +
+    "across the workers exactly once — counts balanced to ±1, token " +
+    "totals conserve the corpus, and each shard's md5 equals the " +
+    "independently recomputed ordered block list") {
+    val shards = PipelineQueries.dataShardManifest(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    graft.CachedFrames.releaseAll()
+    val ord = PipelineQueries.dataEpochOrder(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    graft.CachedFrames.releaseAll()
+    val sizes = PipelineQueries.dataPackTokens(spark, dir)
+      .select("block_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CachedFrames.releaseAll()
+    val w = PipelineQueries.LoaderWorkers
+    assert(shards.keySet ===
+      (for (e <- 0 until PipelineQueries.PackEpochs; r <- 0 until w)
+        yield (e, r.toLong)).toSet,
+      "missing or extra (epoch, worker) shards")
+    // independent recompute of every shard from the epoch order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    ord.groupBy(_._1).foreach { case (e, rows) =>
+      val byWorker = rows.sortBy(_._2).groupBy(t => (t._2 - 1) % w)
+      val counts = byWorker.values.map(_.length).toSeq
+      assert(counts.max - counts.min <= 1,
+        s"epoch $e shard imbalance beyond the round-robin ±1: $counts")
+      assert(byWorker.values.map(_.length.toLong).sum === rows.length.toLong)
+      byWorker.foreach { case (r, blk) =>
+        val (nb, nt, m) = shards((e, r))
+        assert(nb === blk.length.toLong)
+        assert(nt === blk.map(b => sizes(b._3)).sum,
+          s"epoch $e worker $r token total drifted")
+        assert(m === md5hex(blk.sortBy(_._2).map(_._3).mkString("-")),
+          s"epoch $e worker $r shard md5 != recomputed ordered list")
+      }
+    }
+    // conservation across the whole epoch
+    val corpusTokens = sizes.values.sum
+    (0 until PipelineQueries.PackEpochs).foreach { e =>
+      assert((0 until w).map(r => shards((e, r.toLong))._2).sum ===
+        corpusTokens, s"epoch $e lost tokens across shards")
+    }
+  }
+
   test("P29b: the tokenized writer materializes T29's token-id " +
     "sequences beside the curated text — same keep set, every row's " +
     "ids sized to its n_tokens, and the token bill reconciles with " +

@@ -908,6 +908,35 @@ class SimSpec extends AnyFunSuite {
       AnnCli.run(spark, Array("status")))
   }
 
+  test("AnnCli track migrates a legacy listing-based artifact to " +
+    "manifest-held listings: same resolved file set, serving " +
+    "unchanged, idempotent") {
+    import org.apache.spark.sql.functions._
+    val lart = java.nio.file.Files
+      .createTempDirectory("graft-annctl-track").toString
+    SimQueries.ivfIndexWrite(spark, dir, lart)
+    graft.CachedFrames.releaseAll()
+    val lfs = graft.streaming.SnapshotManifest.fsOf(spark, lart)
+    // strip the build-time manifest → the pre-E33 legacy layout
+    lfs.delete(new org.apache.hadoop.fs.Path(
+      s"$lart/postings/_manifest"), true)
+    assert(!graft.streaming.SnapshotManifest
+      .read(lfs, lart, "postings").exists(_.held))
+    val legacySet = graft.streaming.SnapshotManifest
+      .resolve(spark, lart, "postings").toSet
+    assert(legacySet.nonEmpty, "legacy listing path stopped serving")
+    AnnCli.run(spark, Array("track", lart))
+    val m = graft.streaming.SnapshotManifest
+      .read(lfs, lart, "postings").get
+    assert(m.held, "track did not flip the table to held")
+    assert(graft.streaming.SnapshotManifest
+      .resolve(spark, lart, "postings").toSet === legacySet,
+      "the held view differs from the legacy listing it replaced")
+    AnnCli.run(spark, Array("track", lart)) // idempotent
+    assert(graft.streaming.SnapshotManifest
+      .resolve(spark, lart, "postings").toSet === legacySet)
+  }
+
   test("AnnCli drift on an IVF artifact: the deployed-codebook " +
     "monitor equals the knn_ivf_drift gate bit-for-bit (same " +
     "codebook, same refit), drives through the CLI verb, and " +

