@@ -81,4 +81,37 @@ object CurationWriter {
     (back.count(),
       back.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
   }
+
+  /** P37: the PACKED-BLOCK writer — the last materialization between
+    * curation and the training loop: P32's continuous blocks written
+    * as the parquet a loader actually memory-maps, one row per block
+    * with the token ids IN ORDER (`token_ids[i]` is global position
+    * `block_id * PackBlock + i`), plus the provenance columns
+    * (n_tokens, n_docs, first_doc) and the same per-block md5 the P32
+    * gate hash-pins — so a written artifact is CHECKABLE against the
+    * gate bit-for-bit, not just counted. Layout: range-partitioned by
+    * block_id into `nFiles` files, block-sorted within each — a rank
+    * reading blocks [a, b) touches the minimal file set (the
+    * dt-pruning discipline applied to the training axis). Idempotent
+    * overwrite. Returns (blocks written, tokens written).
+    */
+  def writeBlocks(s: SparkSession, dir: String, outDir: String,
+                  nFiles: Int = 4): (Long, Long) = {
+    val stream = PipelineQueries.packedTokenStream(s, dir)
+    val blocks = stream.groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        expr("transform(sort_array(collect_list(struct(gpos, tok))), " +
+          "p -> p.tok)").as("token_ids"))
+      .withColumn("token_md5",
+        md5(concat_ws("-", expr(
+          "transform(token_ids, t -> cast(t as string))"))))
+      .repartitionByRange(nFiles, col("block_id"))
+      .sortWithinPartitions(col("block_id"))
+    blocks.write.mode("overwrite").parquet(outDir)
+    val back = s.read.parquet(outDir)
+    (back.count(),
+      back.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
+  }
 }

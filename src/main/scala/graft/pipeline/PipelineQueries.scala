@@ -322,6 +322,24 @@ object PipelineQueries {
   val PackBlock = 64L
 
   def dataPackTokens(s: SparkSession, dir: String): DataFrame = {
+    val stream = packedTokenStream(s, dir)
+    stream.groupBy(col("block_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(gpos, tok))), " +
+            "p -> cast(p.tok as string))"))).as("token_md5"))
+      .orderBy(col("block_id"))
+  }
+
+  /** The per-token packed stream (doc_id, gpos, block_id, tok) P32
+    * aggregates and P37's block writer materializes — factored so the
+    * gate and the writer can never drift. Doc offsets by the P4
+    * two-phase prefix sum (never a single-partition corpus window).
+    */
+  private[graft] def packedTokenStream(s: SparkSession,
+                                       dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val BucketWidth = 100
     val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
@@ -334,21 +352,13 @@ object PipelineQueries {
       .select(col("bucket"), col("offset"))
     val within = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val stream = seqs.join(broadcast(offsets), Seq("bucket"))
+    seqs.join(broadcast(offsets), Seq("bucket"))
       .withColumn("doc_off",
         col("offset") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
       .select(col("doc_id"), col("doc_off"),
         posexplode(col("token_ids")).as(Seq("spos", "tok")))
       .withColumn("gpos", col("doc_off") + col("spos"))
       .withColumn("block_id", expr(s"gpos div $PackBlock"))
-    stream.groupBy(col("block_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("first_doc"),
-        md5(concat_ws("-", expr(
-          "transform(sort_array(collect_list(struct(gpos, tok))), " +
-            "p -> cast(p.tok as string))"))).as("token_md5"))
-      .orderBy(col("block_id"))
   }
 
   // lazy: forces TextQueries' lazily-built oracle scaffolding only on

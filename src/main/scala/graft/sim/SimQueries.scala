@@ -98,6 +98,96 @@ object SimQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** S39: RANGE search — the OTHER faiss serving verb
+    * (`range_search`): every neighbor within a similarity radius,
+    * not a fixed k. Top-k answers "the best few"; range answers
+    * "everything this close" — the dedup/recall question (find ALL
+    * near-dups of these items) where a k cutoff silently truncates
+    * dense neighborhoods and pads sparse ones. Brute exact form: the
+    * |Q|-literal scan-and-filter — NO window at all (range search has
+    * no rank), embarrassingly parallel, the filter sits directly on
+    * the scan. Radius on the ROUNDED cosine so both engines apply the
+    * identical float-sensitive membership rule.
+    */
+  val RangeTau = 0.3
+
+  def knnRange(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val qSeq: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn")).collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    e.select(col("vec_id").as("neighbor"), col("vn"),
+        explode(typedLit(qSeq)).as("q"))
+      .filter(col("q._1") =!= col("neighbor"))
+      .select(col("q._1").as("q_id"), col("neighbor"),
+        round(dot(col("q._2"), col("vn")), 6).as("cos"))
+      .filter(col("cos") >= RangeTau)
+      .orderBy(col("q_id"), col("neighbor"))
+  }
+
+  val knnRangeSql: String = s"""
+    WITH e AS ($vecsSql)
+    SELECT q.vec_id AS q_id, e.vec_id AS neighbor,
+           round(list_dot_product(q.vn, e.vn), 6) AS cos
+    FROM e q, e
+    WHERE q.vec_id < $NumQueries AND e.vec_id != q.vec_id
+      AND round(list_dot_product(q.vn, e.vn), 6) >= $RangeTau
+    ORDER BY q_id, neighbor"""
+
+  /** S39b: IVF-pruned range search — the radius query served from the
+    * inverted file instead of the corpus scan: each query probes its
+    * NProbe nearest lists (the S21 multi-probe discipline), candidates
+    * come from the probe-list equi-join only, and the radius filter
+    * runs on candidates. Each corpus vector lives in exactly ONE list,
+    * so probed lists are disjoint and no result duplicates. Recall
+    * < 1 by construction (a within-radius neighbor in an unprobed
+    * list is missed — the trade every IVF range query makes); the
+    * spec pins ivf ⊆ brute and a recall floor at this codebook.
+    */
+  def knnRangeIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val cents = collectCents(e)
+    val assign = e.select(col("vec_id"), col("vn"),
+      bestClusterCol(cents).as("cluster"))
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"),
+        explode(topProbesCol(cents, NProbe)).as("p"))
+      .select(col("q_id"), col("qvn"), col("p.label").as("cluster"))
+    q.join(assign, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"))
+      .orderBy(col("q_id"), col("neighbor"))
+  }
+
+  // lazy: references centroidsSql, declared later in the object
+  lazy val knnRangeIvfSql: String = s"""
+    WITH e AS ($vecsSql),
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe)
+    SELECT q.q_id, a.vec_id AS neighbor, a.cluster,
+           round(list_dot_product(q.qvn, a.vn), 6) AS cos
+    FROM qprobe q JOIN assigned a USING (cluster)
+    WHERE a.vec_id != q.q_id
+      AND round(list_dot_product(q.qvn, a.vn), 6) >= $RangeTau
+    ORDER BY q_id, neighbor"""
+
   /** The join-form brute kNN (for query sets too large to inline):
     * correct but plans a nested-loop pair enumeration — spec-checked
     * equal to `knnBrute`, deliberately NOT a gate entry.
@@ -5142,6 +5232,8 @@ object SimQueries {
     "knn_graph_artifact" -> (knnGraphArtifact _),
     "knn_graph_hnsw_artifact" -> (knnGraphHnswArtifact _),
     "knn_brute" -> (knnBrute _),
+    "knn_range" -> (knnRange _),
+    "knn_range_ivf" -> (knnRangeIvf _),
     "knn_bq" -> (knnBq _),
     "knn_ivf_bq" -> (knnIvfBq _),
     "knn_ivf" -> (knnIvf _),
@@ -5182,6 +5274,8 @@ object SimQueries {
     "knn_recall_eval" -> knnRecallEvalSql,
     "pq_train" -> pqTrainSql,
     "knn_brute" -> knnBruteSql,
+    "knn_range" -> knnRangeSql,
+    "knn_range_ivf" -> knnRangeIvfSql,
     "knn_bq" -> knnBqSql,
     "knn_ivf_bq" -> knnIvfBqSql,
     "knn_ivf" -> knnIvfSql,

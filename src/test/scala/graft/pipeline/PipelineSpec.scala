@@ -576,6 +576,50 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("P37 block writer: the written artifact is checkable against " +
+    "the P32 gate bit-for-bit (per-block md5 and counts), ids sit at " +
+    "their global positions, and the write is idempotent") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-blocks").toString
+    val (nb, nt) = CurationWriter.writeBlocks(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val gate = PipelineQueries.dataPackTokens(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    graft.CachedFrames.releaseAll()
+    assert(nb === gate.size.toLong)
+    assert(nt === gate.values.map(_._1).sum)
+    val back = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getSeq[Long](4), r.getString(5)))
+    back.foreach { case (b, n, nd, fd, ids, m) =>
+      val (gn, gnd, gfd, gm) = gate(b)
+      assert(n === gn && nd === gnd && fd === gfd,
+        s"block $b counts drifted from the gate")
+      assert(m === gm, s"block $b md5 != the gate's hash-pinned value")
+      assert(ids.size.toLong === n,
+        s"block $b token_ids length != n_tokens")
+    }
+    // global-position contract: block b's ids ARE positions
+    // [b*PackBlock, b*PackBlock + n) of the corpus stream
+    val stream = PipelineQueries.packedTokenStream(spark, dir)
+      .select("gpos", "tok").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CachedFrames.releaseAll()
+    back.take(5).foreach { case (b, _, _, _, ids, _) =>
+      ids.zipWithIndex.foreach { case (tok, i) =>
+        assert(stream(b * PipelineQueries.PackBlock + i) === tok,
+          s"block $b position $i holds the wrong token")
+      }
+    }
+    // idempotent
+    val (nb2, nt2) = CurationWriter.writeBlocks(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    assert((nb2, nt2) === ((nb, nt)))
+  }
+
   test("P29b: the tokenized writer materializes T29's token-id " +
     "sequences beside the curated text — same keep set, every row's " +
     "ids sized to its n_tokens, and the token bill reconciles with " +

@@ -908,6 +908,55 @@ class SimSpec extends AnyFunSuite {
       AnnCli.run(spark, Array("status")))
   }
 
+  test("S39 range search: brute returns EXACTLY the within-radius " +
+    "set (cross-checked against the collected corpus), the IVF form " +
+    "is a strict subset with a recall floor, and neither duplicates " +
+    "a neighbor") {
+    import org.apache.spark.sql.functions._
+    val brute = SimQueries.knnRange(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    graft.CachedFrames.releaseAll()
+    val ivf = SimQueries.knnRangeIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    graft.CachedFrames.releaseAll()
+    assert(brute.nonEmpty, "radius too tight — no within-range pairs")
+    assert(brute.forall(_._3 >= SimQueries.RangeTau))
+    // no fixed k: some query must have MORE than TopK results or the
+    // radius semantics degenerate to top-k at this corpus (guards the
+    // fixture staying meaningful)
+    assert(brute.groupBy(_._1).values.map(_.size).max !==
+      brute.groupBy(_._1).values.map(_.size).min,
+      "every query returned the same count — radius adds nothing over k")
+    // exact recompute over the collected corpus
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions
+          .normalize(col("embedding").cast("array<double>")).as("vn"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s0 = 0.0; var i = 0
+      while (i < a.length) { s0 += a(i) * b(i); i += 1 }
+      BigDecimal(s0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byId = e.toMap
+    val want = (for {
+      (q, qv) <- e if q < SimQueries.NumQueries
+      (n, nv) <- e if n != q
+      c = cos(qv, nv) if c >= SimQueries.RangeTau
+    } yield (q, n, c)).toSet
+    assert(brute.toSet === want,
+      "brute range drifted from the local recompute")
+    // IVF ⊆ brute (same radius, probed candidates only), no dups
+    assert(ivf.map(t => (t._1, t._2)).toSet
+      .subsetOf(brute.map(t => (t._1, t._2)).toSet),
+      "IVF range returned a pair outside the exact radius set")
+    assert(ivf.length === ivf.map(t => (t._1, t._2)).distinct.length,
+      "IVF range duplicated a neighbor across probe lists")
+    // recall floor at this codebook/probe depth
+    assert(ivf.length * 10 >= brute.length * 5,
+      s"IVF range recall under 50%: ${ivf.length}/${brute.length}")
+  }
+
   test("AnnCli track migrates a legacy listing-based artifact to " +
     "manifest-held listings: same resolved file set, serving " +
     "unchanged, idempotent") {
