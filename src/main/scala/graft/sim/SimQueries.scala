@@ -1456,6 +1456,85 @@ object SimQueries {
     SELECT q_id, neighbor, cluster, cos, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
 
+  /** S40 (S39b ∘ S31 ∘ S27): RANGE search from the DEPLOYED +
+    * TOMBSTONED artifact — the radius verb on the production serving
+    * path: queries fan out to their NProbe lists through the deployed
+    * codebook (`ivfQueryAssigner`), the postings scan partition-prunes
+    * to the probed set (the S37 discipline), the tombstone anti-join
+    * runs on candidates only, survivors pass the radius filter. Same
+    * artifact cache as `knn_ivf_delete`; the oracle is that gate's
+    * rebuilt-without-them SQL with the radius predicate replacing the
+    * rank cutoff — range-from-deployment ≡ the index rebuilt without
+    * the deleted vectors, hash-checked.
+    */
+  def knnRangeDelete(s: SparkSession, dir: String): DataFrame = {
+    val artifact = deletedArtifactOf(s, dir)
+    val q = ivfQueryAssigner(s, artifact, NProbe)(
+      vecs(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v")))
+    val postings = postingsView(s, artifact)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    q.join(postings.filter(col("cluster").isin(probed: _*)),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
+      .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
+      .filter(col("cos") >= RangeTau)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        col("cos"))
+      .orderBy(col("q_id"), col("neighbor"))
+  }
+
+  lazy val knnRangeDeleteSql: String = s"""
+    WITH e AS ($vecsSql),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM e)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, seed.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM e, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    assigned AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    qprobe AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb WHERE e.vec_id < $NumQueries) WHERE rn <= $NProbe)
+    SELECT q.q_id, a.vec_id AS neighbor, a.cluster,
+           round(list_dot_product(q.qvn, a.vn), 6) AS cos
+    FROM qprobe q JOIN assigned a USING (cluster)
+    WHERE a.vec_id != q.q_id
+      AND a.vec_id % $DeleteMod != $DeleteRem
+      AND round(list_dot_product(q.qvn, a.vn), 6) >= $RangeTau
+    ORDER BY q_id, neighbor"""
+
   /** S22b: the tune ladder run against the DEPLOYED + TOMBSTONED
     * serving core — the nprobe decision a STANDING topology (R19b)
     * actually consults, where S22's `ivf_tune` prices the in-memory
@@ -5234,6 +5313,7 @@ object SimQueries {
     "knn_brute" -> (knnBrute _),
     "knn_range" -> (knnRange _),
     "knn_range_ivf" -> (knnRangeIvf _),
+    "knn_range_delete" -> (knnRangeDelete _),
     "knn_bq" -> (knnBq _),
     "knn_ivf_bq" -> (knnIvfBq _),
     "knn_ivf" -> (knnIvf _),
@@ -5276,6 +5356,7 @@ object SimQueries {
     "knn_brute" -> knnBruteSql,
     "knn_range" -> knnRangeSql,
     "knn_range_ivf" -> knnRangeIvfSql,
+    "knn_range_delete" -> knnRangeDeleteSql,
     "knn_bq" -> knnBqSql,
     "knn_ivf_bq" -> knnIvfBqSql,
     "knn_ivf" -> knnIvfSql,

@@ -957,6 +957,28 @@ class SimSpec extends AnyFunSuite {
       s"IVF range recall under 50%: ${ivf.length}/${brute.length}")
   }
 
+  test("S40 deployed range search: every returned pair is within the " +
+    "exact radius set, no tombstoned vector ever surfaces, and the " +
+    "partition-pruned serve is deterministic") {
+    val del = SimQueries.knnRangeDelete(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    graft.CachedFrames.releaseAll()
+    val brute = SimQueries.knnRange(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.releaseAll()
+    assert(del.nonEmpty)
+    assert(del.forall(_._3 >= SimQueries.RangeTau))
+    assert(del.forall(t =>
+      t._2 % SimQueries.DeleteMod != SimQueries.DeleteRem),
+      "a tombstoned vector surfaced from the deployed range serve")
+    assert(del.map(t => (t._1, t._2)).toSet.subsetOf(brute),
+      "deployed range returned a pair outside the exact radius set")
+    val again = SimQueries.knnRangeDelete(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    graft.CachedFrames.releaseAll()
+    assert(again.toSeq === del.toSeq, "deployed range serve not deterministic")
+  }
+
   test("AnnCli track migrates a legacy listing-based artifact to " +
     "manifest-held listings: same resolved file set, serving " +
     "unchanged, idempotent") {
