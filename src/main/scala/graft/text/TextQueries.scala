@@ -1732,6 +1732,13 @@ object TextQueries {
     (docsWords, wordIds, symIds)
   }
 
+  /** The deployed tokenizer's (sym, tok_id) table — what R35's
+    * streaming decoder collects at start-up (tokenizer-vocab-sized,
+    * the codebook discipline). */
+  private[graft] def bpeSymbolTable(s: SparkSession,
+                                    dir: String): DataFrame =
+    bpeTokenizerFrames(s, dir)._3
+
   private[graft] def bpeTokenSequences(s: SparkSession,
                                        dir: String): DataFrame = {
     val (docsWords, wordIds, _) = bpeTokenizerFrames(s, dir)

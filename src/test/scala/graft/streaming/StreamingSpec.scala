@@ -2926,6 +2926,49 @@ class StreamingSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("R35 streamed BPE decode: arriving token sequences decode per " +
+    "trigger with the frozen symbol table — parity with the batch T30 " +
+    "round-trip per doc, and out-of-vocabulary ids are counted, not " +
+    "crashed") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    // batch truth: T30's per-doc decoded md5 (is_match all true)
+    val batch = graft.text.TextQueries.textBpeDecode(spark, dir0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    graft.CachedFrames.releaseAll()
+    // the sequences a generator/inspector would stream, staged as a
+    // file source (one complete sequence per row)
+    val srcDir = tmp()
+    graft.text.TextQueries.bpeTokenSequences(spark, dir0)
+      .select(col("doc_id").as("seq_id"), col("token_ids"))
+      .write.mode("overwrite").parquet(srcDir)
+    graft.CachedFrames.releaseAll()
+    val dec = StreamBpeDecode.decoder(
+      graft.text.TextQueries.bpeSymbolTable(spark, dir0))
+    graft.CachedFrames.releaseAll()
+    val stream = spark.readStream
+      .schema("seq_id BIGINT, token_ids ARRAY<BIGINT>")
+      .parquet(srcDir)
+    val q = dec(stream).writeStream.outputMode("append")
+      .format("memory").queryName("r35_decode").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("r35_decode").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3))).toMap
+    assert(got.keySet === batch.keySet)
+    got.foreach { case (id, (n, unk, m)) =>
+      assert(unk === 0L, s"seq $id: unknown ids in an in-vocab stream")
+      assert((n, m) === batch(id),
+        s"seq $id: streamed decode diverged from the batch round-trip")
+    }
+    // OOV ids: counted and skipped, never crashed
+    val oov = dec(Seq((99L, Seq(1L, 999999L, 2L)))
+      .toDF("seq_id", "token_ids")).collect().head
+    assert(oov.getLong(2) === 1L, "unknown id not counted")
+    assert(oov.getLong(1) === 3L)
+  }
+
   test("E31 held listings: a deployed artifact serves with ZERO " +
     "data-directory LISTs — resolve reads only the manifest and the " +
     "commit markers — and batch inserts, streamed batches, crash " +
