@@ -16,6 +16,7 @@ import graft.streaming.{SnapshotManifest, StagedCommit}
   * sbt "runMain graft.sim.AnnCli track   /indexes/products"
   * sbt "runMain graft.sim.AnnCli drift   /indexes/catalog-graph"
   * sbt "runMain graft.sim.AnnCli drift   /indexes/products /data/sf1"
+  * sbt "runMain graft.sim.AnnCli retrain /indexes/versioned /data/sf1"
   * }}}
   *
   * Artifact kind is detected from its tables: `postings` → IVF
@@ -55,10 +56,37 @@ object AnnCli {
         new org.apache.hadoop.fs.Path(s"$artifact/$t"))).toSet
 
   def run(spark: SparkSession, args: Array[String]): Unit = {
-    val artifact = args.lift(1).getOrElse(
+    val root = args.lift(1).getOrElse(
       throw new IllegalArgumentException(
-        s"usage: <status|compact|vacuum|track|drift> <artifact> [args]"))
-    val fs = SnapshotManifest.fsOf(spark, artifact)
+        s"usage: <status|compact|vacuum|track|drift|retrain> " +
+          "<artifact> [args]"))
+    val fs = SnapshotManifest.fsOf(spark, root)
+    // a VERSIONED deployment (S41: `_current` → gen-N) reads and
+    // maintains through its live generation; `retrain` applies only
+    // to this shape (flat artifacts are maintained in place)
+    val versioned = IvfReindex.currentGen(fs, root)
+    if (args.headOption.contains("retrain")) {
+      if (versioned.isEmpty)
+        throw new IllegalArgumentException(
+          s"$root is not a versioned deployment (no _current pointer)" +
+            " — retrain needs IvfReindex.deployOn's layout")
+      val corpus = args.lift(2).getOrElse(
+        throw new IllegalArgumentException(
+          "retrain needs the current corpus: retrain <artifact> " +
+            "<corpusDir>"))
+      val e = graft.Tables.embeddings(spark, corpus)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>").as("v"))
+        .withColumn("vn", graft.functions.VectorFunctions
+          .normalize(org.apache.spark.sql.functions.col("v")))
+      val g = IvfReindex.retrain(spark, root, e)
+      println(s"Retrained $root -> $g (previous generation kept for " +
+        "one grace cycle)")
+      return
+    }
+    val artifact = versioned.fold(root)(g => s"$root/$g")
+    versioned.foreach(g => println(s"Versioned deployment: live=$g"))
     val tables = tablesOf(fs, artifact)
     if (tables.isEmpty)
       throw new IllegalArgumentException(
@@ -145,7 +173,7 @@ object AnnCli {
         }
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb $other: expected status|compact|vacuum|track|drift")
+          s"unknown verb $other: expected status|compact|vacuum|track|drift|retrain")
     }
   }
 }

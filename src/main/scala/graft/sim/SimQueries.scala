@@ -1138,6 +1138,103 @@ object SimQueries {
            obj_retrained_micro > obj_deployed_micro AS retrain
     FROM od, orr"""
 
+  /** S41 gate: serving AFTER the drift-recommended retrain — the
+    * S32/S33 scenario carried one step further: deploy on 2/3 of the
+    * corpus (generation 0), let S33 flag the drift, RUN the retrain
+    * ([[IvfReindex.retrain]]: one Lloyd refit built beside the live
+    * index, atomic pointer swap), then serve the standard query set
+    * from the retrained deployment. The oracle restates the whole
+    * causal chain — subset seed → deployed codebook → full-corpus
+    * assignment → refit — and serves under the refit codebook, so the
+    * hash pins that the swapped-in index IS the one the monitor
+    * priced, not merely some fresher index.
+    */
+  private val retrainedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnIvfRetrained(s: SparkSession, dir: String): DataFrame = {
+    val artifact = retrainedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-reindex").toString
+      val e = vecs(s, dir)
+      IvfReindex.deployOn(
+        e.filter(col("vec_id") % InsertMod =!= InsertRem), out)
+      IvfReindex.retrain(s, out, e)
+      out
+    })
+    IvfReindex.serve(s, dir, artifact)
+  }
+
+  lazy val knnIvfRetrainedSql: String = s"""
+    WITH e AS ($vecsSql),
+    tr AS (SELECT * FROM e WHERE vec_id % $InsertMod != $InsertRem),
+    seed AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT label::BIGINT AS cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM tr)
+                  GROUP BY label, i)
+            GROUP BY label)),
+    a0 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT tr.vec_id, tr.v, seed.cluster,
+               row_number() OVER (PARTITION BY tr.vec_id ORDER BY
+                 round(list_dot_product(tr.vn, seed.cvn), 6) DESC,
+                 seed.cluster) AS rn
+        FROM tr, seed) WHERE rn = 1),
+    cb AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a0)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    a1 AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, cb.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb.cvn), 6) DESC,
+                 cb.cluster) AS rn
+        FROM e, cb) WHERE rn = 1),
+    cb1 AS (
+      SELECT cluster, cv,
+             list_transform(cv, x -> x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (SELECT cluster, list(av ORDER BY i) AS cv
+            FROM (SELECT cluster, i, round(avg(v[i]), 6) AS av
+                  FROM (SELECT cluster, v, unnest(range(1, 1 + len(v))) AS i
+                        FROM a1)
+                  GROUP BY cluster, i)
+            GROUP BY cluster)),
+    af AS (
+      SELECT vec_id, vn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb1.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb1.cvn), 6) DESC,
+                 cb1.cluster) AS rn
+        FROM e, cb1) WHERE rn = 1),
+    qp AS (
+      SELECT vec_id AS q_id, vn AS qvn, cluster FROM (
+        SELECT e.vec_id, e.vn, cb1.cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cb1.cvn), 6) DESC,
+                 cb1.cluster) AS rn
+        FROM e, cb1 WHERE e.vec_id < $NumQueries) WHERE rn = 1),
+    scored AS (
+      SELECT q.q_id, a.vec_id AS neighbor, a.cluster,
+             round(list_dot_product(q.qvn, a.vn), 6) AS cos
+      FROM qp q JOIN af a USING (cluster)
+      WHERE a.vec_id != q.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, cos, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
   def knnIvfInsert(s: SparkSession, dir: String): DataFrame = {
     val artifact = insertedArtifacts.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files
@@ -5314,6 +5411,7 @@ object SimQueries {
     "knn_range" -> (knnRange _),
     "knn_range_ivf" -> (knnRangeIvf _),
     "knn_range_delete" -> (knnRangeDelete _),
+    "knn_ivf_retrained" -> (knnIvfRetrained _),
     "knn_bq" -> (knnBq _),
     "knn_ivf_bq" -> (knnIvfBq _),
     "knn_ivf" -> (knnIvf _),
@@ -5357,6 +5455,7 @@ object SimQueries {
     "knn_range" -> knnRangeSql,
     "knn_range_ivf" -> knnRangeIvfSql,
     "knn_range_delete" -> knnRangeDeleteSql,
+    "knn_ivf_retrained" -> knnIvfRetrainedSql,
     "knn_bq" -> knnBqSql,
     "knn_ivf_bq" -> knnIvfBqSql,
     "knn_ivf" -> knnIvfSql,

@@ -957,6 +957,87 @@ class SimSpec extends AnyFunSuite {
       s"IVF range recall under 50%: ${ivf.length}/${brute.length}")
   }
 
+  test("S41 retrain delivers EXACTLY the gain the drift monitor " +
+    "promised, the pointer swap is atomic under a crash (old " +
+    "generation serves untouched, retry completes), and generations " +
+    "retire on the grace schedule") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-reindex-spec").toString
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .localCheckpoint(false)
+    IvfReindex.deployOn(
+      e.filter(col("vec_id") % SimQueries.InsertMod =!=
+        SimQueries.InsertRem), art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-0"))
+    // the monitor's promise on the churned deployment
+    val monitor = SimQueries.ivfDriftOn(spark,
+      IvfReindex.liveRoot(spark, art), dir).head()
+    graft.CachedFrames.releaseAll()
+    assert(monitor.getAs[Boolean]("retrain"))
+    val promised = monitor.getAs[Long]("obj_retrained_micro")
+    // crash between build and swap: serving stays on gen-0 entirely
+    val before = IvfReindex.serve(spark, dir, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    intercept[RuntimeException](IvfReindex.retrain(spark, art, e,
+      onPoint = p => if (p == "built") throw new RuntimeException("kill")))
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-0"),
+      "a crashed retrain moved the pointer")
+    spark.catalog.clearCache()
+    assert(IvfReindex.serve(spark, dir, art)
+      .collect().map(_.toSeq).toSeq === before,
+      "a crashed retrain changed serving")
+    graft.CachedFrames.releaseAll()
+    // retry completes and swaps
+    val g1 = IvfReindex.retrain(spark, art, e)
+    graft.CachedFrames.releaseAll()
+    assert(g1 === "gen-1")
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-1"))
+    // the delivered objective IS the promised integer: score the
+    // corpus under the swapped-in codebook with the monitor's own
+    // arithmetic
+    val cb1 = spark.read.parquet(s"$art/gen-1/centroids")
+    val a = KMeans.assign(e.select(col("vec_id"), col("v")), cb1)
+    val delivered = a.agg(
+      expr("sum(cast(round(ccos * 1e6, 0) as bigint)) div count(1)"))
+      .head().getLong(0)
+    graft.CachedFrames.releaseAll()
+    assert(delivered === promised,
+      s"retrain delivered $delivered but the monitor promised $promised")
+    // grace: a second retrain retires gen-0, keeps gen-1, serves gen-2
+    val g2 = IvfReindex.retrain(spark, art, e)
+    graft.CachedFrames.releaseAll()
+    assert(g2 === "gen-2")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$art/gen-0")),
+      "generation beyond the grace window survived")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$art/gen-1")),
+      "the previous generation must survive one cycle (grace)")
+    assert(IvfReindex.serve(spark, dir, art).count() > 0)
+    graft.CachedFrames.releaseAll()
+    // the CLI face: status and drift resolve the live generation;
+    // retrain refuses a flat artifact and a missing corpus
+    AnnCli.run(spark, Array("status", art))
+    AnnCli.run(spark, Array("drift", art, dir))
+    AnnCli.run(spark, Array("retrain", art, dir))
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-3"))
+    graft.CachedFrames.releaseAll()
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("retrain", art)))
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-reindex-flat").toString
+    SimQueries.ivfIndexWrite(spark, dir, flat)
+    graft.CachedFrames.releaseAll()
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("retrain", flat, dir)))
+  }
+
   test("S40 deployed range search: every returned pair is within the " +
     "exact radius set, no tombstoned vector ever surfaces, and the " +
     "partition-pruned serve is deterministic") {
