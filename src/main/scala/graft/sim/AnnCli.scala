@@ -58,7 +58,7 @@ object AnnCli {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     val root = args.lift(1).getOrElse(
       throw new IllegalArgumentException(
-        s"usage: <status|compact|vacuum|track|drift|retrain> " +
+        s"usage: <status|compact|vacuum|track|refine|drift|retrain> " +
           "<artifact> [args]"))
     val fs = SnapshotManifest.fsOf(spark, root)
     // a VERSIONED deployment (S41: `_current` → gen-N) reads and
@@ -151,6 +151,15 @@ object AnnCli {
         }
         println(s"Vacuumed ${dataTables.toSeq.sorted.mkString(", ")} " +
           s"of $artifact")
+      case Some("refine") =>
+        // S42: execute the S38 recommendation on a graph deployment
+        if (!tables("members"))
+          throw new IllegalArgumentException(
+            "refine rewrites the graph base layer; IVF deployments " +
+              "retrain instead (see the retrain verb)")
+        SimQueries.graphRefine(spark, artifact)
+        println(s"Refined graph artifact $artifact (base layer " +
+          "swapped snapshot-isolated; replaced files await vacuum)")
       case Some("drift") =>
         if (tables("members")) {
           val r = SimQueries.graphDriftOn(spark, artifact).head()
@@ -173,7 +182,7 @@ object AnnCli {
         }
       case other =>
         throw new IllegalArgumentException(
-          s"unknown verb $other: expected status|compact|vacuum|track|drift|retrain")
+          s"unknown verb $other: expected status|compact|vacuum|track|refine|drift|retrain")
     }
   }
 }

@@ -5019,6 +5019,92 @@ object SimQueries {
         "n_nodes", "refine")
   }
 
+  /** S42: graph REFINE as an operation — the action the S38 monitor
+    * recommends, executed against the DEPLOYED artifact without
+    * serving downtime (S41's actionability contract for the graph
+    * family): run the monitor's own refinement round (`refineEdges` —
+    * originals ∪ 2-hops rescored, top-M per node) over the resolved
+    * base layer and REPLACE the base adjacency through the E31
+    * snapshot swap: staged rows move in as `gen-*` files (invisible),
+    * one atomic manifest commit publishes refined-lvl-0 + carried
+    * upper layers and removes every replaced input, physical deletion
+    * waits for the next maintenance pass's vacuum (generation grace).
+    * Uncommitted R15b batch files are excluded from the rewrite and
+    * spared — the replay owns them. A reader mid-rewrite sees the old
+    * graph or the new one, never a mix. The contract spec: the
+    * refined deployment's measured objective (the monitor's own
+    * integer arithmetic) EQUALS the gain the monitor promised.
+    */
+  def graphRefine(s: SparkSession, artifact: String,
+                  onPoint: String => Unit = _ => ()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+      graft.streaming.SnapshotManifest.vacuum(fs, artifact, "edges")
+      onPoint("vacuumed")
+      val members = graft.streaming.SnapshotManifest
+        .resolveDf(s, artifact, "members", HnswMembersDdl)
+      val vecById = members
+        .select(col("vec_id").as("cand"), col("vn").as("cvn"))
+        .localCheckpoint(false)
+      // ONE resolved snapshot feeds the rewrite input AND the
+      // replaced set (the S36b discipline)
+      val entries = graft.streaming.SnapshotManifest
+        .resolveEntries(s, artifact, "edges")
+      val gen0 = graft.streaming.SnapshotManifest
+        .read(fs, artifact, "edges").map(_.gen).getOrElse(Set.empty)
+      val edges =
+        if (entries.isEmpty)
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(HnswEdgesDdl))
+        else s.read.option("basePath", s"$artifact/edges")
+          .parquet(entries.map(_._2): _*)
+      val base = edges.filter(col("lvl") === 0)
+        .select(col("src"), col("dst")).distinct()
+        .localCheckpoint(false)
+      val refined = refineEdges(base, vecById)
+        .withColumn("lvl", lit(0))
+      val upper = edges.filter(col("lvl") >= 1)
+        .select(col("src"), col("dst"), col("lvl"))
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$artifact/_edges_refining")
+      refined.unionByName(upper)
+        .withColumn("bucket", pmod(col("src"), lit(GraphBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(staging.toString)
+      onPoint("staged")
+      val moved = scala.collection.mutable.ArrayBuffer[String]()
+      fs.listStatus(staging).toSeq
+        .filter(d => d.isDirectory &&
+          d.getPath.getName.startsWith("bucket="))
+        .sortBy(_.getPath.getName)
+        .foreach { bd =>
+          val dest = new org.apache.hadoop.fs.Path(
+            s"$artifact/edges", bd.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(bd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (st, i) =>
+              val nm = graft.streaming.SnapshotManifest.genName(i)
+              val to = new org.apache.hadoop.fs.Path(dest, nm)
+              if (!fs.rename(st.getPath, to))
+                throw new java.io.IOException(
+                  s"edge refine move failed: ${st.getPath} -> $to")
+              moved += s"${bd.getPath.getName}/$nm"
+            }
+        }
+      onPoint("moved-in")
+      val replaced = entries.map(_._1).toSet
+      graft.streaming.SnapshotManifest.commit(fs, artifact, "edges",
+        gen = (gen0 -- replaced) ++ moved, removed = replaced)
+      fs.delete(staging, true)
+      s.catalog.refreshByPath(s"$artifact/edges")
+      onPoint("committed")
+    }
+  }
+
   /** One churned deployment per (JVM, corpus) for the S38 gate: the
     * S32/S33 scenario on the graph family — deploy the HNSW artifact
     * built on 2/3 of the corpus, stream-insert the held-out third

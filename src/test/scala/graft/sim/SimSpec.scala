@@ -957,6 +957,57 @@ class SimSpec extends AnyFunSuite {
       s"IVF range recall under 50%: ${ivf.length}/${brute.length}")
   }
 
+  test("S42 graph refine delivers EXACTLY the objective the S38 " +
+    "monitor promised, through the snapshot swap (a crash before the " +
+    "commit leaves the deployed view bit-identical), and serving " +
+    "stays alive post-refine") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-grefine").toString
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .localCheckpoint(false)
+    val m = SimQueries.InsertMod; val r = SimQueries.InsertRem
+    SimQueries.hnswIndexWriteOn(e.filter(col("vec_id") % m =!= r), art)
+    graft.CachedFrames.releaseAll()
+    SimQueries.hnswArtifactInsert(spark, art,
+      e.filter(col("vec_id") % m === r).select(col("vec_id"), col("v")),
+      batchId = 1L)
+    graft.CachedFrames.releaseAll()
+    val before = SimQueries.graphDriftOn(spark, art).head()
+    graft.CachedFrames.releaseAll()
+    assert(before.getAs[Boolean]("refine"),
+      "the churned deployment must have refine signal")
+    val promised = before.getAs[Long]("obj_refined_micro")
+    // crash AFTER gen move-in, BEFORE the manifest commit: the moved
+    // files are invisible, the monitor re-reads the identical view
+    intercept[RuntimeException](SimQueries.graphRefine(spark, art,
+      onPoint = p => if (p == "moved-in") throw new RuntimeException("kill")))
+    spark.catalog.refreshByPath(s"$art/edges")
+    val mid = SimQueries.graphDriftOn(spark, art).head()
+    graft.CachedFrames.releaseAll()
+    assert(mid.toSeq === before.toSeq,
+      "a crashed refine changed the deployed view")
+    // the real pass: the deployed objective becomes the promise
+    SimQueries.graphRefine(spark, art)
+    val after = SimQueries.graphDriftOn(spark, art).head()
+    graft.CachedFrames.releaseAll()
+    assert(after.getAs[Long]("obj_deployed_micro") === promised,
+      s"refine delivered ${after.getAs[Long]("obj_deployed_micro")} " +
+        s"but the monitor promised $promised")
+    assert(after.getAs[Long]("gain_micro") >= 0L)
+    // serving alive on the refined graph, masking nothing
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vn").as("qvn"))
+      .localCheckpoint(false)
+    val served = SimQueries.hnswServeArtifactDeleted(spark, q, art)
+    assert(served.count() > 0)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("S41 retrain delivers EXACTLY the gain the drift monitor " +
     "promised, the pointer swap is atomic under a crash (old " +
     "generation serves untouched, retry completes), and generations " +
