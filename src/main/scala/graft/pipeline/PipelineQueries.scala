@@ -462,9 +462,15 @@ object PipelineQueries {
     */
   val PackEpochs = 2
 
-  def dataEpochOrder(s: SparkSession, dir: String): DataFrame = {
+  def dataEpochOrder(s: SparkSession, dir: String): DataFrame =
+    epochOrderOn(dataPackTokens(s, dir).select(col("block_id")))
+
+  /** The P33 rank over an explicit block frame — factored so P36 can
+    * order the SAME packed frame it sums sizes from (one pack pass,
+    * one tokenizer train, instead of re-deriving the dependency per
+    * consumer). */
+  private[graft] def epochOrderOn(blocks: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val blocks = dataPackTokens(s, dir).select(col("block_id"))
     val epochs = (0 until PackEpochs).map(e =>
       blocks.withColumn("epoch", lit(e)))
       .reduce(_.unionByName(_))
@@ -525,9 +531,13 @@ object PipelineQueries {
   val LoaderWorkers = 4
 
   def dataShardManifest(s: SparkSession, dir: String): DataFrame = {
-    val ord = dataEpochOrder(s, dir)
-    val sizes = dataPackTokens(s, dir)
-      .select(col("block_id"), col("n_tokens"))
+    // ONE pack pass feeds both the order and the sizes (persisted —
+    // without this the epoch order and the size join each re-derive
+    // the packed table, re-training the tokenizer twice per call)
+    val packed = graft.CachedFrames.persist(dataPackTokens(s, dir)
+      .select(col("block_id"), col("n_tokens")))
+    val ord = epochOrderOn(packed.select(col("block_id")))
+    val sizes = packed
     ord.withColumn("worker", expr(s"(position - 1) % $LoaderWorkers"))
       .hint("shuffle_hash")
       .join(sizes.hint("shuffle_hash"), Seq("block_id"))
