@@ -82,6 +82,32 @@ object CurationWriter {
       back.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
   }
 
+  /** P38: the DECONTAMINATED writer — the P28 reconciliation report's
+    * verdicts landing on disk: beyond the purge plan's near-dup
+    * drops, remove every training document ANY decontamination
+    * method flags (P3 exact-overlap ratio, P25 fuzzy bands, P34
+    * exact-substring runs — the three-way union is the conservative
+    * "touches the eval set at all" cut a benchmark-honest training
+    * run makes). Same source-partitioned doc_id-sorted layout as
+    * `write`; the flag set comes from one anti-join against the
+    * report (never a collect). Returns (rows written, docs dropped
+    * for contamination beyond the purge plan).
+    */
+  def writeDecontaminated(s: SparkSession, dir: String,
+                          outDir: String,
+                          filesPerSource: Int = 1): (Long, Long) = {
+    val plan = graft.dedup.DedupQueries.dedupPurgePlan(s, dir)
+    val flagged = PipelineQueries.decontamReport(s, dir)
+      .select(col("doc_id"))
+    val kept = curated(Tables.documents(s, dir), plan)
+    val out = kept.join(flagged, Seq("doc_id"), "left_anti")
+      .repartition(filesPerSource, col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+    out.write.mode("overwrite").partitionBy("source").parquet(outDir)
+    val written = s.read.parquet(outDir).count()
+    (written, kept.count() - written)
+  }
+
   /** P37: the PACKED-BLOCK writer — the last materialization between
     * curation and the training loop: P32's continuous blocks written
     * as the parquet a loader actually memory-maps, one row per block

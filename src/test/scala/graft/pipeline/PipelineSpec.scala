@@ -576,6 +576,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("P38 decontaminated writer: every doc any decontamination " +
+    "method flags is absent, every unflagged keeper survives, and " +
+    "the drop accounting reconciles") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-decontam-write").toString
+    val (written, dropped) =
+      CurationWriter.writeDecontaminated(spark, dir, out)
+    graft.CachedFrames.releaseAll()
+    val flagged = PipelineQueries.decontamReport(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    graft.CachedFrames.releaseAll()
+    val plan = graft.dedup.DedupQueries.dedupPurgePlan(spark, dir)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    val keepers = plan.filter(_.getString(2) != "drop_neardup")
+      .map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "no contamination at this SF — fixture inert")
+    val back = spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(back === (keepers -- flagged),
+      "written set != purge keepers minus the flagged union")
+    assert(written === back.size.toLong)
+    assert(dropped === (keepers intersect flagged).size.toLong,
+      "contamination drop accounting drifted")
+  }
+
   test("P37 block writer: the written artifact is checkable against " +
     "the P32 gate bit-for-bit (per-block md5 and counts), ids sit at " +
     "their global positions, and the write is idempotent") {
