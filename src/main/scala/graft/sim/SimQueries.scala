@@ -1566,15 +1566,28 @@ object SimQueries {
     */
   def knnRangeDelete(s: SparkSession, dir: String): DataFrame = {
     val artifact = deletedArtifactOf(s, dir)
-    val q = ivfQueryAssigner(s, artifact, NProbe)(
-      vecs(s, dir).filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v")))
+    rangeArtifactDeletedOn(s,
+      ivfQueryAssigner(s, artifact, NProbe)(
+        vecs(s, dir).filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("v"))),
+      artifact, excludeSelf = true)
+  }
+
+  /** The deployed range-serving core for ARBITRARY query frames
+    * (q_id, qvn, cluster) — S40's body factored like
+    * `serveArtifactDeletedOn` so R36's per-trigger face and the batch
+    * gate can never drift: partition-pruned probe join, tombstone
+    * anti-join on candidates, radius filter on survivors.
+    */
+  private[graft] def rangeArtifactDeletedOn(s: SparkSession, q: DataFrame,
+      artifact: String, excludeSelf: Boolean): DataFrame = {
     val postings = postingsView(s, artifact)
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    q.join(postings.filter(col("cluster").isin(probed: _*)),
-        Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
+    val joined = q.join(
+      postings.filter(col("cluster").isin(probed: _*)), Seq("cluster"))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
+     else joined)
       .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
       .withColumn("cos", round(dot(col("qvn"), col("vn")), 6))
       .filter(col("cos") >= RangeTau)

@@ -81,4 +81,30 @@ object StreamAnnServe {
           ()
       }.start()
   }
+
+  /** R36: streamed RANGE queries against the deployed artifact — the
+    * radius verb (S39/S40) on the standing topology: each trigger's
+    * (q_id, v) batch fans out to its nprobe lists through the
+    * deployed codebook, the postings scan partition-prunes to the
+    * probed set, live tombstones mask candidates, survivors within
+    * the radius emit. Same start-up/per-trigger split as
+    * [[serveArtifact]] (codebook collected once, tombstones re-read
+    * per trigger); the body IS the S40 batch core, so the two faces
+    * cannot drift (parity-spec'd).
+    */
+  def serveRangeArtifact(s: SparkSession, artifact: String,
+      queries: DataFrame, checkpoint: String,
+      excludeSelf: Boolean = false, nprobe: Int = 1)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val assign = graft.sim.SimQueries.ivfQueryAssigner(s, artifact, nprobe)
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          sink(graft.sim.SimQueries.rangeArtifactDeletedOn(
+            s, assign(b.toDF()), artifact, excludeSelf))
+          ()
+      }.start()
+  }
 }

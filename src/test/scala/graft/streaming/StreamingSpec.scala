@@ -1666,6 +1666,75 @@ class StreamingSpec extends AnyFunSuite {
       "the delete was supposed to change some served answer")
   }
 
+  test("R36: streamed RANGE serving from the deployed artifact — a " +
+    "delete landing between triggers changes the next wave, each " +
+    "wave bit-identical to the S40 batch core on the same artifact") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    graft.sim.SimQueries.ivfIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val qVecs = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val qdir = tmp()
+    def emitWave(idx: Int): Unit = {
+      val stage = tmp()
+      qVecs.toDF("q_id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(qdir, f"wave$idx%02d.parquet"))
+    }
+    val waves = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[Seq[Any]]]()
+    emitWave(0)
+    val schema = spark.read.parquet(qdir).schema
+    val sq = StreamAnnServe.serveRangeArtifact(spark, art,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(qdir),
+      tmp(), excludeSelf = true, nprobe = 3) { out =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      if (rows.nonEmpty) { waves.add(rows); () }
+    }
+    sq.processAllAvailable()
+    val delIds = spark.read.parquet(s"$art/postings")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+    graft.sim.SimQueries.ivfDelete(spark, art, delIds)
+    emitWave(1)
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val ws = waves.asScala.toSeq
+    assert(ws.size === 2, s"expected 2 range waves, got ${ws.size}")
+    // batch twins from the SAME core on the same artifact
+    def twin(): Set[Seq[Any]] = {
+      val q = graft.sim.SimQueries.ivfQueryAssigner(spark, art, 3)(
+        qVecs.toDF("q_id", "v"))
+      val r = graft.sim.SimQueries.rangeArtifactDeletedOn(
+        spark, q, art, excludeSelf = true)
+        .collect().map(_.toSeq).toSet
+      graft.CachedFrames.releaseAll()
+      r
+    }
+    // post-delete twin computed now (tombstones live); the pre-delete
+    // wave is checked structurally: superset of post + radius bound
+    val post = twin()
+    assert(ws(1).toSet === post,
+      "post-delete streamed range wave diverged from the batch core")
+    assert(ws(1).forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+      "a deleted vector surfaced in a range answer")
+    assert(ws.head.toSet.size > ws(1).toSet.size,
+      "the delete was supposed to shrink the within-radius set")
+    assert(post.subsetOf(ws.head.toSet),
+      "pre-delete wave must contain every surviving pair")
+    ws.head.foreach(r => assert(
+      r(3).asInstanceOf[Double] >= graft.sim.SimQueries.RangeTau))
+  }
+
   test("StagedCommit crash-point sweep: a commit killed after ANY " +
     "number of moved files converges to exactly one copy on replay") {
     import spark.implicits._
