@@ -87,6 +87,19 @@ object AnnCli {
     }
     val artifact = versioned.fold(root)(g => s"$root/$g")
     versioned.foreach(g => println(s"Versioned deployment: live=$g"))
+    // On a VERSIONED deployment the maintenance verbs below lock
+    // inside the live generation (`root/gen-N/_maintenance`) while
+    // retrain locks at the root — those two would not mutually
+    // exclude, so a retrain's generation-grace deletion could remove a
+    // gen directory a concurrently launched compact/vacuum resolved
+    // and is still rewriting. Nest: take the ROOT lock first (the one
+    // retrain holds), then let the verb take its per-generation lock
+    // inside — different paths, no self-deadlock. Flat artifacts skip
+    // this (root == artifact; a second acquire of the SAME path would
+    // refuse itself).
+    def rootLocked[T](body: => T): T =
+      versioned.fold(body)(_ =>
+        SnapshotManifest.withMaintenanceLock(fs, root)(body))
     val tables = tablesOf(fs, artifact)
     if (tables.isEmpty)
       throw new IllegalArgumentException(
@@ -112,13 +125,15 @@ object AnnCli {
           println(s"  live_tombstones=$n")
         }
       case Some("compact") =>
-        if (tables("postings")) {
-          val minDead = args.lift(2).map(_.toLong).getOrElse(1L)
-          SimQueries.ivfCompact(spark, artifact, minDead)
-          println(s"Compacted IVF artifact $artifact (minDead=$minDead)")
-        } else {
-          SimQueries.hnswCompact(spark, artifact)
-          println(s"Compacted graph artifact $artifact")
+        rootLocked {
+          if (tables("postings")) {
+            val minDead = args.lift(2).map(_.toLong).getOrElse(1L)
+            SimQueries.ivfCompact(spark, artifact, minDead)
+            println(s"Compacted IVF artifact $artifact (minDead=$minDead)")
+          } else {
+            SimQueries.hnswCompact(spark, artifact)
+            println(s"Compacted graph artifact $artifact")
+          }
         }
       case Some("track") =>
         // migrate a LEGACY artifact to manifest-held listings (E33):
@@ -127,9 +142,11 @@ object AnnCli {
         // if a held manifest is ever doubted (re-derives from disk).
         val dataTables = tables intersect
           Set("postings", "members", "edges", "entry")
-        SnapshotManifest.withMaintenanceLock(fs, artifact) {
-          dataTables.toSeq.sorted.foreach { t =>
-            SnapshotManifest.track(spark, artifact, t)
+        rootLocked {
+          SnapshotManifest.withMaintenanceLock(fs, artifact) {
+            dataTables.toSeq.sorted.foreach { t =>
+              SnapshotManifest.track(spark, artifact, t)
+            }
           }
         }
         dataTables.toSeq.sorted.foreach { t =>
@@ -143,10 +160,12 @@ object AnnCli {
         // would delete its just-moved-in gen files before the swap
         val dataTables = tables intersect
           Set("postings", "members", "edges", "entry")
-        SnapshotManifest.withMaintenanceLock(fs, artifact) {
-          dataTables.toSeq.sorted.foreach { t =>
-            SnapshotManifest.vacuum(fs, artifact, t)
-            spark.catalog.refreshByPath(s"$artifact/$t")
+        rootLocked {
+          SnapshotManifest.withMaintenanceLock(fs, artifact) {
+            dataTables.toSeq.sorted.foreach { t =>
+              SnapshotManifest.vacuum(fs, artifact, t)
+              spark.catalog.refreshByPath(s"$artifact/$t")
+            }
           }
         }
         println(s"Vacuumed ${dataTables.toSeq.sorted.mkString(", ")} " +
@@ -157,7 +176,7 @@ object AnnCli {
           throw new IllegalArgumentException(
             "refine rewrites the graph base layer; IVF deployments " +
               "retrain instead (see the retrain verb)")
-        SimQueries.graphRefine(spark, artifact)
+        rootLocked { SimQueries.graphRefine(spark, artifact) }
         println(s"Refined graph artifact $artifact (base layer " +
           "swapped snapshot-isolated; replaced files await vacuum)")
       case Some("drift") =>

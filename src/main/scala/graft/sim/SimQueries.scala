@@ -966,30 +966,40 @@ object SimQueries {
       assign(newVecs)
         .write.mode("overwrite").partitionBy("cluster")
         .parquet(staging.toString)
-      val movedRels = scala.collection.mutable.ArrayBuffer[String]()
-      val batch = java.util.UUID.randomUUID()
-      fs.listStatus(staging).toSeq
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
-        .sortBy(_.getPath.getName)
-        .foreach { cd =>
-          val dest = new org.apache.hadoop.fs.Path(
-            postingsPath, cd.getPath.getName)
-          fs.mkdirs(dest)
-          fs.listStatus(cd.getPath).toSeq
-            .filter(st => st.isFile &&
-              st.getPath.getName.endsWith(".parquet"))
-            .zipWithIndex.foreach { case (st, i) =>
-              val nm = s"add-$batch-$i.parquet"
-              val to = new org.apache.hadoop.fs.Path(dest, nm)
-              if (!fs.rename(st.getPath, to))
-                throw new java.io.IOException(
-                  s"postings insert move failed: ${st.getPath} -> $to")
-              movedRels += s"${cd.getPath.getName}/$nm"
-            }
-        }
-      fs.delete(staging, true)
-      graft.streaming.SnapshotManifest
-        .register(fs, artifact, "postings", movedRels.toSeq)
+      // move-in + register run UNDER the single-maintainer lock: in the
+      // window between a file landing under postings/ and its name
+      // entering the tracked set, vacuum's orphan-plain audit would see
+      // an untracked non-gen, non-b* file and reclaim it — then
+      // register would publish the deleted name into the manifest,
+      // breaking every subsequent resolve. The staged write above stays
+      // outside the lock (underscore-hidden, invisible to the audit
+      // walk), so the held window is the cheap rename pass only.
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+        val movedRels = scala.collection.mutable.ArrayBuffer[String]()
+        val batch = java.util.UUID.randomUUID()
+        fs.listStatus(staging).toSeq
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+          .sortBy(_.getPath.getName)
+          .foreach { cd =>
+            val dest = new org.apache.hadoop.fs.Path(
+              postingsPath, cd.getPath.getName)
+            fs.mkdirs(dest)
+            fs.listStatus(cd.getPath).toSeq
+              .filter(st => st.isFile &&
+                st.getPath.getName.endsWith(".parquet"))
+              .zipWithIndex.foreach { case (st, i) =>
+                val nm = s"add-$batch-$i.parquet"
+                val to = new org.apache.hadoop.fs.Path(dest, nm)
+                if (!fs.rename(st.getPath, to))
+                  throw new java.io.IOException(
+                    s"postings insert move failed: ${st.getPath} -> $to")
+                movedRels += s"${cd.getPath.getName}/$nm"
+              }
+          }
+        fs.delete(staging, true)
+        graft.streaming.SnapshotManifest
+          .register(fs, artifact, "postings", movedRels.toSeq)
+      }
       s.catalog.refreshByPath(postingsPath.toString)
     }
   }

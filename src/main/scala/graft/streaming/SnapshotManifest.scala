@@ -114,21 +114,78 @@ object SnapshotManifest {
     * creating process never releases across a crash); in-process
     * failures release through the finally, so staleness only matters
     * after a hard kill.
+    *
+    * Stale-break is CLAIM-BY-RENAME, not delete: a blind
+    * `fs.delete(lock)` after observing staleness is a TOCTOU — two
+    * waiters that both observe the stale marker would both delete the
+    * path, and the slower delete can remove the faster waiter's
+    * FRESHLY created lock, after which both `tryAcquire` and two
+    * maintainers run. Renaming the SPECIFIC stale file to a
+    * waiter-unique tombstone is atomic and succeeds for exactly one
+    * waiter (the other's rename finds the source gone); the winner
+    * deletes only the tombstone it now owns, so no code path ever
+    * deletes the live lock path of another maintainer. A waiter whose
+    * rename fails simply retries `tryAcquire` — it wins only if the
+    * path is genuinely free.
     */
   def withMaintenanceLock[T](fs: FileSystem, artifact: String,
                              staleMs: Long = 60L * 60 * 1000)
                             (body: => T): T = {
     val lock = new Path(s"$artifact/_maintenance")
+    // The exclusive create must be ATOMIC or the lock is no lock:
+    // Hadoop's RawLocalFileSystem.create(overwrite=false) is a
+    // check-then-create (two concurrent acquirers can both pass the
+    // exists check and both "win" — reproduced by the E34b race spec),
+    // so on file:// the acquire goes through java.io.File.createNewFile
+    // (O_EXCL at the syscall). On HDFS create(overwrite=false) IS
+    // atomic at the NameNode, so the generic path stands there.
     def tryAcquire(): Boolean =
-      try { fs.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      if ("file" == fs.getUri.getScheme)
+        try {
+          val f = new java.io.File(lock.toUri.getPath)
+          val parent = f.getParentFile
+          if (parent != null) parent.mkdirs()
+          f.createNewFile()
+        } catch { case _: java.io.IOException => false }
+      else
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val heldSince =
         try Some(fs.getFileStatus(lock).getModificationTime)
         catch { case _: java.io.FileNotFoundException => None }
       val stale = heldSince
         .forall(t => System.currentTimeMillis() - t > staleMs)
-      if (!stale || { fs.delete(lock, false); !tryAcquire() })
+      if (stale) {
+        val tomb = new Path(
+          s"$artifact/_maintenance.stale-${java.util.UUID.randomUUID()}")
+        if (try fs.rename(lock, tomb) catch {
+          case _: java.io.IOException => false
+        }) {
+          // the rename claims whatever sits at the lock PATH, which
+          // may no longer be the file we judged stale: a faster waiter
+          // can complete its whole claim cycle (rename, delete,
+          // re-create) inside our observe→rename window, leaving its
+          // FRESH lock there. Check the claimed file's own mtime: a
+          // fresh tomb means we stole a live maintainer's lock —
+          // restore it and refuse. (The restore itself is best-effort
+          // against a third waiter acquiring in the microseconds the
+          // path was free — the documented lease residual; every
+          // two-party interleaving is closed.)
+          val tombFresh = (try Some(
+            fs.getFileStatus(tomb).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None })
+            .exists(t => System.currentTimeMillis() - t <= staleMs)
+          if (tombFresh) {
+            fs.rename(tomb, lock)
+            throw new IllegalStateException(
+              s"maintenance already in flight at $artifact (a fresh " +
+                "lock replaced the stale one mid-break): retry after " +
+                "the running pass finishes")
+          } else fs.delete(tomb, false)
+        }
+      }
+      if (!stale || !tryAcquire())
         throw new IllegalStateException(
           s"maintenance already in flight at $artifact " +
             s"(lock $lock held${heldSince.fold("")(t => s" since $t")}): " +

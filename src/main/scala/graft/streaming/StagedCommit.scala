@@ -144,12 +144,33 @@ object StagedCommit {
   def lowWatermark(fs: FileSystem, artifact: String): Long = {
     val dir = commitsDir(artifact)
     if (!fs.exists(dir)) return -1L
-    fs.listStatus(dir).toSeq
+    val named = fs.listStatus(dir).toSeq
       .flatMap(_.getPath.getName match {
         case watermarkRe(id) => id.toLongOption
         case _ => None
       })
       .foldLeft(-1L)(math.max)
+    math.max(named, legacyWatermark(fs, dir))
+  }
+
+  /** Pre-named-marker artifacts stored the watermark as the CONTENT of
+    * a single `low-watermark` file. Without this read path an existing
+    * artifact would silently reset to -1 on upgrade, reclassifying
+    * batches whose markers were already pruned as uncommitted — their
+    * committed `b{id}-*` files would stop resolving. Folded into the
+    * max above; `advanceLowWatermark` migrates it to a named marker
+    * (and retires the legacy file) on its next advance. A torn legacy
+    * file (empty/garbled content) reads as -1 — no worse than the
+    * pre-fix behavior, and the named markers win once written.
+    */
+  private def legacyWatermark(fs: FileSystem, dir: Path): Long = {
+    val legacy = new Path(dir, "low-watermark")
+    if (!fs.exists(legacy)) return -1L
+    val in = fs.open(legacy)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    body.toLongOption.getOrElse(-1L)
   }
 
   /** Advance the watermark (monotone; written BEFORE the markers it
@@ -168,6 +189,9 @@ object StagedCommit {
       st.getPath.getName match {
         case watermarkRe(old) if old.toLongOption.exists(_ < id) =>
           fs.delete(st.getPath, false)
+        // migrate: the legacy content-based file is superseded by the
+        // named marker just written (id > its value by the guard above)
+        case "low-watermark" => fs.delete(st.getPath, false)
         case _ => ()
       }
     }

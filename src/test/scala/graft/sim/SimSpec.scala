@@ -1218,6 +1218,102 @@ class SimSpec extends AnyFunSuite {
     }
     assert(ran, "a stale lock blocked maintenance forever")
     assert(!fs.exists(lock))
+    // the batch insert path shares the lock: its move-in → register
+    // window mutates the postings dir with names vacuum's orphan audit
+    // would otherwise reclaim mid-flight, so it must refuse while a
+    // maintainer is in-flight
+    val two = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn", graft.functions.VectorFunctions.normalize(col("v")))
+      .select(col("vec_id") + 100000L as "vec_id", col("vn")).limit(2)
+      .localCheckpoint(false)
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+      intercept[IllegalStateException](
+        SimQueries.ivfInsert(spark, art, two))
+    }
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("E34b stale-lock break is claim-by-rename: two waiters racing " +
+    "over the same stale marker — never two maintainers, and no " +
+    "waiter deletes another's freshly created lock") {
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-mlock-race").toString
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    val lock = new org.apache.hadoop.fs.Path(s"$art/_maintenance")
+    (1 to 8).foreach { round =>
+      fs.create(lock, false).close()
+      fs.setTimes(lock, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+      val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxConc = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val ts = (1 to 2).map { _ =>
+        new Thread(() => {
+          gate.await()
+          try {
+            graft.streaming.SnapshotManifest
+              .withMaintenanceLock(fs, art) {
+                val c = inBody.incrementAndGet()
+                maxConc.updateAndGet(m => math.max(m, c))
+                Thread.sleep(20)
+                inBody.decrementAndGet()
+              }
+            wins.incrementAndGet()
+          } catch { case _: IllegalStateException => () }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(maxConc.get() <= 1,
+        s"round $round: two maintainers ran concurrently — the " +
+          "delete-based stale break's TOCTOU")
+      assert(wins.get() >= 1,
+        s"round $round: the stale lock blocked every waiter")
+      assert(!fs.exists(lock), s"round $round: lock leaked")
+      // no stale tombstones accumulate either
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(art)).toSeq
+        .map(_.getPath.getName)
+        .count(_.startsWith("_maintenance.stale-")) === 0,
+        s"round $round: claim tombstone leaked")
+    }
+  }
+
+  test("AnnCli on a VERSIONED deployment locks at the artifact ROOT: " +
+    "maintenance verbs and retrain mutually exclude, so a retrain's " +
+    "generation-grace deletion can never race a mid-flight vacuum") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-cli-rootlock").toString
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    // minimal versioned layout: one gen with a postings table + pointer
+    graft.Tables.embeddings(spark, dir).limit(5)
+      .select(col("vec_id"), lit(0L).as("cluster"))
+      .write.parquet(s"$art/gen-0/postings")
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$art/_current"),
+      true)
+    out.write("gen-0".getBytes("UTF-8")); out.close()
+    // retrain's lock lives at the root — while it is held, vacuum and
+    // track must refuse (pre-fix they locked at gen-0 and ran anyway)
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+      intercept[IllegalStateException](
+        AnnCli.run(spark, Array("vacuum", art)))
+      intercept[IllegalStateException](
+        AnnCli.run(spark, Array("track", art)))
+    }
+    // released: the verbs run (and release both locks on exit)
+    AnnCli.run(spark, Array("vacuum", art))
+    AnnCli.run(spark, Array("track", art))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$art/_maintenance")))
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$art/gen-0/_maintenance")))
+    // a FLAT artifact keeps single-level locking (no self-refusal)
+    val flat = java.nio.file.Files
+      .createTempDirectory("graft-cli-flatlock").toString
+    graft.Tables.embeddings(spark, dir).limit(5)
+      .select(col("vec_id"), lit(0L).as("cluster"))
+      .write.parquet(s"$flat/postings")
+    AnnCli.run(spark, Array("vacuum", flat))
   }
 
   test("S38 drift monitor on a degenerate deployment (no scoreable " +

@@ -2038,6 +2038,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(StagedCommit.committedView(fs, art).ids === Set(99L))
   }
 
+  test("StagedCommit watermark upgrade path: a LEGACY content-based " +
+    "low-watermark file is read (no silent reset to -1) and migrated " +
+    "to a named marker on the next advance") {
+    val art = tmp()
+    val fs = new org.apache.hadoop.fs.Path(art)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(s"$art/_insert_commits")
+    fs.mkdirs(commits)
+    val legacy = new org.apache.hadoop.fs.Path(commits, "low-watermark")
+    val out = fs.create(legacy, true)
+    out.write("7".getBytes("UTF-8")); out.close()
+    // pre-fix this read -1: batches 0..7, marker-pruned by an OLD
+    // build, would reclassify as uncommitted and their b{id}-* files
+    // would stop resolving
+    assert(StagedCommit.lowWatermark(fs, art) === 7L)
+    assert(StagedCommit.committedView(fs, art).contains(3L))
+    // an advance BELOW the legacy value is a no-op (monotone holds
+    // across formats) and leaves the legacy file alone
+    StagedCommit.advanceLowWatermark(fs, art, 5L)
+    assert(StagedCommit.lowWatermark(fs, art) === 7L)
+    assert(fs.exists(legacy))
+    // the next real advance writes the named marker and retires the
+    // legacy file — the migration
+    StagedCommit.advanceLowWatermark(fs, art, 9L)
+    assert(StagedCommit.lowWatermark(fs, art) === 9L)
+    assert(!fs.exists(legacy), "legacy file survived migration")
+    assert(fs.listStatus(commits).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("low-watermark")) ===
+      Seq("low-watermark-9"))
+    // a TORN legacy file (empty/garbled content) reads as -1 — no
+    // worse than pre-fix, and named markers win once written
+    val art2 = tmp()
+    val fs2 = new org.apache.hadoop.fs.Path(art2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits2 = new org.apache.hadoop.fs.Path(s"$art2/_insert_commits")
+    fs2.mkdirs(commits2)
+    fs2.create(new org.apache.hadoop.fs.Path(commits2, "low-watermark"),
+      true).close()
+    assert(StagedCommit.lowWatermark(fs2, art2) === -1L)
+  }
+
   test("R30+R32+R19b topology: insert, delete, and serving streams " +
     "interleaved against ONE artifact, with a compaction mid-flight — " +
     "final serving equals the batch-maintained twin bit-for-bit") {
