@@ -2013,6 +2013,77 @@ object DedupQueries {
         col("start_eval"))
   }
 
+  /** P40: exact-substring decontamination at NORMALIZED grain — the
+    * word-grain limit of D34/P34 closed: P34 shingles the raw
+    * space-split words, so a REFORMATTED quote (casing changed,
+    * punctuation swapped, hyphens/commas edited, whitespace
+    * re-wrapped) hashes to different shingles and slips through even
+    * though Lee et al.'s char/token suffix grain would catch it.
+    * This rung canonicalizes the STRING first — lowercase, every
+    * non-alphanumeric to space, runs of spaces collapsed — and then
+    * runs the IDENTICAL P34 machinery on the canonical word sequence.
+    * Because normalization happens before the split, word-boundary
+    * edits fold too: "State-of-the-Art" and "state of the art" yield
+    * the same four canonical words, so hyphenation changes, quote
+    * marks, and bracketed insertions of pure punctuation all land on
+    * the same shingles (planted-reformatted-quote spec'd, with the
+    * word-grain P34 shown missing the same plant). Offsets are
+    * 1-based positions in the CANONICAL token sequence — the right
+    * coordinate system for a scrubber that re-normalizes before
+    * cutting. Residual, stated: edits INSIDE a word (typos, stemming,
+    * "cannot"→"can not" is caught but "can't"→"cannot" is not) stay
+    * below this grain — that is P25's fuzzy-band job, and the three
+    * rungs P3/P25/P34+P40 are reconciled in P28's report.
+    * Scale shape: identical to P34 (the normalization is one codegen'd
+    * projection before shingling; same broadcast-eval asymmetry, same
+    * df cap, same run merge).
+    */
+  private[graft] def normalizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")),
+        "[^a-z0-9 ]", " "), " +", " ")).as("text"))
+
+  def decontamSubstringsNorm(s: SparkSession, dir: String): DataFrame = {
+    val docs = normalizedDocs(Tables.documents(s, dir))
+    decontamSubstringsOn(docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  val decontamSubstringsNormSql: String = s"""
+    WITH snd AS (
+      SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+      FROM documents),
+    sdw AS (
+      SELECT doc_id, string_split(t, ' ') AS w FROM snd
+      WHERE len(string_split(t, ' ')) >= $SubstringK),
+    ssh AS (
+      SELECT doc_id, k::BIGINT AS pos,
+             md5(array_to_string(
+               list_slice(w, k, k + $SubstringK - 1), ' ')) AS h
+      FROM sdw, unnest(range(1, len(w) - $SubstringK + 2)) AS u(k)),
+    str AS (SELECT doc_id, pos, h FROM ssh WHERE doc_id % 20 != 0),
+    sev AS (SELECT doc_id, pos, h FROM ssh WHERE doc_id % 20 = 0),
+    skept AS (
+      SELECT doc_id, pos, h FROM str
+      QUALIFY count(*) OVER (PARTITION BY h) <= ${Shingling.MaxShingleDf}),
+    sm AS (
+      SELECT t.doc_id AS train_id, t.pos AS pos_t,
+             e.doc_id AS eval_id, e.pos AS pos_e
+      FROM skept t JOIN sev e ON t.h = e.h),
+    sruns AS (
+      SELECT train_id, eval_id, pos_e - pos_t AS diag, pos_t,
+             pos_t - row_number() OVER (
+               PARTITION BY train_id, eval_id, pos_e - pos_t
+               ORDER BY pos_t) AS run_id
+      FROM sm)
+    SELECT train_id, eval_id,
+           min(pos_t)::BIGINT AS start_train,
+           (min(pos_t) + diag)::BIGINT AS start_eval,
+           (max(pos_t) - min(pos_t) + $SubstringK)::BIGINT AS len_words
+    FROM sruns GROUP BY train_id, eval_id, diag, run_id
+    ORDER BY train_id, eval_id, start_train, start_eval"""
+
   val decontamSubstringsSql: String = s"""
     WITH sdw AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -2437,6 +2508,7 @@ object DedupQueries {
     "dedup_substrings" -> (dedupSubstrings _),
     "dedup_substring_mass" -> (dedupSubstringMass _),
     "decontam_substrings" -> (decontamSubstrings _),
+    "decontam_substrings_norm" -> (decontamSubstringsNorm _),
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
@@ -2472,5 +2544,6 @@ object DedupQueries {
     "dedup_substrings" -> dedupSubstringsSql,
     "dedup_substring_mass" -> dedupSubstringMassSql,
     "decontam_substrings" -> decontamSubstringsSql,
+    "decontam_substrings_norm" -> decontamSubstringsNormSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -266,10 +266,26 @@ object PipelineQueries {
     * sums (one task would see the whole corpus). The DuckDB oracle
     * states the same thing as one flat window cumsum.
     */
+  /** √n-scaled coarse-bucket width for the doc_id-keyed two-phase
+    * prefix sums (P4/P32): width ≈ √n gives ≈ √n buckets of ≈ √n docs
+    * each, so the bucket-totals window (phase 1) and the largest
+    * in-bucket window (phase 2) BOTH stay ≈ √n at any corpus size —
+    * the balance point; a fixed width degenerates one phase or the
+    * other as n drifts from width². The width only bins a
+    * monotone-in-doc_id prefix of the sort key, so ANY width yields
+    * the identical global order and identical gate hashes (the r11
+    * carried residual, closed). Density caveat: `doc_id div width`
+    * assumes roughly dense ids — sparse ids skew bucket sizes
+    * (correctness unaffected; rebalance by ranking ids first if a
+    * real corpus needs it). The count is one parquet-footer scan.
+    */
+  private[graft] def bucketWidthFor(n: Long): Long =
+    math.max(1L, math.round(math.sqrt(n.toDouble)))
+
   def dataPack(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val Budget = 2000
-    val BucketWidth = 100
+    val BucketWidth = bucketWidthFor(Tables.documents(s, dir).count())
     val toks = Tables.documents(s, dir)
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"),
@@ -341,7 +357,9 @@ object PipelineQueries {
   private[graft] def packedTokenStream(s: SparkSession,
                                        dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val BucketWidth = 100
+    // √n width off the DOCUMENTS count (not the sequence frame — that
+    // would force the tokenizer train just to size buckets)
+    val BucketWidth = bucketWidthFor(Tables.documents(s, dir).count())
     val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
       .withColumn("bucket", expr(s"doc_id div $BucketWidth"))
     val bucketTotals = seqs.groupBy(col("bucket"))
@@ -521,14 +539,31 @@ object PipelineQueries {
     * torch-DistributedSampler contract: balanced to ±1 block per
     * rank by construction, order within a rank = the epoch order
     * restricted to its positions). Emits per (epoch, worker): block
-    * count, token count, and the md5 of the ordered block-id list —
-    * the manifest a loader shard checks itself against. Scale shape:
-    * P33's two-phase rank supplies positions; the size join is
-    * block-scale×block-scale (SHUFFLE_HASH pinned); the md5 fold per
-    * shard group is blocks/W-bounded per group and never collects to
-    * the driver.
+    * count, token count, and a MERKLE digest of the ordered block-id
+    * list — the manifest a loader shard checks itself against.
+    *
+    * The digest is a two-level chunked fold, not one flat
+    * collect_list: a flat per-shard fold holds blocks/W entries in a
+    * single aggregation buffer, which is memory pressure by
+    * construction once blocks/W ≫ 10⁷ (W — the worker count — is the
+    * deployment knob, not a data bound). Instead: md5 per fixed-width
+    * run of `ShardChunk` consecutive shard positions (state bounded by
+    * the constant), then the shard digest = md5 of the ordered chunk
+    * digests (state bounded by blocks/(W·ShardChunk), and ShardChunk
+    * scales freely since the chunk index is pure stateless arithmetic
+    * off the position). A reader verifies with the same two phases —
+    * see [[ShardReader.readShard]]. Scale shape: P33's two-phase rank
+    * supplies positions; the size join is block-scale×block-scale
+    * (SHUFFLE_HASH pinned); no driver collect anywhere.
     */
   val LoaderWorkers = 4
+
+  /** Shard positions per Merkle chunk. At gate scale (≈ 243
+    * blocks/shard) this yields ~4 chunks per shard, so both fold
+    * levels are exercised; at production scale it bounds every
+    * level-1 aggregation buffer at 64 entries.
+    */
+  val ShardChunk = 64L
 
   def dataShardManifest(s: SparkSession, dir: String): DataFrame = {
     // ONE pack pass feeds both the order and the sizes (persisted —
@@ -537,16 +572,34 @@ object PipelineQueries {
     val packed = graft.CachedFrames.persist(dataPackTokens(s, dir)
       .select(col("block_id"), col("n_tokens")))
     val ord = epochOrderOn(packed.select(col("block_id")))
-    val sizes = packed
-    ord.withColumn("worker", expr(s"(position - 1) % $LoaderWorkers"))
+    shardManifestOn(ord, packed)
+  }
+
+  /** The P36 manifest fold over an explicit (epoch, position,
+    * block_id) order and a (block_id, n_tokens) size frame — factored
+    * so P39's reader verifies a shard with EXACTLY the writer's
+    * arithmetic (the two can never drift).
+    */
+  private[graft] def shardManifestOn(ord: DataFrame,
+                                     sizes: DataFrame): DataFrame = {
+    val chunks = ord
+      .withColumn("worker", expr(s"(position - 1) % $LoaderWorkers"))
+      .withColumn("chunk",
+        expr(s"((position - 1) div $LoaderWorkers) div $ShardChunk"))
       .hint("shuffle_hash")
       .join(sizes.hint("shuffle_hash"), Seq("block_id"))
-      .groupBy(col("epoch"), col("worker"))
-      .agg(count(lit(1)).as("n_blocks"),
-        sum(col("n_tokens")).as("n_tokens"),
+      .groupBy(col("epoch"), col("worker"), col("chunk"))
+      .agg(count(lit(1)).as("cb"),
+        sum(col("n_tokens")).as("ct"),
         md5(concat_ws("-", expr(
           "transform(sort_array(collect_list(struct(position, block_id))), " +
-            "p -> cast(p.block_id as string))"))).as("blocks_md5"))
+            "p -> cast(p.block_id as string))"))).as("chunk_md5"))
+    chunks.groupBy(col("epoch"), col("worker"))
+      .agg(sum(col("cb")).as("n_blocks"),
+        sum(col("ct")).as("n_tokens"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(chunk, chunk_md5))), " +
+            "p -> p.chunk_md5)"))).as("blocks_md5"))
       .orderBy(col("epoch"), col("worker"))
   }
 
@@ -567,15 +620,21 @@ object PipelineQueries {
       SELECT epoch, block_id,
              row_number() OVER (PARTITION BY epoch ORDER BY k, block_id)
                AS position
-      FROM keyed)
-    SELECT epoch::INTEGER AS epoch,
-           ((position - 1) % $LoaderWorkers)::BIGINT AS worker,
-           count(*)::BIGINT AS n_blocks,
-           sum(n_tokens)::BIGINT AS n_tokens,
-           md5(array_to_string(list(block_id ORDER BY position), '-'))
+      FROM keyed),
+    chunks AS (
+      SELECT epoch, (position - 1) % $LoaderWorkers AS worker,
+             ((position - 1) // $LoaderWorkers) // $ShardChunk AS chunk,
+             count(*)::BIGINT AS cb, sum(n_tokens)::BIGINT AS ct,
+             md5(array_to_string(list(block_id ORDER BY position), '-'))
+               AS chunk_md5
+      FROM ordered JOIN bs USING (block_id)
+      GROUP BY 1, 2, 3)
+    SELECT epoch::INTEGER AS epoch, worker::BIGINT AS worker,
+           sum(cb)::BIGINT AS n_blocks,
+           sum(ct)::BIGINT AS n_tokens,
+           md5(array_to_string(list(chunk_md5 ORDER BY chunk), '-'))
              AS blocks_md5
-    FROM ordered JOIN bs USING (block_id)
-    GROUP BY 1, 2 ORDER BY epoch, worker"""
+    FROM chunks GROUP BY 1, 2 ORDER BY epoch, worker"""
 
   /** P5: weighted corpus mixing — per-source sampling rates (keep all
     * of even-numbered sources, 25% of odd ones: "upweight curated,
@@ -2123,6 +2182,7 @@ object PipelineQueries {
     "data_pack_tokens" -> (dataPackTokens _),
     "data_pack_shuffled" -> (dataPackShuffled _),
     "data_shard_manifest" -> (dataShardManifest _),
+    "data_read_shard" -> (ShardReader.dataReadShard _),
     "data_epoch_order" -> (dataEpochOrder _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
@@ -2164,6 +2224,7 @@ object PipelineQueries {
     "data_pack_tokens" -> dataPackTokensSql,
     "data_pack_shuffled" -> dataPackShuffledSql,
     "data_shard_manifest" -> dataShardManifestSql,
+    "data_read_shard" -> ShardReader.dataReadShardSql,
     "data_epoch_order" -> dataEpochOrderSql,
     "data_mix" -> dataMixSql,
     "text_unigram_lm" -> textUnigramLmSql)

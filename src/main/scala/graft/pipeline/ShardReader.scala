@@ -1,0 +1,193 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** P39: the loader READ path — the consumer half of the
+  * tape → curate → pack → shard → TRAIN handoff whose write side
+  * P32/P35 (packed blocks), P33 (epoch order), P36 (shard manifests)
+  * and P37 (the block artifact) pin hash-by-hash. A data-parallel
+  * training rank calls `readShard(artifact, epoch, rank)` and gets
+  * its epoch shard — the P33 order restricted to its round-robin
+  * positions — with the whole contract VERIFIED before a row is
+  * yielded:
+  *
+  *  1. the rank's expected (position, block_id) list is re-derived
+  *     from the STATELESS P33/P36 math (md5 epoch:block rank, two-
+  *     phase bucketed; worker = (position-1) mod W) over the
+  *     artifact's own block-id column — no stored permutation to
+  *     trust, nothing to go stale;
+  *  2. the P36 Merkle digest (count, token total, two-level chunked
+  *     block-id fold) is recomputed over exactly what will be read —
+  *     with [[PipelineQueries.shardManifestOn]], the writer's OWN
+  *     arithmetic, so reader and writer can never drift — and
+  *     compared to the deployed manifest row: a dropped, added, or
+  *     re-ordered block in the artifact fails here;
+  *  3. every yielded block's token ids are re-hashed and checked
+  *     against the artifact's stored per-block `token_md5` (and its
+  *     recounted length against `n_tokens`): corrupted or truncated
+  *     token payloads fail here. (Residual, documented: a tamper
+  *     that rewrites token_ids AND the stored md5 consistently at
+  *     unchanged length defeats check 3 — the manifest pins
+  *     membership, order and counts, not token bytes.)
+  *
+  * Scale shape: the derivation pass (1) touches ONLY the artifact's
+  * block_id column — a column-pruned scan of corpus_tokens/PackBlock
+  * rows, ~8 bytes each, nothing near the token payload. The data pass
+  * reads the artifact once with the rank's block→position map joined
+  * in as a BROADCAST (blocks/W entries ≈ 16 bytes each — ~10⁵-10⁶
+  * entries at 100 TB-scale W and PackBlock, megabytes, comfortably
+  * broadcastable): a broadcast-hash filter at the scan, zero shuffle
+  * of token payload, 1/W of rows survive. The block_id
+  * range-partition layout P37 writes keeps a shard's surviving rows
+  * block-sorted within files; no corpus-sized collect anywhere — the
+  * only driver materialization is the one-row digest comparison.
+  * Union over the W ranks ≡ the epoch order bit-for-bit (spec'd);
+  * ranks are pairwise disjoint by the mod-W arithmetic.
+  *
+  * The reference (a record/replay CLI) has no loader analog; this
+  * closes the suite's own training-loop edge (VERDICT r11 item 1).
+  */
+object ShardReader {
+
+  /** The gate's fixed shard coordinates (epoch 1 of PackEpochs=2,
+    * rank 2 of LoaderWorkers=4 — a non-zero pair so neither axis is
+    * degenerate). */
+  val ShardEpoch = 1
+  val ShardRank = 2
+
+  /** Deploy the loader handoff: the P37 block artifact under
+    * `outDir/blocks` and the P36 shard manifest under
+    * `outDir/manifest` — the two files a training job ships.
+    */
+  def deploy(s: SparkSession, dir: String, outDir: String,
+             nFiles: Int = 4): Unit = {
+    CurationWriter.writeBlocks(s, dir, s"$outDir/blocks", nFiles)
+    PipelineQueries.dataShardManifest(s, dir)
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
+  }
+
+  private val deployments =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One deployment per (JVM, corpus) for the gate — the
+    * `insertedArtifacts` discipline from the sim family. */
+  private[graft] def deployedOf(s: SparkSession, dir: String): String =
+    deployments.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-shard-deploy").toString
+      deploy(s, dir, out)
+      out
+    })
+
+  /** The rank's verified epoch shard: (position, block_id, n_tokens,
+    * token_md5, token_ids), ordered by position. Throws
+    * IllegalStateException when the artifact disagrees with the
+    * manifest (membership/order/counts) or a block's token payload
+    * disagrees with its stored digest.
+    */
+  def readShard(s: SparkSession, artifact: String, epoch: Int,
+                rank: Int): DataFrame = {
+    val W = PipelineQueries.LoaderWorkers
+    require(epoch >= 0 && epoch < PipelineQueries.PackEpochs,
+      s"epoch $epoch outside the packed range [0, ${PipelineQueries.PackEpochs})")
+    require(rank >= 0 && rank < W, s"rank $rank outside [0, $W)")
+    val manifest = s.read.parquet(s"$artifact/manifest")
+      .filter(col("epoch") === epoch && col("worker") === rank)
+      .collect()
+    if (manifest.isEmpty)
+      throw new IllegalStateException(
+        s"$artifact/manifest has no row for epoch=$epoch worker=$rank")
+    val m = manifest.head
+    val (mBlocks, mTokens, mMd5) = (m.getAs[Long]("n_blocks"),
+      m.getAs[Long]("n_tokens"), m.getAs[String]("blocks_md5"))
+
+    val blocks = s.read.parquet(s"$artifact/blocks")
+    // (1) stateless re-derivation of the rank's expected order — the
+    // block_id column only (column-pruned; the token payload is not
+    // touched by this pass)
+    val mine = PipelineQueries
+      .epochOrderOn(blocks.select(col("block_id")))
+      .filter(col("epoch") === epoch &&
+        expr(s"(position - 1) % $W") === rank)
+      .select(col("epoch"), col("position"), col("block_id"))
+    // data pass: broadcast the rank's block→position map into the
+    // scan — blocks/W entries, no shuffle of token payload
+    val shard = graft.CachedFrames.persist(
+      blocks.join(broadcast(mine), Seq("block_id"))
+        .withColumn("n_tokens_read", size(col("token_ids")).cast("long"))
+        .withColumn("token_md5_read", md5(concat_ws("-",
+          expr("transform(token_ids, t -> cast(t as string))")))))
+    // (2) the Merkle digest, recomputed with the WRITER'S fold over
+    // what will actually be yielded
+    val fold = PipelineQueries.shardManifestOn(
+      mine,
+      shard.select(col("block_id"), col("n_tokens_read").as("n_tokens")))
+      .collect()
+    if (fold.length != 1)
+      throw new IllegalStateException(
+        s"shard (epoch=$epoch rank=$rank) folded to ${fold.length} " +
+          s"manifest rows at $artifact — artifact/order mismatch")
+    val f = fold.head
+    if (f.getAs[Long]("n_blocks") != mBlocks ||
+      f.getAs[Long]("n_tokens") != mTokens ||
+      f.getAs[String]("blocks_md5") != mMd5)
+      throw new IllegalStateException(
+        s"shard digest mismatch at $artifact (epoch=$epoch rank=$rank): " +
+          s"manifest (n_blocks=$mBlocks n_tokens=$mTokens md5=$mMd5) vs " +
+          s"read (n_blocks=${f.getAs[Long]("n_blocks")} " +
+          s"n_tokens=${f.getAs[Long]("n_tokens")} " +
+          s"md5=${f.getAs[String]("blocks_md5")}) — refusing to yield")
+    // (3) per-block token payload vs its stored digest
+    val tampered = shard
+      .filter(col("token_md5_read") =!= col("token_md5") ||
+        col("n_tokens_read") =!= col("n_tokens")).count()
+    if (tampered > 0)
+      throw new IllegalStateException(
+        s"$tampered block(s) of shard (epoch=$epoch rank=$rank) fail " +
+          s"their stored token_md5/n_tokens at $artifact — refusing " +
+          "to yield")
+    shard.select(col("position"), col("block_id"),
+      col("n_tokens_read").as("n_tokens"),
+      col("token_md5_read").as("token_md5"), col("token_ids"))
+      .orderBy(col("position"))
+  }
+
+  /** The P39 gate: the verified shard at the fixed (epoch, rank),
+    * digest columns RECOMPUTED from the token ids actually read (so
+    * the oracle — pure stateless math over the corpus — pins the
+    * whole write → deploy → derive → verify → read loop).
+    */
+  def dataReadShard(s: SparkSession, dir: String): DataFrame =
+    readShard(s, deployedOf(s, dir), ShardEpoch, ShardRank)
+      .select(col("position"), col("block_id"), col("n_tokens"),
+        col("token_md5"))
+
+  lazy val dataReadShardSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    g AS (
+      SELECT doc_id, tok_id,
+             row_number() OVER (ORDER BY doc_id, wpos, spos) - 1 AS gpos
+      FROM flat),
+    bs AS (
+      SELECT gpos // ${PipelineQueries.PackBlock} AS block_id,
+             count(*)::BIGINT AS n_tokens,
+             md5(array_to_string(list(tok_id ORDER BY gpos), '-'))
+               AS token_md5
+      FROM g GROUP BY 1),
+    ep AS (SELECT unnest(range(0, ${PipelineQueries.PackEpochs}))
+             AS epoch),
+    keyed AS (
+      SELECT epoch, block_id, md5(epoch || ':' || block_id) AS k
+      FROM bs, ep),
+    ordered AS (
+      SELECT epoch, block_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, block_id)
+               ::BIGINT AS position
+      FROM keyed)
+    SELECT position, block_id, n_tokens, token_md5
+    FROM ordered JOIN bs USING (block_id)
+    WHERE epoch = $ShardEpoch
+      AND (position - 1) % ${PipelineQueries.LoaderWorkers} = $ShardRank
+    ORDER BY position"""
+}

@@ -1,8 +1,33 @@
 package graft.sim
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.streaming.{SnapshotManifest, StagedCommit}
+
+/** Corpus-reader seam for the CLI's retrain verb: `retrain` refits
+  * the deployed codebook against the CURRENT corpus, and until now it
+  * could only read that corpus through the fixed embeddings-table
+  * shape (the r11 carried residual). A deployment whose vectors live
+  * in any other layout implements this one method — the contract is
+  * the frame every retrain consumer needs: `vec_id BIGINT`,
+  * `v ARRAY<DOUBLE>` (raw vector), `vn ARRAY<DOUBLE>` (normalized).
+  */
+trait CorpusReader {
+  def vectors(s: SparkSession, corpus: String): DataFrame
+}
+
+object CorpusReader {
+  /** The default: the suite's embeddings-table shape. */
+  val default: CorpusReader = new CorpusReader {
+    def vectors(s: SparkSession, corpus: String): DataFrame =
+      graft.Tables.embeddings(s, corpus)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding")
+            .cast("array<double>").as("v"))
+        .withColumn("vn", graft.functions.VectorFunctions
+          .normalize(org.apache.spark.sql.functions.col("v")))
+  }
+}
 
 /** CLI surface for the DEPLOYED-index maintenance story — the VcrCli
   * discipline applied to the ANN artifacts: the operations an index
@@ -51,11 +76,12 @@ object AnnCli {
   private def tablesOf(fs: org.apache.hadoop.fs.FileSystem,
                        artifact: String): Set[String] =
     Seq("postings", "members", "edges", "entry", "tombstones",
-      "centroids")
+      "centroids", "codes", "pq_codebooks")
       .filter(t => fs.exists(
         new org.apache.hadoop.fs.Path(s"$artifact/$t"))).toSet
 
-  def run(spark: SparkSession, args: Array[String]): Unit = {
+  def run(spark: SparkSession, args: Array[String],
+          reader: CorpusReader = CorpusReader.default): Unit = {
     val root = args.lift(1).getOrElse(
       throw new IllegalArgumentException(
         s"usage: <status|compact|vacuum|track|refine|drift|retrain> " +
@@ -74,12 +100,7 @@ object AnnCli {
         throw new IllegalArgumentException(
           "retrain needs the current corpus: retrain <artifact> " +
             "<corpusDir>"))
-      val e = graft.Tables.embeddings(spark, corpus)
-        .select(org.apache.spark.sql.functions.col("vec_id"),
-          org.apache.spark.sql.functions.col("embedding")
-            .cast("array<double>").as("v"))
-        .withColumn("vn", graft.functions.VectorFunctions
-          .normalize(org.apache.spark.sql.functions.col("v")))
+      val e = reader.vectors(spark, corpus)
       val g = IvfReindex.retrain(spark, root, e)
       println(s"Retrained $root -> $g (previous generation kept for " +
         "one grace cycle)")
@@ -107,8 +128,10 @@ object AnnCli {
     args.headOption match {
       case Some("status") =>
         val committed = StagedCommit.committedView(fs, artifact)
-        println(s"Artifact $artifact " +
-          s"(${if (tables("postings")) "ivf" else "graph"})")
+        val kind =
+          if (tables("codes")) "ivfpq"
+          else if (tables("postings")) "ivf" else "graph"
+        println(s"Artifact $artifact ($kind)")
         tables.toSeq.sorted.foreach { t =>
           val files = SnapshotManifest.resolve(spark, artifact, t)
           val m = SnapshotManifest.read(fs, artifact, t)
@@ -126,7 +149,11 @@ object AnnCli {
         }
       case Some("compact") =>
         rootLocked {
-          if (tables("postings")) {
+          if (tables("codes")) {
+            val minDead = args.lift(2).map(_.toLong).getOrElse(1L)
+            SimQueries.ivfPqCompact(spark, artifact, minDead)
+            println(s"Compacted IVFPQ artifact $artifact (minDead=$minDead)")
+          } else if (tables("postings")) {
             val minDead = args.lift(2).map(_.toLong).getOrElse(1L)
             SimQueries.ivfCompact(spark, artifact, minDead)
             println(s"Compacted IVF artifact $artifact (minDead=$minDead)")
@@ -141,7 +168,7 @@ object AnnCli {
         // serving path ever pays. Idempotent; also the recovery verb
         // if a held manifest is ever doubted (re-derives from disk).
         val dataTables = tables intersect
-          Set("postings", "members", "edges", "entry")
+          Set("postings", "members", "edges", "entry", "codes")
         rootLocked {
           SnapshotManifest.withMaintenanceLock(fs, artifact) {
             dataTables.toSeq.sorted.foreach { t =>
@@ -159,7 +186,7 @@ object AnnCli {
         // the compactors hold: vacuuming while a compact is mid-flight
         // would delete its just-moved-in gen files before the swap
         val dataTables = tables intersect
-          Set("postings", "members", "edges", "entry")
+          Set("postings", "members", "edges", "entry", "codes")
         rootLocked {
           SnapshotManifest.withMaintenanceLock(fs, artifact) {
             dataTables.toSeq.sorted.foreach { t =>

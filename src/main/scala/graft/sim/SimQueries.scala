@@ -695,14 +695,23 @@ object SimQueries {
     // single-maintainer, ENFORCED: a concurrent vacuum would delete
     // this pass's moved-in gen files before the swap
     graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
-      ivfCompactBody(s, artifact, minDead, onPoint)
+      ivfCompactBody(s, artifact, minDead, onPoint, "postings", PostingsDdl)
     }
   }
 
+  /** The E31 compaction protocol over an arbitrary cluster-partitioned
+    * table — factored so the FLAT index (`postings`, full vectors) and
+    * the COMPRESSED index (`codes`, PQ codes — S43) share one
+    * implementation: same vacuum-first grace, same tombstone snapshot,
+    * same gen-file move-in + atomic manifest swap, same tombstone
+    * retire. The row schema only passes through (`kept` selects whole
+    * rows), so any per-vector payload compacts identically.
+    */
   private def ivfCompactBody(s: SparkSession, artifact: String,
                              minDead: Long,
-                             onPoint: String => Unit): Unit = {
-    val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/postings")
+                             onPoint: String => Unit,
+                             table: String, ddl: String): Unit = {
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/$table")
     val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tombPath = new org.apache.hadoop.fs.Path(s"$artifact/tombstones")
     if (!fs.exists(tombPath)) return
@@ -711,7 +720,7 @@ object SimQueries {
     // one full compaction cycle for in-flight readers to drain (the
     // Iceberg expire-snapshots trade). Also sweeps a crashed rewrite's
     // orphan gen files.
-    graft.streaming.SnapshotManifest.vacuum(fs, artifact, "postings")
+    graft.streaming.SnapshotManifest.vacuum(fs, artifact, table)
     onPoint("vacuumed")
     // SNAPSHOT the tombstone part files up front: R32 appends deletes
     // to this directory continuously, and compaction must retire only
@@ -730,9 +739,9 @@ object SimQueries {
     // removed. Uncommitted `b{id}-*` files are excluded by the view
     // (the replay owns them); they stay physically in place.
     val entries = graft.streaming.SnapshotManifest
-      .resolveEntries(s, artifact, "postings")
+      .resolveEntries(s, artifact, table)
     val gen0 = graft.streaming.SnapshotManifest
-      .read(fs, artifact, "postings").map(_.gen).getOrElse(Set.empty)
+      .read(fs, artifact, table).map(_.gen).getOrElse(Set.empty)
     def clusterOf(rel: String): Option[Long] = {
       val seg = rel.takeWhile(_ != '/')
       if (seg.startsWith("cluster=")) seg.stripPrefix("cluster=").toLongOption
@@ -768,7 +777,7 @@ object SimQueries {
       val kept = commPostings.filter(col("cluster").isin(deadLists: _*))
         .join(tomb, Seq("vec_id"), "left_anti")
       val staging = new org.apache.hadoop.fs.Path(
-        s"$artifact/_postings_compacting")
+        s"$artifact/_${table}_compacting")
       kept.write.mode("overwrite").partitionBy("cluster")
         .parquet(staging.toString)
       onPoint("staged")
@@ -787,7 +796,7 @@ object SimQueries {
               val to = new org.apache.hadoop.fs.Path(dest, nm)
               if (!fs.rename(st.getPath, to))
                 throw new java.io.IOException(
-                  s"postings compaction move failed: ${st.getPath} -> $to")
+                  s"$table compaction move failed: ${st.getPath} -> $to")
               moved += s"${cd.getPath.getName}/$nm"
             }
         }
@@ -795,7 +804,7 @@ object SimQueries {
       val replaced = entries.collect {
         case (rel, _) if clusterOf(rel).exists(deadSet.contains) => rel
       }.toSet
-      graft.streaming.SnapshotManifest.commit(fs, artifact, "postings",
+      graft.streaming.SnapshotManifest.commit(fs, artifact, table,
         gen = (gen0 -- replaced) ++ moved, removed = replaced)
       fs.delete(staging, true)
       s.catalog.refreshByPath(postingsPath.toString)
@@ -815,7 +824,7 @@ object SimQueries {
     val keep = s.read.schema(tombstoneSchema)
       .parquet(tombFiles.map(_.toString): _*).distinct()
       .join(graft.streaming.SnapshotManifest
-        .resolveDf(s, artifact, "postings", PostingsDdl)
+        .resolveDf(s, artifact, table, ddl)
         .select("vec_id"),
         Seq("vec_id"), "left_semi")
     val tmp = new org.apache.hadoop.fs.Path(s"$artifact/_tombstones_compacting")
@@ -2972,6 +2981,217 @@ object SimQueries {
       JOIN lut0 ON lut0.q_id = qc.q_id AND lut0.code0 = db.code0
       JOIN lut1 ON lut1.q_id = qc.q_id AND lut1.code1 = db.code1
       WHERE db.vec_id != qc.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S43: the COMPRESSED index as a PERSISTED ARTIFACT — the S27
+    * offline/online split applied to the family a 100 TB deployment
+    * actually ships. S27's flat artifact stores full vectors
+    * (8·d bytes/row); at corpus scale the index you deploy is IVFPQ —
+    * codes, not vectors — and until now the whole S5/S16/S17
+    * compressed ladder ran in-memory only (r11 verdict gap 2). The
+    * artifact is three tables:
+    *
+    *   - `centroids`: the label-mean coarse codebook (k rows; the SAME
+    *     codebook the in-memory twin `knn_ivfpq` trains, so artifact
+    *     serving hash-matches it);
+    *   - `pq_codebooks`: (sub, code, cv) — both subspace codebooks,
+    *     2·k rows; with `centroids` this is the whole trained state;
+    *   - `codes`: the compressed inverted file — one (vec_id, code0,
+    *     code1) row per corpus vector, partitioned BY cluster. The
+    *     payload per vector is two small ints (the faiss m·log₂k bits
+    *     story in relational form) instead of the d-dim array: the
+    *     table a 100 TB corpus actually fits in.
+    *
+    * Serving reads NOTHING but the artifact plus the query vectors:
+    * codebooks collect to literals (k-row discipline), per-query ADC
+    * LUTs broadcast, and candidates come from the manifest-resolved,
+    * partition-pruned `codes` scan — the `codes` table is flipped to
+    * LISTING-HELD at birth (E33), so a serve does ZERO data-dir LISTs
+    * (counting-FS spec'd, same contract as the flat family).
+    * Maintenance rides the existing machinery unchanged: deletes are
+    * the S31 tombstone table (anti-join on candidates, `ivfDelete` is
+    * artifact-agnostic), compaction is the E31 snapshot-isolated
+    * rewrite through the SAME `ivfCompactBody` (the row payload passes
+    * through whole, so codes compact exactly like postings), and
+    * `AnnCli status/compact/vacuum/track` recognize the shape.
+    */
+  private[graft] val CodesDdl =
+    "vec_id BIGINT, code0 BIGINT, code1 BIGINT, cluster INT"
+
+  def ivfPqIndexWrite(s: SparkSession, dir: String, out: String): Unit = {
+    val e = vecs(s, dir)
+    centroids(e).write.mode("overwrite").parquet(s"$out/centroids")
+    val cents = collectCents(e)
+    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    import s.implicits._
+    (cb0.map { case (c, v) => (0, c, v) } ++
+      cb1.map { case (c, v) => (1, c, v) })
+      .toDF("sub", "code", "cv")
+      .write.mode("overwrite").parquet(s"$out/pq_codebooks")
+    val codes = sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"))
+    e.select(col("vec_id"), bestClusterCol(cents).as("cluster"))
+      .join(codes, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$out/codes")
+    // held at birth: the build's one walk is the last data-dir listing
+    // the serving path ever pays (E33)
+    graft.streaming.SnapshotManifest.track(s, out, "codes")
+  }
+
+  private def collectPqBooks(s: SparkSession, artifact: String)
+  : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+    val rows = s.read.parquet(s"$artifact/pq_codebooks").collect().toSeq
+    def side(i: Int): Seq[(Long, Seq[Double])] =
+      rows.filter(_.getInt(0) == i)
+        .map(r => (r.getLong(1), r.getSeq[Double](2).toVector: Seq[Double]))
+        .sortBy(_._1)
+    (side(0), side(1))
+  }
+
+  /** The snapshot-isolated codes read every IVFPQ serving and
+    * maintenance path uses (the `postingsView` discipline). */
+  private def codesView(s: SparkSession, artifact: String): DataFrame =
+    graft.streaming.SnapshotManifest
+      .resolveDf(s, artifact, "codes", CodesDdl)
+      .withColumn("cluster", col("cluster").cast("int"))
+
+  /** Serve the standard query set from the deployed compressed
+    * artifact: coarse assignment under the artifact's centroids, ADC
+    * over the artifact's codebooks, candidates from the partition-
+    * pruned manifest-resolved codes scan, tombstones anti-joined on
+    * candidates only. With no tombstones this is bit-for-bit the
+    * in-memory S16 twin (`knn_ivfpq`) — spec'd; with tombstones it
+    * matches the twin minus the deleted ids (the gate's oracle).
+    */
+  private[graft] def ivfPqServeArtifact(s: SparkSession, dir: String,
+                                        artifact: String): DataFrame = {
+    val cents = s.read.parquet(s"$artifact/centroids")
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector: Seq[Double]))
+      .sortBy(_._1)
+    val (cb0, cb1) = collectPqBooks(s, artifact)
+    val Half = 32
+    val qsub = vecs(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("vn"),
+        slice(col("vn"), 1, Half).as("s0"),
+        slice(col("vn"), Half + 1, Half).as("s1"))
+    val q = qsub.select(col("vec_id").as("q_id"),
+      bestClusterCol(cents).as("cluster"))
+    val lut0 = pqLut(qsub, "s0", cb0, "code0", "d0")
+    val lut1 = pqLut(qsub, "s1", cb1, "code1", "d1")
+    // |Q|-bounded probed set → the codes scan partition-prunes to
+    // exactly the probed lists (the S37 discipline)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("neighbor"))
+    q.join(codesView(s, artifact)
+        .filter(col("cluster").isin(probed: _*)), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
+      .join(broadcast(lut0), Seq("q_id", "code0"))
+      .join(broadcast(lut1), Seq("q_id", "code1"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
+        round(col("d0") + col("d1"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** E31 compaction of the compressed inverted file — the shared body
+    * pointed at `codes`. */
+  def ivfPqCompact(s: SparkSession, artifact: String,
+                   minDead: Long = 1L,
+                   onPoint: String => Unit = _ => ()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(artifact)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$artifact/tombstones")))
+      return
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+      ivfCompactBody(s, artifact, minDead, onPoint, "codes", CodesDdl)
+    }
+  }
+
+  private val pqArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqDeletedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def pqArtifactOf(s: SparkSession, dir: String): String =
+    pqArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-artifact").toString
+      ivfPqIndexWrite(s, dir, out)
+      out
+    })
+
+  private def pqDeletedArtifactOf(s: SparkSession, dir: String): String =
+    pqDeletedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-deleted").toString
+      ivfPqIndexWrite(s, dir, out)
+      ivfDelete(s, out, vecs(s, dir)
+        .filter(col("vec_id") % DeleteMod === DeleteRem)
+        .select(col("vec_id")))
+      out
+    })
+
+  /** S43 gate: serve from the deployed compressed artifact, no
+    * deletes — the oracle is the in-memory twin's SQL verbatim, so the
+    * hash pins deploy → reload → serve ≡ train → serve. */
+  def knnIvfPqArtifact(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeArtifact(s, dir, pqArtifactOf(s, dir))
+
+  /** S43b gate: the deployed compressed artifact with the standard
+    * S31 tombstone set — served-after-delete ≡ the twin rebuilt
+    * without the deleted vectors (the tombstone contract at
+    * compressed grain). */
+  def knnIvfPqArtifactDelete(s: SparkSession, dir: String): DataFrame =
+    ivfPqServeArtifact(s, dir, pqDeletedArtifactOf(s, dir))
+
+  val knnIvfPqArtifactSql: String = knnIvfPqSql
+
+  val knnIvfPqArtifactDeleteSql: String = s"""
+    WITH ${pqCoreSql("vn")},
+    $centroidsSql,
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    db AS (SELECT assigned.vec_id, cluster, code0, code1
+           FROM assigned JOIN codes USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    qc AS (SELECT q_id, cluster FROM assigned JOIN q ON q.q_id = assigned.vec_id),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT qc.q_id, db.vec_id AS neighbor, db.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM qc JOIN db USING (cluster)
+      JOIN lut0 ON lut0.q_id = qc.q_id AND lut0.code0 = db.code0
+      JOIN lut1 ON lut1.q_id = qc.q_id AND lut1.code1 = db.code1
+      WHERE db.vec_id != qc.q_id
+        AND db.vec_id % $DeleteMod != $DeleteRem),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY q_id
                ORDER BY adc, neighbor) AS rank
@@ -5548,6 +5768,8 @@ object SimQueries {
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_pq_refine" -> (knnPqRefine _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_ivfpq_artifact" -> (knnIvfPqArtifact _),
+    "knn_ivfpq_delete" -> (knnIvfPqArtifactDelete _),
     "knn_ivfpq_refine" -> (knnIvfPqRefine _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _),
@@ -5591,6 +5813,8 @@ object SimQueries {
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_pq_refine" -> knnPqRefineSql,
     "knn_ivfpq" -> knnIvfPqSql,
+    "knn_ivfpq_artifact" -> knnIvfPqArtifactSql,
+    "knn_ivfpq_delete" -> knnIvfPqArtifactDeleteSql,
     "knn_ivfpq_refine" -> knnIvfPqRefineSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql,

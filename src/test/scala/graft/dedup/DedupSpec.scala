@@ -721,6 +721,56 @@ class DedupSpec extends AnyFunSuite {
       s"expected the one planted quote, got ${runs.toSeq}")
   }
 
+  test("P40 normalized-grain decontamination catches a planted " +
+    "REFORMATTED quote (case, punctuation, hyphenation edits) that " +
+    "word-grain P34 provably misses, with canonical-token offsets") {
+    import spark.implicits._
+    // eval doc: 40 canonical lowercase words. The train doc quotes
+    // eval words 11..25 (15 words ≥ k) but REFORMATTED: every word
+    // capitalized, a comma after every third word, and two adjacent
+    // words joined by a hyphen — the casing/punctuation/word-boundary
+    // edit classes Lee et al.'s sub-word grain absorbs and raw
+    // space-split shingles do not
+    val words = (1 to 40).map(i => s"word$i")
+    val evalDoc = words.mkString(" ")
+    val quote = words.slice(10, 25)
+    val reformatted = quote.zipWithIndex.map { case (w, i) =>
+      val cap = w.capitalize
+      if (i % 3 == 2) cap + "," else cap
+    }
+    val hyph = reformatted.take(5) ++
+      Seq(reformatted(5) + "-" + reformatted(6)) ++ reformatted.drop(7)
+    val train1 = ((1 to 60).map(i => s"tr$i") ++ hyph ++
+      (61 to 120).map(i => s"tr$i")).mkString(" ")
+    val train = Seq((1L, train1)).toDF("doc_id", "text")
+    val ev = Seq((20L, evalDoc)).toDF("doc_id", "text")
+    // word-grain P34 on the raw text: the reformatting defeats every
+    // 10-word raw shingle — nothing reported (the documented gap)
+    val word = DedupQueries.decontamSubstringsOn(train, ev).collect()
+    graft.CachedFrames.releaseAll()
+    assert(word.isEmpty,
+      s"fixture broken: word grain caught the reformat ${word.toSeq}")
+    // P40: the canonical sequence restores the 15-word run exactly —
+    // train position 61 (after 60 canonical tr-words), eval 11
+    val norm = DedupQueries.decontamSubstringsOn(
+      DedupQueries.normalizedDocs(train),
+      DedupQueries.normalizedDocs(ev)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.CachedFrames.releaseAll()
+    assert(norm.toSeq === Seq((1L, 20L, 61L, 11L, 15L)),
+      s"expected the one reformatted quote, got ${norm.toSeq}")
+    // and the corpus-facing gate agrees with its oracle's shape: every
+    // row at least k long, train side never an eval doc
+    val gate = DedupQueries.decontamSubstringsNorm(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    gate.foreach { r =>
+      assert(r.getLong(0) % 20 != 0L, "eval doc on the train side")
+      assert(r.getLong(1) % 20 === 0L, "train doc on the eval side")
+      assert(r.getLong(4) >= DedupQueries.SubstringK.toLong)
+    }
+  }
+
   test("semantic dedup equals an independent local within-cluster " +
     "recompute; keeper precedes removed; no cross-cluster pruning") {
     import org.apache.spark.sql.functions._

@@ -529,8 +529,8 @@ class PipelineSpec extends AnyFunSuite {
 
   test("P36 shard manifest: every epoch's blocks split round-robin " +
     "across the workers exactly once — counts balanced to ±1, token " +
-    "totals conserve the corpus, and each shard's md5 equals the " +
-    "independently recomputed ordered block list") {
+    "totals conserve the corpus, and each shard's Merkle digest " +
+    "equals the independently recomputed two-level chunk fold") {
     val shards = PipelineQueries.dataShardManifest(spark, dir).collect()
       .map(r => ((r.getInt(0), r.getLong(1)),
         (r.getLong(2), r.getLong(3), r.getString(4))))
@@ -564,8 +564,20 @@ class PipelineSpec extends AnyFunSuite {
         assert(nb === blk.length.toLong)
         assert(nt === blk.map(b => sizes(b._3)).sum,
           s"epoch $e worker $r token total drifted")
-        assert(m === md5hex(blk.sortBy(_._2).map(_._3).mkString("-")),
-          s"epoch $e worker $r shard md5 != recomputed ordered list")
+        // the reference fold, from first principles: the shard's
+        // ordered block ids in fixed-width runs of ShardChunk
+        // consecutive shard positions, md5 per run, then md5 of the
+        // ordered run digests — bounded aggregation state at any
+        // blocks/W (the r11 VERDICT item)
+        val orderedIds = blk.sortBy(_._2).map(_._3)
+        val chunkDigests = orderedIds
+          .grouped(PipelineQueries.ShardChunk.toInt).toSeq
+          .map(run => md5hex(run.mkString("-")))
+        assert(chunkDigests.length > 1,
+          s"epoch $e worker $r: one chunk only — the fold's second " +
+            "level is untested at this SF, shrink ShardChunk")
+        assert(m === md5hex(chunkDigests.mkString("-")),
+          s"epoch $e worker $r Merkle digest != recomputed chunk fold")
       }
     }
     // conservation across the whole epoch
@@ -574,6 +586,111 @@ class PipelineSpec extends AnyFunSuite {
       assert((0 until w).map(r => shards((e, r.toLong))._2).sum ===
         corpusTokens, s"epoch $e lost tokens across shards")
     }
+  }
+
+  test("P39 readShard: ranks are pairwise disjoint, each shard is " +
+    "position-ordered, and the union over ranks IS the epoch order " +
+    "bit-for-bit") {
+    val w = PipelineQueries.LoaderWorkers
+    val art = ShardReader.deployedOf(spark, dir)
+    graft.CachedFrames.releaseAll()
+    val shards = (0 until w).map { r =>
+      val rows = ShardReader.readShard(spark, art, 0, r)
+        .select("position", "block_id").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq
+      graft.CachedFrames.releaseAll()
+      assert(rows.map(_._1) === rows.map(_._1).sorted,
+        s"rank $r shard not position-ordered")
+      rows.foreach { case (p, _) =>
+        assert((p - 1) % w === r.toLong,
+          s"rank $r yielded position $p belonging to rank ${(p - 1) % w}")
+      }
+      rows
+    }
+    // pairwise disjoint: each epoch position appears in exactly one
+    // rank's shard ("exactly its manifest's blocks and no others")
+    val union = shards.flatten
+    assert(union.map(_._1).distinct.length === union.length,
+      "a position surfaced in two ranks")
+    val expected = PipelineQueries.dataEpochOrder(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("epoch") === 0)
+      .select("position", "block_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(union.sortBy(_._1) === expected,
+      "union over ranks != the epoch order")
+  }
+
+  test("P39 readShard digest gates: a tampered token payload and a " +
+    "dropped block both refuse to yield; a tamper OUTSIDE the " +
+    "requested shard does not tax this rank") {
+    val art = ShardReader.deployedOf(spark, dir)
+    graft.CachedFrames.releaseAll()
+    val clean = ShardReader.readShard(spark, art,
+      ShardReader.ShardEpoch, ShardReader.ShardRank)
+      .select("block_id").collect().map(_.getLong(0))
+    graft.CachedFrames.releaseAll()
+    val inShard = clean.head
+    // (a) payload tamper at UNCHANGED length (every id bumped in one
+    // block, stored token_md5/n_tokens left as written): only the
+    // per-block content digest can catch this — and must
+    val t1 = java.nio.file.Files
+      .createTempDirectory("graft-shard-tamper1").toString
+    spark.read.parquet(s"$art/manifest").write.parquet(s"$t1/manifest")
+    spark.read.parquet(s"$art/blocks")
+      .withColumn("token_ids",
+        when(col("block_id") === inShard,
+          expr("transform(token_ids, t -> t + 1)"))
+          .otherwise(col("token_ids")))
+      .write.parquet(s"$t1/blocks")
+    val ex1 = intercept[IllegalStateException](
+      ShardReader.readShard(spark, t1,
+        ShardReader.ShardEpoch, ShardReader.ShardRank))
+    graft.CachedFrames.releaseAll()
+    assert(ex1.getMessage.contains("token_md5"),
+      s"wrong gate fired for payload tamper: ${ex1.getMessage}")
+    // (b) a dropped block: membership/order breaks the Merkle digest
+    // (the stateless re-derivation ranks WITHOUT the missing block,
+    // so the whole shard order shifts — caught before any yield)
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-shard-tamper2").toString
+    spark.read.parquet(s"$art/manifest").write.parquet(s"$t2/manifest")
+    spark.read.parquet(s"$art/blocks")
+      .filter(col("block_id") =!= inShard)
+      .write.parquet(s"$t2/blocks")
+    val ex2 = intercept[IllegalStateException](
+      ShardReader.readShard(spark, t2,
+        ShardReader.ShardEpoch, ShardReader.ShardRank))
+    graft.CachedFrames.releaseAll()
+    assert(ex2.getMessage.contains("digest mismatch"),
+      s"wrong gate fired for dropped block: ${ex2.getMessage}")
+    // (c) a tamper in a block NO shard position of this rank touches:
+    // this rank's read verifies ITS shard only and still yields —
+    // ranks do not pay for each other's verification
+    val inOther = PipelineQueries.dataEpochOrder(spark, dir)
+      .filter(col("epoch") === ShardReader.ShardEpoch &&
+        expr(s"(position - 1) % ${PipelineQueries.LoaderWorkers}")
+          =!= ShardReader.ShardRank)
+      .select("block_id").head().getLong(0)
+    graft.CachedFrames.releaseAll()
+    val t3 = java.nio.file.Files
+      .createTempDirectory("graft-shard-tamper3").toString
+    spark.read.parquet(s"$art/manifest").write.parquet(s"$t3/manifest")
+    spark.read.parquet(s"$art/blocks")
+      .withColumn("token_ids",
+        when(col("block_id") === inOther,
+          expr("transform(token_ids, t -> t + 1)"))
+          .otherwise(col("token_ids")))
+      .write.parquet(s"$t3/blocks")
+    val served = ShardReader.readShard(spark, t3,
+      ShardReader.ShardEpoch, ShardReader.ShardRank).count()
+    graft.CachedFrames.releaseAll()
+    assert(served === clean.length.toLong)
+    // out-of-range coordinates refuse loudly
+    intercept[IllegalArgumentException](
+      ShardReader.readShard(spark, art, PipelineQueries.PackEpochs, 0))
+    intercept[IllegalArgumentException](
+      ShardReader.readShard(spark, art, 0, PipelineQueries.LoaderWorkers))
   }
 
   test("P38 decontaminated writer: every doc any decontamination " +

@@ -1316,6 +1316,145 @@ class SimSpec extends AnyFunSuite {
     AnnCli.run(spark, Array("vacuum", flat))
   }
 
+  test("S43 deployed IVFPQ artifact: serve-from-artifact equals the " +
+    "in-memory twin bit-for-bit, deletes mask at compressed grain, " +
+    "compaction through E31 leaves serving identical, and the CLI " +
+    "recognizes the shape") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec").toString
+    SimQueries.ivfPqIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    // deploy → reload → serve ≡ train → serve (the S27 contract at
+    // compressed grain)
+    val served = SimQueries.ivfPqServeArtifact(spark, dir, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val twin = SimQueries.knnIvfPq(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === twin,
+      "artifact serving drifted from the in-memory IVFPQ twin")
+    // deletes: tombstoned ids never surface; untouched ranks resort
+    val delIds = spark.read.parquet(s"$art/codes")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(delIds.nonEmpty)
+    import spark.implicits._
+    SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    val afterDelete = SimQueries.ivfPqServeArtifact(spark, dir, art)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    assert(afterDelete.nonEmpty)
+    assert(afterDelete.forall(r => r.getLong(1) % 7 != 3),
+      "a tombstoned vector surfaced from the compressed artifact")
+    // compaction: the shared E31 body pointed at codes — serving is
+    // IDENTICAL before and after, dead rows physically leave, the
+    // rewrite is snapshot-isolated (gen files + manifest swap)
+    SimQueries.ivfPqCompact(spark, art)
+    spark.catalog.refreshByPath(s"$art/codes")
+    val afterCompact = SimQueries.ivfPqServeArtifact(spark, dir, art)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    assert(afterCompact.map(_.toSeq).toSeq ===
+      afterDelete.map(_.toSeq).toSeq,
+      "compaction changed compressed serving")
+    val m = graft.streaming.SnapshotManifest
+      .fsOf(spark, art)
+    val manifest = graft.streaming.SnapshotManifest
+      .read(m, art, "codes").get
+    assert(manifest.gen.nonEmpty, "no gen files after a codes rewrite")
+    // the resolved view no longer contains any tombstoned row
+    assert(graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "codes", SimQueries.CodesDdl)
+      .filter(col("vec_id").isin(delIds: _*)).count() === 0L,
+      "compaction left tombstoned codes in the resolved view")
+    // the CLI face recognizes the compressed shape
+    AnnCli.run(spark, Array("status", art))
+    AnnCli.run(spark, Array("vacuum", art))
+    AnnCli.run(spark, Array("compact", art))
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("AnnCli retrain corpus-reader seam: a corpus in a NON-default " +
+    "layout retrains the deployment through a custom CorpusReader, " +
+    "and the result equals the default-shape retrain on the same " +
+    "numbers") {
+    import org.apache.spark.sql.functions._
+    def deploy(): String = {
+      val a = java.nio.file.Files
+        .createTempDirectory("graft-reader-seam").toString
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"), col("label"))
+        .withColumn("vn",
+          graft.functions.VectorFunctions.normalize(col("v")))
+        .localCheckpoint(false)
+      IvfReindex.deployOn(e, a)
+      graft.CachedFrames.releaseAll()
+      a
+    }
+    val art = deploy()
+    val twin = deploy()
+    // the same corpus in a FOREIGN layout: (id, vec), different names
+    val foreign = java.nio.file.Files
+      .createTempDirectory("graft-foreign-corpus").toString
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .write.mode("overwrite").parquet(foreign)
+    val custom = new CorpusReader {
+      def vectors(s: org.apache.spark.sql.SparkSession,
+                  corpus: String): org.apache.spark.sql.DataFrame =
+        s.read.parquet(corpus)
+          .select(col("id").as("vec_id"),
+            col("vec").cast("array<double>").as("v"))
+          .withColumn("vn",
+            graft.functions.VectorFunctions.normalize(col("v")))
+    }
+    AnnCli.run(spark, Array("retrain", art, foreign), custom)
+    graft.CachedFrames.releaseAll()
+    AnnCli.run(spark, Array("retrain", twin, dir)) // default reader
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-1"))
+    def cents(a: String): Seq[Seq[Any]] =
+      spark.read.parquet(s"$a/gen-1/centroids")
+        .orderBy(col("cluster")).collect().map(_.toSeq).toSeq
+    assert(cents(art) === cents(twin),
+      "custom-reader retrain drifted from the default-shape retrain")
+    assert(IvfReindex.serve(spark, dir, art).count() > 0)
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("S43 zero-LIST serving: the deployed IVFPQ artifact is " +
+    "listing-held at birth — a serve does NO directory enumeration " +
+    "under the codes table") {
+    import org.apache.spark.sql.functions._
+    spark.sparkContext.hadoopConfiguration.set("fs.counting.impl",
+      classOf[graft.vcr.CountingFileSystem].getName)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-count").toString
+    val art = s"counting://$base"
+    SimQueries.ivfPqIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    val m0 = graft.streaming.SnapshotManifest.read(fs, art, "codes").get
+    assert(m0.held, "the IVFPQ builder did not flip codes to held mode")
+    assert(m0.files.get.nonEmpty)
+    spark.catalog.refreshByPath(s"$art/codes")
+    graft.vcr.CountingFileSystem.reset()
+    val served = SimQueries.ivfPqServeArtifact(spark, dir, art).collect()
+    graft.CachedFrames.releaseAll()
+    assert(served.nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val scans = graft.vcr.CountingFileSystem.listedDirs.asScala.toSeq
+      .filter(p => p.startsWith(s"$base/codes") &&
+        !p.contains("_manifest"))
+    assert(scans === Seq.empty,
+      s"the compressed serve enumerated the codes dir: $scans")
+    graft.vcr.CountingFileSystem.reset()
+  }
+
   test("S38 drift monitor on a degenerate deployment (no scoreable " +
     "base edges) fails with a clean error naming the artifact, not " +
     "an NPE") {
