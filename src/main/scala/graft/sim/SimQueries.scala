@@ -959,58 +959,64 @@ object SimQueries {
   private[graft] def ivfInserter(s: SparkSession, artifact: String)
   : DataFrame => Unit = {
     val assign = ivfAssigner(s, artifact)
-    (newVecs: DataFrame) => {
-      // stage → move-in → register (not a bare directory append): on a
-      // listing-held artifact the inserted files must enter the
-      // manifest's tracked set or no serve would ever see them — and
-      // they become VISIBLE atomically at the manifest swap instead of
-      // file-by-file. On an untracked artifact register is a no-op and
-      // this is the old append with explicit names. Crash before
-      // register leaves unregistered `add-*` orphans; vacuum's audit
-      // walk reclaims them.
-      val postingsPath = new org.apache.hadoop.fs.Path(s"$artifact/postings")
-      val fs = postingsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val staging = new org.apache.hadoop.fs.Path(
-        s"$artifact/_postings_inserting")
-      assign(newVecs)
-        .write.mode("overwrite").partitionBy("cluster")
-        .parquet(staging.toString)
-      // move-in + register run UNDER the single-maintainer lock: in the
-      // window between a file landing under postings/ and its name
-      // entering the tracked set, vacuum's orphan-plain audit would see
-      // an untracked non-gen, non-b* file and reclaim it — then
-      // register would publish the deleted name into the manifest,
-      // breaking every subsequent resolve. The staged write above stays
-      // outside the lock (underscore-hidden, invisible to the audit
-      // walk), so the held window is the cheap rename pass only.
-      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
-        val movedRels = scala.collection.mutable.ArrayBuffer[String]()
-        val batch = java.util.UUID.randomUUID()
-        fs.listStatus(staging).toSeq
-          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
-          .sortBy(_.getPath.getName)
-          .foreach { cd =>
-            val dest = new org.apache.hadoop.fs.Path(
-              postingsPath, cd.getPath.getName)
-            fs.mkdirs(dest)
-            fs.listStatus(cd.getPath).toSeq
-              .filter(st => st.isFile &&
-                st.getPath.getName.endsWith(".parquet"))
-              .zipWithIndex.foreach { case (st, i) =>
-                val nm = s"add-$batch-$i.parquet"
-                val to = new org.apache.hadoop.fs.Path(dest, nm)
-                if (!fs.rename(st.getPath, to))
-                  throw new java.io.IOException(
-                    s"postings insert move failed: ${st.getPath} -> $to")
-                movedRels += s"${cd.getPath.getName}/$nm"
-              }
-          }
-        fs.delete(staging, true)
-        graft.streaming.SnapshotManifest
-          .register(fs, artifact, "postings", movedRels.toSeq)
-      }
-      s.catalog.refreshByPath(postingsPath.toString)
+    (newVecs: DataFrame) =>
+      stagedClusterAppend(s, artifact, "postings", assign(newVecs))
+  }
+
+  /** The stage → move-in → register append shared by the FLAT insert
+    * path (S32, `postings`) and the COMPRESSED one (S44, `codes`) —
+    * not a bare directory append: on a listing-held artifact the
+    * inserted files must enter the manifest's tracked set or no serve
+    * would ever see them — and they become VISIBLE atomically at the
+    * manifest swap instead of file-by-file. On an untracked artifact
+    * register is a no-op and this is the old append with explicit
+    * names. Crash before register leaves unregistered `add-*`
+    * orphans; vacuum's audit walk reclaims them.
+    *
+    * Move-in + register run UNDER the single-maintainer lock: in the
+    * window between a file landing under the table dir and its name
+    * entering the tracked set, vacuum's orphan-plain audit would see
+    * an untracked non-gen, non-b* file and reclaim it — then register
+    * would publish the deleted name into the manifest, breaking every
+    * subsequent resolve. The staged write stays outside the lock
+    * (underscore-hidden, invisible to the audit walk), so the held
+    * window is the cheap rename pass only.
+    */
+  private def stagedClusterAppend(s: SparkSession, artifact: String,
+                                  table: String, rows: DataFrame): Unit = {
+    val tablePath = new org.apache.hadoop.fs.Path(s"$artifact/$table")
+    val fs = tablePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      s"$artifact/_${table}_inserting")
+    rows.write.mode("overwrite").partitionBy("cluster")
+      .parquet(staging.toString)
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+      val movedRels = scala.collection.mutable.ArrayBuffer[String]()
+      val batch = java.util.UUID.randomUUID()
+      fs.listStatus(staging).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+        .sortBy(_.getPath.getName)
+        .foreach { cd =>
+          val dest = new org.apache.hadoop.fs.Path(
+            tablePath, cd.getPath.getName)
+          fs.mkdirs(dest)
+          fs.listStatus(cd.getPath).toSeq
+            .filter(st => st.isFile &&
+              st.getPath.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (st, i) =>
+              val nm = s"add-$batch-$i.parquet"
+              val to = new org.apache.hadoop.fs.Path(dest, nm)
+              if (!fs.rename(st.getPath, to))
+                throw new java.io.IOException(
+                  s"$table insert move failed: ${st.getPath} -> $to")
+              movedRels += s"${cd.getPath.getName}/$nm"
+            }
+        }
+      fs.delete(staging, true)
+      graft.streaming.SnapshotManifest
+        .register(fs, artifact, table, movedRels.toSeq)
     }
+    s.catalog.refreshByPath(tablePath.toString)
   }
 
   /** One build per (JVM, corpus) for the S32 gate: deploy the index
@@ -3023,11 +3029,30 @@ object SimQueries {
   private[graft] val CodesDdl =
     "vec_id BIGINT, code0 BIGINT, code1 BIGINT, cluster INT"
 
-  def ivfPqIndexWrite(s: SparkSession, dir: String, out: String): Unit = {
-    val e = vecs(s, dir)
+  def ivfPqIndexWrite(s: SparkSession, dir: String, out: String): Unit =
+    ivfPqIndexWriteOn(vecs(s, dir), out)
+
+  /** The S43 build over an explicit (vec_id, v, vn, label) corpus
+    * frame — exposed so S44 can deploy a compressed index trained on
+    * a PREFIX of the corpus and insert the rest (the S32 scenario at
+    * compressed grain). Identical math to the dir-based build: both
+    * codebook families are label means over THIS frame.
+    */
+  private[graft] def ivfPqIndexWriteOn(e: DataFrame, out: String): Unit = {
+    val s = e.sparkSession
+    val Half = 32
     centroids(e).write.mode("overwrite").parquet(s"$out/centroids")
     val cents = collectCents(e)
-    val (sub, cb0, cb1) = pqCore(s, dir, vecCol = "vn")
+    val sub = graft.CachedFrames.persist(
+      e.select(col("vec_id"), col("label"),
+        slice(col("vn"), 1, Half).as("s0"),
+        slice(col("vn"), Half + 1, Half).as("s1")))
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    val cb0 = codebook("s0")
+    val cb1 = codebook("s1")
     import s.implicits._
     (cb0.map { case (c, v) => (0, c, v) } ++
       cb1.map { case (c, v) => (1, c, v) })
@@ -3156,6 +3181,158 @@ object SimQueries {
     * compressed grain). */
   def knnIvfPqArtifactDelete(s: SparkSession, dir: String): DataFrame =
     ivfPqServeArtifact(s, dir, pqDeletedArtifactOf(s, dir))
+
+  /** S44: INSERTS into the deployed compressed index — S32's `add`
+    * contract at compressed grain (faiss `IndexIVFPQ.add` after
+    * `train`): a new vector is assigned to its nearest TRAINED coarse
+    * centroid and encoded under the FROZEN PQ codebooks — neither
+    * codebook family retrains on insert — then its (vec_id, code0,
+    * code1) row appends to the cluster's partition through the shared
+    * stage → move-in → register path (lock-guarded, manifest-
+    * registered, E33-visible atomically). O(inserts) rows written,
+    * existing code files never rewritten, serving needs no
+    * insert-awareness: the next partition-pruned scan sees more files
+    * in the probed list. The codebooks collect ONCE when the inserter
+    * closure is built (the `queryAssigner` discipline) — per-batch
+    * work is one narrow argmax/argmin projection plus one partitioned
+    * append.
+    */
+  def ivfPqInsert(s: SparkSession, artifact: String,
+                  newVecs: DataFrame): Unit =
+    ivfPqInserter(s, artifact)(newVecs)
+
+  private[graft] def ivfPqInserter(s: SparkSession, artifact: String)
+  : DataFrame => Unit = {
+    val cents = s.read.parquet(s"$artifact/centroids")
+      .select(col("label"), col("cvn")).collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toVector: Seq[Double]))
+      .sortBy(_._1)
+    val (cb0, cb1) = collectPqBooks(s, artifact)
+    val Half = 32
+    (newVecs: DataFrame) => {
+      val assigned = newVecs
+        .withColumn("s0", slice(col("vn"), 1, Half))
+        .withColumn("s1", slice(col("vn"), Half + 1, Half))
+        .withColumn("cluster", bestClusterCol(cents))
+        .withColumn("a0", pqAssignment("s0", cb0))
+        .withColumn("a1", pqAssignment("s1", cb1))
+        .select(col("vec_id"),
+          col("a0.code").as("code0"), col("a1.code").as("code1"),
+          col("cluster"))
+      stagedClusterAppend(s, artifact, "codes", assigned)
+    }
+  }
+
+  private val pqInsertedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S44 gate: deploy the compressed index TRAINED on the vectors
+    * with `vec_id % 3 != 1` only, insert the held-out third
+    * post-deployment, serve the standard query set from the artifact.
+    * The oracle restates the subset-trained codebooks (coarse label
+    * means AND both PQ subspace books over the training rows only)
+    * with the FULL corpus encoded under them — insert-then-serve ≡
+    * the index rebuilt with the same frozen books over everything is
+    * exactly the contract `add` promises (and exactly what
+    * retraining would NOT give).
+    */
+  def knnIvfPqInsert(s: SparkSession, dir: String): DataFrame = {
+    val artifact = pqInsertedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-inserted").toString
+      ivfPqIndexWriteOn(
+        vecs(s, dir).filter(col("vec_id") % InsertMod =!= InsertRem), out)
+      ivfPqInsert(s, out, vecs(s, dir)
+        .filter(col("vec_id") % InsertMod === InsertRem)
+        .select(col("vec_id"), col("vn")))
+      out
+    })
+    ivfPqServeArtifact(s, dir, artifact)
+  }
+
+  lazy val knnIvfPqInsertSql: String = s"""
+    WITH e AS ($vecsSql),
+    et AS (SELECT * FROM e WHERE vec_id % $InsertMod != $InsertRem),
+    cent AS (
+      SELECT label, cv,
+             list_transform(cv, x ->
+               x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (
+        SELECT label, list(av ORDER BY i) AS cv
+        FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+              FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                    FROM et)
+              GROUP BY label, i)
+        GROUP BY label)),
+    sub AS (SELECT vec_id, label, list_slice(vn, 1, 32) AS s0,
+                   list_slice(vn, 33, 64) AS s1 FROM e),
+    subt AS (SELECT * FROM sub
+             WHERE vec_id % $InsertMod != $InsertRem),
+    cb0 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
+                  FROM (SELECT label, s0, unnest(range(1, 33)) AS i
+                        FROM subt)
+                  GROUP BY label, i)
+            GROUP BY label),
+    cb1 AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+            FROM (SELECT label, i, round(avg(s1[i]), 6) AS av
+                  FROM (SELECT label, s1, unnest(range(1, 33)) AS i
+                        FROM subt)
+                  GROUP BY label, i)
+            GROUP BY label),
+    assigned AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, cent.label AS cluster,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round(list_dot_product(e.vn, cent.cvn), 6) DESC,
+                 cent.label) AS rn
+        FROM e, cent) WHERE rn = 1),
+    a0 AS (SELECT vec_id, code AS code0 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT sub.vec_id, cb0.code,
+                         round(list_dot_product(s0, s0)
+                           - 2 * list_dot_product(s0, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM sub, cb0)) WHERE rn = 1),
+    a1 AS (SELECT vec_id, code AS code1 FROM (
+            SELECT vec_id, code, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, code) AS rn
+            FROM (SELECT sub.vec_id, cb1.code,
+                         round(list_dot_product(s1, s1)
+                           - 2 * list_dot_product(s1, cv)
+                           + list_dot_product(cv, cv), 6) AS d2
+                  FROM sub, cb1)) WHERE rn = 1),
+    codes AS (SELECT vec_id, code0, code1 FROM a0 JOIN a1 USING (vec_id)),
+    db AS (SELECT assigned.vec_id, cluster, code0, code1
+           FROM assigned JOIN codes USING (vec_id)),
+    q AS (SELECT vec_id AS q_id, s0, s1 FROM sub WHERE vec_id < $NumQueries),
+    qc AS (SELECT q_id, cluster FROM assigned JOIN q ON q.q_id = assigned.vec_id),
+    lut0 AS (SELECT q_id, code AS code0,
+                    round(list_dot_product(s0, s0)
+                      - 2 * list_dot_product(s0, cv)
+                      + list_dot_product(cv, cv), 6) AS d0
+             FROM q, cb0),
+    lut1 AS (SELECT q_id, code AS code1,
+                    round(list_dot_product(s1, s1)
+                      - 2 * list_dot_product(s1, cv)
+                      + list_dot_product(cv, cv), 6) AS d1
+             FROM q, cb1),
+    scored AS (
+      SELECT qc.q_id, db.vec_id AS neighbor, db.cluster,
+             round(d0 + d1, 6) AS adc
+      FROM qc JOIN db USING (cluster)
+      JOIN lut0 ON lut0.q_id = qc.q_id AND lut0.code0 = db.code0
+      JOIN lut1 ON lut1.q_id = qc.q_id AND lut1.code1 = db.code1
+      WHERE db.vec_id != qc.q_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY adc, neighbor) AS rank
+      FROM scored)
+    SELECT q_id, neighbor, cluster, adc, rank FROM ranked
+    WHERE rank <= $TopK ORDER BY q_id, rank"""
 
   val knnIvfPqArtifactSql: String = knnIvfPqSql
 
@@ -5770,6 +5947,7 @@ object SimQueries {
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivfpq_artifact" -> (knnIvfPqArtifact _),
     "knn_ivfpq_delete" -> (knnIvfPqArtifactDelete _),
+    "knn_ivfpq_insert" -> (knnIvfPqInsert _),
     "knn_ivfpq_refine" -> (knnIvfPqRefine _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _),
@@ -5815,6 +5993,7 @@ object SimQueries {
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivfpq_artifact" -> knnIvfPqArtifactSql,
     "knn_ivfpq_delete" -> knnIvfPqArtifactDeleteSql,
+    "knn_ivfpq_insert" -> knnIvfPqInsertSql,
     "knn_ivfpq_refine" -> knnIvfPqRefineSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql,

@@ -1426,6 +1426,56 @@ class SimSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("S44 compressed inserts: frozen codebooks route new vectors " +
+    "into the deployed codes table — existing code files untouched, " +
+    "add-* files manifest-registered, inserted vectors " +
+    "candidate-visible, gate ≡ the spec's own deployment") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-ins-spec").toString
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .localCheckpoint(false)
+    SimQueries.ivfPqIndexWriteOn(
+      e.filter(col("vec_id") % SimQueries.InsertMod =!=
+        SimQueries.InsertRem), art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    val before = graft.streaming.SnapshotManifest
+      .read(fs, art, "codes").get.files.get
+    val servedBefore = SimQueries.ivfPqServeArtifact(spark, dir, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    SimQueries.ivfPqInsert(spark, art,
+      e.filter(col("vec_id") % SimQueries.InsertMod ===
+        SimQueries.InsertRem).select(col("vec_id"), col("vn")))
+    val after = graft.streaming.SnapshotManifest
+      .read(fs, art, "codes").get.files.get
+    assert(before.subsetOf(after),
+      "insert rewrote or dropped existing code files")
+    val added = after -- before
+    assert(added.nonEmpty &&
+      added.forall(_.matches("cluster=\\d+/add-.*\\.parquet")),
+      s"unexpected insert file names: $added")
+    val servedAfter = SimQueries.ivfPqServeArtifact(spark, dir, art)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    assert(servedAfter.map(_.toSeq).toSeq !== servedBefore,
+      "a third of the corpus inserted and no served answer moved")
+    assert(servedAfter.exists(_.getLong(1) % SimQueries.InsertMod ===
+      SimQueries.InsertRem),
+      "no inserted vector ever surfaced as a neighbor")
+    // the gate's cached deployment reproduces this exact serving
+    val gate = SimQueries.knnIvfPqInsert(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(gate === servedAfter.map(_.toSeq).toSeq,
+      "gate deployment drifted from the spec's own insert flow")
+  }
+
   test("S43 zero-LIST serving: the deployed IVFPQ artifact is " +
     "listing-held at birth — a serve does NO directory enumeration " +
     "under the codes table") {
