@@ -570,15 +570,22 @@ object PipelineQueries {
     // without this the epoch order and the size join each re-derive
     // the packed table, re-training the tokenizer twice per call)
     val packed = graft.CachedFrames.persist(dataPackTokens(s, dir)
-      .select(col("block_id"), col("n_tokens")))
+      .select(col("block_id"), col("n_tokens"), col("token_md5")))
     val ord = epochOrderOn(packed.select(col("block_id")))
     shardManifestOn(ord, packed)
   }
 
   /** The P36 manifest fold over an explicit (epoch, position,
-    * block_id) order and a (block_id, n_tokens) size frame — factored
-    * so P39's reader verifies a shard with EXACTLY the writer's
-    * arithmetic (the two can never drift).
+    * block_id) order and a (block_id, n_tokens, token_md5) size/
+    * content frame — factored so P39's reader verifies a shard with
+    * EXACTLY the writer's arithmetic (the two can never drift). Two
+    * digests per shard, both two-level Merkle folds over the same
+    * chunk axis: `blocks_md5` over the ordered block IDS (membership
+    * and order) and `tokens_md5` over the ordered per-block TOKEN
+    * digests (content) — the second pins the token bytes themselves
+    * in the manifest, so a tamper that rewrites a block's token_ids
+    * AND its stored per-block md5 consistently still fails the
+    * manifest check (the residual P39 shipped with, closed).
     */
   private[graft] def shardManifestOn(ord: DataFrame,
                                      sizes: DataFrame): DataFrame = {
@@ -593,13 +600,19 @@ object PipelineQueries {
         sum(col("n_tokens")).as("ct"),
         md5(concat_ws("-", expr(
           "transform(sort_array(collect_list(struct(position, block_id))), " +
-            "p -> cast(p.block_id as string))"))).as("chunk_md5"))
+            "p -> cast(p.block_id as string))"))).as("chunk_md5"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(position, token_md5))), " +
+            "p -> p.token_md5)"))).as("chunk_tok_md5"))
     chunks.groupBy(col("epoch"), col("worker"))
       .agg(sum(col("cb")).as("n_blocks"),
         sum(col("ct")).as("n_tokens"),
         md5(concat_ws("-", expr(
           "transform(sort_array(collect_list(struct(chunk, chunk_md5))), " +
-            "p -> p.chunk_md5)"))).as("blocks_md5"))
+            "p -> p.chunk_md5)"))).as("blocks_md5"),
+        md5(concat_ws("-", expr(
+          "transform(sort_array(collect_list(struct(chunk, chunk_tok_md5))), " +
+            "p -> p.chunk_tok_md5)"))).as("tokens_md5"))
       .orderBy(col("epoch"), col("worker"))
   }
 
@@ -610,7 +623,9 @@ object PipelineQueries {
              row_number() OVER (ORDER BY doc_id, wpos, spos) - 1 AS gpos
       FROM flat),
     bs AS (
-      SELECT gpos // $PackBlock AS block_id, count(*)::BIGINT AS n_tokens
+      SELECT gpos // $PackBlock AS block_id, count(*)::BIGINT AS n_tokens,
+             md5(array_to_string(list(tok_id ORDER BY gpos), '-'))
+               AS token_md5
       FROM g GROUP BY 1),
     ep AS (SELECT unnest(range(0, $PackEpochs)) AS epoch),
     keyed AS (
@@ -626,14 +641,18 @@ object PipelineQueries {
              ((position - 1) // $LoaderWorkers) // $ShardChunk AS chunk,
              count(*)::BIGINT AS cb, sum(n_tokens)::BIGINT AS ct,
              md5(array_to_string(list(block_id ORDER BY position), '-'))
-               AS chunk_md5
+               AS chunk_md5,
+             md5(array_to_string(list(token_md5 ORDER BY position), '-'))
+               AS chunk_tok_md5
       FROM ordered JOIN bs USING (block_id)
       GROUP BY 1, 2, 3)
     SELECT epoch::INTEGER AS epoch, worker::BIGINT AS worker,
            sum(cb)::BIGINT AS n_blocks,
            sum(ct)::BIGINT AS n_tokens,
            md5(array_to_string(list(chunk_md5 ORDER BY chunk), '-'))
-             AS blocks_md5
+             AS blocks_md5,
+           md5(array_to_string(list(chunk_tok_md5 ORDER BY chunk), '-'))
+             AS tokens_md5
     FROM chunks GROUP BY 1, 2 ORDER BY epoch, worker"""
 
   /** P5: weighted corpus mixing — per-source sampling rates (keep all

@@ -17,19 +17,22 @@ import org.apache.spark.sql.functions._
   *     phase bucketed; worker = (position-1) mod W) over the
   *     artifact's own block-id column — no stored permutation to
   *     trust, nothing to go stale;
-  *  2. the P36 Merkle digest (count, token total, two-level chunked
-  *     block-id fold) is recomputed over exactly what will be read —
-  *     with [[PipelineQueries.shardManifestOn]], the writer's OWN
-  *     arithmetic, so reader and writer can never drift — and
-  *     compared to the deployed manifest row: a dropped, added, or
-  *     re-ordered block in the artifact fails here;
-  *  3. every yielded block's token ids are re-hashed and checked
-  *     against the artifact's stored per-block `token_md5` (and its
-  *     recounted length against `n_tokens`): corrupted or truncated
-  *     token payloads fail here. (Residual, documented: a tamper
-  *     that rewrites token_ids AND the stored md5 consistently at
-  *     unchanged length defeats check 3 — the manifest pins
-  *     membership, order and counts, not token bytes.)
+  *  2. every block's token ids are re-hashed and checked against the
+  *     artifact's stored per-block `token_md5` (and its recounted
+  *     length against `n_tokens`): the finest-grain check, run FIRST
+  *     so a refusal names how many blocks are corrupt; also the guard
+  *     for a corrupted stored-digest column itself;
+  *  3. BOTH P36 Merkle digests are recomputed over exactly what will
+  *     be read — with [[PipelineQueries.shardManifestOn]], the
+  *     writer's OWN arithmetic, so reader and writer can never
+  *     drift — and compared to the deployed manifest row:
+  *     `blocks_md5` (membership + order — a dropped, added, or
+  *     re-ordered block fails here) and `tokens_md5` (the token-byte
+  *     fold, computed from the RE-HASHED ids, never the stored
+  *     column — so a tamper that rewrites token_ids AND the stored
+  *     per-block md5 consistently at unchanged length still refuses;
+  *     spec'd — the residual the first cut of this reader shipped
+  *     with, closed).
   *
   * Scale shape: the derivation pass (1) touches ONLY the artifact's
   * block_id column — a column-pruned scan of corpus_tokens/PackBlock
@@ -101,6 +104,7 @@ object ShardReader {
     val m = manifest.head
     val (mBlocks, mTokens, mMd5) = (m.getAs[Long]("n_blocks"),
       m.getAs[Long]("n_tokens"), m.getAs[String]("blocks_md5"))
+    val mTokMd5 = m.getAs[String]("tokens_md5")
 
     val blocks = s.read.parquet(s"$artifact/blocks")
     // (1) stateless re-derivation of the rank's expected order — the
@@ -118,26 +122,6 @@ object ShardReader {
         .withColumn("n_tokens_read", size(col("token_ids")).cast("long"))
         .withColumn("token_md5_read", md5(concat_ws("-",
           expr("transform(token_ids, t -> cast(t as string))")))))
-    // (2) the Merkle digest, recomputed with the WRITER'S fold over
-    // what will actually be yielded
-    val fold = PipelineQueries.shardManifestOn(
-      mine,
-      shard.select(col("block_id"), col("n_tokens_read").as("n_tokens")))
-      .collect()
-    if (fold.length != 1)
-      throw new IllegalStateException(
-        s"shard (epoch=$epoch rank=$rank) folded to ${fold.length} " +
-          s"manifest rows at $artifact — artifact/order mismatch")
-    val f = fold.head
-    if (f.getAs[Long]("n_blocks") != mBlocks ||
-      f.getAs[Long]("n_tokens") != mTokens ||
-      f.getAs[String]("blocks_md5") != mMd5)
-      throw new IllegalStateException(
-        s"shard digest mismatch at $artifact (epoch=$epoch rank=$rank): " +
-          s"manifest (n_blocks=$mBlocks n_tokens=$mTokens md5=$mMd5) vs " +
-          s"read (n_blocks=${f.getAs[Long]("n_blocks")} " +
-          s"n_tokens=${f.getAs[Long]("n_tokens")} " +
-          s"md5=${f.getAs[String]("blocks_md5")}) — refusing to yield")
     // (3) per-block token payload vs its stored digest
     val tampered = shard
       .filter(col("token_md5_read") =!= col("token_md5") ||
@@ -147,6 +131,33 @@ object ShardReader {
         s"$tampered block(s) of shard (epoch=$epoch rank=$rank) fail " +
           s"their stored token_md5/n_tokens at $artifact — refusing " +
           "to yield")
+    // (2) BOTH Merkle digests, recomputed with the WRITER'S fold over
+    // what will actually be yielded — the token fold runs over the
+    // RE-HASHED token ids (token_md5_read, never the stored column),
+    // so a consistent rewrite of token_ids + stored md5 still fails
+    // against the manifest's tokens_md5
+    val fold = PipelineQueries.shardManifestOn(
+      mine,
+      shard.select(col("block_id"), col("n_tokens_read").as("n_tokens"),
+        col("token_md5_read").as("token_md5")))
+      .collect()
+    if (fold.length != 1)
+      throw new IllegalStateException(
+        s"shard (epoch=$epoch rank=$rank) folded to ${fold.length} " +
+          s"manifest rows at $artifact — artifact/order mismatch")
+    val f = fold.head
+    if (f.getAs[Long]("n_blocks") != mBlocks ||
+      f.getAs[Long]("n_tokens") != mTokens ||
+      f.getAs[String]("blocks_md5") != mMd5 ||
+      f.getAs[String]("tokens_md5") != mTokMd5)
+      throw new IllegalStateException(
+        s"shard digest mismatch at $artifact (epoch=$epoch rank=$rank): " +
+          s"manifest (n_blocks=$mBlocks n_tokens=$mTokens md5=$mMd5 " +
+          s"tok=$mTokMd5) vs " +
+          s"read (n_blocks=${f.getAs[Long]("n_blocks")} " +
+          s"n_tokens=${f.getAs[Long]("n_tokens")} " +
+          s"md5=${f.getAs[String]("blocks_md5")} " +
+          s"tok=${f.getAs[String]("tokens_md5")}) — refusing to yield")
     shard.select(col("position"), col("block_id"),
       col("n_tokens_read").as("n_tokens"),
       col("token_md5_read").as("token_md5"), col("token_ids"))

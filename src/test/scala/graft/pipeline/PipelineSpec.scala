@@ -533,15 +533,15 @@ class PipelineSpec extends AnyFunSuite {
     "equals the independently recomputed two-level chunk fold") {
     val shards = PipelineQueries.dataShardManifest(spark, dir).collect()
       .map(r => ((r.getInt(0), r.getLong(1)),
-        (r.getLong(2), r.getLong(3), r.getString(4))))
+        (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
       .toMap
     graft.CachedFrames.releaseAll()
     val ord = PipelineQueries.dataEpochOrder(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     graft.CachedFrames.releaseAll()
     val sizes = PipelineQueries.dataPackTokens(spark, dir)
-      .select("block_id", "n_tokens").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .select("block_id", "n_tokens", "token_md5").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
     graft.CachedFrames.releaseAll()
     val w = PipelineQueries.LoaderWorkers
     assert(shards.keySet ===
@@ -560,28 +560,37 @@ class PipelineSpec extends AnyFunSuite {
         s"epoch $e shard imbalance beyond the round-robin ±1: $counts")
       assert(byWorker.values.map(_.length.toLong).sum === rows.length.toLong)
       byWorker.foreach { case (r, blk) =>
-        val (nb, nt, m) = shards((e, r))
+        val (nb, nt, m, tm) = shards((e, r))
         assert(nb === blk.length.toLong)
-        assert(nt === blk.map(b => sizes(b._3)).sum,
+        assert(nt === blk.map(b => sizes(b._3)._1).sum,
           s"epoch $e worker $r token total drifted")
         // the reference fold, from first principles: the shard's
         // ordered block ids in fixed-width runs of ShardChunk
         // consecutive shard positions, md5 per run, then md5 of the
         // ordered run digests — bounded aggregation state at any
         // blocks/W (the r11 VERDICT item)
-        val orderedIds = blk.sortBy(_._2).map(_._3)
-        val chunkDigests = orderedIds
-          .grouped(PipelineQueries.ShardChunk.toInt).toSeq
-          .map(run => md5hex(run.mkString("-")))
-        assert(chunkDigests.length > 1,
+        def fold(vals: Seq[String]): (Int, String) = {
+          val chunkDigests = vals
+            .grouped(PipelineQueries.ShardChunk.toInt).toSeq
+            .map(run => md5hex(run.mkString("-")))
+          (chunkDigests.length, md5hex(chunkDigests.mkString("-")))
+        }
+        val orderedBlocks = blk.sortBy(_._2).map(_._3)
+        val (nChunks, blocksFold) =
+          fold(orderedBlocks.map(_.toString))
+        assert(nChunks > 1,
           s"epoch $e worker $r: one chunk only — the fold's second " +
             "level is untested at this SF, shrink ShardChunk")
-        assert(m === md5hex(chunkDigests.mkString("-")),
+        assert(m === blocksFold,
           s"epoch $e worker $r Merkle digest != recomputed chunk fold")
+        // the TOKEN digest: same fold over the per-block token md5s
+        // in shard order — pins token bytes in the manifest
+        assert(tm === fold(orderedBlocks.map(b => sizes(b)._2))._2,
+          s"epoch $e worker $r token Merkle digest != recomputed fold")
       }
     }
     // conservation across the whole epoch
-    val corpusTokens = sizes.values.sum
+    val corpusTokens = sizes.values.map(_._1).sum
     (0 until PipelineQueries.PackEpochs).foreach { e =>
       assert((0 until w).map(r => shards((e, r.toLong))._2).sum ===
         corpusTokens, s"epoch $e lost tokens across shards")
@@ -632,8 +641,8 @@ class PipelineSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
     val inShard = clean.head
     // (a) payload tamper at UNCHANGED length (every id bumped in one
-    // block, stored token_md5/n_tokens left as written): only the
-    // per-block content digest can catch this — and must
+    // block, stored token_md5/n_tokens left as written): the
+    // per-block content check fires first and counts the corruption
     val t1 = java.nio.file.Files
       .createTempDirectory("graft-shard-tamper1").toString
     spark.read.parquet(s"$art/manifest").write.parquet(s"$t1/manifest")
@@ -649,6 +658,31 @@ class PipelineSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
     assert(ex1.getMessage.contains("token_md5"),
       s"wrong gate fired for payload tamper: ${ex1.getMessage}")
+    // (a2) CONSISTENT tamper: token_ids rewritten AND the stored
+    // per-block md5 recomputed to match, length unchanged — the
+    // stored-digest check passes by construction, so only the
+    // manifest's token-byte Merkle fold can refuse (the residual the
+    // first reader cut shipped with — closed and pinned here)
+    val t1b = java.nio.file.Files
+      .createTempDirectory("graft-shard-tamper1b").toString
+    spark.read.parquet(s"$art/manifest").write.parquet(s"$t1b/manifest")
+    spark.read.parquet(s"$art/blocks")
+      .withColumn("token_ids",
+        when(col("block_id") === inShard,
+          expr("transform(token_ids, t -> t + 1)"))
+          .otherwise(col("token_ids")))
+      .withColumn("token_md5",
+        when(col("block_id") === inShard, md5(concat_ws("-",
+          expr("transform(token_ids, t -> cast(t as string))"))))
+          .otherwise(col("token_md5")))
+      .write.parquet(s"$t1b/blocks")
+    val ex1b = intercept[IllegalStateException](
+      ShardReader.readShard(spark, t1b,
+        ShardReader.ShardEpoch, ShardReader.ShardRank))
+    graft.CachedFrames.releaseAll()
+    assert(ex1b.getMessage.contains("digest mismatch"),
+      s"consistent tamper slipped past the manifest fold: " +
+        ex1b.getMessage)
     // (b) a dropped block: membership/order breaks the Merkle digest
     // (the stateless re-derivation ranks WITHOUT the missing block,
     // so the whole shard order shifts — caught before any yield)
