@@ -2720,8 +2720,16 @@ object SimQueries {
   private def pqLut(sub: DataFrame, sCol: String,
       cb: Seq[(Long, Seq[Double])], codeName: String,
       dName: String): DataFrame =
-    sub.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), explode(array(cb.map {
+    pqLutOn(sub.filter(col("vec_id") < NumQueries), sCol, cb,
+      codeName, dName)
+
+  /** The LUT over an ARBITRARY query-subvector frame (vec_id, sCol) —
+    * no gate query-set filter; the seam the streamed ADC face (R37)
+    * builds its per-trigger LUTs through. */
+  private def pqLutOn(sub: DataFrame, sCol: String,
+      cb: Seq[(Long, Seq[Double])], codeName: String,
+      dName: String): DataFrame =
+    sub.select(col("vec_id").as("q_id"), explode(array(cb.map {
         case (code, cv) => struct(
           lit(code).as(codeName),
           round(dot(col(sCol), col(sCol)) -
@@ -3097,30 +3105,63 @@ object SimQueries {
     * matches the twin minus the deleted ids (the gate's oracle).
     */
   private[graft] def ivfPqServeArtifact(s: SparkSession, dir: String,
-                                        artifact: String): DataFrame = {
-    val cents = s.read.parquet(s"$artifact/centroids")
+                                        artifact: String): DataFrame =
+    ivfPqQueryServer(s, artifact, excludeSelf = true)(
+      vecs(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v")))
+      .orderBy(col("q_id"), col("rank"))
+
+  /** The compressed serving face for ARBITRARY (q_id, v) query
+    * frames — codebooks collect ONCE when the closure is built (the
+    * `queryAssigner` discipline), so the streamed face (R37) pays
+    * per-trigger only the narrow LUT projection + the pruned ADC
+    * join. The batch gate serves through this same closure, so the
+    * two faces cannot drift.
+    */
+  private[graft] def ivfPqQueryServer(s: SparkSession, artifact: String,
+      excludeSelf: Boolean = false): DataFrame => DataFrame = {
+    val cents = collectPqCents(s, artifact)
+    val (cb0, cb1) = collectPqBooks(s, artifact)
+    val Half = 32
+    (raw: DataFrame) => {
+      val qsub = raw
+        .withColumn("vn", normalize(col("v")))
+        .select(col("q_id").as("vec_id"), col("vn"),
+          slice(col("vn"), 1, Half).as("s0"),
+          slice(col("vn"), Half + 1, Half).as("s1"))
+      val q = qsub.select(col("vec_id").as("q_id"),
+        bestClusterCol(cents).as("cluster"))
+      val lut0 = pqLutOn(qsub, "s0", cb0, "code0", "d0")
+      val lut1 = pqLutOn(qsub, "s1", cb1, "code1", "d1")
+      ivfPqServeCore(s, artifact, q, lut0, lut1, excludeSelf)
+    }
+  }
+
+  private def collectPqCents(s: SparkSession, artifact: String)
+  : Seq[(Int, Seq[Double])] =
+    s.read.parquet(s"$artifact/centroids")
       .select(col("label"), col("cvn")).collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Double](1).toVector: Seq[Double]))
       .sortBy(_._1)
-    val (cb0, cb1) = collectPqBooks(s, artifact)
-    val Half = 32
-    val qsub = vecs(s, dir).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id"), col("vn"),
-        slice(col("vn"), 1, Half).as("s0"),
-        slice(col("vn"), Half + 1, Half).as("s1"))
-    val q = qsub.select(col("vec_id").as("q_id"),
-      bestClusterCol(cents).as("cluster"))
-    val lut0 = pqLut(qsub, "s0", cb0, "code0", "d0")
-    val lut1 = pqLut(qsub, "s1", cb1, "code1", "d1")
-    // |Q|-bounded probed set → the codes scan partition-prunes to
-    // exactly the probed lists (the S37 discipline)
+
+  /** The shared deployed-ADC serving tail: |Q|-bounded probed set →
+    * the codes scan partition-prunes to exactly the probed lists (the
+    * S37 discipline), tombstones anti-join on candidates only,
+    * broadcast LUT joins, rank, top-k. Raw (S43) and residual (S45)
+    * encodings differ only in how `q`/LUTs are prepared.
+    */
+  private def ivfPqServeCore(s: SparkSession, artifact: String,
+                             q: DataFrame, lut0: DataFrame,
+                             lut1: DataFrame,
+                             excludeSelf: Boolean = true): DataFrame = {
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("neighbor"))
-    q.join(codesView(s, artifact)
+    val joined = q.join(codesView(s, artifact)
         .filter(col("cluster").isin(probed: _*)), Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
+     else joined)
       .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
       .join(broadcast(lut0), Seq("q_id", "code0"))
       .join(broadcast(lut1), Seq("q_id", "code1"))
@@ -3333,6 +3374,110 @@ object SimQueries {
       FROM scored)
     SELECT q_id, neighbor, cluster, adc, rank FROM ranked
     WHERE rank <= $TopK ORDER BY q_id, rank"""
+
+  /** S45: the RESIDUAL-encoded compressed artifact — S43 at faiss
+    * `by_residual=true` (the S7 accuracy upgrade deployed): the PQ
+    * codebooks quantize vn − centroid(cluster) instead of the raw
+    * vector, so the same two-small-ints-per-vector budget spends its
+    * resolution on within-cluster structure. Same three-table layout
+    * (`centroids`, `pq_codebooks` now holding the residual books,
+    * `codes`), same held-at-birth listing, same tombstone/compaction
+    * machinery (the codes payload is encoding-agnostic — `ivfDelete`
+    * and `ivfPqCompact` apply unchanged). Serving differs only in
+    * query prep: the query's residual against ITS OWN probed list's
+    * centroid feeds the LUTs (probe-1, the faiss default for residual
+    * encoding — per-list LUTs are why), then the identical
+    * partition-pruned ADC tail. Gate oracle = the in-memory S7 twin's
+    * SQL verbatim — deploy → reload → serve ≡ train → serve at
+    * residual grain.
+    */
+  def ivfPqResIndexWrite(s: SparkSession, dir: String,
+                         out: String): Unit = {
+    import s.implicits._
+    val e = vecs(s, dir)
+    centroids(e).write.mode("overwrite").parquet(s"$out/centroids")
+    val cents = collectCents(e)
+    val centDf = cents.toDF("cluster", "cvec")
+    val sub = graft.CachedFrames.persist(
+      e.select(col("vec_id"), col("label"), col("vn"),
+        bestClusterCol(cents).as("cluster"))
+        .join(broadcast(centDf), Seq("cluster"))
+        .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("label"), col("cluster"),
+          slice(col("r"), 1, 32).as("s0"),
+          slice(col("r"), 33, 32).as("s1")))
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    val cb0 = codebook("s0")
+    val cb1 = codebook("s1")
+    (cb0.map { case (c, v) => (0, c, v) } ++
+      cb1.map { case (c, v) => (1, c, v) })
+      .toDF("sub", "code", "cv")
+      .write.mode("overwrite").parquet(s"$out/pq_codebooks")
+    sub.withColumn("a0", pqAssignment("s0", cb0))
+      .withColumn("a1", pqAssignment("s1", cb1))
+      .select(col("vec_id"),
+        col("a0.code").as("code0"), col("a1.code").as("code1"),
+        col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$out/codes")
+    graft.streaming.SnapshotManifest.track(s, out, "codes")
+  }
+
+  private[graft] def ivfPqResServeArtifact(s: SparkSession, dir: String,
+                                           artifact: String): DataFrame =
+    ivfPqResQueryServer(s, artifact, excludeSelf = true)(
+      vecs(s, dir).filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v")))
+
+  /** The residual-encoding twin of [[ivfPqQueryServer]]: the query's
+    * residual against its own probed list's centroid feeds the LUTs
+    * (one broadcast-joined subtraction — a narrow map), then the same
+    * pruned ADC tail. Codebooks and the centroid frame collect once
+    * at closure build.
+    */
+  private[graft] def ivfPqResQueryServer(s: SparkSession,
+      artifact: String,
+      excludeSelf: Boolean = false): DataFrame => DataFrame = {
+    import s.implicits._
+    val cents = collectPqCents(s, artifact)
+    val centDf = cents.toDF("cluster", "cvec")
+    val (cb0, cb1) = collectPqBooks(s, artifact)
+    (raw: DataFrame) => {
+      val qsub = raw
+        .withColumn("vn", normalize(col("v")))
+        .select(col("q_id").as("vec_id"), col("vn"),
+          bestClusterCol(cents).as("cluster"))
+        .join(broadcast(centDf), Seq("cluster"))
+        .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
+        .select(col("vec_id"), col("cluster"),
+          slice(col("r"), 1, 32).as("s0"),
+          slice(col("r"), 33, 32).as("s1"))
+      val q = qsub.select(col("vec_id").as("q_id"), col("cluster"))
+      val lut0 = pqLutOn(qsub, "s0", cb0, "code0", "d0")
+      val lut1 = pqLutOn(qsub, "s1", cb1, "code1", "d1")
+      ivfPqServeCore(s, artifact, q, lut0, lut1, excludeSelf)
+    }
+  }
+
+  private val pqResArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def knnIvfPqResArtifact(s: SparkSession, dir: String): DataFrame =
+    ivfPqResServeArtifact(s, dir,
+      pqResArtifacts.computeIfAbsent(dir, _ => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-ivfpqres-artifact").toString
+        ivfPqResIndexWrite(s, dir, out)
+        out
+      }))
+
+  // lazy: knnIvfPqResidualSql is declared LATER in this object — a
+  // strict val here would splice "null" at init (the object-init-order
+  // discipline)
+  lazy val knnIvfPqResArtifactSql: String = knnIvfPqResidualSql
 
   val knnIvfPqArtifactSql: String = knnIvfPqSql
 
@@ -5948,6 +6093,7 @@ object SimQueries {
     "knn_ivfpq_artifact" -> (knnIvfPqArtifact _),
     "knn_ivfpq_delete" -> (knnIvfPqArtifactDelete _),
     "knn_ivfpq_insert" -> (knnIvfPqInsert _),
+    "knn_ivfpq_res_artifact" -> (knnIvfPqResArtifact _),
     "knn_ivfpq_refine" -> (knnIvfPqRefine _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _),
@@ -5994,6 +6140,7 @@ object SimQueries {
     "knn_ivfpq_artifact" -> knnIvfPqArtifactSql,
     "knn_ivfpq_delete" -> knnIvfPqArtifactDeleteSql,
     "knn_ivfpq_insert" -> knnIvfPqInsertSql,
+    "knn_ivfpq_res_artifact" -> knnIvfPqResArtifactSql,
     "knn_ivfpq_refine" -> knnIvfPqRefineSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql,

@@ -92,6 +92,41 @@ object StreamAnnServe {
     * per trigger); the body IS the S40 batch core, so the two faces
     * cannot drift (parity-spec'd).
     */
+  /** R37: streamed queries against the deployed COMPRESSED artifact
+    * (S43/S45) — the ADC serving verb on the standing topology: each
+    * trigger's (q_id, v) batch builds its broadcast LUTs in one
+    * narrow projection under codebooks collected ONCE at start-up,
+    * candidates come from the manifest-resolved partition-pruned
+    * codes scan (zero data-dir LISTs on a held artifact — the E33
+    * contract the compressed family is born with), live tombstones
+    * mask candidates per trigger. The per-trigger body IS the S43/S45
+    * batch closure (`ivfPqQueryServer` / `ivfPqResQueryServer`), so
+    * the streamed and batch answers cannot drift (parity-spec'd
+    * bit-for-bit under 1-file-per-trigger packing). Stateless per
+    * trigger; the artifact is the state and lives outside the stream.
+    *
+    * @param residual serve the S45 residual encoding (per-query
+    *                 residual against its probed list's centroid)
+    *                 instead of the raw S43 one.
+    */
+  def serveAdcArtifact(s: SparkSession, artifact: String,
+      queries: DataFrame, checkpoint: String,
+      excludeSelf: Boolean = false, residual: Boolean = false)
+      (sink: DataFrame => Unit): StreamingQuery = {
+    val serve =
+      if (residual)
+        graft.sim.SimQueries.ivfPqResQueryServer(s, artifact, excludeSelf)
+      else graft.sim.SimQueries.ivfPqQueryServer(s, artifact, excludeSelf)
+    queries.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         _: Long) =>
+          sink(serve(b.toDF()))
+          ()
+      }.start()
+  }
+
   def serveRangeArtifact(s: SparkSession, artifact: String,
       queries: DataFrame, checkpoint: String,
       excludeSelf: Boolean = false, nprobe: Int = 1)

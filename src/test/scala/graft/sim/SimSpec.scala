@@ -1476,6 +1476,44 @@ class SimSpec extends AnyFunSuite {
       "gate deployment drifted from the spec's own insert flow")
   }
 
+  test("S45 residual-encoded deployed artifact: serve-from-artifact " +
+    "equals the in-memory by_residual twin bit-for-bit, and the " +
+    "encoding-agnostic tombstone/compaction machinery applies " +
+    "unchanged") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-ivfpqres-spec").toString
+    SimQueries.ivfPqResIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    val served = SimQueries.ivfPqResServeArtifact(spark, dir, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val twin = SimQueries.knnIvfPqResidual(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === twin,
+      "residual artifact serving drifted from the in-memory twin")
+    // deletes + compaction ride the same machinery (codes payload is
+    // encoding-agnostic)
+    import spark.implicits._
+    val delIds = spark.read.parquet(s"$art/codes")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    SimQueries.ivfDelete(spark, art, delIds.toDF("vec_id"))
+    val afterDelete = SimQueries.ivfPqResServeArtifact(spark, dir, art)
+      .collect()
+    graft.CachedFrames.releaseAll()
+    assert(afterDelete.nonEmpty &&
+      afterDelete.forall(_.getLong(1) % 7 != 3))
+    SimQueries.ivfPqCompact(spark, art)
+    spark.catalog.refreshByPath(s"$art/codes")
+    assert(SimQueries.ivfPqResServeArtifact(spark, dir, art)
+      .collect().map(_.toSeq).toSeq ===
+      afterDelete.map(_.toSeq).toSeq,
+      "compaction changed residual serving")
+    graft.CachedFrames.releaseAll()
+  }
+
   test("S43 zero-LIST serving: the deployed IVFPQ artifact is " +
     "listing-held at birth — a serve does NO directory enumeration " +
     "under the codes table") {

@@ -1735,6 +1735,100 @@ class StreamingSpec extends AnyFunSuite {
       r(3).asInstanceOf[Double] >= graft.sim.SimQueries.RangeTau))
   }
 
+  test("R37: streamed ADC serving from the deployed COMPRESSED " +
+    "artifact — a delete landing between triggers masks the next " +
+    "wave, each wave bit-identical to the S43 batch closure, and the " +
+    "residual encoding serves through the same face") {
+    import spark.implicits._
+    val dir0 = "/root/testdata/sf0.01"
+    val art = tmp()
+    graft.sim.SimQueries.ivfPqIndexWrite(spark, dir0, art)
+    graft.CachedFrames.releaseAll()
+    val qVecs = graft.Tables.embeddings(spark, dir0)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val qdir = tmp()
+    def emitWave(idx: Int): Unit = {
+      val stage = tmp()
+      qVecs.toDF("q_id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-")
+          && f.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath,
+        java.nio.file.Paths.get(qdir, f"wave$idx%02d.parquet"))
+    }
+    val waves = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[Seq[Any]]]()
+    emitWave(0)
+    val schema = spark.read.parquet(qdir).schema
+    val sq = StreamAnnServe.serveAdcArtifact(spark, art,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(qdir),
+      tmp(), excludeSelf = true) { out =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      if (rows.nonEmpty) { waves.add(rows); () }
+    }
+    sq.processAllAvailable()
+    val delIds = spark.read.parquet(s"$art/codes")
+      .filter(col("vec_id") % 7 === 3).select("vec_id")
+    graft.sim.SimQueries.ivfDelete(spark, art, delIds)
+    emitWave(1)
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val ws = waves.asScala.toSeq
+    assert(ws.size === 2, s"expected 2 ADC waves, got ${ws.size}")
+    // the batch twin IS the per-trigger body — computed now, with the
+    // tombstones live, so it must equal the POST-delete wave exactly
+    val post = {
+      val r = graft.sim.SimQueries
+        .ivfPqQueryServer(spark, art, excludeSelf = true)(
+          qVecs.toDF("q_id", "v")).collect().map(_.toSeq).toSeq
+      graft.CachedFrames.releaseAll()
+      r
+    }
+    assert(ws(1) === post,
+      "post-delete streamed ADC wave diverged from the batch closure")
+    assert(ws(1).forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+      "a tombstoned vector surfaced from the compressed stream")
+    assert(ws.head !== ws(1),
+      "a seventh of the corpus deleted and no ADC answer moved")
+    // the RESIDUAL encoding through the same face: one wave ≡ the
+    // S45 batch closure bit-for-bit
+    val artR = tmp()
+    graft.sim.SimQueries.ivfPqResIndexWrite(spark, dir0, artR)
+    graft.CachedFrames.releaseAll()
+    val wavesR = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[Seq[Any]]]()
+    val qdirR = tmp()
+    val stageR = tmp()
+    qVecs.toDF("q_id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stageR)
+    Files.copy(new java.io.File(stageR).listFiles()
+      .find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")).get.toPath,
+      java.nio.file.Paths.get(qdirR, "wave00.parquet"))
+    val sqR = StreamAnnServe.serveAdcArtifact(spark, artR,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(qdirR),
+      tmp(), excludeSelf = true, residual = true) { out =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      if (rows.nonEmpty) { wavesR.add(rows); () }
+    }
+    sqR.processAllAvailable(); sqR.stop()
+    val twinR = {
+      val r = graft.sim.SimQueries
+        .ivfPqResQueryServer(spark, artR, excludeSelf = true)(
+          qVecs.toDF("q_id", "v")).collect().map(_.toSeq).toSeq
+      graft.CachedFrames.releaseAll()
+      r
+    }
+    assert(wavesR.asScala.toSeq === Seq(twinR),
+      "streamed residual ADC wave diverged from the S45 batch closure")
+  }
+
   test("StagedCommit crash-point sweep: a commit killed after ANY " +
     "number of moved files converges to exactly one copy on replay") {
     import spark.implicits._
