@@ -2202,6 +2202,7 @@ object PipelineQueries {
     "data_pack_shuffled" -> (dataPackShuffled _),
     "data_shard_manifest" -> (dataShardManifest _),
     "data_read_shard" -> (ShardReader.dataReadShard _),
+    "data_read_shard_resume" -> (ShardReader.dataReadShardResume _),
     "data_epoch_order" -> (dataEpochOrder _),
     "data_mix" -> (dataMix _),
     "data_alpha_mix" -> (dataAlphaMix _),
@@ -2244,6 +2245,7 @@ object PipelineQueries {
     "data_pack_shuffled" -> dataPackShuffledSql,
     "data_shard_manifest" -> dataShardManifestSql,
     "data_read_shard" -> ShardReader.dataReadShardSql,
+    "data_read_shard_resume" -> ShardReader.dataReadShardResumeSql,
     "data_epoch_order" -> dataEpochOrderSql,
     "data_mix" -> dataMixSql,
     "text_unigram_lm" -> textUnigramLmSql)

@@ -88,9 +88,22 @@ object ShardReader {
     * IllegalStateException when the artifact disagrees with the
     * manifest (membership/order/counts) or a block's token payload
     * disagrees with its stored digest.
+    *
+    * @param fromPosition mid-epoch RESUME: yield only blocks at epoch
+    *                     positions strictly above this (a rank
+    *                     restarting at step s skips what it already
+    *                     consumed). Verification intentionally stays
+    *                     over the FULL shard — a resumed rank must
+    *                     refuse a corrupted artifact even when the
+    *                     corruption sits in the already-consumed
+    *                     prefix (the next epoch will read it), and
+    *                     the digest math only matches the manifest
+    *                     whole. The yield filter is position-pushed
+    *                     into the (already 1/W-filtered) cached frame
+    *                     — no extra scan.
     */
   def readShard(s: SparkSession, artifact: String, epoch: Int,
-                rank: Int): DataFrame = {
+                rank: Int, fromPosition: Long = 0L): DataFrame = {
     val W = PipelineQueries.LoaderWorkers
     require(epoch >= 0 && epoch < PipelineQueries.PackEpochs,
       s"epoch $epoch outside the packed range [0, ${PipelineQueries.PackEpochs})")
@@ -158,9 +171,10 @@ object ShardReader {
           s"n_tokens=${f.getAs[Long]("n_tokens")} " +
           s"md5=${f.getAs[String]("blocks_md5")} " +
           s"tok=${f.getAs[String]("tokens_md5")}) — refusing to yield")
-    shard.select(col("position"), col("block_id"),
-      col("n_tokens_read").as("n_tokens"),
-      col("token_md5_read").as("token_md5"), col("token_ids"))
+    shard.filter(col("position") > fromPosition)
+      .select(col("position"), col("block_id"),
+        col("n_tokens_read").as("n_tokens"),
+        col("token_md5_read").as("token_md5"), col("token_ids"))
       .orderBy(col("position"))
   }
 
@@ -174,7 +188,27 @@ object ShardReader {
       .select(col("position"), col("block_id"), col("n_tokens"),
         col("token_md5"))
 
-  lazy val dataReadShardSql: String = s"""
+  /** The gate's fixed resume point — roughly mid-shard at every SF
+    * (epoch positions are 1..blocks, the rank holds every W-th). */
+  val ResumeFrom = 970L
+
+  /** P39b gate: the mid-epoch RESUME — the same verified shard
+    * yielding only positions strictly above [[ResumeFrom]] (a rank
+    * restarting at a checkpointed step). Verification still covers
+    * the whole shard; the oracle is the P39 SQL with the position
+    * cut applied.
+    */
+  def dataReadShardResume(s: SparkSession, dir: String): DataFrame =
+    readShard(s, deployedOf(s, dir), ShardEpoch, ShardRank, ResumeFrom)
+      .select(col("position"), col("block_id"), col("n_tokens"),
+        col("token_md5"))
+
+  lazy val dataReadShardResumeSql: String = readShardSql(
+    s"AND position > $ResumeFrom")
+
+  lazy val dataReadShardSql: String = readShardSql("")
+
+  private def readShardSql(extraFilter: String): String = s"""
     WITH ${graft.text.TextQueries.bpeTokenFlatSql},
     g AS (
       SELECT doc_id, tok_id,
@@ -200,5 +234,6 @@ object ShardReader {
     FROM ordered JOIN bs USING (block_id)
     WHERE epoch = $ShardEpoch
       AND (position - 1) % ${PipelineQueries.LoaderWorkers} = $ShardRank
+      $extraFilter
     ORDER BY position"""
 }

@@ -727,6 +727,51 @@ class PipelineSpec extends AnyFunSuite {
       ShardReader.readShard(spark, art, 0, PipelineQueries.LoaderWorkers))
   }
 
+  test("P39b mid-epoch resume: the yielded suffix equals the full " +
+    "shard cut at the position, and a tamper in the ALREADY-CONSUMED " +
+    "prefix still refuses (verification covers the whole shard)") {
+    val art = ShardReader.deployedOf(spark, dir)
+    graft.CachedFrames.releaseAll()
+    val full = ShardReader.readShard(spark, art,
+      ShardReader.ShardEpoch, ShardReader.ShardRank)
+      .select("position", "block_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    graft.CachedFrames.releaseAll()
+    val cut = ShardReader.ResumeFrom
+    val resumed = ShardReader.readShard(spark, art,
+      ShardReader.ShardEpoch, ShardReader.ShardRank, cut)
+      .select("position", "block_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(resumed === full.filter(_._1 > cut),
+      "resume suffix != the full shard cut at the position")
+    assert(resumed.nonEmpty && resumed.length < full.length,
+      "the fixed cut must be interior to the shard at this SF")
+    // a CONSISTENT tamper (ids + stored md5) in a block the resume
+    // SKIPS: the resumed read must still refuse — the digest contract
+    // covers the whole shard, not just the yielded suffix
+    val prefixBlock = full.filter(_._1 <= cut).head._2
+    val t4 = java.nio.file.Files
+      .createTempDirectory("graft-shard-tamper4").toString
+    spark.read.parquet(s"$art/manifest").write.parquet(s"$t4/manifest")
+    spark.read.parquet(s"$art/blocks")
+      .withColumn("token_ids",
+        when(col("block_id") === prefixBlock,
+          expr("transform(token_ids, t -> t + 1)"))
+          .otherwise(col("token_ids")))
+      .withColumn("token_md5",
+        when(col("block_id") === prefixBlock, md5(concat_ws("-",
+          expr("transform(token_ids, t -> cast(t as string))"))))
+          .otherwise(col("token_md5")))
+      .write.parquet(s"$t4/blocks")
+    val ex = intercept[IllegalStateException](
+      ShardReader.readShard(spark, t4,
+        ShardReader.ShardEpoch, ShardReader.ShardRank, cut))
+    graft.CachedFrames.releaseAll()
+    assert(ex.getMessage.contains("digest mismatch"),
+      s"a consumed-prefix tamper slipped past resume: ${ex.getMessage}")
+  }
+
   test("P38 decontaminated writer: every doc any decontamination " +
     "method flags is absent, every unflagged keeper survives, and " +
     "the drop accounting reconciles") {
