@@ -3250,9 +3250,13 @@ class StreamingSpec extends AnyFunSuite {
       .read(fs, art, "postings").get
     // the crashed attempt may or may not have reached registration —
     // either way nothing unsealed resolves
+    // match the file NAME, not the whole path: add-/gen- names embed
+    // random UUIDs, and a UUID segment ending in "b1" makes a bare
+    // substring check flake (observed once in ~12 rounds of sweeps)
     assert(graft.streaming.SnapshotManifest
       .resolve(spark, art, "postings")
-      .forall(!_.contains("b1-")), "an unsealed batch file resolved")
+      .forall(p => !p.substring(p.lastIndexOf('/') + 1)
+        .startsWith("b1-")), "an unsealed batch file resolved")
     StreamIvfInsert.insertBatch(spark, art, assign, mkBatch(), 1L)
     val mSealed = graft.streaming.SnapshotManifest
       .read(fs, art, "postings").get
