@@ -187,6 +187,49 @@ class PlanSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("compressed-artifact serving (S43/S45) partition-prunes the " +
+    "codes scan to the probed lists and keeps the ADC LUT joins " +
+    "broadcast — the deployed-PQ plan shape at 100 TB") {
+    // the probed-cluster collect must land as a partition filter on
+    // the codes scan (two small ints per corpus vector is only cheap
+    // if a query batch reads its probe lists, not the whole code
+    // table), and the |Q|×k LUTs must join broadcast (kilobytes),
+    // never shuffle the code table on (q_id, code)
+    Seq("knn_ivfpq_artifact", "knn_ivfpq_delete", "knn_ivfpq_insert",
+      "knn_ivfpq_res_artifact").foreach { q =>
+      val p = plan(q)
+      val pruned = p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("cluster") &&
+          !l.contains("PartitionFilters: []"))
+      assert(pruned, s"$q codes scan lost its partition pruning:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast LUT joins:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q sort-merges on the serving path:\n$p")
+      graft.CachedFrames.releaseAll()
+    }
+  }
+
+  test("data_read_shard joins the rank's block map as a BROADCAST " +
+    "into the blocks scan — zero shuffle of token payload — and its " +
+    "stateless rank derivation keeps the two-phase bucket windows") {
+    val p = plan("data_read_shard")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rank block map no longer broadcasts into the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the shard read sort-merges (token payload would shuffle):\n$p")
+    // the epochOrderOn subplan (broadcast side) must keep its md5-
+    // prefix bucket partitions on every block-rank window (the P33
+    // two-phase discipline — same guard as data_epoch_order)
+    val blockRanks = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("block_id")).toList
+    assert(blockRanks.nonEmpty,
+      s"data_read_shard lost its rank window entirely:\n$p")
+    blockRanks.foreach(l => assert(l.contains("kb#"),
+      s"shard-read rank window lost its bucket partition:\n$l"))
+    graft.CachedFrames.releaseAll()
+  }
+
   test("the O(corpus) index joins stay shuffled — no broadcast of the " +
     "shingle or band index at any estimate (sf1-probe regression guard)") {
     // the static planner underestimates the cached/anti-joined index
