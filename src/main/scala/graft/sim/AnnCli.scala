@@ -17,13 +17,17 @@ trait CorpusReader {
 }
 
 object CorpusReader {
-  /** The default: the suite's embeddings-table shape. */
+  /** The default: the suite's embeddings-table shape. Carries `label`
+    * beside (vec_id, v, vn) — the flat retrain ignores it; the
+    * compressed refresh (S46) seeds its codebooks from it and refuses
+    * a reader that cannot supply one. */
   val default: CorpusReader = new CorpusReader {
     def vectors(s: SparkSession, corpus: String): DataFrame =
       graft.Tables.embeddings(s, corpus)
         .select(org.apache.spark.sql.functions.col("vec_id"),
           org.apache.spark.sql.functions.col("embedding")
-            .cast("array<double>").as("v"))
+            .cast("array<double>").as("v"),
+          org.apache.spark.sql.functions.col("label"))
         .withColumn("vn", graft.functions.VectorFunctions
           .normalize(org.apache.spark.sql.functions.col("v")))
   }
@@ -101,9 +105,18 @@ object AnnCli {
           "retrain needs the current corpus: retrain <artifact> " +
             "<corpusDir>"))
       val e = reader.vectors(spark, corpus)
-      val g = IvfReindex.retrain(spark, root, e)
-      println(s"Retrained $root -> $g (previous generation kept for " +
-        "one grace cycle)")
+      // kind-routed: a compressed live generation (codes table)
+      // REFRESHES (rebuild behind the pointer — its label-seeded
+      // books don't refit from the deployed state); a flat one
+      // RETRAINS (the S33-priced Lloyd refit)
+      val live = s"$root/${versioned.get}"
+      val compressed = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$live/codes"))
+      val g =
+        if (compressed) IvfPqReindex.refresh(spark, root, e)
+        else IvfReindex.retrain(spark, root, e)
+      println(s"${if (compressed) "Refreshed" else "Retrained"} $root " +
+        s"-> $g (previous generation kept for one grace cycle)")
       return
     }
     val artifact = versioned.fold(root)(g => s"$root/$g")

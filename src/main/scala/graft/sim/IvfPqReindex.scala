@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S46: generation REFRESH for the deployed COMPRESSED index — the
+  * S41 versioned-deployment discipline applied to S43/S45: a stale
+  * compressed deployment is replaced by building the refreshed index
+  * BESIDE the live one and swapping the same atomic `_current`
+  * pointer ([[IvfReindex.swapPointer]] — identical crash semantics:
+  * a serve resolves the pointer once and answers entirely from that
+  * generation, old or new, never a mix).
+  *
+  * Honest naming: the flat family RETRAINS (one Lloyd refit from the
+  * deployed codebook — exactly what the S33 monitor priced); the
+  * compressed family's codebooks are label-seeded means, which do
+  * not refit from the deployed state — so this verb is a REFRESH:
+  * rebuild both codebook families and the code table under the
+  * CURRENT corpus, behind the pointer. The operational contract is
+  * the same: no serving downtime, crash-before-swap leaves the live
+  * generation untouched and the retry completes, generations beyond
+  * the previous retire at the next refresh (grace), the whole pass
+  * under the root `_maintenance` lock (mutually exclusive with every
+  * AnnCli maintenance verb, which root-locks on versioned
+  * deployments).
+  *
+  * The corpus frame must carry `label` (the codebook seed) beside
+  * (vec_id, v, vn) — a [[CorpusReader]] that cannot supply labels is
+  * refused loudly rather than silently mis-seeding.
+  */
+object IvfPqReindex {
+
+  /** Initial deployment: build generation 0 from `train` and point
+    * `_current` at it. */
+  def deployOn(train: DataFrame, artifact: String): Unit = {
+    val s = train.sparkSession
+    val fs = graft.streaming.SnapshotManifest.fsOf(s, artifact)
+    SimQueries.ivfPqIndexWriteOn(train, s"$artifact/gen-0")
+    IvfReindex.swapPointer(fs, artifact, "gen-0")
+  }
+
+  /** Rebuild under the CURRENT corpus into the next generation, swap
+    * the pointer, retire generations beyond the previous (grace).
+    * Returns the new generation name.
+    *
+    * @param onPoint test hook fired at "built" (new generation on
+    *                disk, pointer NOT yet swapped) and "swapped".
+    */
+  def refresh(s: SparkSession, artifact: String, corpus: DataFrame,
+              onPoint: String => Unit = _ => ()): String = {
+    require(corpus.columns.contains("label"),
+      "compressed refresh seeds its codebooks from `label` — the " +
+        "corpus frame (CorpusReader) must supply it")
+    val fs = graft.streaming.SnapshotManifest.fsOf(s, artifact)
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
+      val gen = IvfReindex.currentGen(fs, artifact).getOrElse(
+        throw new IllegalStateException(s"$artifact: no _current"))
+      val n = gen.stripPrefix("gen-").toLong
+      val next = s"gen-${n + 1}"
+      val nextDir = s"$artifact/$next"
+      if (fs.exists(new Path(nextDir))) fs.delete(new Path(nextDir), true)
+      SimQueries.ivfPqIndexWriteOn(corpus, nextDir)
+      onPoint("built")
+      IvfReindex.swapPointer(fs, artifact, next)
+      onPoint("swapped")
+      // generation grace: keep the PREVIOUS generation for in-flight
+      // readers; everything older retires now
+      fs.listStatus(new Path(artifact)).toSeq.foreach { st =>
+        val nm = st.getPath.getName
+        if (st.isDirectory && nm.startsWith("gen-") &&
+          nm.stripPrefix("gen-").toLongOption.exists(_ < n))
+          fs.delete(st.getPath, true)
+      }
+      next
+    }
+  }
+
+  /** Serve the standard query set from the LIVE generation. */
+  def serve(s: SparkSession, dir: String, artifact: String): DataFrame =
+    SimQueries.ivfPqServeArtifact(s, dir,
+      IvfReindex.liveRoot(s, artifact))
+}

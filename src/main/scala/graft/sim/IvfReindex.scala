@@ -52,8 +52,10 @@ object IvfReindex {
     }
   }
 
-  private def swapPointer(fs: FileSystem, artifact: String,
-                          gen: String): Unit = {
+  // private[sim]: IvfPqReindex (the compressed family's generation
+  // refresh) swaps the same pointer with the same crash semantics
+  private[sim] def swapPointer(fs: FileSystem, artifact: String,
+                               gen: String): Unit = {
     val tmp = new Path(s"$artifact/.tmp-current")
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()

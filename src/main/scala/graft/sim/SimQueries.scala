@@ -3479,7 +3479,33 @@ object SimQueries {
   // discipline)
   lazy val knnIvfPqResArtifactSql: String = knnIvfPqResidualSql
 
+  private val pqRefreshedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S46 gate: deploy the compressed index on 2/3 of the corpus
+    * (generation 0), REFRESH with the full corpus ([[IvfPqReindex]] —
+    * rebuild behind the atomic generation pointer), serve from the
+    * live generation. The oracle is the FULL-corpus S43 twin's SQL
+    * verbatim: the hash pins that the swapped-in generation IS a
+    * full-corpus build (the spec additionally pins that generation 0
+    * served DIFFERENTLY before the swap, that a crash before the
+    * swap leaves it serving, and the grace retirement).
+    */
+  def knnIvfPqRefreshed(s: SparkSession, dir: String): DataFrame = {
+    val artifact = pqRefreshedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-refresh").toString
+      IvfPqReindex.deployOn(
+        vecs(s, dir).filter(col("vec_id") % InsertMod =!= InsertRem), out)
+      IvfPqReindex.refresh(s, out, vecs(s, dir))
+      out
+    })
+    IvfPqReindex.serve(s, dir, artifact)
+  }
+
   val knnIvfPqArtifactSql: String = knnIvfPqSql
+
+  val knnIvfPqRefreshedSql: String = knnIvfPqSql
 
   val knnIvfPqArtifactDeleteSql: String = s"""
     WITH ${pqCoreSql("vn")},
@@ -6094,6 +6120,7 @@ object SimQueries {
     "knn_ivfpq_delete" -> (knnIvfPqArtifactDelete _),
     "knn_ivfpq_insert" -> (knnIvfPqInsert _),
     "knn_ivfpq_res_artifact" -> (knnIvfPqResArtifact _),
+    "knn_ivfpq_refreshed" -> (knnIvfPqRefreshed _),
     "knn_ivfpq_refine" -> (knnIvfPqRefine _),
     "knn_ivfpq_probe" -> ((s: SparkSession, d: String) => knnIvfPqProbe(s, d)),
     "knn_ivfpq_res" -> (knnIvfPqResidual _),
@@ -6141,6 +6168,7 @@ object SimQueries {
     "knn_ivfpq_delete" -> knnIvfPqArtifactDeleteSql,
     "knn_ivfpq_insert" -> knnIvfPqInsertSql,
     "knn_ivfpq_res_artifact" -> knnIvfPqResArtifactSql,
+    "knn_ivfpq_refreshed" -> knnIvfPqRefreshedSql,
     "knn_ivfpq_refine" -> knnIvfPqRefineSql,
     "knn_ivfpq_probe" -> knnIvfPqProbeSql,
     "knn_ivfpq_res" -> knnIvfPqResidualSql,

@@ -1514,6 +1514,79 @@ class SimSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
   }
 
+  test("S46 compressed generation refresh: crash-before-swap leaves " +
+    "gen-0 serving untouched, the retry swaps atomically to a " +
+    "full-corpus build, generations retire on the grace schedule, " +
+    "the CLI routes the verb by kind, and a label-less reader is " +
+    "refused") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-refresh-spec").toString
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .localCheckpoint(false)
+    IvfPqReindex.deployOn(
+      e.filter(col("vec_id") % SimQueries.InsertMod =!=
+        SimQueries.InsertRem), art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-0"))
+    val before = IvfPqReindex.serve(spark, dir, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    // crash between build and swap: serving stays on gen-0 entirely
+    intercept[RuntimeException](IvfPqReindex.refresh(spark, art, e,
+      onPoint = p => if (p == "built") throw new RuntimeException("kill")))
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-0"),
+      "a crashed refresh moved the pointer")
+    spark.catalog.clearCache()
+    assert(IvfPqReindex.serve(spark, dir, art)
+      .collect().map(_.toSeq).toSeq === before,
+      "a crashed refresh changed serving")
+    graft.CachedFrames.releaseAll()
+    // retry completes; the refreshed deployment IS a full-corpus
+    // build — bit-identical to the S43 gate's fresh artifact
+    assert(IvfPqReindex.refresh(spark, art, e) === "gen-1")
+    graft.CachedFrames.releaseAll()
+    val after = IvfPqReindex.serve(spark, dir, art)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(after !== before,
+      "a third of the corpus arrived and the refresh changed nothing")
+    val fullTwin = SimQueries.knnIvfPqArtifact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(after === fullTwin,
+      "the refreshed generation is not a full-corpus build")
+    // grace: a second refresh retires gen-0, keeps gen-1
+    assert(IvfPqReindex.refresh(spark, art, e) === "gen-2")
+    graft.CachedFrames.releaseAll()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$art/gen-0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$art/gen-1")))
+    // the CLI routes retrain → refresh on a compressed deployment
+    AnnCli.run(spark, Array("retrain", art, dir))
+    graft.CachedFrames.releaseAll()
+    assert(IvfReindex.currentGen(fs, art) === Some("gen-3"))
+    assert(IvfPqReindex.serve(spark, dir, art).count() > 0)
+    graft.CachedFrames.releaseAll()
+    // a reader that cannot supply labels is refused loudly
+    val noLabel = new CorpusReader {
+      def vectors(s: org.apache.spark.sql.SparkSession,
+                  corpus: String): org.apache.spark.sql.DataFrame =
+        graft.Tables.embeddings(s, corpus)
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .withColumn("vn",
+            graft.functions.VectorFunctions.normalize(col("v")))
+    }
+    val ex = intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("retrain", art, dir), noLabel))
+    assert(ex.getMessage.contains("label"))
+  }
+
   test("S43 zero-LIST serving: the deployed IVFPQ artifact is " +
     "listing-held at birth — a serve does NO directory enumeration " +
     "under the codes table") {
