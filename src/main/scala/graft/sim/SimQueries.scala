@@ -3149,6 +3149,15 @@ object SimQueries {
     * S37 discipline), tombstones anti-join on candidates only,
     * broadcast LUT joins, rank, top-k. Raw (S43) and residual (S45)
     * encodings differ only in how `q`/LUTs are prepared.
+    *
+    * Every join side that is SMALL BY CONTRACT is broadcast-hinted
+    * explicitly rather than left to the threshold: the query batch
+    * (|Q| rows — a trigger's queries), the LUTs (|Q|×k), and the
+    * tombstone set (O(deletes), metadata-scale). At 100 TB the only
+    * un-broadcastable relation on this path is the pruned codes scan
+    * itself, and nothing may ever shuffle it on a per-batch key —
+    * PlanSpec pins the shape (no sort-merge join anywhere in the
+    * serving plan, under ANY session threshold).
     */
   private def ivfPqServeCore(s: SparkSession, artifact: String,
                              q: DataFrame, lut0: DataFrame,
@@ -3158,11 +3167,13 @@ object SimQueries {
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc"), col("neighbor"))
-    val joined = q.join(codesView(s, artifact)
-        .filter(col("cluster").isin(probed: _*)), Seq("cluster"))
+    val joined = codesView(s, artifact)
+      .filter(col("cluster").isin(probed: _*))
+      .join(broadcast(q), Seq("cluster"))
     (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id"))
      else joined)
-      .join(tombstonesOf(s, artifact), Seq("vec_id"), "left_anti")
+      .join(broadcast(tombstonesOf(s, artifact)), Seq("vec_id"),
+        "left_anti")
       .join(broadcast(lut0), Seq("q_id", "code0"))
       .join(broadcast(lut1), Seq("q_id", "code1"))
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cluster"),
