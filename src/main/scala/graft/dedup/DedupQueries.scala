@@ -1980,8 +1980,21 @@ object DedupQueries {
   /** The P34 core over explicit (doc_id, text) train and eval frames —
     * factored so the planted-quote spec can drive its own corpus. */
   private[graft] def decontamSubstringsOn(train: DataFrame,
-                                          ev: DataFrame): DataFrame = {
-    val trSh = graft.CachedFrames.persist(positionalShingles(train))
+                                          ev: DataFrame): DataFrame =
+    decontamRunsFromShingles(positionalShingles(train),
+      positionalShingles(ev), "len_words")
+
+  /** The shared P34/P40/P41 tail over explicit POSITIONAL-SHINGLE
+    * frames (doc_id, pos, h) — the grain rungs differ only in how
+    * they shingle (raw words / canonical words / token ids), the
+    * df-cap → broadcast-eval probe → run-merge machinery is one
+    * implementation. `lenName` names the unit of the emitted run
+    * length (words vs tokens — the offsets are in the same unit).
+    */
+  private def decontamRunsFromShingles(trainSh: DataFrame,
+                                       evSh: DataFrame,
+                                       lenName: String): DataFrame = {
+    val trSh = graft.CachedFrames.persist(trainSh)
     val stop = trSh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > Shingling.MaxShingleDf)
       .select(col("h"))
@@ -1990,7 +2003,7 @@ object DedupQueries {
     val m = kept
       .select(col("doc_id").as("train_id"), col("pos").as("pos_t"),
         col("h"))
-      .join(broadcast(positionalShingles(ev)
+      .join(broadcast(evSh
         .select(col("doc_id").as("eval_id"), col("pos").as("pos_e"),
           col("h"))), Seq("h"))
       .select(col("train_id"), col("pos_t"), col("eval_id"),
@@ -2006,9 +2019,9 @@ object DedupQueries {
       .agg(min(col("pos_t")).as("start_train"),
         (min(col("pos_t")) + col("diag")).as("start_eval"),
         (max(col("pos_t")) - min(col("pos_t")) + SubstringK)
-          .as("len_words"))
+          .as(lenName))
       .select(col("train_id"), col("eval_id"), col("start_train"),
-        col("start_eval"), col("len_words"))
+        col("start_eval"), col(lenName))
       .orderBy(col("train_id"), col("eval_id"), col("start_train"),
         col("start_eval"))
   }
@@ -2081,6 +2094,90 @@ object DedupQueries {
            min(pos_t)::BIGINT AS start_train,
            (min(pos_t) + diag)::BIGINT AS start_eval,
            (max(pos_t) - min(pos_t) + $SubstringK)::BIGINT AS len_words
+    FROM sruns GROUP BY train_id, eval_id, diag, run_id
+    ORDER BY train_id, eval_id, start_train, start_eval"""
+
+  /** P41: exact-substring decontamination at TOKEN-ID grain (round
+    * 13, r12 verdict item 5 — the rung below P40's canonical words,
+    * and the grain Lee et al. actually operate at): shingle the T29
+    * BPE token-id sequences instead of word strings. Two things the
+    * word rungs cannot do land here. (1) INTRA-WORD edits shrink but
+    * don't erase the match: a typo or contraction changes only the
+    * damaged word's tokens, and because subword tokens are FINER
+    * than words (k=10 token ids span ~6-7 words of this corpus vs
+    * P40's 10-word window), the verbatim fragments on either side of
+    * the edit clear the k-shingle bar where the word grain's longer
+    * effective window provably misses both halves (planted-typo
+    * spec, P40 shown reporting nothing on the same plant). (2)
+    * Offsets land in TOKEN positions — the coordinate a
+    * tokenized-loader scrubber (P38 downstream of T29/P32) actually
+    * cuts in; word offsets must be re-tokenized to be actionable.
+    * The tokenizer is the deployment's own T29 artifact — applying
+    * it to the eval side is exactly what a tokenized-benchmark
+    * scrub does. Machinery: the IDENTICAL P34 tail (df cap,
+    * broadcast-eval probe, gaps-and-islands run merge) over
+    * (doc_id, pos, h) token shingles; 16-byte hashes shuffle, token
+    * payloads never move. Residual, stated: an edit still costs the
+    * k−1 shingles straddling it — only fragments ≥ k tokens on a
+    * side survive; P25's fuzzy bands remain the sub-fragment rung.
+    */
+  private def tokenShingles(seqs: DataFrame): DataFrame =
+    seqs.filter(size(col("token_ids")) >= SubstringK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(token_ids) - $SubstringK + 1), " +
+          s"k -> struct(cast(k as bigint) as pos, " +
+          s"md5(concat_ws('-', transform(slice(token_ids, k, " +
+          s"$SubstringK), t -> cast(t as string)))) as h))"))
+        .as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+
+  def decontamSubstringsTok(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.CachedFrames.persist(tokenShingles(
+      graft.text.TextQueries.bpeTokenSequences(s, dir)
+        .select(col("doc_id"), col("token_ids"))))
+    decontamRunsFromShingles(
+      sh.filter(col("doc_id") % 20 =!= 0),
+      sh.filter(col("doc_id") % 20 === 0), "len_tokens")
+  }
+
+  /** The P41 core over explicit (doc_id, token_ids) train/eval
+    * frames — the planted-typo spec's seam (it brings its own
+    * corpus AND its own tokenization). */
+  private[graft] def decontamSubstringsTokOn(train: DataFrame,
+                                             ev: DataFrame): DataFrame =
+    decontamRunsFromShingles(tokenShingles(train), tokenShingles(ev),
+      "len_tokens")
+
+  lazy val decontamSubstringsTokSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    seqs AS (
+      SELECT doc_id, list(tok_id ORDER BY wpos, spos) AS w
+      FROM flat GROUP BY doc_id),
+    sdw AS (SELECT doc_id, w FROM seqs WHERE len(w) >= $SubstringK),
+    ssh AS (
+      SELECT doc_id, k::BIGINT AS pos,
+             md5(array_to_string(
+               list_slice(w, k, k + $SubstringK - 1), '-')) AS h
+      FROM sdw, unnest(range(1, len(w) - $SubstringK + 2)) AS u(k)),
+    str AS (SELECT doc_id, pos, h FROM ssh WHERE doc_id % 20 != 0),
+    sev AS (SELECT doc_id, pos, h FROM ssh WHERE doc_id % 20 = 0),
+    skept AS (
+      SELECT doc_id, pos, h FROM str
+      QUALIFY count(*) OVER (PARTITION BY h) <= ${Shingling.MaxShingleDf}),
+    sm AS (
+      SELECT t.doc_id AS train_id, t.pos AS pos_t,
+             e.doc_id AS eval_id, e.pos AS pos_e
+      FROM skept t JOIN sev e ON t.h = e.h),
+    sruns AS (
+      SELECT train_id, eval_id, pos_e - pos_t AS diag, pos_t,
+             pos_t - row_number() OVER (
+               PARTITION BY train_id, eval_id, pos_e - pos_t
+               ORDER BY pos_t) AS run_id
+      FROM sm)
+    SELECT train_id, eval_id,
+           min(pos_t)::BIGINT AS start_train,
+           (min(pos_t) + diag)::BIGINT AS start_eval,
+           (max(pos_t) - min(pos_t) + $SubstringK)::BIGINT AS len_tokens
     FROM sruns GROUP BY train_id, eval_id, diag, run_id
     ORDER BY train_id, eval_id, start_train, start_eval"""
 
@@ -2509,6 +2606,7 @@ object DedupQueries {
     "dedup_substring_mass" -> (dedupSubstringMass _),
     "decontam_substrings" -> (decontamSubstrings _),
     "decontam_substrings_norm" -> (decontamSubstringsNorm _),
+    "decontam_substrings_tok" -> (decontamSubstringsTok _),
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
@@ -2545,5 +2643,6 @@ object DedupQueries {
     "dedup_substring_mass" -> dedupSubstringMassSql,
     "decontam_substrings" -> decontamSubstringsSql,
     "decontam_substrings_norm" -> decontamSubstringsNormSql,
+    "decontam_substrings_tok" -> decontamSubstringsTokSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

@@ -487,9 +487,10 @@ object PipelineQueries {
     * order the SAME packed frame it sums sizes from (one pack pass,
     * one tokenizer train, instead of re-deriving the dependency per
     * consumer). */
-  private[graft] def epochOrderOn(blocks: DataFrame): DataFrame = {
+  private[graft] def epochOrderOn(blocks: DataFrame,
+                                  nEpochs: Int = PackEpochs): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val epochs = (0 until PackEpochs).map(e =>
+    val epochs = (0 until nEpochs).map(e =>
       blocks.withColumn("epoch", lit(e)))
       .reduce(_.unionByName(_))
     val keyed = epochs
@@ -588,11 +589,13 @@ object PipelineQueries {
     * manifest check (the residual P39 shipped with, closed).
     */
   private[graft] def shardManifestOn(ord: DataFrame,
-                                     sizes: DataFrame): DataFrame = {
+                                     sizes: DataFrame,
+                                     workers: Int = LoaderWorkers,
+                                     chunk: Long = ShardChunk): DataFrame = {
     val chunks = ord
-      .withColumn("worker", expr(s"(position - 1) % $LoaderWorkers"))
+      .withColumn("worker", expr(s"(position - 1) % $workers"))
       .withColumn("chunk",
-        expr(s"((position - 1) div $LoaderWorkers) div $ShardChunk"))
+        expr(s"((position - 1) div $workers) div $chunk"))
       .hint("shuffle_hash")
       .join(sizes.hint("shuffle_hash"), Seq("block_id"))
       .groupBy(col("epoch"), col("worker"), col("chunk"))

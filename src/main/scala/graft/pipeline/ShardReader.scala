@@ -59,15 +59,77 @@ object ShardReader {
   val ShardEpoch = 1
   val ShardRank = 2
 
+  /** The artifact's pinned layout parameters (P42, round 13 — r12
+    * verdict item 3): until now `readShard` derived the expected
+    * order from COMPILE-TIME constants, so a reader built with
+    * different constants could never read a valid artifact from
+    * another build — and refused with a digest-mismatch message
+    * that reads like corruption. The deploy step now pins
+    * (loader_workers, pack_epochs, pack_block, shard_chunk) in a
+    * `_params` sidecar beside the manifest; the reader reads them
+    * back and derives with THE ARTIFACT'S OWN parameters, so
+    * cross-build reads just work — and a request the artifact
+    * cannot serve (rank ≥ its loader_workers, epoch ≥ its
+    * pack_epochs) refuses naming the PINNED PARAMETER, never as a
+    * digest mismatch. A missing sidecar is a legacy artifact and
+    * falls back to the compile-time constants (the pre-P42
+    * behavior, unchanged hashes); a PRESENT-but-malformed sidecar
+    * refuses loudly by key.
+    */
+  final case class LoaderParams(loaderWorkers: Int, packEpochs: Int,
+                                packBlock: Long, shardChunk: Long)
+
+  private[graft] def writeParams(s: SparkSession, outDir: String,
+                                 p: LoaderParams): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$outDir/_params")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(
+      (s"loader_workers=${p.loaderWorkers}\n" +
+        s"pack_epochs=${p.packEpochs}\n" +
+        s"pack_block=${p.packBlock}\n" +
+        s"shard_chunk=${p.shardChunk}\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readParams(s: SparkSession,
+                                artifact: String): Option[LoaderParams] = {
+    val path = new org.apache.hadoop.fs.Path(s"$artifact/_params")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val in = fs.open(path)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        }.toMap
+      finally in.close()
+    def num(k: String): Long = kv.get(k)
+      .flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"$artifact/_params is present but does not pin '$k' — " +
+          s"refusing to guess a layout parameter (found keys: " +
+          s"${kv.keys.toSeq.sorted.mkString(", ")})"))
+    Some(LoaderParams(num("loader_workers").toInt,
+      num("pack_epochs").toInt, num("pack_block"), num("shard_chunk")))
+  }
+
   /** Deploy the loader handoff: the P37 block artifact under
-    * `outDir/blocks` and the P36 shard manifest under
-    * `outDir/manifest` — the two files a training job ships.
+    * `outDir/blocks`, the P36 shard manifest under
+    * `outDir/manifest`, and the pinned layout parameters under
+    * `outDir/_params` (P42) — what a training job ships.
     */
   def deploy(s: SparkSession, dir: String, outDir: String,
              nFiles: Int = 4): Unit = {
     CurationWriter.writeBlocks(s, dir, s"$outDir/blocks", nFiles)
     PipelineQueries.dataShardManifest(s, dir)
       .write.mode("overwrite").parquet(s"$outDir/manifest")
+    writeParams(s, outDir, LoaderParams(PipelineQueries.LoaderWorkers,
+      PipelineQueries.PackEpochs, PipelineQueries.PackBlock,
+      PipelineQueries.ShardChunk))
   }
 
   private val deployments =
@@ -104,10 +166,23 @@ object ShardReader {
     */
   def readShard(s: SparkSession, artifact: String, epoch: Int,
                 rank: Int, fromPosition: Long = 0L): DataFrame = {
-    val W = PipelineQueries.LoaderWorkers
-    require(epoch >= 0 && epoch < PipelineQueries.PackEpochs,
-      s"epoch $epoch outside the packed range [0, ${PipelineQueries.PackEpochs})")
-    require(rank >= 0 && rank < W, s"rank $rank outside [0, $W)")
+    // P42: derive with the ARTIFACT'S pinned parameters, not this
+    // build's constants; legacy artifacts (no sidecar) keep the
+    // compile-time values
+    val p = readParams(s, artifact).getOrElse(
+      LoaderParams(PipelineQueries.LoaderWorkers,
+        PipelineQueries.PackEpochs, PipelineQueries.PackBlock,
+        PipelineQueries.ShardChunk))
+    val W = p.loaderWorkers
+    if (epoch < 0 || epoch >= p.packEpochs)
+      throw new IllegalArgumentException(
+        s"epoch $epoch outside [0, ${p.packEpochs}): the artifact " +
+          s"pins pack_epochs=${p.packEpochs} — a parameter mismatch, " +
+          "not corruption")
+    if (rank < 0 || rank >= W)
+      throw new IllegalArgumentException(
+        s"rank $rank outside [0, $W): the artifact pins " +
+          s"loader_workers=$W — a parameter mismatch, not corruption")
     val manifest = s.read.parquet(s"$artifact/manifest")
       .filter(col("epoch") === epoch && col("worker") === rank)
       .collect()
@@ -124,7 +199,7 @@ object ShardReader {
     // block_id column only (column-pruned; the token payload is not
     // touched by this pass)
     val mine = PipelineQueries
-      .epochOrderOn(blocks.select(col("block_id")))
+      .epochOrderOn(blocks.select(col("block_id")), p.packEpochs)
       .filter(col("epoch") === epoch &&
         expr(s"(position - 1) % $W") === rank)
       .select(col("epoch"), col("position"), col("block_id"))
@@ -152,7 +227,8 @@ object ShardReader {
     val fold = PipelineQueries.shardManifestOn(
       mine,
       shard.select(col("block_id"), col("n_tokens_read").as("n_tokens"),
-        col("token_md5_read").as("token_md5")))
+        col("token_md5_read").as("token_md5")),
+      p.loaderWorkers, p.shardChunk)
       .collect()
     if (fold.length != 1)
       throw new IllegalStateException(

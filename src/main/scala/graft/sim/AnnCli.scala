@@ -225,6 +225,28 @@ object AnnCli {
           println(s"obj_deployed_micro=${r.getLong(0)} " +
             s"obj_refined_micro=${r.getLong(1)} gain_micro=${r.getLong(2)} " +
             s"n_nodes=${r.getLong(3)} refine=${r.getBoolean(4)}")
+        } else if (tables("codes")) {
+          // S49: the COMPRESSED monitor — quantization distortion of
+          // the deployed books vs books rebuilt from the current
+          // corpus (what the refresh verb would ship). Until round 13
+          // a codes artifact fell through to the flat S33 monitor,
+          // which prices the coarse codebook and says nothing about
+          // the PQ books the refresh actually replaces.
+          val corpus = args.lift(2).getOrElse(
+            throw new IllegalArgumentException(
+              "drift on an IVFPQ artifact needs the current corpus: " +
+                "drift <artifact> <corpusDir> (see knn_ivfpq_drift)"))
+          val enc = SimQueries.encodingOf(fs, artifact)
+          if (enc != "raw")
+            throw new IllegalArgumentException(
+              s"$artifact is '$enc'-encoded: the S49 monitor prices " +
+                "RAW ADC reconstruction error; residual books " +
+                "quantize vn − centroid, a different error surface")
+          val r = SimQueries.ivfPqDriftOn(spark, artifact, corpus).head()
+          println(s"err_deployed_micro=${r.getLong(0)} " +
+            s"err_refreshed_micro=${r.getLong(1)} " +
+            s"gain_micro=${r.getLong(2)} " +
+            s"n_vectors=${r.getLong(3)} refresh=${r.getBoolean(4)}")
         } else {
           // IVF drift prices the DEPLOYED codebook against the CURRENT
           // corpus (S33) — the codebook alone can't know it's stale,

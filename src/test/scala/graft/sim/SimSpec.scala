@@ -1279,6 +1279,137 @@ class SimSpec extends AnyFunSuite {
     }
   }
 
+  test("E34c lease renewal: a LIVE holder running past staleMs is " +
+    "never usurped (the heartbeat re-touches the marker; waiters keep " +
+    "refusing), while a hard-killed holder's beat-less marker still " +
+    "breaks; a displaced holder never deletes the new holder's lock " +
+    "and surfaces the displacement") {
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-mlock-lease").toString
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    val lock = new org.apache.hadoop.fs.Path(s"$art/_maintenance")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(art))
+    // slow holder: body runs 4× the lease; a waiter probing mid-pass
+    // must observe a FRESH marker and refuse rather than break
+    val holderDone = new java.util.concurrent.CountDownLatch(1)
+    val waiterBroke = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val holder = new Thread(() => {
+      graft.streaming.SnapshotManifest
+        .withMaintenanceLock(fs, art, staleMs = 400L) {
+          Thread.sleep(1600L)
+        }
+      holderDone.countDown()
+    })
+    holder.start()
+    Thread.sleep(900L) // well past staleMs — only the heartbeat keeps it fresh
+    try {
+      graft.streaming.SnapshotManifest
+        .withMaintenanceLock(fs, art, staleMs = 400L) {
+          waiterBroke.set(true)
+        }
+    } catch { case _: IllegalStateException => () }
+    assert(!waiterBroke.get(),
+      "a waiter usurped a LIVE holder whose pass outlived the lease")
+    holder.join()
+    assert(holderDone.getCount === 0L)
+    assert(!fs.exists(lock), "slow holder failed to release its lock")
+    // beat-less (hard-killed) marker still breaks at the same lease
+    fs.create(lock, false).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 1000L, -1)
+    var ran = false
+    graft.streaming.SnapshotManifest
+      .withMaintenanceLock(fs, art, staleMs = 400L) { ran = true }
+    assert(ran, "a dead holder's marker blocked maintenance")
+    // displaced holder: ownership stolen mid-pass (simulated by
+    // rewriting the lock with a foreign owner) — the release must NOT
+    // delete the foreign lock, and the displacement must surface
+    val foreign = java.util.UUID.randomUUID().toString
+    val ex = intercept[IllegalStateException](
+      graft.streaming.SnapshotManifest
+        .withMaintenanceLock(fs, art, staleMs = 60L * 60 * 1000) {
+          val o = fs.create(lock, true)
+          try o.write(foreign.getBytes("UTF-8")) finally o.close()
+        })
+    assert(ex.getMessage.contains("usurped"), ex.getMessage)
+    val in = fs.open(lock)
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    assert(content === foreign,
+      "the displaced holder deleted or rewrote the new holder's lock")
+    fs.delete(lock, false)
+  }
+
+  test("insert path under maintenance: the bounded retry waits a " +
+    "routine pass out instead of failing, still surfaces a refusal " +
+    "past the bound, and two CONCURRENT staged inserts never clobber " +
+    "each other's staging (unique per-batch dirs)") {
+    import org.apache.spark.sql.functions._
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-insert-retry").toString
+    SimQueries.ivfPqIndexWrite(spark, dir, art)
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    // a maintainer holds the lock for ~600 ms; the retrying insert
+    // lands AFTER it releases instead of killing the caller
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => {
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+        Thread.sleep(600L)
+      }
+      release.countDown()
+    })
+    var retried = false
+    holder.start()
+    Thread.sleep(50L)
+    SimQueries.withMaintenanceLockRetry(fs, art,
+      retries = 20, initialBackoffMs = 50L) { retried = true }
+    assert(retried, "the retrying acquirer never got the lock")
+    holder.join()
+    // past the bound the single-maintainer refusal surfaces unchanged
+    graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+      intercept[IllegalStateException](
+        SimQueries.withMaintenanceLockRetry(fs, art,
+          retries = 1, initialBackoffMs = 10L) { () })
+    }
+    // concurrent staged inserts: disjoint batches from two threads —
+    // the fixed staging dir would have dropped/doubled one batch (the
+    // ADVICE race); unique per-batch dirs land BOTH exactly once
+    val inserter = SimQueries.ivfPqInserter(spark, art)
+    def batch(offset: Long) = graft.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 6)
+      .select((col("vec_id") + offset).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .select(col("vec_id"), col("vn")).localCheckpoint(false)
+    val b1 = batch(7000000L)
+    val b2 = batch(8000000L)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(b1, b2).map { b =>
+      new Thread(() => {
+        try inserter(b)
+        catch { case t: Throwable => errs.add(t); () }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent staged insert failed: ${errs.peek()}")
+    val view = graft.streaming.SnapshotManifest
+      .resolveDf(spark, art, "codes", SimQueries.CodesDdl)
+    val got = view.filter(col("vec_id") >= 7000000L)
+      .groupBy(col("vec_id")).count().collect()
+    assert(got.length === 12,
+      s"expected 12 inserted ids visible, got ${got.length}")
+    assert(got.forall(_.getLong(1) === 1L),
+      "an inserted row landed twice (staging clobber)")
+    // no staging dirs left behind
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(art)).toSeq
+      .map(_.getPath.getName)
+      .count(_.startsWith("_codes_inserting")) === 0,
+      "staged dirs leaked")
+    graft.CachedFrames.releaseAll()
+  }
+
   test("AnnCli on a VERSIONED deployment locks at the artifact ROOT: " +
     "maintenance verbs and retrain mutually exclude, so a retrain's " +
     "generation-grace deletion can never race a mid-flight vacuum") {
@@ -2200,5 +2331,156 @@ class SimSpec extends AnyFunSuite {
     assert(recall("ivfpq_refine") >= recall("ivfpq"))
     assert(recall("pq_refine") > 0L && recall("ivfpq_refine") > 0L)
     graft.CachedFrames.releaseAll()
+  }
+
+  // ---- round 13: deployed multi-probe / tuner / drift / OPQ ----
+
+  test("S47 deployed multi-probe: artifact probe-p serving equals the " +
+    "in-memory S6b/S7b twins bit-for-bit, and probe-1 degenerates to " +
+    "the probe-less deployed closures") {
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect().map(_.toSeq).toSeq
+      graft.CachedFrames.releaseAll()
+      r
+    }
+    assert(rows(SimQueries.knnIvfPqArtifactProbe(spark, dir)) ===
+      rows(SimQueries.knnIvfPqProbe(spark, dir)),
+      "deployed raw multi-probe drifted from the in-memory twin")
+    assert(rows(SimQueries.knnIvfPqResArtifactProbe(spark, dir)) ===
+      rows(SimQueries.knnIvfPqResidualProbe(spark, dir)),
+      "deployed residual multi-probe drifted from the in-memory twin")
+    assert(rows(SimQueries.knnIvfPqArtifactProbe(spark, dir, nprobe = 1))
+      === rows(SimQueries.knnIvfPqArtifact(spark, dir)),
+      "probe-1 did not degenerate to the probe-less raw closure")
+    assert(
+      rows(SimQueries.knnIvfPqResArtifactProbe(spark, dir, nprobe = 1))
+        === rows(SimQueries.knnIvfPqResArtifact(spark, dir)),
+      "probe-1 did not degenerate to the probe-less residual closure")
+  }
+
+  test("S48 deployed compressed tuner: every rung served, exactly one " +
+    "chosen rung = the smallest within 90% of the best, counts " +
+    "consistent — and the ladder EXPOSES the ADC-specific fact that " +
+    "recall is NOT monotone in nprobe (wider candidate pools let the " +
+    "quantized ranking displace true hits), which is exactly why the " +
+    "compressed deployment needs its own tuner instead of the flat " +
+    "S22b's monotone exact-cosine ladder") {
+    val t = SimQueries.ivfPqTuneDeployed(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    assert(t.map(_.getInt(0)).toSeq === SimQueries.TuneProbes)
+    val chosen = t.filter(_.getBoolean(5))
+    assert(chosen.length === 1)
+    val best = t.map(_.getLong(4)).max
+    assert(best > 0L, "no rung recalled anything")
+    assert(chosen.head.getLong(4) * 10 >= best * 9)
+    assert(t.filter(r => r.getLong(4) * 10 >= best * 9)
+      .map(_.getInt(0)).min === chosen.head.getInt(0))
+    t.foreach { r =>
+      assert(r.getLong(3) ===
+        SimQueries.NumQueries.toLong * SimQueries.TopK)
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) <= r.getLong(3))
+    }
+  }
+
+  test("S49 drift contract: the monitor's promised err_refreshed_micro " +
+    "IS the refresh's delivered objective (measured on the swapped-in " +
+    "generation) — on a deployment with PROVABLE signal (books trained " +
+    "with half the label space absent: rebuilt books can only add " +
+    "codewords for the missing labels, so the argmin error strictly " +
+    "drops) — and the gain zeroes after the refresh") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-drift-contract").toString
+    val e = CorpusReader.default.vectors(spark, dir)
+    IvfPqReindex.deployOn(e.filter(col("label") < 5), root)
+    val before = SimQueries.ivfPqDriftOn(spark, s"$root/gen-0", dir)
+      .head()
+    graft.CachedFrames.releaseAll()
+    assert(before.getBoolean(4),
+      "missing-label books must lose to rebuilt full-label books")
+    assert(before.getLong(2) > 0L)
+    IvfPqReindex.refresh(spark, root, e)
+    val after = SimQueries.ivfPqDriftOn(spark, s"$root/gen-1", dir)
+      .head()
+    graft.CachedFrames.releaseAll()
+    // promise == delivery, to the integer (the S41/S42 discipline)
+    assert(after.getLong(0) === before.getLong(1),
+      s"refresh delivered ${after.getLong(0)} but the monitor " +
+        s"promised ${before.getLong(1)}")
+    assert(after.getLong(2) === 0L && !after.getBoolean(4),
+      "a just-refreshed deployment must not recommend another refresh")
+    // the GATE's scenario (2/3-subset books, full corpus current) is
+    // the honest flip side: label-seeded means are corpus-robust —
+    // dropping a third of the rows barely moves any label's mean, so
+    // the micro-gain there is ≤ 0 and the verdict is DON'T refresh
+    // (hash-pinned by the oracle). The monitor earns its keep in both
+    // directions: it fires on real distortion and refuses to bless a
+    // pointless rebuild.
+    val gate = SimQueries.knnIvfPqDrift(spark, dir).head()
+    graft.CachedFrames.releaseAll()
+    assert(gate.getLong(2) <= 0L && !gate.getBoolean(4))
+  }
+
+  test("the _encoding marker: refresh refuses a residual generation " +
+    "by name (no silent encoding swap), and AnnCli drift kind-routes " +
+    "codes artifacts — S49 on raw, refused on residual") {
+    import org.apache.spark.sql.functions._
+    // residual deployment under a _current pointer
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-enc-marker").toString
+    SimQueries.ivfPqResIndexWrite(spark, dir, s"$root/gen-0")
+    graft.CachedFrames.releaseAll()
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, root)
+    IvfReindex.swapPointer(fs, root, "gen-0")
+    val e = CorpusReader.default.vectors(spark, dir)
+    val ex = intercept[IllegalArgumentException](
+      IvfPqReindex.refresh(spark, root, e))
+    assert(ex.getMessage.contains("residual"),
+      s"refusal must name the encoding: ${ex.getMessage}")
+    // CLI drift on the residual artifact refuses by encoding...
+    val ex2 = intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("drift", s"$root/gen-0", dir)))
+    assert(ex2.getMessage.contains("residual"))
+    // ...and runs the S49 monitor on a raw one (needs the corpus)
+    val raw = java.nio.file.Files
+      .createTempDirectory("graft-enc-raw").toString
+    SimQueries.ivfPqIndexWrite(spark, dir, raw)
+    graft.CachedFrames.releaseAll()
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("drift", raw)))
+    AnnCli.run(spark, Array("drift", raw, dir))
+    graft.CachedFrames.releaseAll()
+  }
+
+  test("S50 deployed OPQ rotation: artifact serving equals the " +
+    "in-memory S20-chosen twin bit-for-bit (queries rotated from the " +
+    "PERSISTED rotation table), the artifact carries rotation + opq " +
+    "marker, and refresh refuses the opq encoding") {
+    import org.apache.spark.sql.functions._
+    val served = SimQueries.knnOpqArtifact(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    val twin = SimQueries.knnOpq(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    graft.CachedFrames.releaseAll()
+    assert(served === twin,
+      "OPQ artifact serving drifted from the in-memory twin")
+    assert(served.nonEmpty)
+    val art = SimQueries.opqArtifactOf(spark, dir)
+    val fs = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    assert(SimQueries.encodingOf(fs, art) === "opq")
+    val rot = spark.read.parquet(s"$art/rotation").collect()
+    assert(rot.exists(_.getAs[String]("kind") == "perm"),
+      "rotation table must pin the permutation")
+    // a refresh must never rebuild this artifact un-rotated
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-opq-refresh").toString
+    SimQueries.opqIndexWrite(spark, dir, s"$root/gen-0")
+    graft.CachedFrames.releaseAll()
+    IvfReindex.swapPointer(fs, root, "gen-0")
+    val ex = intercept[IllegalArgumentException](
+      IvfPqReindex.refresh(spark, root,
+        CorpusReader.default.vectors(spark, dir)))
+    assert(ex.getMessage.contains("opq"))
   }
 }

@@ -1827,6 +1827,35 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(wavesR.asScala.toSeq === Seq(twinR),
       "streamed residual ADC wave diverged from the S45 batch closure")
+    // round 13: the face inherits the S47 recall knob — one probe-3
+    // wave against the (tombstoned) raw artifact ≡ the multi-probe
+    // batch closure bit-for-bit, deletes still masked
+    val wavesP = new java.util.concurrent.ConcurrentLinkedQueue[
+      Seq[Seq[Any]]]()
+    val qdirP = tmp()
+    Files.copy(new java.io.File(stageR).listFiles()
+      .find(f => f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet")).get.toPath,
+      java.nio.file.Paths.get(qdirP, "wave00.parquet"))
+    val sqP = StreamAnnServe.serveAdcArtifact(spark, art,
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(qdirP),
+      tmp(), excludeSelf = true, nprobe = 3) { out =>
+      val rows = out.collect().map(_.toSeq).toSeq
+      if (rows.nonEmpty) { wavesP.add(rows); () }
+    }
+    sqP.processAllAvailable(); sqP.stop()
+    val twinP = {
+      val r = graft.sim.SimQueries
+        .ivfPqQueryServer(spark, art, excludeSelf = true, nprobe = 3)(
+          qVecs.toDF("q_id", "v")).collect().map(_.toSeq).toSeq
+      graft.CachedFrames.releaseAll()
+      r
+    }
+    assert(wavesP.asScala.toSeq === Seq(twinP),
+      "streamed probe-3 ADC wave diverged from the multi-probe closure")
+    assert(twinP.forall(r => r(1).asInstanceOf[Long] % 7 != 3),
+      "a tombstoned vector surfaced from the probe-3 stream")
   }
 
   test("StagedCommit crash-point sweep: a commit killed after ANY " +
