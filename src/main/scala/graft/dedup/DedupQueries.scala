@@ -1890,10 +1890,21 @@ object DedupQueries {
           s"md5(concat_ws(' ', slice(w, k, $SubstringK))) as h))"))
         .as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
+    substringRunsFromShingles(sh, SubstringK, "a", "b", "len_words")
+  }
+
+  /** The shared D34/D35 self-join tail over an explicit
+    * positional-shingle frame (doc_id, pos, h): df cap (shuffled
+    * anti-join — the Shingling.cappedShingles discipline, never a
+    * broadcast of the stop set), one SHUFFLE_HASH hash self-join,
+    * gaps-and-islands run-merge per (doc_a, doc_b, diagonal). `k` is
+    * the shingle width the run length reconstitutes with; the word
+    * and token grains differ only in how they shingle.
+    */
+  private def substringRunsFromShingles(sh: DataFrame, k: Int,
+                                        aSfx: String, bSfx: String,
+                                        lenName: String): DataFrame = {
     val indexed = graft.CachedFrames.persist(sh)
-    // df cap keyed on the positional hash — the Shingling.cappedShingles
-    // discipline verbatim (shuffled anti-join, never a broadcast of the
-    // stop set)
     val stop = indexed.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > Shingling.MaxShingleDf)
       .select(col("h"))
@@ -1912,13 +1923,14 @@ object DedupQueries {
             .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
             .orderBy(col("pos_a"))))
     runs.groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run_id"))
-      .agg(min(col("pos_a")).as("start_a"),
-        (min(col("pos_a")) + col("diag")).as("start_b"),
-        (max(col("pos_a")) - min(col("pos_a")) + SubstringK)
-          .as("len_words"))
-      .select(col("doc_a"), col("doc_b"), col("start_a"),
-        col("start_b"), col("len_words"))
-      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+      .agg(min(col("pos_a")).as(s"start_$aSfx"),
+        (min(col("pos_a")) + col("diag")).as(s"start_$bSfx"),
+        (max(col("pos_a")) - min(col("pos_a")) + k)
+          .as(lenName))
+      .select(col("doc_a"), col("doc_b"), col(s"start_$aSfx"),
+        col(s"start_$bSfx"), col(lenName))
+      .orderBy(col("doc_a"), col("doc_b"), col(s"start_$aSfx"),
+        col(s"start_$bSfx"))
   }
 
   /** D34b: per-pair duplicated MASS — D34's runs rolled up to the
@@ -2121,13 +2133,14 @@ object DedupQueries {
     * k−1 shingles straddling it — only fragments ≥ k tokens on a
     * side survive; P25's fuzzy bands remain the sub-fragment rung.
     */
-  private def tokenShingles(seqs: DataFrame): DataFrame =
-    seqs.filter(size(col("token_ids")) >= SubstringK)
+  private def tokenShingles(seqs: DataFrame,
+                            k: Int = SubstringK): DataFrame =
+    seqs.filter(size(col("token_ids")) >= k)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(token_ids) - $SubstringK + 1), " +
+        s"transform(sequence(1, size(token_ids) - $k + 1), " +
           s"k -> struct(cast(k as bigint) as pos, " +
           s"md5(concat_ws('-', transform(slice(token_ids, k, " +
-          s"$SubstringK), t -> cast(t as string)))) as h))"))
+          s"$k), t -> cast(t as string)))) as h))"))
         .as("e"))
       .select(col("doc_id"), col("e.pos").as("pos"), col("e.h").as("h"))
 
@@ -2180,6 +2193,68 @@ object DedupQueries {
            (max(pos_t) - min(pos_t) + $SubstringK)::BIGINT AS len_tokens
     FROM sruns GROUP BY train_id, eval_id, diag, run_id
     ORDER BY train_id, eval_id, start_train, start_eval"""
+
+  /** D35: cross-doc exact repeated substrings at TOKEN-ID grain —
+    * D34's self-join rung moved to the coordinate Lee et al.'s
+    * suffix-array dedup actually runs in (their dedup threshold is
+    * 50 BPE tokens; D34's is 10 words). k = 15 tokens here (≈ 10
+    * words of this corpus at ~1.5 tokens/word — the same semantic
+    * bar as D34, now typo-tolerant): intra-word edits shrink a
+    * repeat instead of erasing it, and both surviving fragments
+    * report with TOKEN offsets — the coordinate a tokenized pipeline
+    * cuts in. The deliberately finer P41 decontam rung keeps k = 10
+    * because its probe side is eval-bounded; the cross-doc self-join
+    * pays O(occ²) per bucket, so its k stays at the D34 semantic bar
+    * (at k = 10 tokens the corpus's 6-7-word template phrases all
+    * match — ~20× the pair mass for sub-bar repeats). Machinery: the
+    * IDENTICAL D34 tail (df cap, SHUFFLE_HASH self-join, run merge)
+    * over T29 token shingles; 16-byte hashes shuffle, token payloads
+    * never move.
+    */
+  val TokDedupK = 15
+
+  def dedupSubstringsTok(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringsTokOn(
+      graft.text.TextQueries.bpeTokenSequences(s, dir)
+        .select(col("doc_id"), col("token_ids")))
+
+  /** The D35 core over an explicit (doc_id, token_ids) frame — the
+    * planted-typo spec's seam. */
+  private[graft] def dedupSubstringsTokOn(seqs: DataFrame): DataFrame =
+    substringRunsFromShingles(tokenShingles(seqs, TokDedupK),
+      TokDedupK, "a", "b", "len_tokens")
+
+  lazy val dedupSubstringsTokSql: String = s"""
+    WITH ${graft.text.TextQueries.bpeTokenFlatSql},
+    seqs AS (
+      SELECT doc_id, list(tok_id ORDER BY wpos, spos) AS w
+      FROM flat GROUP BY doc_id),
+    sdw AS (SELECT doc_id, w FROM seqs WHERE len(w) >= $TokDedupK),
+    ssh AS (
+      SELECT doc_id, k::BIGINT AS pos,
+             md5(array_to_string(
+               list_slice(w, k, k + $TokDedupK - 1), '-')) AS h
+      FROM sdw, unnest(range(1, len(w) - $TokDedupK + 2)) AS u(k)),
+    kept AS (
+      SELECT doc_id, pos, h FROM ssh
+      QUALIFY count(*) OVER (PARTITION BY h) <= ${Shingling.MaxShingleDf}),
+    m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b
+      FROM kept a JOIN kept b ON a.h = b.h
+      WHERE a.doc_id < b.doc_id),
+    runs AS (
+      SELECT doc_a, doc_b, pos_b - pos_a AS diag, pos_a,
+             pos_a - row_number() OVER (
+               PARTITION BY doc_a, doc_b, pos_b - pos_a
+               ORDER BY pos_a) AS run_id
+      FROM m)
+    SELECT doc_a, doc_b,
+           min(pos_a)::BIGINT AS start_a,
+           (min(pos_a) + diag)::BIGINT AS start_b,
+           (max(pos_a) - min(pos_a) + $TokDedupK)::BIGINT AS len_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, run_id
+    ORDER BY doc_a, doc_b, start_a, start_b"""
 
   val decontamSubstringsSql: String = s"""
     WITH sdw AS (
@@ -2607,6 +2682,7 @@ object DedupQueries {
     "decontam_substrings" -> (decontamSubstrings _),
     "decontam_substrings_norm" -> (decontamSubstringsNorm _),
     "decontam_substrings_tok" -> (decontamSubstringsTok _),
+    "dedup_substrings_tok" -> (dedupSubstringsTok _),
     "dedup_incremental" -> (dedupIncremental _))
 
   def oracles: Map[String, String] = Map(
@@ -2644,5 +2720,6 @@ object DedupQueries {
     "decontam_substrings" -> decontamSubstringsSql,
     "decontam_substrings_norm" -> decontamSubstringsNormSql,
     "decontam_substrings_tok" -> decontamSubstringsTokSql,
+    "dedup_substrings_tok" -> dedupSubstringsTokSql,
     "dedup_incremental" -> dedupIncrementalSql)
 }

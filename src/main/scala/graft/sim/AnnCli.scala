@@ -49,12 +49,15 @@ object CorpusReader {
   * }}}
   *
   * Artifact kind is detected from its tables: `postings` → IVF
-  * (compact = `ivfCompact`), `members`+`edges` → layered graph
-  * (compact = `hnswCompact`). `drift` runs the family's retrain
-  * monitor: the S38 graph monitor needs only the artifact; the S33
-  * IVF monitor prices the deployed codebook against the CURRENT
-  * corpus, so it takes the corpus dir as a third argument (refused
-  * loudly without it). `vacuum` runs the E31 grace deletion
+  * (compact = `ivfCompact`), `codes` → IVFPQ (compact =
+  * `ivfPqCompact`), `members`+`edges` → layered graph (compact =
+  * `hnswCompact`). `drift` runs the family's retrain monitor: the
+  * S38 graph monitor needs only the artifact; the S33 IVF and S49
+  * IVFPQ monitors price the deployed codebook/books against the
+  * CURRENT corpus, so they take the corpus dir as a third argument
+  * (refused loudly without it; a residual-encoded codes artifact is
+  * refused by the `_encoding` marker — the S49 monitor prices raw
+  * ADC distortion). `vacuum` runs the E31 grace deletion
   * explicitly — compaction already vacuums on entry, but an operator
   * retiring a deployment wants the reclaim without paying a rewrite
   * (the expire-snapshots verb); it takes the same single-maintainer

@@ -824,6 +824,47 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("D35 token-grain cross-doc substrings: a typo'd 17-word shared " +
+    "quote that word-grain D34 provably misses (both halves under 10 " +
+    "words) reports as two token-grain runs with token offsets; doc " +
+    "order and run lengths exact") {
+    import spark.implicits._
+    // doc 1 carries the clean quote (its words 8..24); doc 2 quotes it
+    // with word 9 OF THE QUOTE typo'd, at its words 51..67
+    val aWords = (1 to 30).map(i => f"w$i%05d")
+    val quote = aWords.slice(7, 24) // 17 words
+    val typod = quote.updated(8, "zzzzzz")
+    val bWords = (1 to 50).map(i => f"t$i%05d") ++ typod ++
+      (51 to 70).map(i => f"t$i%05d")
+    // word grain: halves of 8 words sit under D34's k=10 — nothing
+    val word = DedupQueries.substringRunsOn(
+      Seq((1L, aWords.mkString(" ")), (2L, bWords.mkString(" ")))
+        .toDF("doc_id", "text")).collect()
+    graft.CachedFrames.releaseAll()
+    assert(word.isEmpty,
+      s"fixture broken: word grain caught the typo plant ${word.toSeq}")
+    // token grain (two 3-char subword ids per 6-char word): both
+    // 16-token halves clear k=15
+    def toks(ws: Seq[String]): Seq[Long] =
+      ws.flatMap(_.grouped(3)).map(_.hashCode.toLong & 0x7fffffffL)
+    val runs = DedupQueries.dedupSubstringsTokOn(
+      Seq((1L, toks(aWords)), (2L, toks(bWords)))
+        .toDF("doc_id", "token_ids")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    graft.CachedFrames.releaseAll()
+    assert(runs.toSeq === Seq((1L, 2L, 15L, 101L, 16L),
+      (1L, 2L, 33L, 119L, 16L)),
+      s"expected the two typo-split halves, got ${runs.toSeq}")
+    // corpus gate keeps the oracle's shape
+    val gate = DedupQueries.dedupSubstringsTok(spark, dir).collect()
+    graft.CachedFrames.releaseAll()
+    gate.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "doc order violated")
+      assert(r.getLong(4) >= DedupQueries.TokDedupK.toLong)
+    }
+  }
+
   test("semantic dedup equals an independent local within-cluster " +
     "recompute; keeper precedes removed; no cross-cluster pruning") {
     import org.apache.spark.sql.functions._
