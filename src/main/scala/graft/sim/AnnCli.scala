@@ -240,12 +240,20 @@ object AnnCli {
               "drift on an IVFPQ artifact needs the current corpus: " +
                 "drift <artifact> <corpusDir> (see knn_ivfpq_drift)"))
           val enc = SimQueries.encodingOf(fs, artifact)
-          if (enc != "raw")
-            throw new IllegalArgumentException(
-              s"$artifact is '$enc'-encoded: the S49 monitor prices " +
-                "RAW ADC reconstruction error; residual books " +
-                "quantize vn − centroid, a different error surface")
-          val r = SimQueries.ivfPqDriftOn(spark, artifact, corpus).head()
+          val r = enc match {
+            case "raw" =>
+              SimQueries.ivfPqDriftOn(spark, artifact, corpus).head()
+            case "residual" =>
+              // S49b: residual distortion depends on the coarse
+              // codebook too — its own monitor, not the raw one
+              SimQueries.ivfPqResDriftOn(spark, artifact, corpus).head()
+            case other =>
+              throw new IllegalArgumentException(
+                s"$artifact is '$other'-encoded: a rotation-aware " +
+                  "distortion monitor must replay the rotation, which " +
+                  "is the rebuild's job — re-run opqIndexWrite to " +
+                  "refresh an OPQ deployment")
+          }
           println(s"err_deployed_micro=${r.getLong(0)} " +
             s"err_refreshed_micro=${r.getLong(1)} " +
             s"gain_micro=${r.getLong(2)} " +

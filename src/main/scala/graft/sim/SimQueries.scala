@@ -3723,6 +3723,175 @@ object SimQueries {
            err_refreshed_micro < err_deployed_micro AS refresh
     FROM od, orr"""
 
+  /** S49b: the distortion monitor at RESIDUAL grain — S49 for the
+    * S45 encoding, where the error surface is genuinely different:
+    * residual books quantize vn − centroid(cluster), so distortion
+    * depends on the COARSE codebook too (a residual refresh rebuilds
+    * both). Deployed err: assign the current corpus under the
+    * ARTIFACT's centroids, residual against them, argmin under the
+    * ARTIFACT's books. Rebuilt err: the exact `ivfPqResIndexWriteOn`
+    * math over the current corpus — full-corpus label-mean centroids,
+    * residual books under them — so the monitor prices precisely what
+    * a residual rebuild would ship. Same exact-integer micro means;
+    * `AnnCli drift` routes residual-marked codes artifacts here
+    * (previously refused — the encoding matrix's monitoring column is
+    * now raw + residual, with `opq` refused by name: a rotation-aware
+    * monitor must replay the rotation, which is the rebuild's job).
+    */
+  def ivfPqResDriftOn(s: SparkSession, artifact: String,
+                      corpusDir: String): DataFrame =
+    ivfPqResDriftFrom(s, artifact, vecs(s, corpusDir))
+
+  /** The monitor over an explicit (vec_id, vn, label) corpus frame —
+    * the spec's seam (the residual signal depends on how much label
+    * STRUCTURE the corpus carries, so the firing case plants its
+    * own strong-mode corpus). */
+  private[graft] def ivfPqResDriftFrom(s: SparkSession, artifact: String,
+                                       e: DataFrame): DataFrame = {
+    import s.implicits._
+    val centsD = collectPqCents(s, artifact)
+    val (cb0d, cb1d) = collectPqBooks(s, artifact)
+    def resSub(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val centDf = cents.toDF("cluster", "cvec")
+      graft.CachedFrames.persist(
+        e.select(col("vec_id"), col("label"), col("vn"),
+          bestClusterCol(cents).as("cluster"))
+          .join(broadcast(centDf), Seq("cluster"))
+          .withColumn("r", expr("zip_with(vn, cvec, (a, b) -> a - b)"))
+          .select(col("vec_id"), col("label"),
+            slice(col("r"), 1, 32).as("s0"),
+            slice(col("r"), 33, 32).as("s1")))
+    }
+    def errMicro(sub: DataFrame, cb0: Seq[(Long, Seq[Double])],
+                 cb1: Seq[(Long, Seq[Double])]): (Long, Long) = {
+      val r = sub
+        .withColumn("a0", pqAssignment("s0", cb0))
+        .withColumn("a1", pqAssignment("s1", cb1))
+        .select(round(col("a0.d2") + col("a1.d2"), 6).as("err"))
+        .agg(expr("sum(cast(round(err * 1e6, 0) as bigint)) div count(1)"),
+          count(lit(1)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (d, n) = errMicro(resSub(centsD), cb0d, cb1d)
+    val subR = resSub(collectCents(e))
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        subR.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    val (rr, n2) = errMicro(subR, codebook("s0"), codebook("s1"))
+    require(n == n2)
+    Seq((d, rr, d - rr, n, rr < d))
+      .toDF("err_deployed_micro", "err_refreshed_micro", "gain_micro",
+        "n_vectors", "refresh")
+  }
+
+  private val pqResDriftArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S49b gate: the residual twin of the S49 scenario — books AND
+    * centroids deployed from 2/3 of the corpus, full corpus as
+    * current state. */
+  def knnIvfPqResDrift(s: SparkSession, dir: String): DataFrame = {
+    val artifact = pqResDriftArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpqres-drift").toString
+      ivfPqResIndexWriteOn(
+        vecs(s, dir).filter(col("vec_id") % InsertMod =!= InsertRem), out)
+      out
+    })
+    ivfPqResDriftOn(s, artifact, dir)
+  }
+
+  /** S49b oracle: subset-trained (deployed) centroids + residual
+    * books vs full-corpus rebuilds, per-vector argmin residual
+    * reconstruction error under each, exact-integer micro means. */
+  val knnIvfPqResDriftSql: String = {
+    // one residual-error block: assign `e` under centroid CTE $cent,
+    // residual-slice, label-mean books over $bookSrc's rows, argmin
+    // d2 per subspace — mirrors ivfPqResDriftOn clause for clause
+    def block(sfx: String, cent: String, bookRows: String) = s"""
+    rsub_$sfx AS MATERIALIZED (
+      SELECT vec_id, label, cluster,
+             list_slice(r, 1, 32) AS s0, list_slice(r, 33, 64) AS s1
+      FROM (SELECT e.vec_id, e.label, a.cluster,
+                   list_transform(range(1, 1 + len(e.vn)),
+                     i -> e.vn[i] - c.cvn[i]) AS r
+            FROM e
+            JOIN (SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, $cent.label AS cluster,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY round(list_dot_product(e.vn,
+                               $cent.cvn), 6) DESC, $cent.label) AS rn
+                    FROM e, $cent) WHERE rn = 1) a
+              ON a.vec_id = e.vec_id
+            JOIN $cent c ON c.label = a.cluster)),
+    rcb0_$sfx AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+             FROM (SELECT label, i, round(avg(s0[i]), 6) AS av
+                   FROM (SELECT label, s0, unnest(range(1, 33)) AS i
+                         FROM $bookRows)
+                   GROUP BY label, i)
+             GROUP BY label),
+    rcb1_$sfx AS (SELECT label::BIGINT AS code, list(av ORDER BY i) AS cv
+             FROM (SELECT label, i, round(avg(s1[i]), 6) AS av
+                   FROM (SELECT label, s1, unnest(range(1, 33)) AS i
+                         FROM $bookRows)
+                   GROUP BY label, i)
+             GROUP BY label),
+    err_$sfx AS (
+      SELECT a.vec_id, round(a.d2 + b.d2, 6) AS err FROM
+        (SELECT vec_id, d2 FROM (
+          SELECT rsub_$sfx.vec_id, round(list_dot_product(s0, s0)
+                   - 2 * list_dot_product(s0, cv)
+                   + list_dot_product(cv, cv), 6) AS d2,
+                 row_number() OVER (PARTITION BY rsub_$sfx.vec_id
+                   ORDER BY round(list_dot_product(s0, s0)
+                     - 2 * list_dot_product(s0, cv)
+                     + list_dot_product(cv, cv), 6), code) AS rn
+          FROM rsub_$sfx, rcb0_$sfx) WHERE rn = 1) a
+        JOIN
+        (SELECT vec_id, d2 FROM (
+          SELECT rsub_$sfx.vec_id, round(list_dot_product(s1, s1)
+                   - 2 * list_dot_product(s1, cv)
+                   + list_dot_product(cv, cv), 6) AS d2,
+                 row_number() OVER (PARTITION BY rsub_$sfx.vec_id
+                   ORDER BY round(list_dot_product(s1, s1)
+                     - 2 * list_dot_product(s1, cv)
+                     + list_dot_product(cv, cv), 6), code) AS rn
+          FROM rsub_$sfx, rcb1_$sfx) WHERE rn = 1) b
+        USING (vec_id))"""
+    s"""
+    WITH e AS ($vecsSql),
+    tr AS (SELECT * FROM e WHERE vec_id % $InsertMod != $InsertRem),
+    trcent AS (
+      SELECT label, cv,
+             list_transform(cv, x ->
+               x / sqrt(list_dot_product(cv, cv))) AS cvn
+      FROM (
+        SELECT label, list(av ORDER BY i) AS cv
+        FROM (SELECT label, i, round(avg(v[i]), 6) AS av
+              FROM (SELECT label, v, unnest(range(1, 1 + len(v))) AS i
+                    FROM tr)
+              GROUP BY label, i)
+        GROUP BY label)),
+    $centroidsSql,
+    ${block("d", "trcent",
+      s"(SELECT * FROM rsub_d WHERE vec_id % $InsertMod != $InsertRem)")},
+    ${block("r", "cent", "rsub_r")},
+    od AS (SELECT sum(CAST(round(err * 1e6, 0) AS BIGINT))::BIGINT
+                    // count(*) AS err_deployed_micro,
+                  count(*) AS n_vectors
+           FROM err_d),
+    orr AS (SELECT sum(CAST(round(err * 1e6, 0) AS BIGINT))::BIGINT
+                     // count(*) AS err_refreshed_micro
+            FROM err_r)
+    SELECT err_deployed_micro, err_refreshed_micro,
+           (err_deployed_micro - err_refreshed_micro)::BIGINT AS gain_micro,
+           n_vectors,
+           err_refreshed_micro < err_deployed_micro AS refresh
+    FROM od, orr"""
+  }
+
   /** S44: INSERTS into the deployed compressed index — S32's `add`
     * contract at compressed grain (faiss `IndexIVFPQ.add` after
     * `train`): a new vector is assigned to its nearest TRAINED coarse
@@ -3892,9 +4061,16 @@ object SimQueries {
     * residual grain.
     */
   def ivfPqResIndexWrite(s: SparkSession, dir: String,
-                         out: String): Unit = {
+                         out: String): Unit =
+    ivfPqResIndexWriteOn(vecs(s, dir), out)
+
+  /** The S45 build over an explicit (vec_id, v, vn, label) corpus
+    * frame — the seam a residual refresh/contract spec trains a
+    * PARTIAL deployment through (mirrors [[ivfPqIndexWriteOn]]). */
+  private[graft] def ivfPqResIndexWriteOn(e: DataFrame,
+                                          out: String): Unit = {
+    val s = e.sparkSession
     import s.implicits._
-    val e = vecs(s, dir)
     centroids(e).write.mode("overwrite").parquet(s"$out/centroids")
     val cents = collectCents(e)
     val centDf = cents.toDF("cluster", "cvec")
@@ -6902,6 +7078,7 @@ object SimQueries {
       ((s: SparkSession, d: String) => knnIvfPqResArtifactProbe(s, d)),
     "ivfpq_tune_deployed" -> (ivfPqTuneDeployed _),
     "knn_ivfpq_drift" -> (knnIvfPqDrift _),
+    "knn_ivfpq_res_drift" -> (knnIvfPqResDrift _),
     "knn_ivfpq_delete" -> (knnIvfPqArtifactDelete _),
     "knn_ivfpq_insert" -> (knnIvfPqInsert _),
     "knn_ivfpq_res_artifact" -> (knnIvfPqResArtifact _),
@@ -6956,6 +7133,7 @@ object SimQueries {
     "knn_ivfpq_res_artifact_probe" -> knnIvfPqResArtifactProbeSql,
     "ivfpq_tune_deployed" -> ivfPqTuneDeployedSql,
     "knn_ivfpq_drift" -> knnIvfPqDriftSql,
+    "knn_ivfpq_res_drift" -> knnIvfPqResDriftSql,
     "knn_ivfpq_delete" -> knnIvfPqArtifactDeleteSql,
     "knn_ivfpq_insert" -> knnIvfPqInsertSql,
     "knn_ivfpq_res_artifact" -> knnIvfPqResArtifactSql,

@@ -2423,7 +2423,7 @@ class SimSpec extends AnyFunSuite {
 
   test("the _encoding marker: refresh refuses a residual generation " +
     "by name (no silent encoding swap), and AnnCli drift kind-routes " +
-    "codes artifacts — S49 on raw, refused on residual") {
+    "codes artifacts by encoding — S49 on raw, S49b on residual") {
     import org.apache.spark.sql.functions._
     // residual deployment under a _current pointer
     val root = java.nio.file.Files
@@ -2437,11 +2437,13 @@ class SimSpec extends AnyFunSuite {
       IvfPqReindex.refresh(spark, root, e))
     assert(ex.getMessage.contains("residual"),
       s"refusal must name the encoding: ${ex.getMessage}")
-    // CLI drift on the residual artifact refuses by encoding...
-    val ex2 = intercept[IllegalArgumentException](
-      AnnCli.run(spark, Array("drift", s"$root/gen-0", dir)))
-    assert(ex2.getMessage.contains("residual"))
-    // ...and runs the S49 monitor on a raw one (needs the corpus)
+    // CLI drift on the residual artifact routes to the S49b monitor
+    // (corpus still required, refused loudly without it)
+    intercept[IllegalArgumentException](
+      AnnCli.run(spark, Array("drift", s"$root/gen-0")))
+    AnnCli.run(spark, Array("drift", s"$root/gen-0", dir))
+    graft.CachedFrames.releaseAll()
+    // ...and the S49 monitor on a raw one (needs the corpus)
     val raw = java.nio.file.Files
       .createTempDirectory("graft-enc-raw").toString
     SimQueries.ivfPqIndexWrite(spark, dir, raw)
@@ -2450,6 +2452,61 @@ class SimSpec extends AnyFunSuite {
       AnnCli.run(spark, Array("drift", raw)))
     AnnCli.run(spark, Array("drift", raw, dir))
     graft.CachedFrames.releaseAll()
+  }
+
+  test("S49b residual drift: on a STRONG-MODE corpus (tight label " +
+    "clusters — where the residual geometry carries the label " +
+    "structure), a missing-label residual deployment provably loses " +
+    "to the full rebuild; the monitor's promise equals a fresh " +
+    "residual build's measured distortion to the integer; and on the " +
+    "noise-dominated gate corpus the verdict is honestly DON'T " +
+    "(residual distortion washes the missing-label signal out — " +
+    "measured, both engines agree)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 10 near-orthogonal modes, 20 tight members each: v = e_label
+    // with a small deterministic per-(vector, dim) jitter — no RNG
+    val rows = for (lbl <- 0 until 10; k <- 0 until 20) yield {
+      val id = lbl * 20L + k
+      val v = Array.tabulate(64)(i =>
+        (if (i == lbl) 1.0 else 0.0) +
+          0.02 * (((id * 31 + i * 7) % 11) - 5))
+      (id, v.toSeq, lbl)
+    }
+    val planted = rows.toDF("vec_id", "v", "label")
+      .withColumn("vn", graft.functions.VectorFunctions
+        .normalize(col("v")))
+      .localCheckpoint(false)
+    val part = java.nio.file.Files
+      .createTempDirectory("graft-resdrift-part").toString
+    SimQueries.ivfPqResIndexWriteOn(planted.filter(col("label") < 5),
+      part)
+    graft.CachedFrames.releaseAll()
+    val before = SimQueries.ivfPqResDriftFrom(spark, part, planted)
+      .head()
+    graft.CachedFrames.releaseAll()
+    assert(before.getBoolean(4) && before.getLong(2) > 0L,
+      s"missing-label residual books must lose on tight modes: $before")
+    // promise == delivery: a fresh FULL residual build measures the
+    // monitor's exact promised integer as its deployed distortion
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-resdrift-full").toString
+    SimQueries.ivfPqResIndexWriteOn(planted, full)
+    graft.CachedFrames.releaseAll()
+    val after = SimQueries.ivfPqResDriftFrom(spark, full, planted)
+      .head()
+    graft.CachedFrames.releaseAll()
+    assert(after.getLong(0) === before.getLong(1),
+      s"rebuild delivered ${after.getLong(0)} but the monitor " +
+        s"promised ${before.getLong(1)}")
+    assert(after.getLong(2) === 0L && !after.getBoolean(4))
+    // the corpus-facing gate: the embeddings table is noise-dominated
+    // (within-label residual norm² ≈ 1.2), so the same missing-label
+    // scenario honestly reads DON'T refresh — the residual monitor
+    // refusing a pointless rebuild is the S49 discipline, measured
+    val gate = SimQueries.knnIvfPqResDrift(spark, dir).head()
+    graft.CachedFrames.releaseAll()
+    assert(!gate.getBoolean(4) && gate.getLong(2) <= 0L)
   }
 
   test("S50 deployed OPQ rotation: artifact serving equals the " +
