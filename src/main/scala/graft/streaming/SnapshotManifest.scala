@@ -170,67 +170,188 @@ object SnapshotManifest {
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
       "oss", "cos", "swift")
 
-  private def readLockOwner(fs: FileSystem, p: Path): Option[String] =
-    try {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
+  /** What an owner read actually observed (E35, round 14): the
+    * release and heartbeat paths must distinguish "the lock file is
+    * GONE" (a waiter stale-broke us — the pass genuinely overlapped
+    * another maintainer) from "the read GLITCHED" (a transient IO
+    * error — proving nothing about ownership). Collapsing both to
+    * None made a successful pass report itself suspect on one
+    * flaky read (r13 ADVICE).
+    */
+  private[graft] sealed trait OwnerRead
+  private[graft] object OwnerRead {
+    final case class Owner(id: String) extends OwnerRead
+    case object Missing extends OwnerRead
+    case object Unreadable extends OwnerRead
+  }
+
+  /** E35: the maintenance lock's storage primitives behind a SEAM.
+    * The default backend covers every filesystem with an atomic
+    * exclusive create (file:// via O_EXCL, HDFS-compatible via the
+    * NameNode contract); schemes on the [[NonAtomicCreateSchemes]]
+    * denylist are refused loudly UNLESS a backend was registered for
+    * them via [[registerLockBackend]] — that registration is where an
+    * object-store conditional-put adapter (S3 `If-None-Match: *`
+    * PUT, GCS `ifGenerationMatch=0`, Azure lease blobs) lands,
+    * converting the refusal into support without touching the lease
+    * machinery, which is backend-agnostic.
+    *
+    * Backend contract:
+    *   - `tryAcquire` atomically creates the lock carrying `owner`;
+    *     returns false when it already exists; and MUST NOT leave a
+    *     lock behind when the create succeeded but the owner write
+    *     failed (the acquirer would block everyone — itself
+    *     included — on its own ownerless file for a full lease).
+    *   - `readOwner` reports Missing / Owner / Unreadable distinctly.
+    *   - `rename` backs the claim-by-rename stale break; `touch`
+    *     renews the lease mtime.
+    */
+  trait LockBackend {
+    def tryAcquire(lock: Path, owner: String): Boolean
+    def readOwner(p: Path): OwnerRead
+    def mtime(p: Path): Option[Long]
+    def rename(from: Path, to: Path): Boolean
+    def delete(p: Path): Unit
+    def exists(p: Path): Boolean
+    def touch(p: Path, now: Long): Unit
+  }
+
+  /** The atomic-exclusive-create backend. On file:// the acquire goes
+    * through java.io.File.createNewFile (O_EXCL at the syscall) —
+    * Hadoop's RawLocalFileSystem.create(overwrite=false) is a
+    * check-then-create and two concurrent "exclusive" creates can
+    * both succeed (reproduced by the E34b race spec). On HDFS
+    * create(overwrite=false) IS NameNode-atomic, so the generic path
+    * uses it directly.
+    */
+  final class HadoopLockBackend(fs: FileSystem) extends LockBackend {
+    private val fileScheme = "file" == fs.getUri.getScheme
+
+    // the create succeeded but the owner write didn't: remove the
+    // half-born lock (only while no FOREIGN owner sits at the path —
+    // within this window nobody else can have acquired, but the
+    // check costs nothing) so the failure is retryable instead of a
+    // full-lease outage (r13 ADVICE medium)
+    private def cleanupFailedAcquire(lock: Path, owner: String): Unit =
+      try {
+        val mine = readOwner(lock) match {
+          case OwnerRead.Owner(id) => id.isEmpty || id == owner
+          case OwnerRead.Missing => false
+          case OwnerRead.Unreadable => true // just created by us
+        }
+        if (mine) fs.delete(lock, false)
+      } catch { case _: java.io.IOException => () }
+
+    override def tryAcquire(lock: Path, owner: String): Boolean =
+      if (fileScheme) {
+        val f = new java.io.File(lock.toUri.getPath)
+        val parent = f.getParentFile
+        if (parent != null) parent.mkdirs()
+        val created =
+          try f.createNewFile()
+          catch { case _: java.io.IOException => false }
+        created && (try {
+          val o = new java.io.FileOutputStream(f)
+          try o.write(owner.getBytes("UTF-8")) finally o.close()
+          true
+        } catch {
+          case _: java.io.IOException =>
+            cleanupFailedAcquire(lock, owner); false
+        })
+      } else {
+        val out =
+          try Some(fs.create(lock, false))
+          catch { case _: java.io.IOException => None }
+        out.exists { o =>
+          try {
+            try o.write(owner.getBytes("UTF-8")) finally o.close()
+            true
+          } catch {
+            case _: java.io.IOException =>
+              cleanupFailedAcquire(lock, owner); false
+          }
+        }
+      }
+
+    override def readOwner(p: Path): OwnerRead =
+      try {
+        val in = fs.open(p)
+        try OwnerRead.Owner(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => OwnerRead.Missing
+        case _: java.io.IOException => OwnerRead.Unreadable
+      }
+
+    override def mtime(p: Path): Option[Long] =
+      try Some(fs.getFileStatus(p).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+
+    override def rename(from: Path, to: Path): Boolean =
+      try fs.rename(from, to)
+      catch { case _: java.io.IOException => false }
+
+    override def delete(p: Path): Unit = fs.delete(p, false)
+
+    override def exists(p: Path): Boolean = fs.exists(p)
+
+    override def touch(p: Path, now: Long): Unit =
+      fs.setTimes(p, now, -1)
+  }
+
+  private val lockBackends =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, FileSystem => LockBackend]()
+
+  /** Register a lock backend for a scheme the default refuses — the
+    * conditional-put adapter's landing point. Unknown/atomic schemes
+    * never consult the registry unless registered, so the default
+    * behavior (and the denylist refusal) is unchanged.
+    */
+  def registerLockBackend(scheme: String,
+                          mk: FileSystem => LockBackend): Unit =
+    lockBackends.put(scheme, mk)
+
+  /** Test/teardown hook: drop a registered backend. */
+  def unregisterLockBackend(scheme: String): Unit =
+    lockBackends.remove(scheme)
+
+  private[graft] def lockBackendFor(fs: FileSystem): LockBackend = {
+    val scheme = fs.getUri.getScheme
+    val custom = lockBackends.get(scheme)
+    if (custom != null) custom(fs)
+    else if (NonAtomicCreateSchemes.contains(scheme))
+      throw new UnsupportedOperationException(
+        s"maintenance lock needs an ATOMIC exclusive create and " +
+          s"'$scheme' does not provide one (create(overwrite=false) " +
+          "is check-then-create on object stores): run maintenance " +
+          "against file:// or hdfs://, register a conditional-put " +
+          s"LockBackend for '$scheme' via " +
+          "SnapshotManifest.registerLockBackend, or front the " +
+          "artifact with a conditional-put lock service")
+    else new HadoopLockBackend(fs)
+  }
 
   def withMaintenanceLock[T](fs: FileSystem, artifact: String,
                              staleMs: Long = 60L * 60 * 1000)
                             (body: => T): T = {
     val lock = new Path(s"$artifact/_maintenance")
     val owner = java.util.UUID.randomUUID().toString
-    val scheme = fs.getUri.getScheme
-    if (NonAtomicCreateSchemes.contains(scheme))
-      throw new UnsupportedOperationException(
-        s"maintenance lock needs an ATOMIC exclusive create and " +
-          s"'$scheme' does not provide one (create(overwrite=false) " +
-          "is check-then-create on object stores): run maintenance " +
-          "against file:// or hdfs://, or front the artifact with a " +
-          "conditional-put lock service")
-    // The exclusive create must be ATOMIC or the lock is no lock:
-    // Hadoop's RawLocalFileSystem.create(overwrite=false) is a
-    // check-then-create (two concurrent acquirers can both pass the
-    // exists check and both "win" — reproduced by the E34b race spec),
-    // so on file:// the acquire goes through java.io.File.createNewFile
-    // (O_EXCL at the syscall). On HDFS create(overwrite=false) IS
-    // atomic at the NameNode. The owner UUID is written right after
-    // the create — a crash in between leaves an ownerless lock, which
-    // the stale-break's mtime fallback reclaims.
-    def tryAcquire(): Boolean =
-      if ("file" == scheme)
-        try {
-          val f = new java.io.File(lock.toUri.getPath)
-          val parent = f.getParentFile
-          if (parent != null) parent.mkdirs()
-          if (!f.createNewFile()) false
-          else {
-            val o = new java.io.FileOutputStream(f)
-            try o.write(owner.getBytes("UTF-8")) finally o.close()
-            true
-          }
-        } catch { case _: java.io.IOException => false }
-      else
-        try {
-          val o = fs.create(lock, false)
-          try o.write(owner.getBytes("UTF-8")) finally o.close()
-          true
-        } catch { case _: java.io.IOException => false }
+    val backend = lockBackendFor(fs)
+    def tryAcquire(): Boolean = backend.tryAcquire(lock, owner)
     if (!tryAcquire()) {
-      val heldSince =
-        try Some(fs.getFileStatus(lock).getModificationTime)
-        catch { case _: java.io.FileNotFoundException => None }
-      val observedOwner = readLockOwner(fs, lock)
+      val heldSince = backend.mtime(lock)
+      val observedOwner = backend.readOwner(lock) match {
+        case OwnerRead.Owner(id) => Some(id)
+        case _ => None
+      }
       val stale = heldSince
         .forall(t => System.currentTimeMillis() - t > staleMs)
       if (stale) {
         val tomb = new Path(
           s"$artifact/_maintenance.stale-${java.util.UUID.randomUUID()}")
-        if (try fs.rename(lock, tomb) catch {
-          case _: java.io.IOException => false
-        }) {
+        if (backend.rename(lock, tomb)) {
           // the rename claims whatever sits at the lock PATH, which
           // may no longer be the file we judged stale: a faster waiter
           // can complete its whole claim cycle (rename, delete,
@@ -243,21 +364,22 @@ object SnapshotManifest {
           // still free — a third waiter may have acquired meanwhile,
           // and clobbering ITS live lock would be the
           // delete-another's-lock bug in new clothes) and refuse.
-          val tombOwner = readLockOwner(fs, tomb)
-          val tombFresh = (try Some(
-            fs.getFileStatus(tomb).getModificationTime)
-          catch { case _: java.io.FileNotFoundException => None })
+          val tombOwner = backend.readOwner(tomb) match {
+            case OwnerRead.Owner(id) => Some(id)
+            case _ => None
+          }
+          val tombFresh = backend.mtime(tomb)
             .exists(t => System.currentTimeMillis() - t <= staleMs)
           val stolenLive = tombFresh ||
             (observedOwner.exists(_.nonEmpty) && tombOwner != observedOwner)
           if (stolenLive) {
-            if (!fs.exists(lock)) fs.rename(tomb, lock)
-            else fs.delete(tomb, false)
+            if (!backend.exists(lock)) backend.rename(tomb, lock)
+            else backend.delete(tomb)
             throw new IllegalStateException(
               s"maintenance already in flight at $artifact (a fresh " +
                 "lock replaced the stale one mid-break): retry after " +
                 "the running pass finishes")
-          } else fs.delete(tomb, false)
+          } else backend.delete(tomb)
         }
       }
       if (!stale || !tryAcquire())
@@ -268,9 +390,12 @@ object SnapshotManifest {
             "the running pass finishes")
     }
     // lease renewal: touch the marker while the body runs; stop the
-    // beat the moment ownership is lost (touching an usurper's lock
-    // would keep THEIR lease fresh)
+    // beat the moment ownership is LOST (touching an usurper's lock
+    // would keep THEIR lease fresh) — but keep beating across a
+    // transient read glitch (Unreadable proves nothing; stopping on
+    // it would let a long pass's lease lapse over one flaky read)
     @volatile var hbStop = false
+    @volatile var lastTouch = backend.mtime(lock).getOrElse(0L)
     val hb = new Thread(new Runnable {
       override def run(): Unit = {
         val period = math.max(staleMs / 4, 25L)
@@ -279,10 +404,16 @@ object SnapshotManifest {
           try Thread.sleep(period)
           catch { case _: InterruptedException => live = false }
           if (live && !hbStop) {
-            if (readLockOwner(fs, lock).contains(owner))
-              try fs.setTimes(lock, System.currentTimeMillis(), -1)
-              catch { case _: java.io.IOException => () }
-            else live = false
+            backend.readOwner(lock) match {
+              case OwnerRead.Owner(id) if id == owner =>
+                try {
+                  val now = System.currentTimeMillis()
+                  backend.touch(lock, now)
+                  lastTouch = now
+                } catch { case _: java.io.IOException => () }
+              case OwnerRead.Unreadable => () // transient: skip one beat
+              case _ => live = false // usurped or broken: go silent
+            }
           }
         }
       }
@@ -294,17 +425,37 @@ object SnapshotManifest {
     finally {
       hbStop = true
       hb.interrupt()
-      if (readLockOwner(fs, lock).contains(owner)) fs.delete(lock, false)
-      else if (bodyOk)
-        // never delete a lock we no longer own (ADVICE: the displaced
-        // holder's silent unlock); surface the displacement instead —
-        // the pass ran concurrently with another maintainer
-        throw new IllegalStateException(
-          s"maintenance lock at $artifact was usurped mid-pass (owner " +
-            "changed): this pass ran concurrently with another " +
-            "maintainer — treat its output as suspect")
-      // body already failing: keep ITS exception; the lock now
-      // belongs to the new holder — leave it in place
+      // E35 release: a read ERROR is not a usurpation. Retry the
+      // owner read once; on a persistent glitch fall back to the
+      // heartbeat's own last touch — an mtime only we could have
+      // stamped. Only a genuinely READ foreign owner (or a missing
+      // file: a waiter stale-broke us) reports the pass suspect.
+      val readBack = backend.readOwner(lock) match {
+        case OwnerRead.Unreadable => backend.readOwner(lock)
+        case r => r
+      }
+      readBack match {
+        case OwnerRead.Owner(id) if id == owner => backend.delete(lock)
+        case OwnerRead.Unreadable
+          if backend.mtime(lock).contains(lastTouch) =>
+          backend.delete(lock)
+        case OwnerRead.Unreadable => ()
+          // ownership unprovable either way: leave the file to the
+          // lease (stale-break reclaims it) rather than risk deleting
+          // a live usurper's lock — and don't taint a clean pass
+        case _ if bodyOk =>
+          // never delete a lock we no longer own (ADVICE: the
+          // displaced holder's silent unlock); surface the
+          // displacement — the pass ran concurrently with another
+          // maintainer
+          throw new IllegalStateException(
+            s"maintenance lock at $artifact was usurped mid-pass " +
+              "(owner changed): this pass ran concurrently with " +
+              "another maintainer — treat its output as suspect")
+        case _ => ()
+        // body already failing: keep ITS exception; the lock now
+        // belongs to the new holder — leave it in place
+      }
     }
   }
 

@@ -923,6 +923,23 @@ class PipelineSpec extends AnyFunSuite {
     val exM = intercept[IllegalStateException](
       ShardReader.readShard(spark, out, 1, 2))
     assert(exM.getMessage.contains("pack_epochs"), exM.getMessage)
+    // INSANE values refuse by key too (r13 ADVICE): loader_workers=0
+    // would otherwise surface as `% 0` arithmetic, and an
+    // Int-overflowing pin as a silently-wrong truncated derivation
+    val o0 = fs.create(pPath, true)
+    try o0.write(("loader_workers=0\npack_epochs=2\n" +
+      "pack_block=512\nshard_chunk=128\n").getBytes("UTF-8"))
+    finally o0.close()
+    val exZ = intercept[IllegalStateException](
+      ShardReader.readShard(spark, out, 1, 2))
+    assert(exZ.getMessage.contains("loader_workers"), exZ.getMessage)
+    val oBig = fs.create(pPath, true)
+    try oBig.write(("loader_workers=4\npack_epochs=9999999999\n" +
+      "pack_block=512\nshard_chunk=128\n").getBytes("UTF-8"))
+    finally oBig.close()
+    val exB = intercept[IllegalStateException](
+      ShardReader.readShard(spark, out, 1, 2))
+    assert(exB.getMessage.contains("pack_epochs"), exB.getMessage)
     // legacy (sidecar absent): compile-time constants, the pre-P42
     // path — the standard deployment still reads
     assert(fs.delete(new org.apache.hadoop.fs.Path(s"$src/_params"),

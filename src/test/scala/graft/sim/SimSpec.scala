@@ -1340,6 +1340,140 @@ class SimSpec extends AnyFunSuite {
     fs.delete(lock, false)
   }
 
+  test("E35 lock backend seam: object-store schemes refuse loudly by " +
+    "default naming the registration remedy, and a registered " +
+    "backend converts the refusal into a working lock") {
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-lockseam").toString
+    val fs = new S3aShapedFs()
+    fs.initialize(java.net.URI.create("s3a:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[UnsupportedOperationException](
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+        fail("body ran on a denylisted scheme")
+      })
+    assert(ex.getMessage.contains("registerLockBackend"), ex.getMessage)
+    // the registration point: a real deployment lands a conditional-put
+    // adapter here; the test lands the local-atomic backend, proving
+    // the lease machinery is backend-agnostic end-to-end
+    graft.streaming.SnapshotManifest.registerLockBackend("s3a",
+      f => new graft.streaming.SnapshotManifest.HadoopLockBackend(f))
+    try {
+      var ran = false
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+        ran = true
+      }
+      assert(ran, "registered backend did not acquire")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$art/_maintenance")), "registered backend did not release")
+    } finally
+      graft.streaming.SnapshotManifest.unregisterLockBackend("s3a")
+  }
+
+  test("E35a failed owner write after a successful exclusive create " +
+    "leaves NO lock behind: the failure is retryable, not a " +
+    "full-lease outage") {
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-lockwfail").toString
+    val fs = new WriteFailFs()
+    fs.initialize(java.net.URI.create("wfail:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$art/_maintenance")
+    var bodyRan = false
+    intercept[IllegalStateException](
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+        bodyRan = true
+      })
+    assert(!bodyRan, "body ran despite the poisoned owner write")
+    assert(!fs.exists(lock),
+      "a half-born lock was left behind — every retry (and every " +
+        "other maintainer) would block for the full lease")
+    // a healthy maintainer succeeds IMMEDIATELY — no stale-break wait
+    val good = graft.streaming.SnapshotManifest.fsOf(spark, art)
+    var ran = false
+    graft.streaming.SnapshotManifest.withMaintenanceLock(good, art) {
+      ran = true
+    }
+    assert(ran)
+  }
+
+  test("E35b release distinguishes a read glitch from usurpation: a " +
+    "successful pass whose final owner reads fail still releases " +
+    "via the heartbeat-mtime fallback instead of reporting itself " +
+    "suspect") {
+    val art = java.nio.file.Files
+      .createTempDirectory("graft-lockglitch").toString
+    val fs = new GlitchyReadFs()
+    fs.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(s"$art/_maintenance")
+    GlitchyReadFs.fail.set(false)
+    try {
+      // must NOT throw the usurped IllegalStateException: the owner
+      // read glitches but the lock's mtime is the exact stamp only
+      // our own lease could carry
+      graft.streaming.SnapshotManifest.withMaintenanceLock(fs, art) {
+        GlitchyReadFs.fail.set(true)
+      }
+    } finally GlitchyReadFs.fail.set(false)
+    assert(!fs.exists(lock),
+      "the glitched release left the lock in place")
+  }
+
+  test("S52 Lloyd-trained deployed books STRICTLY beat the " +
+    "label-seeded books on the same corpus — measured by the S49 " +
+    "monitor itself, whose label-mean rebuild is now the worse side " +
+    "(gain ≤ 0, refresh=false)") {
+    val art = SimQueries.pqLloydArtifactOf(spark, dir)
+    val m = SimQueries.ivfPqDriftOn(spark, art, dir).collect().head
+    graft.CachedFrames.releaseAll()
+    val deployed = m.getAs[Long]("err_deployed_micro")
+    val rebuilt = m.getAs[Long]("err_refreshed_micro")
+    assert(deployed < rebuilt,
+      s"Lloyd books ($deployed micro) must STRICTLY beat the " +
+        s"label-mean rebuild ($rebuilt micro) the monitor prices — " +
+        "the r13 verdict's done criterion")
+    assert(!m.getAs[Boolean]("refresh"),
+      "the monitor blessed replacing trained books with seed books")
+  }
+
+  test("S51 encoding-aware insert: an opq artifact refuses inserts " +
+    "lacking the raw vector column by name, and an unknown encoding " +
+    "refuses by kind at closure build — no foreign-space encode can " +
+    "slip through") {
+    import org.apache.spark.sql.functions._
+    // opq: the rotation replays over RAW vectors; a vn-only frame
+    // must refuse naming `v`, not silently rotate the wrong thing
+    val opqArt = SimQueries.opqArtifactOf(spark, dir)
+    val inserter = SimQueries.ivfPqInserter(spark, opqArt)
+    val noV = graft.Tables.embeddings(spark, dir).limit(1)
+      .select(col("vec_id") + 900000L as "vec_id",
+        graft.functions.VectorFunctions
+          .normalize(col("embedding").cast("array<double>")).as("vn"))
+    val ex = intercept[IllegalArgumentException](inserter(noV))
+    assert(ex.getMessage.contains("`v`"), ex.getMessage)
+    graft.CachedFrames.releaseAll()
+    // a kind no branch understands refuses by NAME — a future
+    // encoding must never fall through to raw arithmetic
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-alien-enc").toString
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("vn",
+        graft.functions.VectorFunctions.normalize(col("v")))
+      .filter(col("vec_id") < 300)
+    SimQueries.ivfPqIndexWriteOn(e, out)
+    val encFs = graft.streaming.SnapshotManifest.fsOf(spark, out)
+    val encOut = encFs.create(
+      new org.apache.hadoop.fs.Path(s"$out/_encoding"), true)
+    try encOut.write("zorp".getBytes("UTF-8")) finally encOut.close()
+    val ex2 = intercept[UnsupportedOperationException](
+      SimQueries.ivfPqInserter(spark, out))
+    assert(ex2.getMessage.contains("zorp"), ex2.getMessage)
+    graft.CachedFrames.releaseAll()
+  }
+
   test("insert path under maintenance: the bounded retry waits a " +
     "routine pass out instead of failing, still surfaces a refusal " +
     "past the bound, and two CONCURRENT staged inserts never clobber " +
@@ -1697,9 +1831,20 @@ class SimSpec extends AnyFunSuite {
     graft.CachedFrames.releaseAll()
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$art/gen-0")))
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$art/gen-1")))
-    // the CLI routes retrain → refresh on a compressed deployment
-    AnnCli.run(spark, Array("retrain", art, dir))
+    // the CLI routes retrain → refresh on a compressed deployment —
+    // and CHAINS the S48 retune against the swapped-in generation
+    // (round 14, r13 verdict item 5): the refreshed books' recall
+    // curve is non-monotone in nprobe, so the re-chosen knob must
+    // land in the verb's own output, not stay a separate manual step
+    val cliOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(cliOut, true, "UTF-8")) {
+      AnnCli.run(spark, Array("retrain", art, dir))
+    }
     graft.CachedFrames.releaseAll()
+    val cliText = cliOut.toString("UTF-8")
+    assert(cliText.contains("Post-refresh tune on gen-3: nprobe="),
+      cliText)
+    assert(cliText.contains("recall_micro="), cliText)
     assert(IvfReindex.currentGen(fs, art) === Some("gen-3"))
     assert(IvfPqReindex.serve(spark, dir, art).count() > 0)
     graft.CachedFrames.releaseAll()
@@ -2540,4 +2685,66 @@ class SimSpec extends AnyFunSuite {
         CorpusReader.default.vectors(spark, dir)))
     assert(ex.getMessage.contains("opq"))
   }
+}
+
+/** A local FS that REPORTS an object-store scheme — the E35 seam
+  * spec's stand-in for s3a (paths map 1:1 onto local disk, so a
+  * registered backend can actually exercise the lease machinery).
+  */
+class S3aShapedFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a:///")
+}
+
+/** A local FS whose `_maintenance` create SUCCEEDS but whose owner
+  * write then fails — the r13 ADVICE scenario: the half-born lock
+  * must not survive the failed acquire.
+  */
+class WriteFailFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "wfail"
+  override def getUri: java.net.URI = java.net.URI.create("wfail:///")
+
+  private def poison(f: org.apache.hadoop.fs.Path,
+      real: org.apache.hadoop.fs.FSDataOutputStream)
+  : org.apache.hadoop.fs.FSDataOutputStream =
+    if (f.getName == "_maintenance") {
+      real.close() // the exclusive create itself DID succeed
+      new org.apache.hadoop.fs.FSDataOutputStream(
+        new java.io.OutputStream {
+          override def write(b: Int): Unit =
+            throw new java.io.IOException("injected owner-write failure")
+        }, null)
+    } else real
+
+  override def create(f: org.apache.hadoop.fs.Path,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+  : org.apache.hadoop.fs.FSDataOutputStream =
+    poison(f, super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress))
+
+  override def create(f: org.apache.hadoop.fs.Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+  : org.apache.hadoop.fs.FSDataOutputStream =
+    poison(f, super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress))
+}
+
+/** A file-scheme FS whose `_maintenance` reads fail while the flag is
+  * up — the E35b release-path read-glitch injection (stat and delete
+  * stay healthy, so the mtime fallback can prove ownership).
+  */
+class GlitchyReadFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+  : org.apache.hadoop.fs.FSDataInputStream = {
+    if (GlitchyReadFs.fail.get() && f.getName == "_maintenance")
+      throw new java.io.IOException("injected read glitch")
+    super.open(f, bufferSize)
+  }
+}
+
+object GlitchyReadFs {
+  val fail = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
