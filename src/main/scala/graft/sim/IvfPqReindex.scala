@@ -31,12 +31,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object IvfPqReindex {
 
   /** Initial deployment: build generation 0 from `train` and point
-    * `_current` at it. */
-  def deployOn(train: DataFrame, artifact: String): Unit = {
+    * `_current` at it.
+    *
+    * @param trainer the PQ-book trainer for generation 0 — `label`
+    *                (seed means, the S43 default) or `lloyd` (the
+    *                S52 alternation). Stamped in the generation's
+    *                `_books` marker so every later refresh rebuilds
+    *                with the SAME trainer.
+    */
+  def deployOn(train: DataFrame, artifact: String,
+               trainer: String = "label"): Unit = {
     val s = train.sparkSession
     val fs = graft.streaming.SnapshotManifest.fsOf(s, artifact)
-    SimQueries.ivfPqIndexWriteOn(train, s"$artifact/gen-0")
+    buildWith(trainer, train, s"$artifact/gen-0")
     IvfReindex.swapPointer(fs, artifact, "gen-0")
+  }
+
+  private def buildWith(trainer: String, corpus: DataFrame,
+                        outDir: String): Unit = trainer match {
+    case "label" => SimQueries.ivfPqIndexWriteOn(corpus, outDir)
+    case "lloyd" => SimQueries.ivfPqLloydIndexWriteOn(corpus, outDir)
+    case other => throw new IllegalArgumentException(
+      s"unknown PQ-book trainer '$other' (label | lloyd)")
   }
 
   /** Rebuild under the CURRENT corpus into the next generation, swap
@@ -66,11 +82,18 @@ object IvfPqReindex {
             "rebuilds the RAW (S43) encoding and would silently swap " +
             "the deployment's encoding — rebuild residual artifacts " +
             "with ivfPqResIndexWrite behind your own pointer swap")
+      // TRAINER-FAITHFUL rebuild (S52, round 14): the live
+      // generation's `_books` marker names the trainer that built
+      // its codebooks; rebuilding a Lloyd generation with the seed
+      // arithmetic would silently DOWNGRADE the books behind the
+      // pointer — the exact wrong-delivery the S49 monitor's
+      // trainer-faithful pricing promises against
+      val trainer = SimQueries.booksOf(fs, s"$artifact/$gen")
       val n = gen.stripPrefix("gen-").toLong
       val next = s"gen-${n + 1}"
       val nextDir = s"$artifact/$next"
       if (fs.exists(new Path(nextDir))) fs.delete(new Path(nextDir), true)
-      SimQueries.ivfPqIndexWriteOn(corpus, nextDir)
+      buildWith(trainer, corpus, nextDir)
       onPoint("built")
       IvfReindex.swapPointer(fs, artifact, next)
       onPoint("swapped")

@@ -3178,6 +3178,7 @@ object SimQueries {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$out/codes")
     writeEncodingMarker(s, out, encoding)
+    writeBooksMarker(s, out, "label")
     // held at birth: the build's one walk is the last data-dir listing
     // the serving path ever pays (E33)
     if (track) graft.streaming.SnapshotManifest.track(s, out, "codes")
@@ -3207,6 +3208,35 @@ object SimQueries {
       fs: org.apache.hadoop.fs.FileSystem, artifact: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$artifact/_encoding")
     if (!fs.exists(p)) "raw"
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** The artifact's PQ-book TRAINER marker (S52, round 14): `label`
+    * (seed means) and `lloyd` (S52's alternation-refined books)
+    * artifacts are byte-compatible on disk — serving and maintenance
+    * never care — but the verbs that REBUILD books must reproduce
+    * the trainer that built them: a refresh of a Lloyd deployment
+    * rebuilt with seed arithmetic silently DOWNGRADES the books
+    * behind the pointer, and a monitor pricing the wrong trainer's
+    * rebuild promises a gain the refresh won't deliver. Absent ⇒
+    * `label` (every pre-marker artifact was seed-trained).
+    */
+  private def writeBooksMarker(s: SparkSession, out: String,
+                               kind: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$out/_books")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val o = fs.create(p, true)
+    try o.write(kind.getBytes("UTF-8")) finally o.close()
+  }
+
+  private[graft] def booksOf(
+      fs: org.apache.hadoop.fs.FileSystem, artifact: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$artifact/_books")
+    if (!fs.exists(p)) "label"
     else {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
@@ -3413,6 +3443,30 @@ object SimQueries {
     * assignment pass + one micro-mean aggregate per subspace at
     * build time — offline, amortized over every serve.
     */
+  /** The S52 trainer over a (vec_id, label, s0, s1) subspace frame:
+    * label-mean seed → one Lloyd alternation → trained books. Shared
+    * by the build and the trainer-faithful S49 monitor (which must
+    * price EXACTLY what a Lloyd refresh would deliver).
+    */
+  private def lloydBooksFrom(sub: DataFrame)
+  : (Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])]) = {
+    def codebook(c: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
+        "code"))
+    val cb0 = codebook("s0")
+    val cb1 = codebook("s1")
+    val seeded = graft.CachedFrames.persist(
+      sub.withColumn("a0", pqAssignment("s0", cb0))
+        .withColumn("a1", pqAssignment("s1", cb1))
+        .select(col("vec_id"), col("s0"), col("s1"),
+          col("a0.code").as("c0"), col("a1.code").as("c1")))
+    def trained(cCol: String, sCol: String): Seq[(Long, Seq[Double])] =
+      KMeans.collectCodebook(KMeans.meanByKey(
+        seeded.select(col(cCol).as("code"), col(sCol).as("v")), "code"))
+    (trained("c0", "s0"), trained("c1", "s1"))
+  }
+
   private[graft] def ivfPqLloydIndexWriteOn(e: DataFrame,
                                             out: String): Unit = {
     val s = e.sparkSession
@@ -3424,28 +3478,13 @@ object SimQueries {
       e.select(col("vec_id"), col("label"),
         slice(col("vn"), 1, Half).as("s0"),
         slice(col("vn"), Half + 1, Half).as("s1")))
-    def codebook(c: String): Seq[(Long, Seq[Double])] =
-      KMeans.collectCodebook(KMeans.meanByKey(
-        sub.select(col("label").cast("long").as("code"), col(c).as("v")),
-        "code"))
-    val cb0 = codebook("s0")
-    val cb1 = codebook("s1")
     // the Lloyd alternation, S19 verbatim at deployment grain
-    val seeded = graft.CachedFrames.persist(
-      sub.withColumn("a0", pqAssignment("s0", cb0))
-        .withColumn("a1", pqAssignment("s1", cb1))
-        .select(col("vec_id"), col("s0"), col("s1"),
-          col("a0.code").as("c0"), col("a1.code").as("c1")))
-    def trained(cCol: String, sCol: String): Seq[(Long, Seq[Double])] =
-      KMeans.collectCodebook(KMeans.meanByKey(
-        seeded.select(col(cCol).as("code"), col(sCol).as("v")), "code"))
-    val t0 = trained("c0", "s0")
-    val t1 = trained("c1", "s1")
+    val (t0, t1) = lloydBooksFrom(sub)
     (t0.map { case (c, v) => (0, c, v) } ++
       t1.map { case (c, v) => (1, c, v) })
       .toDF("sub", "code", "cv")
       .write.mode("overwrite").parquet(s"$out/pq_codebooks")
-    val codes = seeded.withColumn("b0", pqAssignment("s0", t0))
+    val codes = sub.withColumn("b0", pqAssignment("s0", t0))
       .withColumn("b1", pqAssignment("s1", t1))
       .select(col("vec_id"),
         col("b0.code").as("code0"), col("b1.code").as("code1"))
@@ -3454,6 +3493,7 @@ object SimQueries {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$out/codes")
     writeEncodingMarker(s, out, "raw")
+    writeBooksMarker(s, out, "lloyd")
     graft.streaming.SnapshotManifest.track(s, out, "codes")
   }
 
@@ -3475,6 +3515,32 @@ object SimQueries {
     * standard ADC serving tail, all restated in SQL. */
   def knnIvfPqLloyd(s: SparkSession, dir: String): DataFrame =
     ivfPqServeArtifact(s, dir, pqLloydArtifactOf(s, dir))
+
+  private val pqLloydRefreshedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** S52b gate: TRAINER-FAITHFUL refresh — deploy the Lloyd-trained
+    * index on 2/3 of the corpus (gen-0, `_books=lloyd`), refresh with
+    * the full corpus through the standard S46 verb, serve from the
+    * live generation. Oracle = the full-corpus LLOYD build's SQL
+    * VERBATIM: the hash pins that the swapped-in generation was
+    * rebuilt with the SAME trainer — a refresh that downgraded to
+    * seed books (the pre-marker behavior) hash-mismatches here.
+    */
+  def knnIvfPqLloydRefreshed(s: SparkSession, dir: String): DataFrame = {
+    val artifact = pqLloydRefreshedArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-lloyd-refresh").toString
+      IvfPqReindex.deployOn(
+        vecs(s, dir).filter(col("vec_id") % InsertMod =!= InsertRem),
+        out, trainer = "lloyd")
+      IvfPqReindex.refresh(s, out, vecs(s, dir))
+      out
+    })
+    IvfPqReindex.serve(s, dir, artifact)
+  }
+
+  lazy val knnIvfPqLloydRefreshedSql: String = knnIvfPqLloydSql
 
   lazy val knnIvfPqLloydSql: String = s"""
     WITH e AS ($vecsSql),
@@ -3757,27 +3823,48 @@ object SimQueries {
     * Cost: two encode scans + two codebook aggregates — the price
     * of knowing, paid offline; nothing shuffles but k-row books.
     */
+  /** @param trainer force the rebuild trainer the monitor prices;
+    *                 None (default) reads the artifact's own `_books`
+    *                 marker — the monitor's promise must be what a
+    *                 TRAINER-FAITHFUL refresh would deliver (S52: a
+    *                 Lloyd deployment priced against a label-mean
+    *                 rebuild would "recommend" a refresh that
+    *                 DOWNGRADES the books). The explicit override is
+    *                 the spec's instrument for measuring exactly that
+    *                 downgrade.
+    */
   def ivfPqDriftOn(s: SparkSession, artifact: String,
-                   corpusDir: String): DataFrame = {
+                   corpusDir: String,
+                   trainer: Option[String] = None): DataFrame = {
+    val fs = graft.streaming.SnapshotManifest.fsOf(s, artifact)
     val (cb0d, cb1d) = collectPqBooks(s, artifact)
-    ivfPqDriftFrom(s, vecs(s, corpusDir), cb0d, cb1d)
+    ivfPqDriftFrom(s, vecs(s, corpusDir), cb0d, cb1d,
+      trainer.getOrElse(booksOf(fs, artifact)))
   }
 
   private def ivfPqDriftFrom(s: SparkSession, e: DataFrame,
                              cb0d: Seq[(Long, Seq[Double])],
-                             cb1d: Seq[(Long, Seq[Double])]): DataFrame = {
+                             cb1d: Seq[(Long, Seq[Double])],
+                             trainer: String = "label"): DataFrame = {
     val sub = graft.CachedFrames.persist(
       e.select(col("vec_id"), col("label"),
         slice(col("vn"), 1, 32).as("s0"),
         slice(col("vn"), 33, 32).as("s1")))
-    // the REBUILT books: the identical label-mean arithmetic
-    // `ivfPqIndexWriteOn` ships, over the CURRENT corpus — the
-    // monitor prices exactly what the refresh would deliver
+    // the REBUILT books: the identical arithmetic the artifact's own
+    // trainer ships (`ivfPqIndexWriteOn` label means, or the S52
+    // Lloyd alternation), over the CURRENT corpus — the monitor
+    // prices exactly what a trainer-faithful refresh would deliver
     def codebook(c: String): Seq[(Long, Seq[Double])] =
       KMeans.collectCodebook(KMeans.meanByKey(
         sub.select(col("label").cast("long").as("code"), col(c).as("v")),
         "code"))
-    val (cb0r, cb1r) = (codebook("s0"), codebook("s1"))
+    val (cb0r, cb1r) = trainer match {
+      case "label" => (codebook("s0"), codebook("s1"))
+      case "lloyd" => lloydBooksFrom(sub)
+      case other => throw new UnsupportedOperationException(
+        s"unknown PQ-book trainer '$other' — this monitor can price " +
+          "label or lloyd rebuilds only")
+    }
     def objMicro(cb0: Seq[(Long, Seq[Double])],
                  cb1: Seq[(Long, Seq[Double])]): (Long, Long) = {
       val r = sub
@@ -7662,6 +7749,7 @@ object SimQueries {
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivfpq_artifact" -> (knnIvfPqArtifact _),
     "knn_ivfpq_lloyd" -> (knnIvfPqLloyd _),
+    "knn_ivfpq_lloyd_refreshed" -> (knnIvfPqLloydRefreshed _),
     "knn_ivfpq_artifact_probe" ->
       ((s: SparkSession, d: String) => knnIvfPqArtifactProbe(s, d)),
     "knn_ivfpq_res_artifact_probe" ->
@@ -7722,6 +7810,7 @@ object SimQueries {
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivfpq_artifact" -> knnIvfPqArtifactSql,
     "knn_ivfpq_lloyd" -> knnIvfPqLloydSql,
+    "knn_ivfpq_lloyd_refreshed" -> knnIvfPqLloydRefreshedSql,
     "knn_ivfpq_artifact_probe" -> knnIvfPqArtifactProbeSql,
     "knn_ivfpq_res_artifact_probe" -> knnIvfPqResArtifactProbeSql,
     "ivfpq_tune_deployed" -> ivfPqTuneDeployedSql,

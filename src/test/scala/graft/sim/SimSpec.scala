@@ -1421,20 +1421,39 @@ class SimSpec extends AnyFunSuite {
   }
 
   test("S52 Lloyd-trained deployed books STRICTLY beat the " +
-    "label-seeded books on the same corpus — measured by the S49 " +
-    "monitor itself, whose label-mean rebuild is now the worse side " +
-    "(gain ≤ 0, refresh=false)") {
+    "label-seeded books on the same corpus (the S49 monitor priced " +
+    "against a label rebuild shows the downgrade), and the " +
+    "TRAINER-FAITHFUL default prices the Lloyd rebuild — promise ≡ " +
+    "delivery, gain exactly zero on an un-drifted corpus") {
     val art = SimQueries.pqLloydArtifactOf(spark, dir)
-    val m = SimQueries.ivfPqDriftOn(spark, art, dir).collect().head
+    // explicit label override: the r13 verdict's done criterion —
+    // err under the trained books strictly below the seed books
+    val down = SimQueries
+      .ivfPqDriftOn(spark, art, dir, trainer = Some("label"))
+      .collect().head
     graft.CachedFrames.releaseAll()
-    val deployed = m.getAs[Long]("err_deployed_micro")
-    val rebuilt = m.getAs[Long]("err_refreshed_micro")
-    assert(deployed < rebuilt,
+    val deployed = down.getAs[Long]("err_deployed_micro")
+    val seedReb = down.getAs[Long]("err_refreshed_micro")
+    assert(deployed < seedReb,
       s"Lloyd books ($deployed micro) must STRICTLY beat the " +
-        s"label-mean rebuild ($rebuilt micro) the monitor prices — " +
-        "the r13 verdict's done criterion")
-    assert(!m.getAs[Boolean]("refresh"),
+        s"label-mean rebuild ($seedReb micro)")
+    assert(!down.getAs[Boolean]("refresh"),
       "the monitor blessed replacing trained books with seed books")
+    // trainer-faithful default: the `_books` marker routes the
+    // rebuild through the SAME Lloyd alternation — identical corpus
+    // ⇒ identical books ⇒ gain is EXACTLY zero, refresh refused
+    val faithful = SimQueries.ivfPqDriftOn(spark, art, dir)
+      .collect().head
+    graft.CachedFrames.releaseAll()
+    assert(faithful.getAs[Long]("gain_micro") === 0L,
+      "trainer-faithful rebuild of an un-drifted corpus must " +
+        "reproduce the deployed books to the integer")
+    assert(!faithful.getAs[Boolean]("refresh"))
+    // an unknown trainer marker refuses by name
+    val ex = intercept[UnsupportedOperationException](
+      SimQueries.ivfPqDriftOn(spark, art, dir,
+        trainer = Some("gradient")))
+    assert(ex.getMessage.contains("gradient"), ex.getMessage)
   }
 
   test("S51 encoding-aware insert: an opq artifact refuses inserts " +
