@@ -2160,8 +2160,7 @@ object DedupQueries {
 
   def decontamSubstringsTok(s: SparkSession, dir: String): DataFrame = {
     val sh = graft.CachedFrames.persist(tokenShingles(
-      graft.text.TextQueries.bpeTokenSequences(s, dir)
-        .select(col("doc_id"), col("token_ids"))))
+      tokenSeqsOf(s, dir)))
     decontamRunsFromShingles(
       sh.filter(col("doc_id") % 20 =!= 0),
       sh.filter(col("doc_id") % 20 === 0), "len_tokens")
@@ -2227,10 +2226,29 @@ object DedupQueries {
     */
   val TokDedupK = 15
 
-  def dedupSubstringsTok(s: SparkSession, dir: String): DataFrame =
-    dedupSubstringsTokOn(
+  /** One TOKENIZED corpus per (JVM, dir) — the artifact-cache
+    * discipline applied to the T29 encode feeding the token-grain
+    * dedup/decontam rungs: the BPE tokenization is offline input
+    * prep (priced by its own gates), and a per-invocation rebuild
+    * carries FRESH checkpoint lineage through `bpeTrain`, so no
+    * downstream cache ever matches — a "warm" run re-trained the
+    * tokenizer from scratch while the cold run's caches still held
+    * memory (the sf1 warm>cold spill, r13 verdict item 3, second
+    * half). The checkpoint pins the lineage once; every later
+    * invocation plans against the SAME frame and the df-capped
+    * survivor cache finally hits.
+    */
+  private val tokenSeqFrames =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def tokenSeqsOf(s: SparkSession, dir: String): DataFrame =
+    tokenSeqFrames.computeIfAbsent(dir, _ =>
       graft.text.TextQueries.bpeTokenSequences(s, dir)
-        .select(col("doc_id"), col("token_ids")))
+        .select(col("doc_id"), col("token_ids"))
+        .localCheckpoint(false))
+
+  def dedupSubstringsTok(s: SparkSession, dir: String): DataFrame =
+    dedupSubstringsTokOn(tokenSeqsOf(s, dir))
 
   /** The D35 core over an explicit (doc_id, token_ids) frame — the
     * planted-typo spec's seam. */
