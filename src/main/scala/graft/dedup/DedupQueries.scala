@@ -883,6 +883,15 @@ object DedupQueries {
       cand.union(cand.select(col("doc_b"), col("doc_a")))
         .toDF("src", "dst"))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // round-14 probe note (guide §2.4): caching `ed` pre-partitioned
+    // by src to elide the per-round join exchange was tried and
+    // MEASURED OUT — under Spark 4.1 AQE both localCheckpoint frames
+    // and cached repartitioned relations report UnknownPartitioning
+    // to the next round's planner (probed via executedPlan), so no
+    // exchange is elided and the extra repartition+sort only costs;
+    // at bench scale the round join broadcasts the rank side anyway
+    // (one exchange per round — the contribution re-key — is already
+    // the steady state).
     val ed = graft.CachedFrames.persist(edges.join(deg, Seq("src")))
     // §8a iterative-loop discipline (same as ConnectedComponents):
     // each round's rank frame is localCheckpoint()ed, truncating its
@@ -973,8 +982,17 @@ object DedupQueries {
     */
   private[dedup] def keeperOn(edges0: DataFrame): DataFrame = {
     val edges = graft.CachedFrames.persist(edges0)
-    val labels = graft.operators.ConnectedComponents.run(edges)
-    val ranks = pagerankOn(edges)
+    // round-14 (guide §2.6): CC and PageRank are INDEPENDENT given the
+    // edge frame, but ran strictly in sequence — CC's per-round sig()
+    // actions first, then PR's ten checkpointed rounds at the final
+    // action. Force the shared edge cache once, then run both label
+    // passes from a driver pool; the PR branch counts its result so
+    // its round chain materializes inside the overlap (the final
+    // re-read serves from the checkpointed rounds).
+    edges.count()
+    val Seq(labels, ranks) = graft.operators.Concurrent.par(Seq(
+      () => graft.operators.ConnectedComponents.run(edges),
+      () => { val r = pagerankOn(edges); r.count(); r }))
     val ranked = graft.CachedFrames.persist(
       labels.join(ranks.select(col("doc_id").as("node"),
         col("rank_micro")), Seq("node")))
@@ -2238,14 +2256,9 @@ object DedupQueries {
     * invocation plans against the SAME frame and the df-capped
     * survivor cache finally hits.
     */
-  private val tokenSeqFrames =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
   private def tokenSeqsOf(s: SparkSession, dir: String): DataFrame =
-    tokenSeqFrames.computeIfAbsent(dir, _ =>
-      graft.text.TextQueries.bpeTokenSequences(s, dir)
-        .select(col("doc_id"), col("token_ids"))
-        .localCheckpoint(false))
+    graft.text.TextQueries.deployedTokenSequences(s, dir)
+      .select(col("doc_id"), col("token_ids"))
 
   def dedupSubstringsTok(s: SparkSession, dir: String): DataFrame =
     dedupSubstringsTokOn(tokenSeqsOf(s, dir))

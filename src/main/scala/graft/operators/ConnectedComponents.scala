@@ -30,9 +30,23 @@ object ConnectedComponents {
 
   /** canonical form: u < v, no self-loops, distinct */
   private def canonical(e: DataFrame): DataFrame =
+    oriented(e).distinct()
+
+  /** orientation only (u < v, no self-loops), WITHOUT the dedup
+    * exchange — round-14 (guide §2.4): the large-star output feeds
+    * straight into small-star, whose own canonical() dedups the
+    * round's result, so deduping between the stars bought nothing but
+    * a full (u,v) exchange per round. Duplicate multiplicity stays
+    * bounded by the input row count (large-star emits exactly one row
+    * per (s,d) input row with d > s — never a blow-up), min/groupBy
+    * aggregates are duplicate-insensitive, and the round's OUTPUT set
+    * is unchanged — the convergence signature and the final labels
+    * see identical frames.
+    */
+  private def oriented(e: DataFrame): DataFrame =
     e.select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
 
   private def undirected(e: DataFrame): DataFrame =
     e.select(col("u").as("s"), col("v").as("d"))
@@ -44,7 +58,7 @@ object ConnectedComponents {
     val m = und.groupBy(col("s"))
       .agg(min(col("d")).as("md"))
       .select(col("s"), least(col("md"), col("s")).as("mv"))
-    canonical(und.join(m, Seq("s")).filter(col("d") > col("s"))
+    oriented(und.join(m, Seq("s")).filter(col("d") > col("s"))
       .select(col("mv").as("u"), col("d").as("v")))
   }
 

@@ -68,7 +68,7 @@ object CurationWriter {
   def writeTokenized(s: SparkSession, dir: String, outDir: String,
                      filesPerSource: Int = 1): (Long, Long) = {
     val plan = graft.dedup.DedupQueries.dedupPurgePlan(s, dir)
-    val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
+    val seqs = graft.text.TextQueries.deployedTokenSequences(s, dir)
     val out = curated(Tables.documents(s, dir), plan)
       .join(seqs, Seq("doc_id"), "left")
       .withColumn("token_ids", coalesce(col("token_ids"),

@@ -360,7 +360,10 @@ object PipelineQueries {
     // √n width off the DOCUMENTS count (not the sequence frame — that
     // would force the tokenizer train just to size buckets)
     val BucketWidth = bucketWidthFor(Tables.documents(s, dir).count())
-    val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
+    // deployed-tokenizer memo (round 14): the encode is offline input
+    // prep shared by every P32/P33/P35/P36 consumer — see
+    // TextQueries.deployedTokenSequences
+    val seqs = graft.text.TextQueries.deployedTokenSequences(s, dir)
       .withColumn("bucket", expr(s"doc_id div $BucketWidth"))
     val bucketTotals = seqs.groupBy(col("bucket"))
       .agg(sum(col("n_tokens")).as("bt"))
@@ -414,7 +417,7 @@ object PipelineQueries {
     */
   def dataPackShuffled(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seqs = graft.text.TextQueries.bpeTokenSequences(s, dir)
+    val seqs = graft.text.TextQueries.deployedTokenSequences(s, dir)
       .withColumn("k", md5(concat_ws(":", lit("pack"), col("doc_id"))))
       .withColumn("kb", substring(col("k"), 1, 2))
     val bucketTotals = seqs.groupBy(col("kb"))
@@ -481,7 +484,8 @@ object PipelineQueries {
   val PackEpochs = 2
 
   def dataEpochOrder(s: SparkSession, dir: String): DataFrame =
-    epochOrderOn(dataPackTokens(s, dir).select(col("block_id")))
+    epochOrderOn(graft.CachedFrames.persist(
+      dataPackTokens(s, dir).select(col("block_id"))))
 
   /** The P33 rank over an explicit block frame — factored so P36 can
     * order the SAME packed frame it sums sizes from (one pack pass,
