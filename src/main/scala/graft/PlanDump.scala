@@ -49,12 +49,26 @@ object PlanDump {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are delivered asynchronously: poll until the
+      // counters are stable so trailing stage-completed events are
+      // counted (r14 ADVICE — the public API has no bus-drain hook)
+      var snap = (jobs.get, stages.get, tasks.get)
+      var settled = false
+      while (!settled) {
+        Thread.sleep(200)
+        val now = (jobs.get, stages.get, tasks.get)
+        settled = now == snap
+        snap = now
+      }
       // counts include the query-BUILD phase's jobs (training collects,
       // checkpointed rounds) — that is the point: loop-shape changes
-      // move these numbers even when the final frame's plan is stable
+      // move these numbers even when the final frame's plan is stable.
+      // The dumped plan is the PRE-EXECUTION (pre-AQE) formatted plan
+      // of the gate frame; the counts are from the separately-executed
+      // noop write (r14 ADVICE — stated so the artifact is read right).
       val hdr = f"query: $name%s\nexecuted: jobs=${jobs.get}%d " +
         f"stages=${stages.get}%d tasks=${tasks.get}%d " +
-        f"noop_first_run_sec=$sec%.3f\n\n"
+        f"noop_first_run_sec=$sec%.3f\nplan: pre-AQE (initial physical plan)\n\n"
       java.nio.file.Files.writeString(
         outDir.resolve(s"$name$suffix.txt"), hdr + plan)
       graft.CachedFrames.releaseAll()

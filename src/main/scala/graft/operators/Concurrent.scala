@@ -20,8 +20,19 @@ package graft.operators
 object Concurrent {
   def par[A](tasks: Seq[() => A], parallelism: Int = 4): Seq[A] = {
     if (tasks.lengthCompare(1) <= 0) return tasks.map(_())
+    // daemon threads: a hung task cannot pin the JVM past main's exit
+    // (r14 ADVICE); Spark actions on these threads respond to interrupt
+    // via job cancellation, so cancel-on-failure below is effective
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(parallelism, tasks.size))
+      math.min(parallelism, tasks.size),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-par-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
     try {
       val futs = tasks.map { t =>
         pool.submit(new java.util.concurrent.Callable[A] {
@@ -29,11 +40,14 @@ object Concurrent {
         })
       }
       // unwrap so callers see the task's own exception, not the
-      // ExecutionException shell
+      // ExecutionException shell; on the FIRST failure cancel the
+      // rest of the batch (r14 ADVICE: don't keep burning the pool on
+      // jobs whose result the caller will never read)
       futs.map { f =>
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
+            futs.foreach(_.cancel(true))
             throw e.getCause
         }
       }

@@ -1774,12 +1774,24 @@ object TextQueries {
   private val deployedSeqFrames =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** round-15 (r14 ADVICE): the memo holds live RDD state, so a cached
+    * frame is only servable while ITS SparkSession is the caller's live
+    * one — a stopped/recreated session would otherwise be handed dead
+    * checkpoint blocks. compute() re-validates per lookup and rebuilds
+    * on a session change; [[releaseDeployedTokenSequences]] is the
+    * explicit invalidation hook (test teardown, corpus swap).
+    */
   private[graft] def deployedTokenSequences(s: SparkSession,
                                             dir: String): DataFrame =
-    deployedSeqFrames.computeIfAbsent(dir, _ =>
-      bpeTokenSequences(s, dir)
+    deployedSeqFrames.compute(dir, (_, cached) =>
+      if (cached != null && (cached.sparkSession eq s) &&
+          !s.sparkContext.isStopped) cached
+      else bpeTokenSequences(s, dir)
         .select(col("doc_id"), col("token_ids"), col("n_tokens"))
         .localCheckpoint(false))
+
+  private[graft] def releaseDeployedTokenSequences(): Unit =
+    deployedSeqFrames.clear()
 
   /** T30: BPE DECODE — the tokenizer ROUND-TRIP, closing the loader
     * loop T29 opened (a training pipeline that can only encode is

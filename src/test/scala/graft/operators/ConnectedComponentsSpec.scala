@@ -55,6 +55,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(ccLabels(edges) === unionFind(edges))
   }
 
+  test("int-typed edge columns converge identically (round-15: the " +
+    "accumulator sig reads physical ints where SQL sum() coerced)") {
+    import spark.implicits._
+    val edges = Seq((1, 2), (2, 3), (3, 4), (10, 11), (11, 10), (20, 21))
+    val got = ConnectedComponents.run(edges.toDF("u", "v")).collect()
+      .map(r => r.getInt(0).toLong -> r.getInt(1).toLong).toMap
+    assert(got === unionFind(edges.map { case (a, b) => (a.toLong, b.toLong) }))
+    assert(got.values.toSet === Set(1L, 10L, 20L))
+  }
+
   test("disjoint components keep distinct roots") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
     val got = ccLabels(edges)

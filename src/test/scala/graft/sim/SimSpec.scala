@@ -2704,6 +2704,35 @@ class SimSpec extends AnyFunSuite {
         CorpusReader.default.vectors(spark, dir)))
     assert(ex.getMessage.contains("opq"))
   }
+
+  test("recall eval equals the standalone method pipelines (round-15: " +
+    "the harness shares one trained state across its method panel)") {
+    import org.apache.spark.sql.functions.col
+    val eval = SimQueries.knnRecallEval(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.CachedFrames.releaseAll()
+    val truth = SimQueries.knnBrute(spark, dir)
+      .select("q_id", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CachedFrames.releaseAll()
+    val standalone = Seq(
+      ("ivf", SimQueries.knnIvf(spark, dir)),
+      ("lsh", SimQueries.knnLsh(spark, dir)),
+      ("pq_adc", SimQueries.knnPqAdc(spark, dir)),
+      ("ivfpq", SimQueries.knnIvfPq(spark, dir)),
+      ("pq_refine", SimQueries.knnPqRefine(spark, dir)),
+      ("ivfpq_refine", SimQueries.knnIvfPqRefine(spark, dir)))
+    standalone.foreach { case (m, df) =>
+      val pairs = df.select(col("q_id"), col("neighbor")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      graft.CachedFrames.releaseAll()
+      val (nPairs, hits) = eval(m)
+      assert(nPairs === pairs.length.toLong,
+        s"$m: shared-parts pair count diverged from the standalone gate")
+      assert(hits === pairs.count(truth).toLong,
+        s"$m: shared-parts hit count diverged from the standalone gate")
+    }
+  }
 }
 
 /** A local FS that REPORTS an object-store scheme — the E35 seam
